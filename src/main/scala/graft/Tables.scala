@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+
+/** Loads the driver-provided test tables (TESTDATA.md) and registers them
+  * as temp views so queries can be written either with the DataFrame API
+  * or `spark.sql`.
+  *
+  * Mirrors the reference's catalog behavior (Basekick-Labs/arc,
+  * internal/api/query.go:2462-2596): where Arc regex-rewrites `FROM m` to
+  * a read_parquet glob over the measurement directory, we register each
+  * directory as a Spark table once and let the analyzer resolve names.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Read one table from an sf directory.
+    *
+    * `events.ts` is written as Parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects; we read it as raw nanos and floor to the
+    * engine's canonical microsecond TimestampType (the reference stores
+    * all time as int64 µs — arrow_writer.go:474-480 — so µs IS the
+    * engine-native precision; DuckDB oracles use CAST(ts AS TIMESTAMP),
+    * the same truncation).
+    */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else df
+  }
+
+  /** Register all tables for `sfDir` as temp views (idempotent).
+    * Cheap: schema-only reads; data is scanned lazily per query. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit = synchronized {
+    val already = spark.conf.getOption("graft.registered.sfDir")
+    if (!already.contains(sfDir)) {
+      names.foreach { n => load(spark, sfDir, n).createOrReplaceTempView(n) }
+      GraftFunctions.registerAll(spark)
+      spark.conf.set("graft.registered.sfDir", sfDir)
+    }
+  }
+}
