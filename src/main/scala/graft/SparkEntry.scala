@@ -1,48 +1,26 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
+import graft.queries._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Each entry in `queries` is one operator from SURVEY.md §2, expressed
   * Spark-first (DataFrame API / spark.sql), with an equivalent DuckDB SQL
   * oracle in `oracleSql`. Column names are aliased identically on both
-  * sides (the driver's compare sorts columns by name before hashing).
-  * Double-typed aggregates are cast to DECIMAL before summing so both
-  * engines do exact, order-independent arithmetic.
+  * sides; see graft.queries for the oracle-parity conventions.
   */
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+    queries("q01_agg_groupby")(spark, "/root/testdata/sf0.001")
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    Tables.registerAll(s, dir)
-    s.table(name)
-  }
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    AggQueries.queries ++ JoinQueries.queries ++ WindowQueries.queries ++
+      SortSetQueries.queries ++ FunctionQueries.queries ++ SqlQueries.queries
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // ---- 2.D aggregation: TPC-H Q1-style multi-key agg
-    "q1_agg" -> ((s, dir) => {
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(
-          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
-          count(lit(1)).as("count_order"))
-        .orderBy(col("l_returnflag"), col("l_linestatus"))
-    })
-  )
-
-  def oracleSql: Map[String, String] = Map(
-    "q1_agg" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        |  COUNT(*) AS count_order
-        |FROM lineitem GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
-  )
+  def oracleSql: Map[String, String] =
+    AggQueries.oracles ++ JoinQueries.oracles ++ WindowQueries.oracles ++
+      SortSetQueries.oracles ++ FunctionQueries.oracles ++ SqlQueries.oracles
 }

@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared helpers for the driver-facing query inventory.
+  *
+  * Oracle-parity conventions (see SURVEY.md §7.4 "Result hashing"):
+  *  - every query ends in a deterministic ORDER BY (unique tie-break);
+  *  - double-typed SUMs go through DECIMAL(18,2) so both engines do
+  *    exact, order-independent arithmetic, then cast to DOUBLE;
+  *  - AVG is expressed as decimal-sum / count (both sides identical);
+  *  - column aliases match the oracle SQL exactly.
+  */
+package object queries {
+  type Q = (SparkSession, String) => DataFrame
+
+  def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.table(name)
+  }
+
+  /** Exact decimal view of a double column (order-independent sums). */
+  def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** Order-independent SUM of a double column, rendered as double. */
+  def dsum(c: Column): Column = sum(dec(c)).cast("double")
+
+  /** Order-independent AVG of a double column, rendered as double. */
+  def davg(c: Column): Column = (sum(dec(c)).cast("double") / count(c))
+
+  /** DuckDB-side spellings of the same. */
+  def oSum(c: String): String = s"CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
+  def oAvg(c: String): String = s"CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE) / COUNT($c)"
+}
