@@ -1,0 +1,187 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, quality scoring, language-ID, content fingerprinting,
+  * shingling, MinHash signatures and SimHash — all composed from
+  * codegen'd built-ins (no UDFs), so they stay inside whole-stage
+  * codegen and scale linearly per row with no driver involvement.
+  *
+  * Every function has an exactly-equivalent DuckDB SQL spelling (used by
+  * the oracle generators in graft.queries) built on the same integer
+  * arithmetic, so results are bit-exact across engines.
+  */
+object TextFunctions {
+
+  val Prime: Long = 1000000007L
+
+  /** Whitespace tokens of trimmed text. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
+
+  /** Polynomial rolling hash over characters: fold (acc*31 + ascii(c)) % P.
+    * The document-fingerprint primitive; also the base hash for MinHash
+    * shingles (deterministic, engine-independent — unlike murmur/xxhash
+    * whose seeds differ between engines). */
+  def charFingerprint(text: Column): Column =
+    aggregate(
+      filter(split(text, ""), c => c =!= ""),
+      lit(0L),
+      (acc, c) => (acc * 31 + ascii(c)) % Prime)
+
+  /** Same rolling hash, spelled for DuckDB. */
+  def charFingerprintSql(col: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($col, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+      s"(a, b) -> (a * 31 + b) % $Prime)"
+
+  private val stopwords = Seq("the", "a", "of", "and", "or", "is", "in", "to")
+  def stopwordsSqlList: String = stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+
+  def stopwordCount(text: Column): Column =
+    size(filter(tokens(text), t => t.isin(stopwords.map(x => x: Any): _*)))
+
+  def punctCount(text: Column): Column =
+    length(regexp_replace(text, "[^.,;:!?]", ""))
+
+  /** Composite quality score in [0,1]: length saturation, non-stopword
+    * density, token diversity. Pure ratios of integer counts — exact
+    * across engines before the final double ops. */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val nStop = stopwordCount(text).cast("double")
+    val nDist = distinctTokenCount(text).cast("double")
+    round(
+      least(nTok / 50.0, lit(1.0)) * 0.4 +
+        (lit(1.0) - nStop / nTok) * 0.3 +
+        (nDist / nTok) * 0.3, 6)
+  }
+
+  def qualityScoreSql(col: String): String = {
+    val nTok = s"CAST(len(string_split_regex(trim($col), '\\s+')) AS DOUBLE)"
+    val nStop = s"CAST(len(list_filter(string_split_regex(trim($col), '\\s+'), " +
+      s"t -> list_contains($stopwordsSqlList, t))) AS DOUBLE)"
+    val nDist = s"CAST(len(list_distinct(string_split_regex(trim($col), '\\s+'))) AS DOUBLE)"
+    s"round(least($nTok / 50.0, 1.0) * 0.4 + (1.0 - $nStop / $nTok) * 0.3 + " +
+      s"($nDist / $nTok) * 0.3, 6)"
+  }
+
+  /** Language markers: tiny per-language stopword profiles. On real corpora
+    * these would be char-n-gram profiles; the marker-count argmax shape is
+    * the same and is exactly SQL-expressible for the oracle. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of"),
+    "de" -> Seq("der", "und", "die"),
+    "es" -> Seq("el", "los", "que"),
+    "fr" -> Seq("le", "les", "des"),
+    "zh" -> Seq("de", "shi", "bu"))
+
+  private def markerCount(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(markers.map(x => x: Any): _*)))
+
+  /** argmax over language marker counts, first-listed language wins ties. */
+  def langId(text: Column): Column = {
+    val counts = langMarkers.map { case (lang, ms) => lang -> markerCount(text, ms) }
+    val best = counts.map(_._2).reduce((a, b) => greatest(a, b))
+    counts.foldRight(lit("und")) { case ((lang, c), acc) =>
+      when(c === best && best > 0, lang).otherwise(acc)
+    }
+  }
+
+  def langIdSql(col: String): String = {
+    val toks = s"string_split_regex(trim($col), '\\s+')"
+    def cnt(ms: Seq[String]) =
+      s"len(list_filter($toks, t -> list_contains(${ms.map(m => s"'$m'").mkString("[", ", ", "]")}, t)))"
+    val counts = langMarkers.map { case (lang, ms) => lang -> cnt(ms) }
+    val best = counts.map(_._2).reduce((a, b) => s"greatest($a, $b)")
+    counts.foldRight("'und'") { case ((lang, c), acc) =>
+      s"CASE WHEN $c = best_cnt AND best_cnt > 0 THEN '$lang' ELSE $acc END"
+    } match {
+      case caseExpr => s"(SELECT $caseExpr FROM (SELECT $best AS best_cnt))"
+    }
+  }
+
+  /** k-token shingles as strings (1-indexed slices, same in DuckDB). */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(toks) - (k - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(k)))))
+  }
+
+  def shinglesSql(col: String, k: Int): String = {
+    val toks = s"string_split_regex(trim($col), '\\s+')"
+    s"list_distinct(list_transform(generate_series(1, greatest(len($toks) - ${k - 1}, 1)), " +
+      s"i -> array_to_string(list_slice($toks, i, i + ${k - 1}), ' ')))"
+  }
+
+  /** Shingle hash set: polynomial char hash of each shingle. */
+  def shingleHashes(text: Column, k: Int): Column =
+    array_distinct(transform(shingles(text, k), s => hashOfString(s)))
+
+  private def hashOfString(s: Column): Column =
+    aggregate(filter(split(s, ""), c => c =!= ""), lit(0L),
+      (acc, c) => (acc * 31 + ascii(c)) % Prime)
+
+  def shingleHashesSql(col: String, k: Int): String =
+    s"list_distinct(list_transform(${shinglesSql(col, k)}, s -> " +
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+      s"(a, b) -> (a * 31 + b) % $Prime)))"
+
+  /** Deterministic MinHash family: h_i(x) = (a_i * x + b_i) % P with fixed
+    * odd multipliers. a_i*x < 2^63 since x < P ~ 1e9 and a_i < 4e3. */
+  def minhashParams(numHashes: Int): Seq[(Long, Long)] =
+    (0 until numHashes).map(i => (2L * i + 3L, 1L + i * i))
+
+  /** MinHash signature: array of numHashes minima over the shingle set. */
+  def minhashSignature(shingleHashesCol: Column, numHashes: Int): Column = {
+    val sig = minhashParams(numHashes).map { case (a, b) =>
+      array_min(transform(shingleHashesCol, h => (h * a + b) % Prime))
+    }
+    array(sig: _*)
+  }
+
+  def minhashSignatureSql(hashesExpr: String, numHashes: Int): String =
+    minhashParams(numHashes).map { case (a, b) =>
+      s"list_min(list_transform($hashesExpr, h -> (h * $a + $b) % $Prime))"
+    }.mkString("[", ", ", "]")
+
+  val SimHashBits = 32
+
+  /** 2^b literals (the base hash has ~30 bits of entropy, so 32-bit
+    * SimHash; bit b of h extracted as floor(h / 2^b) % 2 — exact, since
+    * h < 2^30 << 2^53). */
+  private def pow2: Column = array((0 until SimHashBits).map(b => lit(1L << b)): _*)
+
+  /** 32-bit SimHash over the token multiset: per bit, sum +1/-1 by that
+    * bit of each token's polynomial hash; bit set iff the sum > 0.
+    * Composed as array folds (codegen'd); exact integer arithmetic. */
+  def simhash(text: Column): Column = {
+    val tokHashes = transform(tokens(text), t => hashOfString(t))
+    val counts = aggregate(
+      tokHashes,
+      transform(sequence(lit(0), lit(SimHashBits - 1)), _ => lit(0L)),
+      (acc, h) => zip_with(acc, transform(sequence(lit(0), lit(SimHashBits - 1)),
+        b => (floor(h / element_at(pow2, b + 1)).cast("long") % 2) * 2 - 1),
+        (a, v) => a + v))
+    aggregate(
+      zip_with(counts, sequence(lit(0), lit(SimHashBits - 1)),
+        (c, b) => when(c > 0, element_at(pow2, b + 1)).otherwise(lit(0L))),
+      lit(0L), (a, v) => a + v)
+  }
+
+  def simhashSql(col: String): String = {
+    val toks = s"string_split_regex(trim($col), '\\s+')"
+    val tokHashes = s"list_transform($toks, t -> " +
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+      s"(a, b) -> (a * 31 + b) % $Prime))"
+    s"""(SELECT list_sum(list_transform(generate_series(0, ${SimHashBits - 1}), b ->
+       |   CASE WHEN list_sum(list_transform(th, h -> ((h >> b) & 1) * 2 - 1)) > 0
+       |        THEN (CAST(1 AS BIGINT) << b) ELSE 0 END))
+       | FROM (SELECT $tokHashes AS th))""".stripMargin
+  }
+}

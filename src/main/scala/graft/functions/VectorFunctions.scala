@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector primitives over ArrayType(FloatType) columns,
+  * composed from codegen'd built-ins (zip_with/aggregate) — no UDFs.
+  *
+  * Determinism contract with the DuckDB oracles: elements are cast to
+  * double BEFORE multiplication and summed by a sequential left fold,
+  * the same evaluation order both engines use for list_reduce, so
+  * results are bit-identical (floating point is order-sensitive).
+  */
+object VectorFunctions {
+
+  private def fold(arr: Column): Column =
+    aggregate(arr, lit(0.0), (acc, x) => acc + x)
+
+  def dot(a: Column, b: Column): Column =
+    fold(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+
+  def norm2(a: Column): Column =
+    sqrt(fold(transform(a, x => x.cast("double") * x.cast("double"))))
+
+  /** Cosine similarity, rounded to 8 dp (guards the last-ulp differences
+    * fused operations could introduce on either engine). */
+  def cosine(a: Column, b: Column): Column =
+    round(dot(a, b) / (norm2(a) * norm2(b)), 8)
+
+  /** DuckDB spellings with identical fold order. */
+  def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(generate_series(1, len($a)), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (x, y) -> x + y)"
+
+  def norm2Sql(a: String): String =
+    s"sqrt(list_reduce(list_prepend(0.0, list_transform($a, " +
+      s"v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (x, y) -> x + y))"
+
+  def cosineSql(a: String, b: String): String =
+    s"round(${dotSql(a, b)} / (${norm2Sql(a)} * ${norm2Sql(b)}), 8)"
+
+  /** Random-hyperplane LSH bucket: sign bits of dot products with
+    * `planes` fixed deterministic pseudo-vectors. Used to pre-bucket
+    * ANN search so the 100 TB path joins within buckets instead of
+    * brute-forcing the cross product. Plane p, dim i weight:
+    * ((p * 1315423911 + i * 2654435761) % 1000003) / 1000003 - 0.5 */
+  def lshBucket(vec: Column, planes: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val proj = fold(zip_with(vec,
+        sequence(lit(0), size(vec) - 1),
+        (x, i) => x.cast("double") *
+          (((lit(p.toLong) * 1315423911L + i.cast("long") * 2654435761L) % 1000003L)
+            .cast("double") / 1000003.0 - 0.5)))
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  def lshBucketSql(vec: String, planes: Int): String = {
+    val bits = (0 until planes).map { p =>
+      val proj = s"list_reduce(list_prepend(0.0, list_transform(" +
+        s"generate_series(1, len($vec)), i -> CAST($vec[i] AS DOUBLE) * " +
+        s"(CAST((CAST($p AS BIGINT) * 1315423911 + CAST(i - 1 AS BIGINT) * 2654435761) % 1000003 AS DOUBLE) " +
+        s"/ 1000003.0 - 0.5))), (x, y) -> x + y)"
+      s"CASE WHEN $proj > 0 THEN ${1L << p} ELSE 0 END"
+    }
+    bits.mkString("(", " + ", ")")
+  }
+}

@@ -1,0 +1,137 @@
+package graft.queries
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication family over `documents` — the operators a 100 TB
+  * training-data pipeline runs before anything else:
+  *  - exact (hash-groupBy on a normalized key);
+  *  - n-gram Jaccard near-dup (blocked pairwise — the join is keyed on
+  *    (lang, n_tokens) so it shuffles into small blocks instead of a
+  *    cross product; at scale the block key becomes a real LSH band);
+  *  - MinHash + LSH banding (shingle → signature → band → bucket join);
+  *  - SimHash + Hamming distance.
+  * All integer arithmetic is engine-exact; DuckDB oracles are generated
+  * from the same constants (see TextFunctions *Sql helpers).
+  */
+object DedupQueries {
+
+  private val MinHashK = 16
+  private val Bands = 4
+  private val RowsPerBand = MinHashK / Bands
+
+  val queries: Map[String, Q] = Map(
+    // exact dedup on a normalized key (first-3-token prefix): groups
+    // with >1 member, keeper = min doc_id (deterministic survivor)
+    "q64_dedup_exact" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          array_join(slice(tokens(col("text")), 1, 3), " ").as("key3"))
+        .groupBy(col("key3"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+        .where(col("n_copies") > 1)
+        .orderBy(col("key3"))),
+
+    // n-gram (token-set) Jaccard near-dup, blocked on (lang, n_tokens)
+    "q65_dedup_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          tokenCount(col("text")).as("n_tokens"),
+          array_distinct(tokens(col("text"))).as("toks"))
+      val a = docs.select(col("doc_id").as("doc1"), col("lang"),
+        col("n_tokens"), col("toks").as("toks1"))
+      val b = docs.select(col("doc_id").as("doc2"), col("lang"),
+        col("n_tokens"), col("toks").as("toks2"))
+      a.join(b, Seq("lang", "n_tokens"))
+        .where(col("doc1") < col("doc2"))
+        .withColumn("inter", size(array_intersect(col("toks1"), col("toks2"))))
+        .withColumn("uni", size(array_union(col("toks1"), col("toks2"))))
+        .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 6))
+        .where(col("jaccard") >= 0.5)
+        .select(col("doc1"), col("doc2"), col("jaccard"))
+        .orderBy(col("doc1"), col("doc2"))
+    }),
+
+    // MinHash + LSH: signature -> bands -> bucket join -> candidate pairs
+    "q66_dedup_minhash" -> ((s, dir) => {
+      val sigs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          minhashSignature(shingleHashes(col("text"), 2), MinHashK).as("sig"))
+      val bands = sigs.select(col("doc_id"), explode(array(
+        (0 until Bands).map(bnd =>
+          struct(lit(bnd).as("band"),
+            array_join(slice(col("sig"), bnd * RowsPerBand + 1, RowsPerBand), ",")
+              .as("key"))): _*)).as("b"))
+        .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
+      bands.alias("x").join(bands.alias("y"),
+          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
+        .distinct()
+        .orderBy(col("doc1"), col("doc2"))
+    }),
+
+    // SimHash near-dup: Hamming distance <= 6 within (lang, n_tokens) blocks
+    "q67_dedup_simhash" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), tokenCount(col("text")).as("n_tokens"),
+          simhash(col("text")).as("sh"))
+      val a = docs.select(col("doc_id").as("doc1"), col("lang"),
+        col("n_tokens"), col("sh").as("sh1"))
+      val b = docs.select(col("doc_id").as("doc2"), col("lang"),
+        col("n_tokens"), col("sh").as("sh2"))
+      a.join(b, Seq("lang", "n_tokens"))
+        .where(col("doc1") < col("doc2"))
+        .withColumn("hd", bit_count(col("sh1").bitwiseXOR(col("sh2"))))
+        .where(col("hd") <= 6)
+        .select(col("doc1"), col("doc2"), col("hd"))
+        .orderBy(col("doc1"), col("doc2"))
+    })
+  )
+
+  private val toks = "string_split_regex(trim(text), '\\s+')"
+
+  val oracles: Map[String, String] = Map(
+    "q64_dedup_exact" ->
+      s"""SELECT array_to_string(list_slice($toks, 1, 3), ' ') AS key3,
+         |  MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+         |FROM documents GROUP BY key3 HAVING COUNT(*) > 1 ORDER BY key3""".stripMargin,
+
+    "q65_dedup_jaccard" ->
+      s"""WITH d AS (SELECT doc_id, lang, len($toks) AS n_tokens,
+         |             list_distinct($toks) AS tk FROM documents)
+         |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+         |  round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) /
+         |        len(list_distinct(list_concat(a.tk, b.tk))), 6) AS jaccard
+         |FROM d a JOIN d b ON a.lang = b.lang AND a.n_tokens = b.n_tokens
+         |  AND a.doc_id < b.doc_id
+         |WHERE round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) /
+         |        len(list_distinct(list_concat(a.tk, b.tk))), 6) >= 0.5
+         |ORDER BY doc1, doc2""".stripMargin,
+
+    "q66_dedup_minhash" -> {
+      val sig = minhashSignatureSql(shingleHashesSql("text", 2), MinHashK)
+      val bandRows = (0 until Bands).map(bnd =>
+        s"SELECT doc_id, $bnd AS band, array_to_string(list_slice(sig, " +
+          s"${bnd * RowsPerBand + 1}, ${(bnd + 1) * RowsPerBand}), ',') AS key FROM sigs")
+        .mkString(" UNION ALL ")
+      s"""WITH sigs AS (SELECT doc_id, $sig AS sig FROM documents),
+         |bands AS ($bandRows)
+         |SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+         |FROM bands x JOIN bands y
+         |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+         |ORDER BY doc1, doc2""".stripMargin
+    },
+
+    "q67_dedup_simhash" ->
+      s"""WITH d AS (SELECT doc_id, lang, len($toks) AS n_tokens,
+         |             ${simhashSql("text")} AS sh FROM documents)
+         |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+         |  bit_count(xor(a.sh, b.sh)) AS hd
+         |FROM d a JOIN d b ON a.lang = b.lang AND a.n_tokens = b.n_tokens
+         |  AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sh, b.sh)) <= 6
+         |ORDER BY doc1, doc2""".stripMargin
+  )
+}

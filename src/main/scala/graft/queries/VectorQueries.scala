@@ -1,0 +1,103 @@
+package graft.queries
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (ArrayType(FloatType)).
+  *  - q70: brute-force cosine top-k — the correctness baseline; the
+  *    query side is tiny (broadcast), so the corpus streams through one
+  *    codegen'd projection with a per-query top-k (no global sort).
+  *  - q71: random-hyperplane LSH buckets — the 100 TB path; candidates
+  *    only join within a bucket (equi-join shuffle, not cross product).
+  *  - q72: per-label norm statistics (decimal-exact aggregation).
+  */
+object VectorQueries {
+
+  private val TopK = 5
+  private val NQueries = 3
+  private val Planes = 8
+
+  val queries: Map[String, Q] = Map(
+    "q70_ann_bruteforce" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val c = emb.where(col("vec_id") >= NQueries)
+        .select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("cand_id"))
+      c.crossJoin(broadcast(q))
+        .withColumn("cos", cosine(col("qv"), col("cv")))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= TopK)
+        .select(col("query_id"), col("rn"), col("cand_id"), col("cos"))
+        .orderBy(col("query_id"), col("rn"))
+    }),
+
+    "q71_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          lshBucket(col("embedding"), Planes).as("bucket"))
+      val q = emb.where(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("bucket"))
+      val c = emb.where(col("vec_id") >= NQueries)
+        .select(col("vec_id").as("cand_id"), col("embedding").as("cv"), col("bucket"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("cand_id"))
+      c.join(broadcast(q), "bucket")
+        .withColumn("cos", cosine(col("qv"), col("cv")))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= TopK)
+        .select(col("query_id"), col("rn"), col("cand_id"), col("cos"))
+        .orderBy(col("query_id"), col("rn"))
+    }),
+
+    "q72_vector_stats" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("label"),
+          round(norm2(col("embedding")), 6).cast("decimal(18,6)").as("nrm"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("nrm")).cast("double").as("sum_norm"))
+        .orderBy(col("label")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q70_ann_bruteforce" -> {
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+         |           WHERE vec_id < $NQueries),
+         |c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings
+         |      WHERE vec_id >= $NQueries),
+         |scored AS (SELECT query_id, cand_id, ${cosineSql("qv", "cv")} AS cos
+         |           FROM c CROSS JOIN q)
+         |SELECT query_id, rn, cand_id, cos FROM (
+         |  SELECT query_id, cand_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rn
+         |  FROM scored)
+         |WHERE rn <= $TopK ORDER BY query_id, rn""".stripMargin
+    },
+
+    "q71_ann_lsh" -> {
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |  ${lshBucketSql("embedding", Planes)} AS bucket FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM e
+         |      WHERE vec_id < $NQueries),
+         |c AS (SELECT vec_id AS cand_id, embedding AS cv, bucket FROM e
+         |      WHERE vec_id >= $NQueries),
+         |scored AS (SELECT query_id, cand_id, ${cosineSql("qv", "cv")} AS cos
+         |           FROM c JOIN q USING (bucket))
+         |SELECT query_id, rn, cand_id, cos FROM (
+         |  SELECT query_id, cand_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rn
+         |  FROM scored)
+         |WHERE rn <= $TopK ORDER BY query_id, rn""".stripMargin
+    },
+
+    "q72_vector_stats" ->
+      s"""SELECT label, COUNT(*) AS n,
+         |  CAST(SUM(CAST(round(${norm2Sql("embedding")}, 6) AS DECIMAL(18,6))) AS DOUBLE)
+         |    AS sum_norm
+         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+  )
+}
