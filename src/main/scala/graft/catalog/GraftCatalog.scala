@@ -1,0 +1,141 @@
+package graft.catalog
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.util.Properties
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+/** Per-measurement table configuration — replaces the reference's
+  * Parquet footer metadata `arc:tags` / `arc:dedup_time` / `arc:decimals`
+  * (arrow_writer.go:505-535) and arc.toml sort_keys with a per-directory
+  * sidecar (SURVEY §1.3 recommends exactly this swap).
+  */
+final case class TableMeta(
+    sortKeys: Seq[String] = Nil,
+    tagColumns: Seq[String] = Nil,
+    dedupTime: Boolean = false,
+    decimals: Map[String, (Int, Int)] = Map.empty)
+
+/** Measurement catalog over `{root}/{db}/{measurement}` Parquet trees
+  * with Hive-style `year=/month=/day=/hour=` partitions (a deliberate
+  * improvement over the reference's bare `YYYY/MM/DD/HH` layout —
+  * Catalyst prunes Hive partitions natively, no regex path pruner
+  * needed; SURVEY §4.1).
+  *
+  * All storage access goes through the Hadoop FileSystem API, so the
+  * same code serves file://, s3a:// and abfs:// roots (the reference's
+  * local/S3/Azure backends, internal/storage/).
+  */
+final class GraftCatalog(val spark: SparkSession, val root: String) {
+
+  private def fs(p: Path): FileSystem = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def tablePath(db: String, measurement: String): String = s"$root/$db/$measurement"
+
+  // ---- metadata sidecar ------------------------------------------------
+
+  private def metaPath(db: String, m: String) = new Path(s"${tablePath(db, m)}/_graft_meta.properties")
+
+  def writeMeta(db: String, m: String, meta: TableMeta): Unit = {
+    val props = new Properties()
+    props.setProperty("sortKeys", meta.sortKeys.mkString(","))
+    props.setProperty("tagColumns", meta.tagColumns.mkString(","))
+    props.setProperty("dedupTime", meta.dedupTime.toString)
+    props.setProperty("decimals",
+      meta.decimals.map { case (c, (p, s)) => s"$c:$p:$s" }.mkString(","))
+    val path = metaPath(db, m)
+    val out = fs(path).create(path, true)
+    try props.store(out, "graft table metadata") finally out.close()
+  }
+
+  def readMeta(db: String, m: String): TableMeta = {
+    val path = metaPath(db, m)
+    val f = fs(path)
+    if (!f.exists(path)) TableMeta()
+    else {
+      val in = f.open(path)
+      val props = new Properties()
+      try props.load(in) finally in.close()
+      def list(k: String) =
+        Option(props.getProperty(k)).map(_.split(",").filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      TableMeta(
+        sortKeys = list("sortKeys"),
+        tagColumns = list("tagColumns"),
+        dedupTime = Option(props.getProperty("dedupTime")).exists(_.toBoolean),
+        decimals = list("decimals").map { s =>
+          val Array(c, p, sc) = s.split(":")
+          c -> (p.toInt, sc.toInt)
+        }.toMap)
+    }
+  }
+
+  // ---- listing (SHOW DATABASES / SHOW TABLES — reference implements
+  // these as storage listings, query.go:3229-3465) ----------------------
+
+  def listDatabases(): Seq[String] = {
+    val r = new Path(root)
+    val f = fs(r)
+    if (!f.exists(r)) Nil
+    else f.listStatus(r).filter(_.isDirectory).map(_.getPath.getName).sorted.toSeq
+  }
+
+  def listTables(db: String): Seq[String] = {
+    val p = new Path(s"$root/$db")
+    val f = fs(p)
+    if (!f.exists(p)) Nil
+    else f.listStatus(p).filter(_.isDirectory).map(_.getPath.getName).sorted.toSeq
+  }
+
+  def showDatabases(): DataFrame = {
+    import spark.implicits._
+    listDatabases().toDF("database_name")
+  }
+
+  def showTables(db: String): DataFrame = {
+    import spark.implicits._
+    listTables(db).toDF("table_name")
+  }
+
+  // ---- reading ---------------------------------------------------------
+
+  /** Read a measurement with union-by-name schema evolution — the Spark
+    * equivalent of the reference's `union_by_name=true` on every scan
+    * (query.go:2618-2620). */
+  def table(db: String, m: String): DataFrame =
+    spark.read
+      .option("mergeSchema", "true")
+      .option("basePath", tablePath(db, m))
+      .parquet(tablePath(db, m))
+
+  /** Register as a temp view so `spark.sql` resolves `m` directly. */
+  def register(db: String, m: String, viewName: Option[String] = None): Unit =
+    table(db, m).createOrReplaceTempView(viewName.getOrElse(m))
+
+  /** Multi-tier read: one logical table over hot+cold roots
+    * (reference A3 multi-tier scan, query.go:2836-2921). */
+  def tableMultiTier(paths: Seq[String]): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+
+  // ---- partition path helpers -----------------------------------------
+
+  def partitionPath(db: String, m: String, year: Int, month: Int, day: Int,
+      hour: Int): String =
+    f"${tablePath(db, m)}/year=$year%04d/month=$month%02d/day=$day%02d/hour=$hour%02d"
+
+  /** Enumerate hour-partition directories, optionally below a day cutoff
+    * (epoch day) — used by retention and compaction scans. */
+  def listHourPartitions(db: String, m: String): Seq[Path] = {
+    val base = new Path(tablePath(db, m))
+    val f = fs(base)
+    if (!f.exists(base)) return Nil
+    val out = mutable.ArrayBuffer.empty[Path]
+    for (y <- f.listStatus(base) if y.isDirectory && y.getPath.getName.startsWith("year="))
+      for (mo <- f.listStatus(y.getPath) if mo.isDirectory)
+        for (d <- f.listStatus(mo.getPath) if d.isDirectory)
+          for (h <- f.listStatus(d.getPath) if h.isDirectory)
+            out += h.getPath
+    out.toSeq.sortBy(_.toString)
+  }
+}

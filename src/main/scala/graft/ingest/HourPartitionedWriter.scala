@@ -1,0 +1,71 @@
+package graft.ingest
+
+import graft.catalog.{GraftCatalog, TableMeta}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-time hour-partitioned Parquet sink — the engine's write path
+  * (reference: flushPartitionedData, arrow_writer.go:2447-2650 +
+  * path layout :3504-3519):
+  *
+  *  - derives Hive partition columns year/month/day/hour from the µs
+  *    `time` column (event time, NOT arrival time — late rows land in
+  *    their event-time partition and are repaired later by compaction;
+  *    no watermark drops, SURVEY §2.I3);
+  *  - sorts within partitions by configured sort keys + time (the
+  *    reference's flush-time multi-key sort, arrow_writer.go:2937-3052 —
+  *    Spark's UnsafeExternalSorter replaces the custom radix sort);
+  *  - config-driven Decimal128 casts per column (arc:decimals);
+  *  - ZSTD Parquet, append mode: files are the commit point, queries
+  *    see them immediately, exactly like the reference.
+  *
+  * Scale: one flush batch is typically 1 file per hour touched; a
+  * 1000-executor deployment runs many ingest writers in parallel on
+  * disjoint batches — partition dirs are append-only so no coordination
+  * is needed beyond the filesystem.
+  */
+object HourPartitionedWriter {
+
+  val PartitionCols: Seq[String] = Seq("year", "month", "day", "hour")
+
+  def withPartitionColumns(df: DataFrame): DataFrame =
+    df.withColumn("year", year(col("time")))
+      .withColumn("month", month(col("time")))
+      .withColumn("day", dayofmonth(col("time")))
+      .withColumn("hour", hour(col("time")))
+
+  def applyDecimals(df: DataFrame, meta: TableMeta): DataFrame =
+    meta.decimals.foldLeft(df) { case (d, (c, (p, s))) =>
+      if (d.columns.contains(c)) d.withColumn(c, col(c).cast(s"decimal($p,$s)")) else d
+    }
+
+  /** Write one flush batch into `{root}/{db}/{measurement}`. */
+  def write(catalog: GraftCatalog, db: String, measurement: String,
+      df: DataFrame, filesPerHour: Int = 1): Unit = {
+    require(df.columns.contains("time"), "write batch must carry a 'time' column")
+    val meta = catalog.readMeta(db, measurement)
+    val sortCols: Seq[Column] =
+      (meta.sortKeys.filter(df.columns.contains) :+ "time").map(col)
+    val prepared = withPartitionColumns(applyDecimals(df, meta))
+      // consolidate each touched hour into `filesPerHour` files, then
+      // sort rows within each output file by sortKeys+time
+      .repartition(PartitionCols.map(col): _*)
+      .sortWithinPartitions(PartitionCols.map(col) ++ sortCols: _*)
+    prepared.write
+      .mode("append")
+      .partitionBy(PartitionCols: _*)
+      .option("compression", "zstd")
+      .parquet(catalog.tablePath(db, measurement))
+  }
+
+  /** Ingest a ColumnarBatch end-to-end (decode → DataFrame → write),
+    * registering tag columns in table metadata on first write. */
+  def ingest(catalog: GraftCatalog, db: String, batch: ColumnarBatch): Unit = {
+    val existing = catalog.readMeta(db, batch.measurement)
+    if (existing.tagColumns.isEmpty && batch.tagColumns.nonEmpty)
+      catalog.writeMeta(db, batch.measurement,
+        existing.copy(tagColumns = batch.tagColumns))
+    val df = batch.toDataFrame(catalog.spark)
+    write(catalog, db, batch.measurement, df)
+  }
+}

@@ -1,0 +1,67 @@
+package graft.jobs
+
+import graft.catalog.GraftCatalog
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Targeted DELETE (DML) — remove rows matching a predicate by
+  * rewriting only the files that contain matches, leaving all other
+  * files untouched (reference: internal/api/delete.go:502-880 — find
+  * affected files, count matches per file, rewrite without matches).
+  *
+  * Scale: the match-count pass is one distributed scan with partition
+  * pruning (a time predicate prunes to the touched hours); rewrites are
+  * per-file and embarrassingly parallel.
+  */
+object TargetedDelete {
+
+  final case class Result(filesScanned: Long, filesRewritten: Long,
+      rowsDeleted: Long, rowsKept: Long)
+
+  def apply(catalog: GraftCatalog, db: String, m: String,
+      predicate: Column, maxRows: Long = Long.MaxValue): Result = {
+    val spark = catalog.spark
+    val conf = spark.sparkContext.hadoopConfiguration
+
+    val tbl = catalog.table(db, m).withColumn("_src", input_file_name())
+    val perFile = tbl.groupBy(col("_src"))
+      .agg(sum(when(predicate, 1L).otherwise(0L)).as("n_match"),
+        count(lit(1)).as("n_rows"))
+      .collect()
+    val affected = perFile.filter(_.getAs[Long]("n_match") > 0)
+    val totalMatches = affected.map(_.getAs[Long]("n_match")).sum
+    if (totalMatches > maxRows)
+      throw new IllegalStateException(
+        s"delete would remove $totalMatches rows > cap $maxRows")
+
+    var deleted = 0L
+    affected.foreach { row =>
+      val uri = row.getAs[String]("_src")
+      val nMatch = row.getAs[Long]("n_match")
+      val nRows = row.getAs[Long]("n_rows")
+      val p = new Path(new java.net.URI(uri))
+      val fs = p.getFileSystem(conf)
+      if (nMatch == nRows) {
+        fs.delete(p, false) // whole file matches: drop it, no rewrite
+      } else {
+        val tmp = new Path(p.getParent, s"_delete_tmp_${p.getName}")
+        fs.delete(tmp, true)
+        spark.read.parquet(p.toString)
+          .where(!coalesce(predicate, lit(false)))
+          .coalesce(1)
+          .write.mode("overwrite").option("compression", "zstd")
+          .parquet(tmp.toString)
+        val rewritten = fs.listStatus(tmp)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        fs.delete(p, false)
+        fs.rename(rewritten.head.getPath, p)
+        fs.delete(tmp, true)
+      }
+      deleted += nMatch
+    }
+    Result(perFile.length, affected.count(r =>
+      r.getAs[Long]("n_match") < r.getAs[Long]("n_rows")),
+      deleted, perFile.map(_.getAs[Long]("n_rows")).sum - deleted)
+  }
+}

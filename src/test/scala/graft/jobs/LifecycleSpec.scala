@@ -1,0 +1,152 @@
+package graft.jobs
+
+import graft.SparkSpec
+import graft.catalog.{GraftCatalog, TableMeta}
+import graft.ingest.{ColumnarBatch, HourPartitionedWriter, LineProtocol}
+import org.apache.spark.sql.functions._
+
+/** End-to-end lifecycle: ingest → hour layout → compaction dedup →
+  * retention → targeted delete → continuous query idempotency.
+  * Mirrors the reference's integration fixtures (FIXTURES.md §8, §10, §7).
+  */
+class LifecycleSpec extends SparkSpec {
+
+  private val H = 3600L * 1000000L // one hour in µs
+  private val base = 1717200000000000L // 2024-06-01T00:00:00Z in µs
+
+  private def newCatalog() = new GraftCatalog(spark, tmpDir("graft_cat"))
+
+  private def lpIngest(cat: GraftCatalog, lines: String): Unit = {
+    val (pts, errs) = LineProtocol.parse(lines, "us")
+    assert(errs.isEmpty, errs.mkString(";"))
+    ColumnarBatch.fromPoints(pts).foreach(HourPartitionedWriter.ingest(cat, "default", _))
+  }
+
+  test("ingest: multi-hour batch splits into event-time hour partitions, sorted") {
+    val cat = newCatalog()
+    // batch spanning 3 hours + one row 8 days old (FIXTURES §10)
+    val old = base - 8L * 24 * H
+    lpIngest(cat,
+      s"""cpu,host=b v=2.0 ${base + 1 * H + 5}
+         |cpu,host=a v=1.0 ${base + 5}
+         |cpu,host=c v=3.0 ${base + 2 * H + 5}
+         |cpu,host=z v=9.0 $old""".stripMargin)
+    val parts = cat.listHourPartitions("default", "cpu")
+    assert(parts.length == 4, parts.mkString(","))
+    val df = cat.table("default", "cpu")
+    assert(df.count() == 4)
+    // partition columns derived from event time
+    assert(df.where(col("hour") === 0 && col("day") === 1).count() == 1)
+    // tag columns recorded in metadata
+    assert(cat.readMeta("default", "cpu").tagColumns == Seq("host"))
+  }
+
+  test("schema evolution: union-by-name across files with different columns") {
+    val cat = newCatalog()
+    lpIngest(cat, s"m,host=a f1=1.0 ${base + 1}")
+    lpIngest(cat, s"m,host=b f2=2.0 ${base + 2}")
+    val df = cat.table("default", "m")
+    assert(df.columns.toSet.contains("f1") && df.columns.toSet.contains("f2"))
+    assert(df.where(col("f1").isNull).count() == 1)
+    assert(df.where(col("f2").isNull).count() == 1)
+  }
+
+  test("compaction: many files -> one, duplicate (tags,time) collapsed, latest wins") {
+    val cat = newCatalog()
+    cat.writeMeta("default", "cpu", TableMeta(sortKeys = Seq("host"),
+      tagColumns = Seq("host")))
+    // three flushes into the same hour; (host=a, t0) written twice with
+    // different values — the later file must win
+    val t0 = base + 10
+    lpIngest(cat, s"cpu,host=a v=1.0 $t0")
+    lpIngest(cat, s"cpu,host=b v=2.0 ${t0 + 1}")
+    lpIngest(cat, s"cpu,host=a v=9.0 $t0") // duplicate key, later write
+    val part = cat.listHourPartitions("default", "cpu").head
+    val res = Compaction.compactHour(cat, "default", "cpu", part, minFiles = 2)
+    assert(res.compacted && res.filesIn == 3)
+    assert(res.rowsIn == 3 && res.rowsOut == 2)
+    val rows = cat.table("default", "cpu")
+      .select("host", "v").orderBy("host").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("a", "b"))
+    assert(rows.head.getDouble(1) == 9.0) // last write won
+    val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(part).filter(_.getPath.getName.endsWith(".parquet"))
+    assert(files.length == 1)
+  }
+
+  test("retention: partitions older than cutoff removed, paths only") {
+    val cat = newCatalog()
+    val now = base + 10L * 24 * H
+    lpIngest(cat, s"m,host=a v=1.0 $base")            // 10 days old
+    lpIngest(cat, s"m,host=a v=2.0 ${now - 2 * H}")   // fresh
+    val res = Retention(cat, "default", "m", retentionDays = 7,
+      nowMicros = () => now)
+    assert(res.deleted.length == 1 && res.keptCount == 1)
+    assert(cat.table("default", "m").count() == 1)
+  }
+
+  test("targeted delete: matching rows gone, other files untouched") {
+    val cat = newCatalog()
+    lpIngest(cat,
+      s"""m,host=a v=1.0 ${base + 1}
+         |m,host=a v=2.0 ${base + 2}
+         |m,host=b v=3.0 ${base + 1 * H + 1}""".stripMargin)
+    val res = TargetedDelete(cat, "default", "m", col("v") === 2.0)
+    assert(res.rowsDeleted == 1 && res.rowsKept == 2)
+    val left = cat.table("default", "m").select("v")
+      .collect().map(_.getDouble(0)).sorted.toSeq
+    assert(left == Seq(1.0, 3.0))
+  }
+
+  test("continuous query: window-start stamping makes re-runs idempotent after compaction") {
+    val cat = newCatalog()
+    lpIngest(cat,
+      s"""src,host=a v=10.0 ${base + 1}
+         |src,host=a v=30.0 ${base + 2}
+         |src,host=b v=20.0 ${base + 3}""".stripMargin)
+    cat.register("default", "src")
+    val cq = ContinuousQuery("avg_v",
+      """SELECT host, CAST(AVG(v) AS DOUBLE) AS avg_v FROM src
+        |WHERE time >= {start_time} AND time < {end_time} GROUP BY host""".stripMargin,
+      "default", "agg_v", tagColumns = Seq("host"))
+    // run the same window twice (reference #521: duplicate emission)
+    ContinuousQuery.execute(cat, cq, base, base + H)
+    ContinuousQuery.execute(cat, cq, base, base + H)
+    assert(cat.table("default", "agg_v").count() == 4) // 2 hosts x 2 runs
+    // dest is marked dedup-on-time; compaction collapses re-emissions
+    val part = cat.listHourPartitions("default", "agg_v").head
+    Compaction.compactHour(cat, "default", "agg_v", part, minFiles = 2)
+    val rows = cat.table("default", "agg_v")
+      .select("host", "avg_v", "time").orderBy("host").collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getDouble(1)).toSeq == Seq(20.0, 20.0))
+    // every row stamped with the window start
+    assert(rows.map(_.getTimestamp(2).getTime).distinct.toSeq ==
+      Seq(base / 1000L))
+  }
+
+  test("compaction repairs mixed-type time columns (string epoch file)") {
+    val cat = newCatalog()
+    import spark.implicits._
+    lpIngest(cat, s"m,host=a v=1.0 ${base + 1}")
+    // a rogue file with string-epoch-seconds time in the same partition
+    val part = cat.listHourPartitions("default", "m").head
+    Seq(("b", (base / 1000000L).toString, 2.0)).toDF("host", "time", "v")
+      .coalesce(1).write.mode("append").parquet(part.toString)
+    val res = Compaction.compactHour(cat, "default", "m", part, minFiles = 2)
+    assert(res.compacted)
+    val df = cat.table("default", "m")
+    assert(df.schema("time").dataType.typeName == "timestamp")
+    assert(df.count() == 2)
+  }
+
+  test("catalog: SHOW DATABASES / SHOW TABLES from storage listing") {
+    val cat = newCatalog()
+    lpIngest(cat, s"m1,host=a v=1.0 $base")
+    lpIngest(cat, s"m2,host=a v=1.0 $base")
+    assert(cat.listDatabases() == Seq("default"))
+    assert(cat.listTables("default") == Seq("m1", "m2"))
+    assert(cat.showTables("default").collect().map(_.getString(0)).toSeq ==
+      Seq("m1", "m2"))
+  }
+}
