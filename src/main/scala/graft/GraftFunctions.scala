@@ -10,5 +10,6 @@ object GraftFunctions {
       "time_bucket",
       exprs => TimeBucket(exprs(0), exprs(1)),
       "built-in")
+    graft.plans.TimePartitionPruning.install(spark)
   }
 }

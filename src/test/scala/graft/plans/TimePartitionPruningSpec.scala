@@ -1,0 +1,57 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.catalog.GraftCatalog
+import graft.ingest.{ColumnarBatch, HourPartitionedWriter, LineProtocol}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+class TimePartitionPruningSpec extends SparkSpec {
+
+  private val H = 3600L * 1000000L
+  private val base = 1717200000000000L // 2024-06-01T00:00:00Z
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame): FileSourceScanExec = {
+    df.collect() // materialize so AQE finalizes
+    def find(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p match {
+        case a: AdaptiveSparkPlanExec => find(a.executedPlan)
+        case s: FileSourceScanExec => Seq(s)
+        case other => other.children.flatMap(find)
+      }
+    find(df.queryExecution.executedPlan).head
+  }
+
+  test("time-range filter prunes hour partitions via inferred predicates") {
+    TimePartitionPruning.install(spark)
+    val cat = new GraftCatalog(spark, tmpDir("prune"))
+    // 48 hourly rows = 48 hour partitions
+    val lp = (0 until 48).map(h => s"m,host=a v=$h.0 ${base + h * H}").mkString("\n")
+    val (pts, _) = LineProtocol.parse(lp, "us")
+    ColumnarBatch.fromPoints(pts).foreach(HourPartitionedWriter.ingest(cat, "default", _))
+
+    val df = cat.table("default", "m")
+      .where(col("time") >= lit("2024-06-01 05:00:00").cast("timestamp") &&
+             col("time") < lit("2024-06-01 08:00:00").cast("timestamp"))
+    val scan = scanOf(df.select("v"))
+    assert(scan.partitionFilters.nonEmpty,
+      "expected inferred partition filters on year/month/day/hour")
+    val partsRead = scan.selectedPartitions.partitionCount
+    assert(partsRead == 3, s"expected 3 hour partitions read, got $partsRead")
+    assert(df.count() == 3)
+  }
+
+  test("rule leaves results identical and is idempotent") {
+    TimePartitionPruning.install(spark)
+    TimePartitionPruning.install(spark) // second install is a no-op
+    assert(spark.experimental.extraOptimizations.count(_ eq TimePartitionPruning) == 1)
+    val cat = new GraftCatalog(spark, tmpDir("prune2"))
+    val lp = (0 until 5).map(h => s"m,host=a v=$h.0 ${base + h * H}").mkString("\n")
+    val (pts, _) = LineProtocol.parse(lp, "us")
+    ColumnarBatch.fromPoints(pts).foreach(HourPartitionedWriter.ingest(cat, "default", _))
+    val n = cat.table("default", "m")
+      .where(col("time") >= timestamp_micros(lit(base + 2 * H))).count()
+    assert(n == 3)
+  }
+}
