@@ -120,9 +120,11 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
 
   // ---- partition path helpers -----------------------------------------
 
+  /** Partition values are unpadded — matching what Spark's partitionBy
+    * writer emits (`month=6`, not `month=06`). */
   def partitionPath(db: String, m: String, year: Int, month: Int, day: Int,
       hour: Int): String =
-    f"${tablePath(db, m)}/year=$year%04d/month=$month%02d/day=$day%02d/hour=$hour%02d"
+    s"${tablePath(db, m)}/year=$year/month=$month/day=$day/hour=$hour"
 
   /** Enumerate hour-partition directories, optionally below a day cutoff
     * (epoch day) — used by retention and compaction scans. */

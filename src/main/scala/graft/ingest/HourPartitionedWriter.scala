@@ -39,7 +39,13 @@ object HourPartitionedWriter {
       if (d.columns.contains(c)) d.withColumn(c, col(c).cast(s"decimal($p,$s)")) else d
     }
 
-  /** Write one flush batch into `{root}/{db}/{measurement}`. */
+  /** Write one flush batch into `{root}/{db}/{measurement}`.
+    *
+    * After the write, the fresh `part-*` files are renamed to the
+    * reference's recency-ordered scheme `{m}_{flushMicros}_{seq}.parquet`
+    * (arrow_writer.go:3504-3519): compaction's last-write-wins dedup
+    * orders rows by source file name, so names MUST sort by flush time
+    * (Spark's UUID part names don't). */
   def write(catalog: GraftCatalog, db: String, measurement: String,
       df: DataFrame, filesPerHour: Int = 1): Unit = {
     require(df.columns.contains("time"), "write batch must carry a 'time' column")
@@ -51,12 +57,37 @@ object HourPartitionedWriter {
       // sort rows within each output file by sortKeys+time
       .repartition(PartitionCols.map(col): _*)
       .sortWithinPartitions(PartitionCols.map(col) ++ sortCols: _*)
-    prepared.write
-      .mode("append")
-      .partitionBy(PartitionCols: _*)
-      .option("compression", "zstd")
-      .parquet(catalog.tablePath(db, measurement))
+      .cache()
+    try {
+      val touched = prepared
+        .select(PartitionCols.map(col): _*).distinct().collect()
+      prepared.write
+        .mode("append")
+        .partitionBy(PartitionCols: _*)
+        .option("compression", "zstd")
+        .parquet(catalog.tablePath(db, measurement))
+      val conf = catalog.spark.sparkContext.hadoopConfiguration
+      val flushUs = System.currentTimeMillis() * 1000L
+      touched.foreach { r =>
+        val dir = new org.apache.hadoop.fs.Path(catalog.partitionPath(db,
+          measurement, r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+        val fs = dir.getFileSystem(conf)
+        fs.listStatus(dir)
+          .filter(f => f.isFile && f.getPath.getName.startsWith("part-") &&
+            f.getPath.getName.endsWith(".parquet"))
+          .sortBy(_.getPath.getName)
+          .zipWithIndex.foreach { case (f, i) =>
+            fs.rename(f.getPath, new org.apache.hadoop.fs.Path(dir,
+              flushFileName(measurement, flushUs, i)))
+          }
+      }
+    } finally prepared.unpersist()
   }
+
+  /** Recency-ordered file name: zero-padded so lexical order == time
+    * order (16-digit µs covers years 1970..2286). */
+  def flushFileName(m: String, flushUs: Long, seq: Int): String =
+    f"${m}_$flushUs%016d_${System.nanoTime()}%020d_$seq%05d.parquet"
 
   /** Ingest a ColumnarBatch end-to-end (decode → DataFrame → write),
     * registering tag columns in table metadata on first write. */

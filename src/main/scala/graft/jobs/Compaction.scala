@@ -78,8 +78,12 @@ object Compaction {
     val newFiles = fs.listStatus(tmp)
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet")).map(_.getPath)
     files.foreach(fs.delete(_, false))
+    // compaction output uses the same recency-ordered name scheme: it
+    // must sort OLDER than any flush that lands after this compaction
+    val compactUs = System.currentTimeMillis() * 1000L
     newFiles.zipWithIndex.foreach { case (f, i) =>
-      fs.rename(f, new Path(partDir, f"compacted_$i%05d.parquet"))
+      fs.rename(f, new Path(partDir,
+        graft.ingest.HourPartitionedWriter.flushFileName(m, compactUs, i)))
     }
     fs.delete(tmp, true)
     Result(partDir.toString, files.length, rowsIn, rowsOut, compacted = true)
