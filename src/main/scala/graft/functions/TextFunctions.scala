@@ -127,6 +127,14 @@ object TextFunctions {
     aggregate(filter(split(s, ""), c => c =!= ""), lit(0L),
       (acc, c) => (acc * 31 + ascii(c)) % Prime)
 
+  /** Public polynomial hash of a single token/string value. */
+  def tokenHash(t: Column): Column = hashOfString(t)
+
+  def tokenHashSql(v: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(" +
+      s"string_split($v, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+      s"(a, b) -> (a * 31 + b) % $Prime)"
+
   def shingleHashesSql(col: String, k: Int): String =
     s"list_distinct(list_transform(${shinglesSql(col, k)}, s -> " +
       s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))), " +

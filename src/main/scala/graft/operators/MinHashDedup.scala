@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash + LSH near-duplicate detection as a reusable operator:
+  * shingle → signature → band → bucket-join → candidate pairs.
+  *
+  * Performance shape (the 100 TB path):
+  *  - token hashes are computed ONCE per token (char fold), and shingle
+  *    hashes are a sliding-window combine over token hashes — no
+  *    re-hashing of shingle strings;
+  *  - signatures are materialized once (localCheckpoint) before the
+  *    band self-join, so the two join sides share one computation
+  *    instead of re-deriving signatures per side;
+  *  - the join is an equi-join on (band, key): shuffles hash-partition
+  *    candidates into buckets; nothing quadratic happens outside a
+  *    bucket. On a cluster this is the standard LSH join — skew inside
+  *    a hot bucket is bounded by band width (tune bands/rows to cap
+  *    collision probability).
+  */
+object MinHashDedup {
+
+  import TextFunctions.Prime
+  private val Combine = 1000003L // shingle combine multiplier (< 2^21)
+
+  /** Sliding k-window combine over per-token hashes:
+    * h(i..i+k-1) = fold (acc * Combine + tokHash) % P. */
+  def shingleHashesFromTokens(text: Column, k: Int): Column = {
+    val th = transform(TextFunctions.tokens(text), t => TextFunctions.tokenHash(t))
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(th) - (k - 1), lit(1))),
+      i => (0 until k).map(j => element_at(th, i + j))
+        .foldLeft(lit(0L)) { (acc, h) => (acc * Combine + coalesce(h, lit(0L))) % Prime }))
+  }
+
+  /** DuckDB spelling of the same (for oracles). */
+  def shingleHashesFromTokensSql(col: String, k: Int): String = {
+    val toks = s"string_split_regex(trim($col), '\\s+')"
+    val th = s"list_transform($toks, t -> ${TextFunctions.tokenHashSql("t")})"
+    val comb = (0 until k).foldLeft("CAST(0 AS BIGINT)") { (acc, j) =>
+      s"(($acc) * $Combine + coalesce(th[i + $j], 0)) % $Prime"
+    }
+    s"(SELECT list_distinct(list_transform(generate_series(1, greatest(len(th) - ${k - 1}, 1)), " +
+      s"i -> $comb)) FROM (SELECT $th AS th))"
+  }
+
+  /** (doc_id, sig) signatures, materialized (lineage-truncated) so
+    * downstream self-joins compute them exactly once. */
+  def signatures(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int, numHashes: Int): DataFrame =
+    docs.select(col(idCol),
+        TextFunctions.minhashSignature(
+          shingleHashesFromTokens(col(textCol), shingleK), numHashes).as("sig"))
+      .localCheckpoint()
+
+  /** Candidate near-duplicate pairs via LSH banding. */
+  def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 2, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val rows = numHashes / bands
+    val sigs = signatures(docs, idCol, textCol, shingleK, numHashes)
+    val banded = sigs.select(col(idCol), explode(array(
+      (0 until bands).map(bnd =>
+        struct(lit(bnd).as("band"),
+          array_join(slice(col("sig"), bnd * rows + 1, rows), ",").as("key"))): _*)).as("b"))
+      .select(col(idCol), col("b.band").as("band"), col("b.key").as("key"))
+    banded.alias("x").join(banded.alias("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("doc1"), col(s"y.$idCol").as("doc2"))
+      .distinct()
+  }
+}

@@ -54,23 +54,11 @@ object DedupQueries {
     }),
 
     // MinHash + LSH: signature -> bands -> bucket join -> candidate pairs
-    "q66_dedup_minhash" -> ((s, dir) => {
-      val sigs = t(s, dir, "documents")
-        .select(col("doc_id"),
-          minhashSignature(shingleHashes(col("text"), 2), MinHashK).as("sig"))
-      val bands = sigs.select(col("doc_id"), explode(array(
-        (0 until Bands).map(bnd =>
-          struct(lit(bnd).as("band"),
-            array_join(slice(col("sig"), bnd * RowsPerBand + 1, RowsPerBand), ",")
-              .as("key"))): _*)).as("b"))
-        .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
-      bands.alias("x").join(bands.alias("y"),
-          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
-        .distinct()
-        .orderBy(col("doc1"), col("doc2"))
-    }),
+    "q66_dedup_minhash" -> ((s, dir) =>
+      graft.operators.MinHashDedup.candidatePairs(
+          t(s, dir, "documents"), "doc_id", "text",
+          shingleK = 2, numHashes = MinHashK, bands = Bands)
+        .orderBy(col("doc1"), col("doc2"))),
 
     // SimHash near-dup: Hamming distance <= 6 within (lang, n_tokens) blocks
     "q67_dedup_simhash" -> ((s, dir) => {
@@ -111,12 +99,14 @@ object DedupQueries {
          |ORDER BY doc1, doc2""".stripMargin,
 
     "q66_dedup_minhash" -> {
-      val sig = minhashSignatureSql(shingleHashesSql("text", 2), MinHashK)
+      val hashes = graft.operators.MinHashDedup.shingleHashesFromTokensSql("text", 2)
+      val sig = minhashSignatureSql("hs", MinHashK)
       val bandRows = (0 until Bands).map(bnd =>
         s"SELECT doc_id, $bnd AS band, array_to_string(list_slice(sig, " +
           s"${bnd * RowsPerBand + 1}, ${(bnd + 1) * RowsPerBand}), ',') AS key FROM sigs")
         .mkString(" UNION ALL ")
-      s"""WITH sigs AS (SELECT doc_id, $sig AS sig FROM documents),
+      s"""WITH hsx AS (SELECT doc_id, $hashes AS hs FROM documents),
+         |sigs AS (SELECT doc_id, $sig AS sig FROM hsx),
          |bands AS ($bandRows)
          |SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
          |FROM bands x JOIN bands y
