@@ -1,0 +1,191 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native hash kernels for the text-dedup family.
+  *
+  * The composed higher-order-function forms (TextFunctions) are exact but
+  * interpreted per element — a per-character closure call. These
+  * expressions compute the identical arithmetic in tight JVM loops
+  * (PolyHash additionally participates in whole-stage codegen), which is
+  * what makes MinHash/SimHash viable at 100 TB. Semantics are pinned to
+  * the DuckDB oracle spellings in TextFunctions.*Sql: polynomial fold
+  * over unicode code points, (acc * 31 + cp) % 1000000007.
+  */
+case class PolyHash(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "poly_hash"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"poly_hash expects string, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(v: Any): Any =
+    PolyHash.hash(v.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PolyHash.hash($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(newChild)
+}
+
+object PolyHash {
+  final val Prime = 1000000007L
+
+  /** Fold over code points — matches DuckDB `ascii(c)` per char. */
+  def hash(s: String): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 31 + cp) % Prime
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+}
+
+/** Distinct k-token-window shingle hashes from a token array, one pass:
+  * tokens → PolyHash per token → sliding-window combine
+  * fold (acc * combine + h(i+j)) % P (missing tokens → 0, matching the
+  * coalesce in the composed/oracle form). A composed HOF version is
+  * O(tokens²) per row because `element_at(tokenHashes, i+j)` re-derives
+  * the whole hash array for every window. */
+case class ShingleHashes(child: Expression, k: Int, combine: Long)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes expects array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val hashes = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      hashes(i) = PolyHash.hash(arr.getUTF8String(i).toString)
+      i += 1
+    }
+    val windows = math.max(n - k + 1, 1)
+    val seen = new java.util.LinkedHashSet[java.lang.Long](windows * 2)
+    i = 0
+    while (i < windows) {
+      var acc = 0L
+      var j = 0
+      while (j < k) {
+        val h = if (i + j < n) hashes(i + j) else 0L
+        acc = (acc * combine + h) % PolyHash.Prime
+        j += 1
+      }
+      seen.add(acc)
+      i += 1
+    }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** MinHash signature over a bigint hash array: for lane i,
+  * min over h of (h * a_i + b_i) % P, with (a_i, b_i) from
+  * TextFunctions.minhashParams. Tight loop, no per-element closures. */
+case class MinHashArray(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  private val params = TextFunctions.minhashParams(numHashes).toArray
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_array"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_array expects array<bigint>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Long](numHashes)
+    var i = 0
+    while (i < numHashes) {
+      val (a, b) = params(i)
+      var min = Long.MaxValue
+      var j = 0
+      while (j < n) {
+        val h = arr.getLong(j)
+        val v2 = (h * a + b) % PolyHash.Prime
+        if (v2 < min) min = v2
+        j += 1
+      }
+      out(i) = if (n == 0) 0L else min
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 32-bit SimHash over a bigint token-hash array (same semantics as
+  * TextFunctions.simhash / simhashSql): per bit b, sum (+1/-1) of bit b
+  * over all hashes; bit set iff sum > 0. */
+case class SimHashBits(child: Expression) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_bits"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash_bits expects array<bigint>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val counts = new Array[Int](TextFunctions.SimHashBits)
+    var j = 0
+    while (j < n) {
+      val h = arr.getLong(j)
+      var b = 0
+      while (b < counts.length) {
+        counts(b) += (if (((h >> b) & 1L) == 1L) 1 else -1)
+        b += 1
+      }
+      j += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < counts.length) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(newChild)
+}

@@ -27,12 +27,10 @@ object TextFunctions {
   /** Polynomial rolling hash over characters: fold (acc*31 + ascii(c)) % P.
     * The document-fingerprint primitive; also the base hash for MinHash
     * shingles (deterministic, engine-independent — unlike murmur/xxhash
-    * whose seeds differ between engines). */
-  def charFingerprint(text: Column): Column =
-    aggregate(
-      filter(split(text, ""), c => c =!= ""),
-      lit(0L),
-      (acc, c) => (acc * 31 + ascii(c)) % Prime)
+    * whose seeds differ between engines). Evaluated by the native
+    * PolyHash expression (codegen'd tight loop; the composed
+    * aggregate/split form costs a closure call per character). */
+  def charFingerprint(text: Column): Column = call_function("poly_hash", text)
 
   /** Same rolling hash, spelled for DuckDB. */
   def charFingerprintSql(col: String): String =
@@ -123,9 +121,7 @@ object TextFunctions {
   def shingleHashes(text: Column, k: Int): Column =
     array_distinct(transform(shingles(text, k), s => hashOfString(s)))
 
-  private def hashOfString(s: Column): Column =
-    aggregate(filter(split(s, ""), c => c =!= ""), lit(0L),
-      (acc, c) => (acc * 31 + ascii(c)) % Prime)
+  private def hashOfString(s: Column): Column = call_function("poly_hash", s)
 
   /** Public polynomial hash of a single token/string value. */
   def tokenHash(t: Column): Column = hashOfString(t)
@@ -145,13 +141,10 @@ object TextFunctions {
   def minhashParams(numHashes: Int): Seq[(Long, Long)] =
     (0 until numHashes).map(i => (2L * i + 3L, 1L + i * i))
 
-  /** MinHash signature: array of numHashes minima over the shingle set. */
-  def minhashSignature(shingleHashesCol: Column, numHashes: Int): Column = {
-    val sig = minhashParams(numHashes).map { case (a, b) =>
-      array_min(transform(shingleHashesCol, h => (h * a + b) % Prime))
-    }
-    array(sig: _*)
-  }
+  /** MinHash signature: array of numHashes minima over the shingle set
+    * (native MinHashArray expression — one tight loop per row). */
+  def minhashSignature(shingleHashesCol: Column, numHashes: Int): Column =
+    call_function("minhash_array", shingleHashesCol, lit(numHashes))
 
   def minhashSignatureSql(hashesExpr: String, numHashes: Int): String =
     minhashParams(numHashes).map { case (a, b) =>
@@ -167,20 +160,9 @@ object TextFunctions {
 
   /** 32-bit SimHash over the token multiset: per bit, sum +1/-1 by that
     * bit of each token's polynomial hash; bit set iff the sum > 0.
-    * Composed as array folds (codegen'd); exact integer arithmetic. */
-  def simhash(text: Column): Column = {
-    val tokHashes = transform(tokens(text), t => hashOfString(t))
-    val counts = aggregate(
-      tokHashes,
-      transform(sequence(lit(0), lit(SimHashBits - 1)), _ => lit(0L)),
-      (acc, h) => zip_with(acc, transform(sequence(lit(0), lit(SimHashBits - 1)),
-        b => (floor(h / element_at(pow2, b + 1)).cast("long") % 2) * 2 - 1),
-        (a, v) => a + v))
-    aggregate(
-      zip_with(counts, sequence(lit(0), lit(SimHashBits - 1)),
-        (c, b) => when(c > 0, element_at(pow2, b + 1)).otherwise(lit(0L))),
-      lit(0L), (a, v) => a + v)
-  }
+    * Native SimHashBits expression over per-token PolyHash values. */
+  def simhash(text: Column): Column =
+    call_function("simhash_bits", transform(tokens(text), t => hashOfString(t)))
 
   def simhashSql(col: String): String = {
     val toks = s"string_split_regex(trim($col), '\\s+')"

@@ -26,14 +26,10 @@ object MinHashDedup {
   private val Combine = 1000003L // shingle combine multiplier (< 2^21)
 
   /** Sliding k-window combine over per-token hashes:
-    * h(i..i+k-1) = fold (acc * Combine + tokHash) % P. */
-  def shingleHashesFromTokens(text: Column, k: Int): Column = {
-    val th = transform(TextFunctions.tokens(text), t => TextFunctions.tokenHash(t))
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(th) - (k - 1), lit(1))),
-      i => (0 until k).map(j => element_at(th, i + j))
-        .foldLeft(lit(0L)) { (acc, h) => (acc * Combine + coalesce(h, lit(0L))) % Prime }))
-  }
+    * h(i..i+k-1) = fold (acc * Combine + tokHash) % P.
+    * Native single-pass ShingleHashes expression. */
+  def shingleHashesFromTokens(text: Column, k: Int): Column =
+    call_function("shingle_hashes", TextFunctions.tokens(text), lit(k), lit(Combine))
 
   /** DuckDB spelling of the same (for oracles). */
   def shingleHashesFromTokensSql(col: String, k: Int): String = {
@@ -47,13 +43,26 @@ object MinHashDedup {
   }
 
   /** (doc_id, sig) signatures, materialized (lineage-truncated) so
-    * downstream self-joins compute them exactly once. */
+    * downstream self-joins compute them exactly once.
+    *
+    * Repartitions to full parallelism first: signature computation is
+    * CPU-bound per row, and a table loaded from few parquet files would
+    * otherwise compute on as few cores (a single 128 MB input split
+    * serializes the whole corpus through one task). */
   def signatures(docs: DataFrame, idCol: String, textCol: String,
-      shingleK: Int, numHashes: Int): DataFrame =
-    docs.select(col(idCol),
+      shingleK: Int, numHashes: Int): DataFrame = {
+    graft.GraftFunctions.registerAll(docs.sparkSession)
+    val parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    // tokens -> shingle hashes -> signature is one nested native
+    // expression (single evaluation per row); the checkpoint materializes
+    // signatures once for the band self-join
+    docs.select(col(idCol), col(textCol))
+      .repartition(parallelism)
+      .select(col(idCol),
         TextFunctions.minhashSignature(
           shingleHashesFromTokens(col(textCol), shingleK), numHashes).as("sig"))
       .localCheckpoint()
+  }
 
   /** Candidate near-duplicate pairs via LSH banding. */
   def candidatePairs(docs: DataFrame, idCol: String, textCol: String,

@@ -60,11 +60,15 @@ object DedupQueries {
           shingleK = 2, numHashes = MinHashK, bands = Bands)
         .orderBy(col("doc1"), col("doc2"))),
 
-    // SimHash near-dup: Hamming distance <= 6 within (lang, n_tokens) blocks
+    // SimHash near-dup: Hamming distance <= 6 within (lang, n_tokens) blocks.
+    // Signatures are CPU-heavy per row: spread across all cores and
+    // materialize once before the self-join (same shape as MinHashDedup).
     "q67_dedup_simhash" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), col("lang"), tokenCount(col("text")).as("n_tokens"),
           simhash(col("text")).as("sh"))
+        .localCheckpoint()
       val a = docs.select(col("doc_id").as("doc1"), col("lang"),
         col("n_tokens"), col("sh").as("sh1"))
       val b = docs.select(col("doc_id").as("doc2"), col("lang"),
