@@ -114,9 +114,13 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
     table(db, m).createOrReplaceTempView(viewName.getOrElse(m))
 
   /** Multi-tier read: one logical table over hot+cold roots
-    * (reference A3 multi-tier scan, query.go:2836-2921). */
+    * (reference A3 multi-tier scan, query.go:2836-2921). Each root is
+    * read with its own basePath (partition-column discovery is per
+    * tier — two roots share no common base) and union'd by name. */
   def tableMultiTier(paths: Seq[String]): DataFrame =
-    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    paths.map { p =>
+      spark.read.option("mergeSchema", "true").option("basePath", p).parquet(p)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
 
   // ---- partition path helpers -----------------------------------------
 

@@ -1,0 +1,117 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.util.concurrent.atomic.AtomicLong
+import scala.collection.concurrent.TrieMap
+
+/** The serving-layer query facade — the Spark analog of the reference's
+  * `/api/v1/query` pipeline (SURVEY §3.1). Everything the reference does
+  * with regex rewrites (table-ref rewriting, SHOW interception, pruning)
+  * is native here; what remains is the serving contract:
+  *
+  *  - JSON result envelope `{columns, data, row_count, execution_time_ms}`
+  *    (internal/api/query.go:660-675), streamed row-by-row via
+  *    `toLocalIterator` so large results never materialize on the driver;
+  *  - row caps (governance max-rows, query.go:1439-1468);
+  *  - query registry + cancellation (internal/queryregistry) via Spark
+  *    job groups;
+  *  - estimate: `SELECT COUNT(*) FROM (q)` wrapper (query.go:3669-3671).
+  */
+final class QueryFacade(spark: SparkSession) {
+
+  graft.GraftFunctions.registerAll(spark)
+
+  private val seq = new AtomicLong(0)
+  private val active = TrieMap.empty[Long, String] // id -> job group
+
+  def sql(q: String): DataFrame = spark.sql(q)
+
+  /** Execute under a cancellable job group; returns (queryId, result). */
+  def submit(q: String): (Long, DataFrame) = {
+    val id = seq.incrementAndGet()
+    val group = s"graft-query-$id"
+    active.put(id, group)
+    spark.sparkContext.setJobGroup(group, q, interruptOnCancel = true)
+    (id, spark.sql(q))
+  }
+
+  def cancel(id: Long): Boolean =
+    active.remove(id) match {
+      case Some(group) => spark.sparkContext.cancelJobGroup(group); true
+      case None => false
+    }
+
+  def complete(id: Long): Unit = {
+    active.remove(id)
+    spark.sparkContext.clearJobGroup()
+  }
+
+  def activeQueries: Map[Long, String] = active.toMap
+
+  /** Row-count estimate with the reference's warning ladder. */
+  def estimate(q: String): (Long, String) = {
+    val n = spark.sql(s"SELECT COUNT(*) AS n FROM ($q)").head().getLong(0)
+    val warning =
+      if (n > 10000000L) "very_large"
+      else if (n > 1000000L) "large"
+      else "ok"
+    (n, warning)
+  }
+
+  /** Stream a result as the reference's JSON envelope. Rows are encoded
+    * incrementally from toLocalIterator (per-partition streaming — the
+    * driver holds one partition at a time, not the result). */
+  def toJsonEnvelope(df: DataFrame, maxRows: Long = Long.MaxValue): String = {
+    val t0 = System.nanoTime()
+    val columns = df.columns
+    val sb = new StringBuilder
+    sb.append("{\"columns\":[")
+    sb.append(columns.map(c => jsonStr(c)).mkString(","))
+    sb.append("],\"data\":[")
+    val it = df.toLocalIterator()
+    var n = 0L
+    while (it.hasNext && n < maxRows) {
+      val row = it.next()
+      if (n > 0) sb.append(',')
+      sb.append('[')
+      var i = 0
+      while (i < columns.length) {
+        if (i > 0) sb.append(',')
+        sb.append(jsonValue(row.get(i)))
+        i += 1
+      }
+      sb.append(']')
+      n += 1
+    }
+    val ms = (System.nanoTime() - t0) / 1e6
+    sb.append(s"""],"row_count":$n,"execution_time_ms":${math.round(ms * 1000) / 1000.0}}""")
+    sb.toString
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def jsonValue(v: Any): String = v match {
+    case null => "null"
+    case s: String => jsonStr(s)
+    case b: Boolean => b.toString
+    case t: java.sql.Timestamp => jsonStr(t.toInstant.toString)
+    case d: java.sql.Date => jsonStr(d.toString)
+    case bd: java.math.BigDecimal => bd.toPlainString
+    case n: Number =>
+      val d = n.doubleValue()
+      if (d.isNaN || d.isInfinite) "null" else n.toString
+    case seq: scala.collection.Seq[_] =>
+      seq.map(jsonValue).mkString("[", ",", "]")
+    case other => jsonStr(String.valueOf(other))
+  }
+}

@@ -1,0 +1,66 @@
+package graft.query
+
+import graft.SparkSpec
+import graft.catalog.GraftCatalog
+import graft.ingest.{ColumnarBatch, HourPartitionedWriter, LineProtocol}
+import graft.jobs.Tiering
+
+class QueryFacadeSpec extends SparkSpec {
+
+  private def facade = new QueryFacade(spark)
+
+  test("JSON envelope matches the reference wire shape") {
+    val f = facade
+    val df = spark.sql("SELECT 1 AS a, 'x\"y' AS b, CAST(2.5 AS DOUBLE) AS c")
+    val json = f.toJsonEnvelope(df)
+    assert(json.startsWith("""{"columns":["a","b","c"],"data":[[1,"x\"y",2.5]],"row_count":1"""))
+    assert(json.contains("\"execution_time_ms\":"))
+    // must be valid JSON for any client
+    assert(json.count(_ == '{') == json.count(_ == '}'))
+  }
+
+  test("row cap truncates the stream") {
+    val f = facade
+    val json = f.toJsonEnvelope(spark.range(100).toDF("id"), maxRows = 7)
+    assert(json.contains("\"row_count\":7"))
+  }
+
+  test("estimate wraps the query in COUNT(*)") {
+    val f = facade
+    val (n, warn) = f.estimate("SELECT * FROM range(1234)")
+    assert(n == 1234 && warn == "ok")
+  }
+
+  test("submit/cancel registry tracks job groups") {
+    val f = facade
+    val (id, _) = f.submit("SELECT 1")
+    assert(f.activeQueries.contains(id))
+    assert(f.cancel(id))
+    assert(!f.cancel(id)) // already gone
+  }
+}
+
+class TieringSpec extends SparkSpec {
+
+  private val H = 3600L * 1000000L
+  private val base = 1717200000000000L
+
+  test("old partitions migrate to cold root; union read sees both tiers") {
+    val cat = new GraftCatalog(spark, tmpDir("hot"))
+    val cold = tmpDir("cold")
+    val now = base + 10L * 24 * H
+    val lp = s"""m,host=a v=1.0 $base
+                |m,host=b v=2.0 ${now - H}""".stripMargin
+    val (pts, _) = LineProtocol.parse(lp, "us")
+    ColumnarBatch.fromPoints(pts).foreach(HourPartitionedWriter.ingest(cat, "default", _))
+
+    val res = Tiering.migrate(cat, cold, "default", "m", afterDays = 7,
+      nowMicros = () => now)
+    assert(res.migrated.length == 1 && res.kept == 1)
+    // hot tier lost the old partition, cold gained it
+    assert(cat.listHourPartitions("default", "m").length == 1)
+    val both = Tiering.table(cat, cold, "default", "m")
+    assert(both.count() == 2)
+    assert(both.select("v").collect().map(_.getDouble(0)).sorted.toSeq == Seq(1.0, 2.0))
+  }
+}
