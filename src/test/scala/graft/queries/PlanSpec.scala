@@ -1,0 +1,72 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan quality gates — the ".explain and iterate" contract:
+  * dimension joins broadcast, filters/projections reach the Parquet scan,
+  * top-k avoids global sorts, aggregation is partial+final. These are the
+  * properties that survive a 100× scale-up; the specs pin them so a
+  * regression in query shape fails fast, not at 100 TB.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def explained(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.collect() // let AQE finalize
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  private def count(hay: String, needle: String): Int =
+    hay.sliding(needle.length).count(_ == needle)
+
+  test("multiway star join broadcasts every dimension") {
+    val plan = explained("q11_join_multiway")
+    assert(count(plan, "BroadcastHashJoin") >= 3,
+      s"expected >=3 broadcast joins (customer/nation/region):\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("filter + projection are pushed into the parquet scan") {
+    val plan = explained("q30_filter_project")
+    assert(plan.contains("PushedFilters: [IsNotNull"),
+      s"expected pushed filters in scan:\n$plan")
+    val read = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_orderkey") && read.contains("l_discount") &&
+      !read.contains("l_quantity") && !read.contains("l_returnflag"),
+      s"scan should read only needed columns: $read")
+  }
+
+  test("top-k compiles to TakeOrderedAndProject (no global sort)") {
+    val plan = explained("q31_topk")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("aggregation is partial+final with a single shuffle") {
+    val plan = explained("q01_agg_groupby")
+    assert(plan.contains("partial_"), "expected map-side partial aggregation")
+    // final AQE plan: one shuffle stage for the agg + one for the sort
+    // (tree lines only — the formatted detail section repeats each node)
+    assert(count(plan, "+- ShuffleQueryStage") <= 2,
+      s"q01 should shuffle once for agg (plus the output sort):\n$plan")
+  }
+
+  test("LSH ann query joins on bucket (no cross product)") {
+    val plan = explained("q71_ann_lsh")
+    assert(!plan.contains("CartesianProduct"),
+      "bucketed ANN must not degenerate into a cartesian product")
+  }
+
+  test("time_bucket stays inside whole-stage codegen") {
+    val plan = explained("q40_time_bucket")
+    // formatted mode marks codegen'd operators with "[codegen id : N]";
+    // the aggregate keyed on time_bucket must carry one
+    val aggLine = plan.linesIterator
+      .find(l => l.contains("HashAggregate") && l.contains("codegen id"))
+    assert(aggLine.nonEmpty, s"expected codegen'd HashAggregate:\n$plan")
+    assert(plan.contains("time_bucket"), plan)
+  }
+}
