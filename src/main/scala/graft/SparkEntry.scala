@@ -19,10 +19,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     AggQueries.queries ++ JoinQueries.queries ++ WindowQueries.queries ++
       SortSetQueries.queries ++ FunctionQueries.queries ++ SqlQueries.queries ++
-      TextQueries.queries ++ DedupQueries.queries ++ VectorQueries.queries
+      TextQueries.queries ++ DedupQueries.queries ++ VectorQueries.queries ++
+      MiscQueries.queries
 
   def oracleSql: Map[String, String] =
     AggQueries.oracles ++ JoinQueries.oracles ++ WindowQueries.oracles ++
       SortSetQueries.oracles ++ FunctionQueries.oracles ++ SqlQueries.oracles ++
-      TextQueries.oracles ++ DedupQueries.oracles ++ VectorQueries.oracles
+      TextQueries.oracles ++ DedupQueries.oracles ++ VectorQueries.oracles ++
+      MiscQueries.oracles
 }
