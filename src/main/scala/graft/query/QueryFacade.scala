@@ -27,6 +27,19 @@ final class QueryFacade(spark: SparkSession) {
 
   def sql(q: String): DataFrame = spark.sql(q)
 
+  /** SHOW DATABASES / SHOW TABLES [FROM db] intercepted as storage
+    * listings against a catalog (the reference diverts these before the
+    * executor, query.go:50-58); everything else goes to spark.sql. */
+  def sqlWithShow(q: String, catalog: graft.catalog.GraftCatalog): DataFrame = {
+    val showDb = "(?i)^\\s*SHOW\\s+DATABASES\\s*;?\\s*$".r
+    val showTables = "(?i)^\\s*SHOW\\s+TABLES(?:\\s+FROM\\s+(\\w+))?\\s*;?\\s*$".r
+    q match {
+      case showDb() => catalog.showDatabases()
+      case showTables(db) => catalog.showTables(Option(db).getOrElse("default"))
+      case _ => spark.sql(q)
+    }
+  }
+
   /** Execute under a cancellable job group; returns (queryId, result). */
   def submit(q: String): (Long, DataFrame) = {
     val id = seq.incrementAndGet()

@@ -31,6 +31,31 @@ class QueryFacadeSpec extends SparkSpec {
     assert(n == 1234 && warn == "ok")
   }
 
+  test("SHOW DATABASES / SHOW TABLES intercepted as storage listings") {
+    val cat = new graft.catalog.GraftCatalog(spark, tmpDir("show"))
+    val (pts, _) = graft.ingest.LineProtocol.parse("m1,host=a v=1.0 1717200000000000", "us")
+    graft.ingest.ColumnarBatch.fromPoints(pts)
+      .foreach(graft.ingest.HourPartitionedWriter.ingest(cat, "default", _))
+    val f = facade
+    assert(f.sqlWithShow("SHOW DATABASES", cat)
+      .collect().map(_.getString(0)).toSeq == Seq("default"))
+    assert(f.sqlWithShow("show tables from default", cat)
+      .collect().map(_.getString(0)).toSeq == Seq("m1"))
+    assert(f.sqlWithShow("SELECT 41 + 1 AS v", cat).head().getInt(0) == 42)
+  }
+
+  test("decimal table config casts columns at write time") {
+    val cat = new graft.catalog.GraftCatalog(spark, tmpDir("dec"))
+    cat.writeMeta("default", "trades", graft.catalog.TableMeta(
+      decimals = Map("price" -> (18, 8))))
+    val (pts, _) = graft.ingest.LineProtocol.parse(
+      "trades,sym=X price=123.456 1717200000000000", "us")
+    graft.ingest.ColumnarBatch.fromPoints(pts)
+      .foreach(graft.ingest.HourPartitionedWriter.ingest(cat, "default", _))
+    val schema = cat.table("default", "trades").schema
+    assert(schema("price").dataType.simpleString == "decimal(18,8)")
+  }
+
   test("submit/cancel registry tracks job groups") {
     val f = facade
     val (id, _) = f.submit("SELECT 1")
