@@ -65,6 +65,28 @@ class QueryFacadeSpec extends SparkSpec {
   }
 }
 
+class MsgPackEncoderSpec extends SparkSpec {
+  test("columnar envelope round-trips through the ingest decoder") {
+    val df = spark.sql(
+      "SELECT id AS k, CAST(id * 1.5 AS DOUBLE) AS v, CONCAT('s', id) AS s FROM range(5)")
+    val bytes = MsgPackEncoder.encode(df)
+    val decoded = graft.ingest.MsgPack.decode(bytes)
+      .asInstanceOf[Map[String, Any]]
+    assert(decoded("columns") == Vector("k", "v", "s"))
+    assert(decoded("row_count") == 5L)
+    val data = decoded("data").asInstanceOf[Map[String, Any]]
+    assert(data("k") == Vector(0L, 1L, 2L, 3L, 4L))
+    assert(data("v") == Vector(0.0, 1.5, 3.0, 4.5, 6.0))
+    assert(data("s") == Vector("s0", "s1", "s2", "s3", "s4"))
+  }
+
+  test("row cap limits encoded rows") {
+    val bytes = MsgPackEncoder.encode(spark.range(100).toDF("id"), maxRows = 3)
+    val decoded = graft.ingest.MsgPack.decode(bytes).asInstanceOf[Map[String, Any]]
+    assert(decoded("row_count") == 3L)
+  }
+}
+
 class TieringSpec extends SparkSpec {
 
   private val H = 3600L * 1000000L
