@@ -77,14 +77,19 @@ object Compaction {
     val rowsOut = spark.read.parquet(tmp.toString).count()
     val newFiles = fs.listStatus(tmp)
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet")).map(_.getPath)
-    files.foreach(fs.delete(_, false))
-    // compaction output uses the same recency-ordered name scheme: it
-    // must sort OLDER than any flush that lands after this compaction
+    // crash-safe swap order: rename the compacted file IN first, then
+    // delete the sources. A crash in between leaves transient duplicate
+    // rows (repaired by re-running compaction — dedup collapses them),
+    // never data loss. The reverse order (delete-then-rename) would lose
+    // the partition if the process died mid-swap.
+    // Output uses the same recency-ordered name scheme: it must sort
+    // OLDER than any flush that lands after this compaction.
     val compactUs = System.currentTimeMillis() * 1000L
     newFiles.zipWithIndex.foreach { case (f, i) =>
       fs.rename(f, new Path(partDir,
         graft.ingest.HourPartitionedWriter.flushFileName(m, compactUs, i)))
     }
+    files.foreach(fs.delete(_, false))
     fs.delete(tmp, true)
     Result(partDir.toString, files.length, rowsIn, rowsOut, compacted = true)
   }
@@ -127,6 +132,24 @@ object Compaction {
         case _ => None
       }
     }
+  }
+
+  /** Startup recovery: remove stale `_compact_tmp_*` dirs left by a
+    * crashed compaction (their partition still has the source files or
+    * the renamed output — either way the tmp dir is garbage; duplicate
+    * rows from a mid-swap crash are collapsed by the next compaction).
+    * The filesystem-level analog of the reference's manifest + watcher
+    * (internal/compaction/manifest.go, watcher.go). */
+  def recover(catalog: GraftCatalog, db: String, m: String): Seq[String] = {
+    val conf = catalog.spark.sparkContext.hadoopConfiguration
+    val cleaned = scala.collection.mutable.ArrayBuffer.empty[String]
+    catalog.listHourPartitions(db, m).foreach { p =>
+      val fs = p.getFileSystem(conf)
+      fs.listStatus(p.getParent)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("_compact_tmp_"))
+        .foreach { s => fs.delete(s.getPath, true); cleaned += s.getPath.toString }
+    }
+    cleaned.toSeq
   }
 
   /** Epoch hour of a .../year=Y/month=M/day=D/hour=H path. */

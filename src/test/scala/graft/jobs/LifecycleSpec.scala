@@ -140,6 +140,19 @@ class LifecycleSpec extends SparkSpec {
     assert(df.count() == 2)
   }
 
+  test("compaction recovery removes stale tmp dirs") {
+    val cat = newCatalog()
+    lpIngest(cat, s"m,host=a v=1.0 ${base + 1}")
+    val part = cat.listHourPartitions("default", "m").head
+    val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stale = new org.apache.hadoop.fs.Path(part.getParent,
+      s"_compact_tmp_${part.getName}")
+    fs.mkdirs(stale)
+    val cleaned = Compaction.recover(cat, "default", "m")
+    assert(cleaned.length == 1 && !fs.exists(stale))
+    assert(cat.table("default", "m").count() == 1) // data untouched
+  }
+
   test("catalog: SHOW DATABASES / SHOW TABLES from storage listing") {
     val cat = newCatalog()
     lpIngest(cat, s"m1,host=a v=1.0 $base")
