@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+/** Operator-level evidence for the near-dup family: planted
+  * near-duplicates must be found, unrelated documents must not pair.
+  */
+class DedupOperatorsSpec extends SparkSpec {
+
+  private def corpus = {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val nearDup = base.replace("today", "tonight") // 1 token of 14 changed
+    val unrelated = Seq(
+      "spark shuffles partition data across executors during wide transformations",
+      "columnar parquet storage enables efficient predicate pushdown and pruning",
+      "minhash signatures approximate jaccard similarity between shingle sets",
+      "watermarks bound state retention in streaming aggregation pipelines")
+    (Seq(base, nearDup) ++ unrelated).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+  }
+
+  test("MinHash LSH surfaces the planted near-duplicate pair") {
+    val pairs = MinHashDedup.candidatePairs(corpus, "doc_id", "text",
+        shingleK = 2, numHashes = 16, bands = 8) // 2 rows/band: high recall
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), s"planted pair not found: $pairs")
+    // no unrelated docs paired
+    assert(pairs.forall { case (a, b) => a == 0L && b == 1L },
+      s"false positives: $pairs")
+  }
+
+  test("SimHash of the planted pair is Hamming-close; unrelated pairs are not") {
+    graft.GraftFunctions.registerAll(spark)
+    val sh = corpus.select(col("doc_id"), TextFunctions.simhash(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hd(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val planted = hd(sh(0L), sh(1L))
+    assert(planted <= 3, s"planted pair hd=$planted")
+    // short docs make 32-bit simhash noisy in absolute terms; the robust
+    // property is relative: the planted pair is strictly closest
+    for (i <- 2L to 5L)
+      assert(hd(sh(0L), sh(i)) > planted,
+        s"doc $i (hd=${hd(sh(0L), sh(i))}) not farther than planted ($planted)")
+  }
+
+  test("exact Jaccard of planted pair is high, unrelated low") {
+    graft.GraftFunctions.registerAll(spark)
+    val toks = corpus.select(col("doc_id"),
+      array_distinct(TextFunctions.tokens(col("text"))).as("tk"))
+    val a = toks.select(col("doc_id").as("d1"), col("tk").as("t1"))
+    val b = toks.select(col("doc_id").as("d2"), col("tk").as("t2"))
+    val j = a.crossJoin(b).where(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        (size(array_intersect(col("t1"), col("t2"))).cast("double") /
+          size(array_union(col("t1"), col("t2")))).as("j"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(j((0L, 1L)) > 0.8)
+    assert(j.filter(_._1 != (0L, 1L)).values.forall(_ < 0.3))
+  }
+}
