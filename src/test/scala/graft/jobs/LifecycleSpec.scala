@@ -140,6 +140,24 @@ class LifecycleSpec extends SparkSpec {
     assert(df.count() == 2)
   }
 
+  test("CSV bulk import: epoch and string time columns normalized") {
+    val cat = newCatalog()
+    val csvDir = tmpDir("csv")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$csvDir/data.csv"),
+      s"""ts,host,v
+         |1717200000,server1,1.5
+         |1717203600,server2,2.5""".stripMargin)
+    val n = graft.ingest.CsvImport.csv(cat, "default", "csv_m",
+      s"$csvDir/data.csv", timeCol = "ts")
+    assert(n == 2)
+    val df = cat.table("default", "csv_m")
+    assert(df.schema("time").dataType.typeName == "timestamp")
+    assert(cat.listHourPartitions("default", "csv_m").length == 2)
+    assert(df.where(col("host") === "server1")
+      .head().getAs[java.sql.Timestamp]("time").getTime == 1717200000000L)
+  }
+
   test("compaction recovery removes stale tmp dirs") {
     val cat = newCatalog()
     lpIngest(cat, s"m,host=a v=1.0 ${base + 1}")
