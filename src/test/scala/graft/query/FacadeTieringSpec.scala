@@ -87,6 +87,45 @@ class MsgPackEncoderSpec extends SparkSpec {
   }
 }
 
+class ArrowEncoderSpec extends SparkSpec {
+  test("arrow IPC stream round-trips rows and types") {
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector.ipc.ArrowStreamReader
+    val df = spark.sql(
+      """SELECT id AS k, CAST(id * 0.5 AS DOUBLE) AS v, CONCAT('n', id) AS s,
+        |  id % 2 = 0 AS flag, TIMESTAMP '2024-06-01 00:00:00' + make_interval(0,0,0,0,0,0,id) AS t
+        |FROM range(10)""".stripMargin)
+    val bytes = ArrowEncoder.encode(df, batchRows = 4)
+    val alloc = new RootAllocator(Long.MaxValue)
+    val reader = new ArrowStreamReader(new java.io.ByteArrayInputStream(bytes), alloc)
+    try {
+      val root = reader.getVectorSchemaRoot
+      assert(root.getSchema.getFields.size() == 5)
+      var rows = 0L
+      var sumK = 0L
+      while (reader.loadNextBatch()) {
+        val kVec = root.getVector("k").asInstanceOf[org.apache.arrow.vector.BigIntVector]
+        for (i <- 0 until root.getRowCount) sumK += kVec.get(i)
+        rows += root.getRowCount
+      }
+      assert(rows == 10 && sumK == 45)
+    } finally { reader.close(); alloc.close() }
+  }
+
+  test("row cap limits arrow rows") {
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector.ipc.ArrowStreamReader
+    val bytes = ArrowEncoder.encode(spark.range(100).toDF("id"), maxRows = 5)
+    val alloc = new RootAllocator(Long.MaxValue)
+    val reader = new ArrowStreamReader(new java.io.ByteArrayInputStream(bytes), alloc)
+    try {
+      var rows = 0
+      while (reader.loadNextBatch()) rows += reader.getVectorSchemaRoot.getRowCount
+      assert(rows == 5)
+    } finally { reader.close(); alloc.close() }
+  }
+}
+
 class TieringSpec extends SparkSpec {
 
   private val H = 3600L * 1000000L
