@@ -1,0 +1,85 @@
+package graft.examples
+
+import graft.catalog.GraftCatalog
+import graft.ingest._
+import graft.query.{ArrowEncoder, MsgPackEncoder, QueryFacade}
+import org.apache.spark.sql.SparkSession
+
+/** Single-node throughput micro-benchmarks, comparable to the
+  * reference's headline numbers (BASELINE.md): ingest decode rec/s and
+  * result-stream rows/s per wire format.
+  * Run: sbt "runMain graft.examples.ThroughputBench"
+  */
+object ThroughputBench {
+
+  private def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val n = 2000000
+    val base = 1717200000000000L
+
+    // --- Line Protocol parse throughput
+    val lpPayload = (0 until n).map(i =>
+      s"cpu,host=server${i % 16} usage_idle=${90.0 + i % 10},usage_user=${i % 7} ${base + i}")
+      .mkString("\n")
+    // warm-up then measure
+    LineProtocol.parse(lpPayload.substring(0, 1 << 20), "us")
+    val (lpRes, lpSec) = time(LineProtocol.parse(lpPayload, "us"))
+    println(f"[tp] line_protocol_parse: ${n / lpSec / 1e6}%.2f M rec/s (${lpRes._1.length} pts, $lpSec%.2f s)")
+
+    // --- MessagePack columnar decode throughput
+    val packed = {
+      val out = new java.io.ByteArrayOutputStream()
+      val p = new graft.query.MsgPackEncoder.Packer(out)
+      p.packMapHeader(2); p.packString("m"); p.packString("cpu")
+      p.packString("columns"); p.packMapHeader(3)
+      p.packString("time"); p.packArrayHeader(n)
+      var i = 0; while (i < n) { p.packLong(base + i); i += 1 }
+      p.packString("host"); p.packArrayHeader(n)
+      i = 0; while (i < n) { p.packString("server" + (i % 16)); i += 1 }
+      p.packString("value"); p.packArrayHeader(n)
+      i = 0; while (i < n) { p.packDouble(i * 0.5); i += 1 }
+      out.toByteArray
+    }
+    val (batches, mpSec) = time(MsgPack.decodePayload(packed))
+    println(f"[tp] msgpack_columnar_decode: ${n / mpSec / 1e6}%.2f M rec/s (${batches.head.rowCount} rows, $mpSec%.2f s)")
+
+    // --- hour-partitioned write throughput (single flush batch)
+    val cat = new GraftCatalog(spark, java.nio.file.Files.createTempDirectory("tp").toString)
+    val df = batches.head.toDataFrame(spark)
+    val (_, wSec) = time(HourPartitionedWriter.write(cat, "default", "cpu", df))
+    println(f"[tp] spark_partitioned_write: ${n / wSec / 1e6}%.2f M rows/s ($wSec%.2f s)")
+
+    // --- direct (no Spark job) flush path — the ingest hot path
+    val cat2 = new GraftCatalog(spark, java.nio.file.Files.createTempDirectory("tp2").toString)
+    val (files, dSec) = time(DirectParquetWriter.write(cat2, "default", batches.head))
+    println(f"[tp] direct_parquet_flush: ${n / dSec / 1e6}%.2f M rows/s (${files.length} files, $dSec%.2f s)")
+
+    // --- result-stream throughput per wire format (SELECT LIMIT 1M shape)
+    cat.register("default", "cpu")
+    val facade = new QueryFacade(spark)
+    val result = spark.sql("SELECT time, host, value FROM cpu LIMIT 1000000")
+    result.count() // warm cache/plan
+    val (json, jSec) = time(facade.toJsonEnvelope(result))
+    println(f"[tp] result_json: ${1000000 / jSec / 1e6}%.2f M rows/s (${json.length / 1e6}%.1f MB, $jSec%.2f s)")
+    val (jsonD, jdSec) = time(facade.toJsonEnvelopeDistributed(result, preserveOrder = false))
+    println(f"[tp] result_json_distributed: ${1000000 / jdSec / 1e6}%.2f M rows/s (${jsonD.length / 1e6}%.1f MB, $jdSec%.2f s)")
+    val (mp, mSec) = time(MsgPackEncoder.encode(result))
+    println(f"[tp] result_msgpack: ${1000000 / mSec / 1e6}%.2f M rows/s (${mp.length / 1e6}%.1f MB, $mSec%.2f s)")
+    val (ar, aSec) = time(ArrowEncoder.encode(result))
+    println(f"[tp] result_arrow_ipc: ${1000000 / aSec / 1e6}%.2f M rows/s (${ar.length / 1e6}%.1f MB, $aSec%.2f s)")
+
+    spark.stop()
+    println("TP OK")
+  }
+}

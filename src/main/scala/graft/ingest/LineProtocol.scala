@@ -31,23 +31,35 @@ object LineProtocol {
   final case class ParseError(line: Int, message: String)
 
   /** Parse a full payload; returns points and per-line errors (the
-    * reference continues past bad lines and reports them). */
+    * reference continues past bad lines and reports them).
+    * Large payloads parse line-parallel across cores (each line is
+    * independent); order of points follows input order. */
   def parse(payload: String, precision: String = "ns",
       nowMicros: () => Long = () => System.currentTimeMillis() * 1000L)
       : (Seq[Point], Seq[ParseError]) = {
     val unit = TimestampUnits.parseUnit(precision)
+    val lines = payload.linesIterator.toArray
+    val results = new Array[AnyRef](lines.length) // Point | ParseError | null
+    val stream =
+      if (lines.length >= 4096)
+        java.util.stream.IntStream.range(0, lines.length).parallel()
+      else java.util.stream.IntStream.range(0, lines.length)
+    stream.forEach { i =>
+      val line = lines(i).trim
+      if (line.nonEmpty && !line.startsWith("#")) {
+        results(i) =
+          try parseLine(line, unit)
+          catch {
+            case e: IllegalArgumentException => ParseError(i + 1, e.getMessage)
+          }
+      }
+    }
     val points = mutable.ArrayBuffer.empty[Point]
     val errors = mutable.ArrayBuffer.empty[ParseError]
-    var ln = 0
-    payload.linesIterator.foreach { raw =>
-      ln += 1
-      val line = raw.trim
-      if (line.nonEmpty && !line.startsWith("#")) {
-        try points += parseLine(line, unit)
-        catch {
-          case e: IllegalArgumentException => errors += ParseError(ln, e.getMessage)
-        }
-      }
+    results.foreach {
+      case p: Point => points += p
+      case e: ParseError => errors += e
+      case _ =>
     }
     (points.toSeq, errors.toSeq)
   }

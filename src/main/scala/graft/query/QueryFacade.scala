@@ -102,7 +102,63 @@ final class QueryFacade(spark: SparkSession) {
     sb.toString
   }
 
-  private def jsonStr(s: String): String =
+  /** Distributed variant: rows are JSON-encoded on the executors
+    * (mapPartitions), the driver only concatenates partition chunks —
+    * the encode cost parallelizes across cores/executors instead of
+    * serializing through one driver thread. Preferred for large results;
+    * `toJsonEnvelope` remains the constant-memory streaming fallback. */
+  def toJsonEnvelopeDistributed(df: DataFrame, maxRows: Long = Long.MaxValue,
+      preserveOrder: Boolean = true): String = {
+    val t0 = System.nanoTime()
+    val columns = df.columns
+    val nCols = columns.length
+    val limited =
+      if (maxRows < Long.MaxValue) df.limit(maxRows.min(Int.MaxValue).toInt) else df
+    // a LIMIT/ORDER BY result is a single partition; when the caller
+    // doesn't need row order on the wire, spread the encode across cores
+    val capped =
+      if (preserveOrder) limited
+      else limited.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    import org.apache.spark.sql.Encoders
+    val chunks = capped.mapPartitions { it =>
+      val sb = new StringBuilder
+      var first = true
+      var n = 0L
+      while (it.hasNext) {
+        val row = it.next()
+        if (!first) sb.append(',')
+        first = false
+        sb.append('[')
+        var i = 0
+        while (i < nCols) {
+          if (i > 0) sb.append(',')
+          sb.append(QueryFacade.jsonValue(row.get(i)))
+          i += 1
+        }
+        sb.append(']')
+        n += 1
+      }
+      Iterator((n, sb.toString))
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.STRING)).collect()
+    val sb = new StringBuilder
+    sb.append("{\"columns\":[")
+    sb.append(columns.map(QueryFacade.jsonStr).mkString(","))
+    sb.append("],\"data\":[")
+    sb.append(chunks.map(_._2).filter(_.nonEmpty).mkString(","))
+    val ms = (System.nanoTime() - t0) / 1e6
+    sb.append(s"""],"row_count":${chunks.map(_._1).sum},"execution_time_ms":${math.round(ms * 1000) / 1000.0}}""")
+    sb.toString
+  }
+
+  private def jsonStr(s: String): String = QueryFacade.jsonStr(s)
+
+  private def jsonValue(v: Any): String = QueryFacade.jsonValue(v)
+}
+
+/** Serializable JSON scalar encoding (shared by driver + executors). */
+object QueryFacade {
+
+  private[query] def jsonStr(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
@@ -113,7 +169,7 @@ final class QueryFacade(spark: SparkSession) {
       case c => c.toString
     } + "\""
 
-  private def jsonValue(v: Any): String = v match {
+  private[query] def jsonValue(v: Any): String = v match {
     case null => "null"
     case s: String => jsonStr(s)
     case b: Boolean => b.toString

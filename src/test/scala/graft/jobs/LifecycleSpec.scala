@@ -140,6 +140,33 @@ class LifecycleSpec extends SparkSpec {
     assert(df.count() == 2)
   }
 
+  test("direct parquet flush: same layout/semantics as the Spark writer, readable by both") {
+    val cat = newCatalog()
+    cat.writeMeta("default", "cpu", graft.catalog.TableMeta(
+      sortKeys = Seq("host"), tagColumns = Seq("host")))
+    val (pts, _) = graft.ingest.LineProtocol.parse(
+      s"""cpu,host=b v=2.0 ${base + 1 * H + 5}
+         |cpu,host=a v=1.0 ${base + 7}
+         |cpu,host=c v=3.0 ${base + 5}""".stripMargin, "us")
+    val batch = graft.ingest.ColumnarBatch.fromPoints(pts).head
+    val files = graft.ingest.DirectParquetWriter.write(cat, "default", batch)
+    assert(files.length == 2) // two hours touched
+    val df = cat.table("default", "cpu")
+    assert(df.count() == 3)
+    assert(df.schema("time").dataType.typeName == "timestamp")
+    // sorted by (host, time) within the hour file
+    val hour0 = df.where(col("hour") === 0).select("host").collect().map(_.getString(0))
+    assert(hour0.toSeq == hour0.sorted.toSeq)
+    // interoperates with the Spark writer + compaction
+    lpIngest(cat, s"cpu,host=a v=9.0 ${base + 7}") // dup key, later write
+    val part = cat.listHourPartitions("default", "cpu").head
+    val res = Compaction.compactHour(cat, "default", "cpu", part, minFiles = 2)
+    assert(res.compacted)
+    val a = cat.table("default", "cpu")
+      .where(col("host") === "a").select("v").head().getDouble(0)
+    assert(a == 9.0) // Spark-written flush is newer, wins dedup
+  }
+
   test("CSV bulk import: epoch and string time columns normalized") {
     val cat = newCatalog()
     val csvDir = tmpDir("csv")

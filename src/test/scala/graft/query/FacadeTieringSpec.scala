@@ -19,6 +19,18 @@ class QueryFacadeSpec extends SparkSpec {
     assert(json.count(_ == '{') == json.count(_ == '}'))
   }
 
+  test("distributed JSON envelope matches the streamed one") {
+    val f = facade
+    val df = spark.sql(
+      "SELECT id AS k, CONCAT('v', id) AS s FROM range(50) ORDER BY k")
+    val a = f.toJsonEnvelope(df)
+    val b = f.toJsonEnvelopeDistributed(df)
+    def stripTime(j: String) = j.replaceAll("\"execution_time_ms\":[0-9.]+", "")
+    assert(stripTime(a) == stripTime(b))
+    val capped = f.toJsonEnvelopeDistributed(df, maxRows = 5)
+    assert(capped.contains("\"row_count\":5"))
+  }
+
   test("row cap truncates the stream") {
     val f = facade
     val json = f.toJsonEnvelope(spark.range(100).toDF("id"), maxRows = 7)
