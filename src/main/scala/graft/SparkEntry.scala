@@ -20,11 +20,11 @@ object SparkEntry {
     AggQueries.queries ++ JoinQueries.queries ++ WindowQueries.queries ++
       SortSetQueries.queries ++ FunctionQueries.queries ++ SqlQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++ VectorQueries.queries ++
-      MiscQueries.queries ++ ExtraQueries.queries
+      MiscQueries.queries ++ ExtraQueries.queries ++ ReshapeQueries.queries
 
   def oracleSql: Map[String, String] =
     AggQueries.oracles ++ JoinQueries.oracles ++ WindowQueries.oracles ++
       SortSetQueries.oracles ++ FunctionQueries.oracles ++ SqlQueries.oracles ++
       TextQueries.oracles ++ DedupQueries.oracles ++ VectorQueries.oracles ++
-      MiscQueries.oracles ++ ExtraQueries.oracles
+      MiscQueries.oracles ++ ExtraQueries.oracles ++ ReshapeQueries.oracles
 }
