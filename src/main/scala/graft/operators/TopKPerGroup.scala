@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, Row}
+
+import scala.collection.mutable
+
+/** Two-phase top-k per group — the scalable form of
+  * `row_number() OVER (PARTITION BY g ORDER BY s DESC) <= k`.
+  *
+  * The window form shuffles EVERY row to its group's task and sorts the
+  * whole group (a 1e9-row group sorts 1e9 rows to return k). This
+  * operator first reduces each input partition to its local top-k per
+  * group with bounded heaps (map-side, no shuffle, O(rows · log k)
+  * memory O(groups·k)), so at most partitions·k rows per group reach
+  * the exact window pass. Same result, shuffle shrunk by ~rows/(parts·k).
+  *
+  * Ordering: by `orderCol` descending, ties broken by ascending
+  * `tieCols` (must make the ordering total for deterministic output).
+  */
+object TopKPerGroup {
+
+  def topK(df: DataFrame, groupCols: Seq[String], orderCol: String,
+      tieCols: Seq[String], k: Int): DataFrame = {
+    val schema = df.schema
+    val gIdx = groupCols.map(schema.fieldIndex)
+    val oIdx = schema.fieldIndex(orderCol)
+    val tIdx = tieCols.map(schema.fieldIndex)
+
+    // row ordering: orderCol DESC, tieCols ASC — "a beats b" = a sorts first
+    val beats: (Row, Row) => Boolean = { (a, b) =>
+      val c = java.lang.Double.compare(
+        a.getAs[Number](oIdx).doubleValue(), b.getAs[Number](oIdx).doubleValue())
+      if (c != 0) c > 0 // larger orderCol sorts first
+      else tIdx.iterator.map(i =>
+        a.getAs[Comparable[Any]](i).compareTo(b.get(i))).find(_ != 0)
+        .forall(_ < 0)
+    }
+
+    val enc = RowEncoder.encoderFor(schema)
+    // phase 1: per-partition bounded selection (keep k best per group)
+    val reduced = df.mapPartitions { it =>
+      val heaps = mutable.HashMap.empty[Seq[Any], mutable.ArrayBuffer[Row]]
+      it.foreach { row =>
+        val key = gIdx.map(row.get)
+        val buf = heaps.getOrElseUpdate(key, mutable.ArrayBuffer.empty)
+        buf += row
+        if (buf.length > 4 * k) { // amortized compaction
+          val best = buf.sortWith(beats).take(k)
+          buf.clear(); buf ++= best
+        }
+      }
+      heaps.valuesIterator.flatMap(buf => buf.sortWith(beats).take(k))
+    }(enc)
+
+    // phase 2: exact global ranking over the reduced set
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(orderCol).desc +: tieCols.map(c => col(c).asc): _*)
+    reduced.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+  }
+}
