@@ -44,7 +44,33 @@ object TextQueries {
     "q63_text_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), charFingerprint(col("text")).as("fp"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // TF-IDF (ratio idf variant — log-free so both engines compute the
+    // identical double): most characteristic term per document.
+    // explode → per-(doc,term) counts → doc-frequency join → score.
+    "q68_text_tfidf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("toks"),
+          tokenCount(col("text")).as("n_tok"))
+      val nDocs = docs.count()
+      val terms = docs.select(col("doc_id"), col("n_tok"),
+        explode(col("toks")).as("term"))
+      val tf = terms.groupBy(col("doc_id"), col("n_tok"), col("term"))
+        .agg(count(lit(1)).as("cnt"))
+      val dfreq = tf.groupBy(col("term"))
+        .agg(count(lit(1)).as("df_t")) // tf rows are distinct (doc, term)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term"))
+      tf.join(dfreq, "term")
+        .withColumn("score", round(
+          col("cnt").cast("double") / col("n_tok") * lit(nDocs.toDouble) / col("df_t"), 6))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("doc_id"), col("term"), col("score"))
+        .orderBy(col("doc_id"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -70,6 +96,22 @@ object TextQueries {
 
     "q63_text_fingerprint" ->
       s"""SELECT doc_id, ${charFingerprintSql("text")} AS fp
-         |FROM documents ORDER BY doc_id""".stripMargin
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q68_text_tfidf" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    string_split_regex(trim(text), '\\s+') AS toks,
+         |    len(string_split_regex(trim(text), '\\s+')) AS n_tok
+         |  FROM documents),
+         |terms AS (SELECT doc_id, n_tok, unnest(toks) AS term FROM d),
+         |tf AS (SELECT doc_id, n_tok, term, COUNT(*) AS cnt
+         |       FROM terms GROUP BY doc_id, n_tok, term),
+         |dfreq AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY term),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+         |SELECT doc_id, term,
+         |  round(CAST(cnt AS DOUBLE) / n_tok * CAST(n_docs AS DOUBLE) / df_t, 6) AS score
+         |FROM tf JOIN dfreq USING (term) CROSS JOIN n
+         |QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) = 1
+         |ORDER BY doc_id""".stripMargin
   )
 }
