@@ -41,6 +41,30 @@ object MiscQueries {
             .as("p99_price"))
         .orderBy(col("l_returnflag"))),
 
+    // engine-storage round trip: events written through the engine's own
+    // hour-partitioned sorted writer, read back via the catalog with a
+    // time filter (exercises the TimePartitionPruning rule on engine
+    // layout), aggregated — the oracle runs the same aggregation on the
+    // ORIGINAL table, so the whole write/read path must be lossless
+    "q90_engine_roundtrip" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val root = s"/tmp/graft_rt_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val cat = new graft.catalog.GraftCatalog(s, root)
+      val marker = new java.io.File(s"$root/_done")
+      if (!marker.exists()) {
+        graft.ingest.HourPartitionedWriter.write(cat, "default", "events_rt",
+          ev.withColumnRenamed("ts", "time"))
+        marker.getParentFile.mkdirs()
+        marker.createNewFile()
+      }
+      cat.table("default", "events_rt")
+        .where(col("time") >= lit("2024-01-03 00:00:00").cast("timestamp"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_type"))
+    }),
+
     // multimodal pipeline over synthesized binary media (documents text
     // bytes): schema/batching/feature plumbing; rows-only check
     "q80_multimodal_features" -> ((s, dir) => {
@@ -64,7 +88,14 @@ object MiscQueries {
         |SELECT l.event_id, l.user_id, r.value AS signup_value
         |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) l
         |ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
-        |ORDER BY l.event_id""".stripMargin
+        |ORDER BY l.event_id""".stripMargin,
+
+    "q90_engine_roundtrip" ->
+      s"""SELECT event_type, COUNT(*) AS n, ${oSum("value")} AS sum_value,
+         |  COUNT(DISTINCT user_id) AS n_users
+         |FROM events
+         |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-03 00:00:00'
+         |GROUP BY event_type ORDER BY event_type""".stripMargin
     // q34/q80: intentionally no oracle (sketches are engine-specific;
     // multimodal decode is stubbed) -> driver rows-only check
   )
