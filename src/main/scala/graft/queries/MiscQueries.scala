@@ -51,9 +51,12 @@ object MiscQueries {
       val root = s"/tmp/graft_rt_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
       val cat = new graft.catalog.GraftCatalog(s, root)
       val marker = new java.io.File(s"$root/_done")
+      // one week of events — enough hour partitions to exercise the
+      // layout + pruning without dominating bench time
       if (!marker.exists()) {
         graft.ingest.HourPartitionedWriter.write(cat, "default", "events_rt",
-          ev.withColumnRenamed("ts", "time"))
+          ev.where(col("ts") < lit("2024-01-08 00:00:00").cast("timestamp"))
+            .withColumnRenamed("ts", "time"))
         marker.getParentFile.mkdirs()
         marker.createNewFile()
       }
@@ -95,6 +98,7 @@ object MiscQueries {
          |  COUNT(DISTINCT user_id) AS n_users
          |FROM events
          |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-03 00:00:00'
+         |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-08 00:00:00'
          |GROUP BY event_type ORDER BY event_type""".stripMargin
     // q34/q80: intentionally no oracle (sketches are engine-specific;
     // multimodal decode is stubbed) -> driver rows-only check
