@@ -5,7 +5,7 @@ import org.apache.arrow.vector._
 import org.apache.arrow.vector.ipc.ArrowStreamWriter
 import org.apache.arrow.vector.types.FloatingPointPrecision
 import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ArrowSchema}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.types._
 
 import java.io.ByteArrayOutputStream
@@ -73,6 +73,76 @@ object ArrowEncoder {
       root.close()
       alloc.close()
     }
+  }
+
+  /** Distributed variant: each partition encodes its own rows into an
+    * IPC chunk on the executors; the driver only re-frames the record
+    * batches into one stream (buffer-level copies via VectorUnloader,
+    * no per-row work). This moves the row→columnar conversion — the
+    * dominant cost — off the single driver thread. */
+  def encodeDistributed(df: DataFrame, batchRows: Int = 4096): Array[Byte] = {
+    import org.apache.arrow.vector.ipc.ArrowStreamReader
+    import org.apache.arrow.vector.ipc.message.{IpcOption, MessageSerializer}
+    import org.apache.arrow.vector.ipc.WriteChannel
+    import org.apache.spark.sql.Encoders
+
+    val sparkSchema = df.schema
+    val chunks = df.mapPartitions { it =>
+      if (it.isEmpty) Iterator.empty
+      else Iterator(encodeRows(it, sparkSchema, batchRows))
+    }(Encoders.BINARY).collect()
+
+    val schema = new ArrowSchema(sparkSchema.fields.map(arrowField).toList.asJava)
+    val out = new ByteArrayOutputStream()
+    val ch = new WriteChannel(java.nio.channels.Channels.newChannel(out))
+    MessageSerializer.serialize(ch, schema)
+    val alloc = new RootAllocator(Long.MaxValue)
+    try {
+      chunks.foreach { bytes =>
+        val reader = new ArrowStreamReader(new java.io.ByteArrayInputStream(bytes), alloc)
+        try {
+          val root = reader.getVectorSchemaRoot
+          while (reader.loadNextBatch()) {
+            val batch = new org.apache.arrow.vector.VectorUnloader(root).getRecordBatch
+            try MessageSerializer.serialize(ch, batch)
+            finally batch.close()
+          }
+        } finally reader.close()
+      }
+      org.apache.arrow.vector.ipc.ArrowStreamWriter.writeEndOfStream(ch, IpcOption.DEFAULT)
+      out.toByteArray
+    } finally alloc.close()
+  }
+
+  /** Encode an iterator of rows to a complete standalone IPC stream
+    * (runs on executors; one chunk per partition). */
+  private def encodeRows(it: Iterator[Row], sparkSchema: StructType,
+      batchRows: Int): Array[Byte] = {
+    val schema = new ArrowSchema(sparkSchema.fields.map(arrowField).toList.asJava)
+    val alloc = new RootAllocator(Long.MaxValue)
+    val root = VectorSchemaRoot.create(schema, alloc)
+    val out = new ByteArrayOutputStream()
+    val writer = new ArrowStreamWriter(root, null, out)
+    try {
+      writer.start()
+      while (it.hasNext) {
+        var n = 0
+        while (it.hasNext && n < batchRows) {
+          val row = it.next()
+          var c = 0
+          while (c < sparkSchema.length) {
+            setValue(root.getVector(c), sparkSchema(c).dataType, n, row.get(c))
+            c += 1
+          }
+          n += 1
+        }
+        root.setRowCount(n)
+        writer.writeBatch()
+        root.allocateNew()
+      }
+      writer.end()
+      out.toByteArray
+    } finally { writer.close(); root.close(); alloc.close() }
   }
 
   private def setValue(v: FieldVector, dt: DataType, i: Int, value: Any): Unit = {

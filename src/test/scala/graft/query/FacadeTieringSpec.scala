@@ -124,6 +124,26 @@ class ArrowEncoderSpec extends SparkSpec {
     } finally { reader.close(); alloc.close() }
   }
 
+  test("distributed arrow encode stitches partition chunks into one stream") {
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector.ipc.ArrowStreamReader
+    val df = spark.range(1000).toDF("id").repartition(7)
+    val bytes = ArrowEncoder.encodeDistributed(df, batchRows = 100)
+    val alloc = new RootAllocator(Long.MaxValue)
+    val reader = new ArrowStreamReader(new java.io.ByteArrayInputStream(bytes), alloc)
+    try {
+      val root = reader.getVectorSchemaRoot
+      var rows = 0L
+      var sum = 0L
+      while (reader.loadNextBatch()) {
+        val v = root.getVector("id").asInstanceOf[org.apache.arrow.vector.BigIntVector]
+        for (i <- 0 until root.getRowCount) sum += v.get(i)
+        rows += root.getRowCount
+      }
+      assert(rows == 1000 && sum == 499500)
+    } finally { reader.close(); alloc.close() }
+  }
+
   test("row cap limits arrow rows") {
     import org.apache.arrow.memory.RootAllocator
     import org.apache.arrow.vector.ipc.ArrowStreamReader
