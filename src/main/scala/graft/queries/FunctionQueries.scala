@@ -78,6 +78,21 @@ object FunctionQueries {
             .as("prio_num"))
         .orderBy(col("o_orderkey"))),
 
+    // array higher-order functions over embedding vectors:
+    // filter / exists / transform / sequential fold
+    "q49_array_hofs" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(
+          col("vec_id"),
+          size(filter(col("embedding"), x => x > 0f)).as("n_pos"),
+          exists(col("embedding"), x => x > lit(0.2f)).as("has_big"),
+          size(array_distinct(transform(col("embedding"),
+            x => (x > 0f).cast("int")))).as("n_sign_kinds"),
+          round(aggregate(col("embedding"), lit(0.0),
+            (acc, x) => acc + when(x > 0f, x.cast("double")).otherwise(0.0)), 6)
+            .as("sum_pos"))
+        .orderBy(col("vec_id"))),
+
     // generated series (explode(sequence(...)) == generate_series)
     "q47_series" -> ((s, dir) => {
       graft.Tables.registerAll(s, dir)
@@ -133,6 +148,18 @@ object FunctionQueries {
         |  TRY_CAST(o_orderpriority AS BIGINT) AS prio_int,
         |  COALESCE(TRY_CAST(SUBSTR(o_orderpriority, 1, 1) AS BIGINT), -1) AS prio_num
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q49_array_hofs" ->
+      """SELECT vec_id,
+        |  len(list_filter(embedding, x -> x > 0)) AS n_pos,
+        |  len(list_filter(embedding, x -> x > 0.2)) > 0 AS has_big,
+        |  len(list_distinct(list_transform(embedding,
+        |      x -> CAST(x > 0 AS INT)))) AS n_sign_kinds,
+        |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(embedding,
+        |        x -> CASE WHEN x > 0 THEN CAST(x AS DOUBLE) ELSE 0.0 END)),
+        |    (a, b) -> a + b), 6) AS sum_pos
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "q47_series" ->
       """SELECT n, n * n AS sq, n % 7 AS m7
