@@ -40,7 +40,21 @@ object SortSetQueries {
     "q33_distinct" -> ((s, dir) =>
       t(s, dir, "orders")
         .select(col("o_orderstatus"), col("o_orderpriority")).distinct()
-        .orderBy(col("o_orderstatus"), col("o_orderpriority")))
+        .orderBy(col("o_orderstatus"), col("o_orderpriority"))),
+
+    // NULL semantics: null-safe equality (<=> / IS NOT DISTINCT FROM),
+    // COUNT(*) vs COUNT(col), grouping by a nullable key, null ordering
+    "q55_null_semantics" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(nullif(col("l_returnflag"), lit("A")).as("maybe"),
+          col("l_quantity"))
+        .groupBy(col("maybe"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("maybe")).as("n_nonnull"),
+          sum((col("maybe") <=> lit(null)).cast("long")).as("n_nullsafe_null"),
+          dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(asc_nulls_first("maybe")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -65,6 +79,15 @@ object SortSetQueries {
 
     "q33_distinct" ->
       """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
-        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+
+    "q55_null_semantics" ->
+      s"""SELECT NULLIF(l_returnflag, 'A') AS maybe,
+         |  COUNT(*) AS n_rows,
+         |  COUNT(NULLIF(l_returnflag, 'A')) AS n_nonnull,
+         |  SUM(CAST(NULLIF(l_returnflag, 'A') IS NOT DISTINCT FROM NULL AS BIGINT))
+         |    AS n_nullsafe_null,
+         |  ${oSum("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY maybe ORDER BY maybe ASC NULLS FIRST""".stripMargin
   )
 }
