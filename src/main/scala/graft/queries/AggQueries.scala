@@ -78,7 +78,7 @@ object AggQueries {
       s"""SELECT o_orderpriority,
          |  COUNT(DISTINCT o_custkey) AS n_custs,
          |  COUNT(*) AS n_orders,
-         |  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+         |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
          |  ${oSum("o_totalprice")} AS sum_price,
          |  MIN(o_orderkey) AS min_key,
          |  MAX(o_orderkey) AS max_key

@@ -31,7 +31,7 @@ object JoinQueries {
         .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
         .where(col("r_name") === "ASIA")
         .groupBy(col("n_name"))
-        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .agg(dsumRev(col("l_extendedprice"), col("l_discount")).as("revenue"))
         .orderBy(col("n_name"))),
 
     // left outer: every customer, order count (0 for orderless)
@@ -99,7 +99,7 @@ object JoinQueries {
          |WHERE p_size < 10 GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     "q11_join_multiway" ->
-      s"""SELECT n_name, ${oSum("l_extendedprice * (1 - l_discount)")} AS revenue
+      s"""SELECT n_name, ${oSumRev("l_extendedprice", "l_discount")} AS revenue
          |FROM lineitem
          |JOIN orders ON l_orderkey = o_orderkey
          |JOIN customer ON o_custkey = c_custkey

@@ -85,8 +85,8 @@ object SortSetQueries {
       s"""SELECT NULLIF(l_returnflag, 'A') AS maybe,
          |  COUNT(*) AS n_rows,
          |  COUNT(NULLIF(l_returnflag, 'A')) AS n_nonnull,
-         |  SUM(CAST(NULLIF(l_returnflag, 'A') IS NOT DISTINCT FROM NULL AS BIGINT))
-         |    AS n_nullsafe_null,
+         |  CAST(SUM(CAST(NULLIF(l_returnflag, 'A') IS NOT DISTINCT FROM NULL AS BIGINT))
+         |    AS BIGINT) AS n_nullsafe_null,
          |  ${oSum("l_quantity")} AS sum_qty
          |FROM lineitem GROUP BY maybe ORDER BY maybe ASC NULLS FIRST""".stripMargin
   )

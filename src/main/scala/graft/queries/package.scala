@@ -29,7 +29,17 @@ package object queries {
   /** Order-independent AVG of a double column, rendered as double. */
   def davg(c: Column): Column = (sum(dec(c)).cast("double") / count(c))
 
+  /** Revenue-style SUM(a * (1 - b)) computed entirely in exact decimal.
+    * Casting the double *product* to decimal diverges between engines at
+    * .xx5 ties (Spark HALF_UP vs DuckDB half-even); casting the 2-dp
+    * *operands* first is tie-free, and the decimal multiply/sum is exact.
+    */
+  def dsumRev(price: Column, disc: Column): Column =
+    sum(dec(price) * (lit(1).cast("decimal(18,2)") - dec(disc))).cast("double")
+
   /** DuckDB-side spellings of the same. */
   def oSum(c: String): String = s"CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
   def oAvg(c: String): String = s"CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE) / COUNT($c)"
+  def oSumRev(price: String, disc: String): String =
+    s"CAST(SUM(CAST($price AS DECIMAL(18,2)) * (1 - CAST($disc AS DECIMAL(18,2)))) AS DOUBLE)"
 }
