@@ -3,6 +3,21 @@ package graft.ingest
 import graft.catalog.GraftCatalog
 import graft.ingest.HourPartitionedWriter
 import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.storage.StorageLevel
+
+/** One Line Protocol line in fixed-schema normalized form, so a
+  * schema-dynamic LP stream can flow through Dataset machinery. Exactly
+  * one of the typed field maps holds each field key (per line). */
+private[ingest] final case class LpParsed(
+    lineNo: Long,
+    error: String, // null = parsed OK
+    measurement: String,
+    timeMicros: Long,
+    tags: Map[String, String],
+    longs: Map[String, Long],
+    doubles: Map[String, Double],
+    strings: Map[String, String],
+    bools: Map[String, Boolean])
 
 /** Bulk import (reference: internal/api/import.go — multipart CSV / LP
   * file uploads batched into the write path).
@@ -48,13 +63,93 @@ object CsvImport {
     n
   }
 
-  /** Import Line Protocol text files. */
+  /** Import Line Protocol text files — fully distributed (a 100 GB LP
+    * dump never touches the driver; round-1 version collected the file).
+    *
+    * Shape: textFile → per-partition `LineProtocol.parseLine` into the
+    * fixed-schema [[LpParsed]] form → per-measurement pivot of the typed
+    * field maps into real columns → hour-partitioned writer. Field types
+    * follow the reference's first-non-null rule (earliest line decides);
+    * later values of a *different* type for the same key resolve to NULL
+    * (the single-node path would error — distributed import is lenient
+    * past bad values, like it is past bad lines). Parse errors are
+    * reported with exact line numbers, capped at [[MaxReportedErrors]].
+    */
+  val MaxReportedErrors = 1000
+
   def lineProtocol(catalog: GraftCatalog, db: String, path: String,
       precision: String = "ns"): (Long, Seq[LineProtocol.ParseError]) = {
-    val text = catalog.spark.read.textFile(path).collect().mkString("\n")
-    val (points, errs) = LineProtocol.parse(text, precision)
-    val batches = ColumnarBatch.fromPoints(points)
-    batches.foreach(HourPartitionedWriter.ingest(catalog, db, _))
-    (points.length.toLong, errs)
+    val spark = catalog.spark
+    import spark.implicits._
+    val unit = TimestampUnits.parseUnit(precision)
+
+    // zipWithIndex = one cheap extra pass over raw text for exact error
+    // line numbers (partition-size count job), still zero driver data.
+    val parsed = spark.createDataset(
+      spark.read.textFile(path).rdd.zipWithIndex().map { case (raw, idx) =>
+        val line = raw.trim
+        if (line.isEmpty || line.startsWith("#"))
+          LpParsed(idx + 1, null, null, 0L, null, null, null, null, null)
+        else try {
+          val p = LineProtocol.parseLine(line, unit)
+          val longs = p.fields.collect { case (k, LineProtocol.FLong(v)) => k -> v }
+          val doubles = p.fields.collect { case (k, LineProtocol.FDouble(v)) => k -> v }
+          val strings = p.fields.collect { case (k, LineProtocol.FString(v)) => k -> Utf8.sanitize(v) }
+          val bools = p.fields.collect { case (k, LineProtocol.FBool(v)) => k -> v }
+          LpParsed(idx + 1, null, p.measurement,
+            p.timeMicros.getOrElse(System.currentTimeMillis() * 1000L),
+            p.tags.map { case (k, v) => k -> Utf8.sanitize(v) },
+            longs, doubles, strings, bools)
+        } catch {
+          case e: IllegalArgumentException =>
+            LpParsed(idx + 1, e.getMessage, null, 0L, null, null, null, null, null)
+        }
+      }).persist(StorageLevel.MEMORY_AND_DISK)
+
+    try {
+      val errs = parsed.filter($"error".isNotNull)
+        .select($"lineNo", $"error").as[(Long, String)]
+        .take(MaxReportedErrors)
+        .map { case (n, m) => LineProtocol.ParseError(n.toInt, m) }.toSeq
+      val good = parsed.filter($"error".isNull && $"measurement".isNotNull)
+      val nPoints = good.count()
+
+      val measurements = good.select($"measurement").distinct()
+        .as[String].collect().sorted
+      measurements.foreach { m =>
+        val dfm = good.filter($"measurement" === m)
+        // metadata-sized aggregations: distinct tag keys; per field key the
+        // type of its earliest occurrence (reference first-non-null rule)
+        val tagKeys = dfm.select(F.explode(F.map_keys($"tags")).as("k"))
+          .distinct().as[String].collect().sorted
+        val fieldTypes = Seq("longs" -> "L", "doubles" -> "D",
+            "strings" -> "S", "bools" -> "B")
+          .map { case (c, t) =>
+            dfm.select($"lineNo", F.explode(F.map_keys(F.col(c))).as("k"))
+              .withColumn("t", F.lit(t))
+          }
+          .reduce(_ unionByName _)
+          .groupBy($"k")
+          .agg(F.min(F.struct($"lineNo", $"t")).as("first"))
+          .select($"k", $"first.t".as("t")).as[(String, String)]
+          .collect().sortBy(_._1)
+
+        val cols =
+          Seq(F.timestamp_micros($"timeMicros").as("time")) ++
+          tagKeys.map(k => F.element_at($"tags", k).as(k)) ++
+          fieldTypes.map { case (k, t) =>
+            val src = t match {
+              case "L" => "longs"; case "D" => "doubles"
+              case "S" => "strings"; case _ => "bools"
+            }
+            F.element_at(F.col(src), k).as(k)
+          }
+        val existing = catalog.readMeta(db, m)
+        if (existing.tagColumns.isEmpty && tagKeys.nonEmpty)
+          catalog.writeMeta(db, m, existing.copy(tagColumns = tagKeys.toSeq))
+        HourPartitionedWriter.write(catalog, db, m, dfm.select(cols: _*))
+      }
+      (nPoints, errs)
+    } finally parsed.unpersist()
   }
 }

@@ -66,16 +66,24 @@ object Multimodal {
   }
 
   /** Decode + feature-extract over a media DataFrame
-    * (media_id, bytes, format), batched per partition. */
+    * (media_id, bytes, format), batched per partition.
+    *
+    * Partition count comes from Catalyst's size estimate for the input
+    * plan (file-scan bytes for tables) — metadata only, no `count()`
+    * scan of the media table just to size partitions. */
   def extractFeatures(media: DataFrame,
       targetBytesPerPartition: Long = 128L * 1024 * 1024,
-      approxRowBytes: Long = 1024 * 1024,
       batchRows: Int = 64): DataFrame = {
-    val spark = media.sparkSession
-    val nRows = media.count()
-    val parts = math.max(1,
-      math.min(nRows, nRows * approxRowBytes / math.max(1L, targetBytesPerPartition)).toInt)
-    val repartitioned = media.repartition(parts)
+    val estBytes = media.queryExecution.optimizedPlan.stats.sizeInBytes
+    // stats report defaultSizeInBytes (Long.MaxValue) when unknown (e.g.
+    // RDD-backed frames) — keep the input partitioning in that case
+    val repartitioned =
+      if (estBytes <= 0 || estBytes >= BigInt(Long.MaxValue)) media
+      else {
+        val parts = math.max(1, (estBytes / math.max(1L, targetBytesPerPartition))
+          .min(BigInt(1 << 20)).toInt)
+        if (parts > media.rdd.getNumPartitions) media.repartition(parts) else media
+      }
     val enc = RowEncoder.encoderFor(FeatureSchema)
     repartitioned.select("media_id", "bytes", "format").mapPartitions { it =>
       it.grouped(batchRows).flatMap { batch =>

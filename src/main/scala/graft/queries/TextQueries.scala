@@ -53,7 +53,10 @@ object TextQueries {
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), tokens(col("text")).as("toks"),
           tokenCount(col("text")).as("n_tok"))
-      val nDocs = docs.count()
+      // corpus size stays IN the plan (broadcast 1-row agg) — a driver-side
+      // docs.count() here would force a second full scan of documents.
+      val nDocs = broadcast(t(s, dir, "documents")
+        .agg(count(lit(1)).cast("double").as("n_docs")))
       val terms = docs.select(col("doc_id"), col("n_tok"),
         explode(col("toks")).as("term"))
       val tf = terms.groupBy(col("doc_id"), col("n_tok"), col("term"))
@@ -64,8 +67,9 @@ object TextQueries {
         .partitionBy(col("doc_id"))
         .orderBy(col("score").desc, col("term"))
       tf.join(dfreq, "term")
+        .crossJoin(nDocs)
         .withColumn("score", round(
-          col("cnt").cast("double") / col("n_tok") * lit(nDocs.toDouble) / col("df_t"), 6))
+          col("cnt").cast("double") / col("n_tok") * col("n_docs") / col("df_t"), 6))
         .withColumn("rn", row_number().over(w))
         .where(col("rn") === 1)
         .select(col("doc_id"), col("term"), col("score"))

@@ -1,0 +1,90 @@
+package graft.ingest
+
+import graft.SparkSpec
+import graft.catalog.GraftCatalog
+import org.apache.spark.sql.functions._
+
+/** Distributed Line Protocol bulk import (reference: internal/api/import.go
+  * LP branch). The parse/pivot/write pipeline must never collect payload
+  * data to the driver — covered here functionally: multi-measurement
+  * files, mixed field types, bad lines with exact line numbers, tag
+  * registration, first-non-null type resolution.
+  */
+class LpBulkImportSpec extends SparkSpec {
+
+  private val base = 1717200000000000L // 2024-06-01T00:00:00Z µs
+
+  private def newCatalog() = new GraftCatalog(spark, tmpDir("graft_lp_cat"))
+
+  private def writeLp(contents: String): String = {
+    val dir = tmpDir("lp_in")
+    val p = new java.io.PrintWriter(s"$dir/points.lp")
+    try p.write(contents) finally p.close()
+    dir
+  }
+
+  test("multi-measurement file lands in per-measurement hour partitions") {
+    val cat = newCatalog()
+    val dir = writeLp(
+      s"""# comment line
+         |cpu,host=a usage=0.5,cores=8i ${base + 5}
+         |cpu,host=b usage=0.7,cores=16i ${base + 3600L * 1000000L + 5}
+         |mem,host=a used=123i,label="warm" ${base + 7}
+         |
+         |cpu,host=c usage=0.9 ${base + 9}""".stripMargin)
+    val (n, errs) = CsvImport.lineProtocol(cat, "default", dir, "us")
+    assert(n == 4 && errs.isEmpty, s"n=$n errs=$errs")
+
+    val cpu = cat.table("default", "cpu")
+    assert(cpu.count() == 3)
+    assert(cpu.schema("usage").dataType.typeName == "double")
+    assert(cpu.schema("cores").dataType.typeName == "long")
+    assert(cat.listHourPartitions("default", "cpu").length == 2)
+    // row without `cores` is null there
+    assert(cpu.where(col("host") === "c" && col("cores").isNull).count() == 1)
+    assert(cat.readMeta("default", "cpu").tagColumns == Seq("host"))
+
+    val mem = cat.table("default", "mem")
+    assert(mem.count() == 1)
+    assert(mem.head().getAs[String]("label") == "warm")
+    assert(mem.head().getAs[Long]("used") == 123L)
+  }
+
+  test("bad lines are skipped and reported with exact line numbers") {
+    val cat = newCatalog()
+    val dir = writeLp(
+      s"""cpu,host=a v=1.0 ${base + 1}
+         |this-is-not-line-protocol
+         |cpu,host=b v=broken ${base + 2}
+         |cpu,host=c v=3.0 ${base + 3}""".stripMargin)
+    val (n, errs) = CsvImport.lineProtocol(cat, "default", dir, "us")
+    assert(n == 2, s"n=$n")
+    assert(errs.map(_.line).sorted == Seq(2, 3), errs.mkString(";"))
+    assert(cat.table("default", "cpu").count() == 2)
+  }
+
+  test("field type follows earliest line; later conflicting type -> null") {
+    val cat = newCatalog()
+    val dir = writeLp(
+      s"""m v=42i ${base + 1}
+         |m v=4.5 ${base + 2}""".stripMargin)
+    val (n, _) = CsvImport.lineProtocol(cat, "default", dir, "us")
+    assert(n == 2)
+    val df = cat.table("default", "m")
+    assert(df.schema("v").dataType.typeName == "long")
+    assert(df.where(col("v") === 42L).count() == 1)
+    assert(df.where(col("v").isNull).count() == 1)
+  }
+
+  test("missing timestamp is stamped at ingest (executor-side now)") {
+    val cat = newCatalog()
+    val before = System.currentTimeMillis() * 1000L
+    val dir = writeLp("m,host=a v=1.0")
+    val (n, errs) = CsvImport.lineProtocol(cat, "default", dir, "us")
+    assert(n == 1 && errs.isEmpty)
+    val after = System.currentTimeMillis() * 1000L
+    val ts = cat.table("default", "m").head()
+      .getAs[java.sql.Timestamp]("time").getTime * 1000L
+    assert(ts >= before - 1000000L && ts <= after + 1000000L)
+  }
+}
