@@ -34,6 +34,16 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
 
   def tablePath(db: String, measurement: String): String = s"$root/$db/$measurement"
 
+  /** Day-compacted tier (reference Tier 2, internal/compaction/daily.go):
+    * one file per day under `year=/month=/day=`, with `hour` carried as a
+    * data column instead of a path segment. Kept as a sibling tree so the
+    * two partition depths never mix inside one Hive discovery. */
+  def dailyPath(db: String, measurement: String): String =
+    s"$root/$db/$measurement${GraftCatalog.DailySuffix}"
+
+  def dailyDayPath(db: String, m: String, year: Int, month: Int, day: Int): String =
+    s"${dailyPath(db, m)}/year=$year/month=$month/day=$day"
+
   // ---- metadata sidecar ------------------------------------------------
 
   private def metaPath(db: String, m: String) = new Path(s"${tablePath(db, m)}/_graft_meta.properties")
@@ -85,7 +95,9 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
     val p = new Path(s"$root/$db")
     val f = fs(p)
     if (!f.exists(p)) Nil
-    else f.listStatus(p).filter(_.isDirectory).map(_.getPath.getName).sorted.toSeq
+    else f.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+      .filterNot(_.endsWith(GraftCatalog.DailySuffix)) // tier dirs aren't tables
+      .sorted.toSeq
   }
 
   def showDatabases(): DataFrame = {
@@ -102,12 +114,24 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
 
   /** Read a measurement with union-by-name schema evolution — the Spark
     * equivalent of the reference's `union_by_name=true` on every scan
-    * (query.go:2618-2620). */
-  def table(db: String, m: String): DataFrame =
-    spark.read
-      .option("mergeSchema", "true")
-      .option("basePath", tablePath(db, m))
-      .parquet(tablePath(db, m))
+    * (query.go:2618-2620). Transparently unions the hour-partitioned tree
+    * with the day-compacted tier when one exists: both expose
+    * year/month/day/hour columns (partition columns in the hourly tree;
+    * day-level partitions + an `hour` data column in the daily tier), so
+    * year/month/day pruning stays partition-level everywhere and hour
+    * predicates prune row groups in the sorted daily files. */
+  def table(db: String, m: String): DataFrame = {
+    def hasData(p: String): Boolean = {
+      val path = new Path(p)
+      val f = fs(path)
+      f.exists(path) && f.globStatus(new Path(path, "year=*")).nonEmpty
+    }
+    val tiers = Seq(tablePath(db, m), dailyPath(db, m)).filter(hasData)
+    require(tiers.nonEmpty, s"measurement $db/$m has no data")
+    tiers.map { p =>
+      spark.read.option("mergeSchema", "true").option("basePath", p).parquet(p)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
 
   /** Register as a temp view so `spark.sql` resolves `m` directly. */
   def register(db: String, m: String, viewName: Option[String] = None): Unit =
@@ -144,4 +168,29 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
             out += h.getPath
     out.toSeq.sortBy(_.toString)
   }
+
+  /** Enumerate day-partition directories of the hourly tree (candidates
+    * for daily compaction). */
+  def listDayPartitions(db: String, m: String): Seq[Path] =
+    listDayDirsUnder(new Path(tablePath(db, m)))
+
+  /** Enumerate day directories of the daily tier. */
+  def listDailyTierDays(db: String, m: String): Seq[Path] =
+    listDayDirsUnder(new Path(dailyPath(db, m)))
+
+  private def listDayDirsUnder(base: Path): Seq[Path] = {
+    val f = fs(base)
+    if (!f.exists(base)) return Nil
+    val out = mutable.ArrayBuffer.empty[Path]
+    for (y <- f.listStatus(base) if y.isDirectory && y.getPath.getName.startsWith("year="))
+      for (mo <- f.listStatus(y.getPath) if mo.isDirectory)
+        for (d <- f.listStatus(mo.getPath) if d.isDirectory)
+          out += d.getPath
+    out.toSeq.sortBy(_.toString)
+  }
+}
+
+object GraftCatalog {
+  /** Sibling-directory suffix of the day-compacted tier. */
+  val DailySuffix = "__daily"
 }

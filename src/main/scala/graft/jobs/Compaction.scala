@@ -70,28 +70,167 @@ object Compaction {
     val sortCols = (meta.sortKeys.filter(deduped.columns.contains) :+ "time").map(col)
     val out = deduped.drop("_src").orderBy(sortCols: _*).coalesce(1)
 
-    // write to a sibling tmp dir, then atomically swap the partition's files
+    // crash-safe swap, journaled in the per-table manifest (protocol in
+    // CompactionManifest's scaladoc): record inputs + planned output,
+    // write tmp, rename IN, delete sources, clear the entry. Any crash
+    // point is repaired deterministically by recover(). Output uses the
+    // recency-ordered name scheme: it must sort OLDER than any flush
+    // that lands after this compaction.
     val tmp = new Path(partDir.getParent, s"_compact_tmp_${partDir.getName}")
     fs.delete(tmp, true)
+    val compactUs = System.currentTimeMillis() * 1000L
+    val finalName = graft.ingest.HourPartitionedWriter.flushFileName(m, compactUs, 0)
+    val tablePath = catalog.tablePath(db, m)
+    val conf = spark.sparkContext.hadoopConfiguration
+    CompactionManifest.begin(tablePath, conf, CompactionManifest.Entry(
+      id = s"hourly:$partDir:$compactUs", tier = "hourly",
+      partition = partDir.toString, tmpDir = tmp.toString,
+      inputs = files.map(_.toString).toSeq,
+      outputs = Seq(new Path(partDir, finalName).toString)))
     out.write.mode("overwrite").option("compression", "zstd").parquet(tmp.toString)
     val rowsOut = spark.read.parquet(tmp.toString).count()
     val newFiles = fs.listStatus(tmp)
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet")).map(_.getPath)
-    // crash-safe swap order: rename the compacted file IN first, then
-    // delete the sources. A crash in between leaves transient duplicate
-    // rows (repaired by re-running compaction — dedup collapses them),
-    // never data loss. The reverse order (delete-then-rename) would lose
-    // the partition if the process died mid-swap.
-    // Output uses the same recency-ordered name scheme: it must sort
-    // OLDER than any flush that lands after this compaction.
-    val compactUs = System.currentTimeMillis() * 1000L
-    newFiles.zipWithIndex.foreach { case (f, i) =>
-      fs.rename(f, new Path(partDir,
-        graft.ingest.HourPartitionedWriter.flushFileName(m, compactUs, i)))
-    }
+    require(newFiles.length == 1, s"coalesce(1) produced ${newFiles.length} files")
+    fs.rename(newFiles.head, new Path(partDir, finalName))
     files.foreach(fs.delete(_, false))
     fs.delete(tmp, true)
+    CompactionManifest.complete(tablePath, conf, s"hourly:$partDir:$compactUs")
     Result(partDir.toString, files.length, rowsIn, rowsOut, compacted = true)
+  }
+
+  /** Daily compaction (Tier 2, reference internal/compaction/daily.go):
+    * merge one fully-elapsed day's hour-level files (plus any existing
+    * daily file, so late backfills re-merge) into ONE file in the
+    * day-partitioned tier, with `hour` re-derived from event time as a
+    * data column. Uses the same manifest-journaled swap as compactHour.
+    *
+    * Scale: a year-old measurement goes from ~8.8k hour files to 365 day
+    * files; year/month/day pruning stays partition-level, hour predicates
+    * prune row groups of the time-sorted day file.
+    */
+  def compactDay(catalog: GraftCatalog, db: String, m: String,
+      dayDir: Path): Result = {
+    val spark = catalog.spark
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = dayDir.getFileSystem(conf)
+
+    def parquetFilesUnder(p: Path): Seq[Path] =
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).toSeq.flatMap {
+        case d if d.isDirectory => parquetFilesUnder(d.getPath)
+        case f if f.isFile && f.getPath.getName.endsWith(".parquet") => Seq(f.getPath)
+        case _ => Nil
+      }
+
+    val (y, mo, d) = partitionDayValues(dayDir).getOrElse(
+      return Result(dayDir.toString, 0, 0, 0, compacted = false))
+    val dailyDay = new Path(catalog.dailyDayPath(db, m, y, mo, d))
+    val hourFiles = parquetFilesUnder(dayDir).sortBy(_.getName)
+    val dailyFiles = parquetFilesUnder(dailyDay).sortBy(_.getName)
+    if (hourFiles.isEmpty)
+      return Result(dayDir.toString, dailyFiles.length, 0, 0, compacted = false)
+    val files = hourFiles ++ dailyFiles
+
+    val meta = catalog.readMeta(db, m)
+    val repaired =
+      try normalizeTime(
+        spark.read.option("mergeSchema", "true")
+          .parquet(files.map(_.toString): _*)
+          .withColumn("_src", input_file_name()))
+      catch {
+        case _: org.apache.spark.SparkException =>
+          files.map { f =>
+            normalizeTime(spark.read.parquet(f.toString)
+              .withColumn("_src", input_file_name()))
+          }.reduce(_.unionByName(_, allowMissingColumns = true))
+      }
+    val rowsIn = repaired.count()
+    // recency across directories: order by file NAME (the zero-padded
+    // flush-time scheme sorts globally), not the full path
+    val withRecency = repaired
+      .withColumn("_src_name", substring_index(col("_src"), "/", -1))
+    val deduped =
+      if (meta.tagColumns.nonEmpty || meta.dedupTime) {
+        val keys = (meta.tagColumns.filter(withRecency.columns.contains) :+ "time").map(col)
+        val w = Window.partitionBy(keys: _*).orderBy(col("_src_name").desc)
+        withRecency.withColumn("_rn", row_number().over(w))
+          .where(col("_rn") === 1).drop("_rn")
+      } else withRecency
+    val sortCols = (meta.sortKeys.filter(deduped.columns.contains) :+ "time").map(col)
+    val out = deduped.drop("_src", "_src_name")
+      .withColumn("hour", hour(col("time"))) // path segment -> data column
+      .orderBy(sortCols: _*).coalesce(1)
+
+    val tmp = new Path(dailyDay.getParent, s"_compact_tmp_day_${dailyDay.getName}")
+    fs.delete(tmp, true)
+    val compactUs = System.currentTimeMillis() * 1000L
+    val finalName = graft.ingest.HourPartitionedWriter
+      .flushFileName(m, compactUs, 0).stripSuffix(".parquet") + "_daily.parquet"
+    val tablePath = catalog.tablePath(db, m)
+    CompactionManifest.begin(tablePath, conf, CompactionManifest.Entry(
+      id = s"daily:${y}-${mo}-${d}:$compactUs", tier = "daily",
+      partition = dayDir.toString, tmpDir = tmp.toString,
+      inputs = files.map(_.toString),
+      outputs = Seq(new Path(dailyDay, finalName).toString)))
+    out.write.mode("overwrite").option("compression", "zstd").parquet(tmp.toString)
+    val rowsOut = spark.read.parquet(tmp.toString).count()
+    val newFiles = fs.listStatus(tmp)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet")).map(_.getPath)
+    require(newFiles.length == 1, s"coalesce(1) produced ${newFiles.length} files")
+    fs.mkdirs(dailyDay)
+    fs.rename(newFiles.head, new Path(dailyDay, finalName))
+    // delete exactly the input files (a concurrent late flush into one of
+    // these hours must survive), then prune now-empty hour/day dirs
+    files.foreach(fs.delete(_, false))
+    fs.delete(tmp, true)
+    (fs.listStatus(dayDir).filter(_.isDirectory).map(_.getPath).toSeq :+ dayDir)
+      .foreach { p =>
+        if (fs.exists(p) && fs.listStatus(p).isEmpty) fs.delete(p, false)
+      }
+    CompactionManifest.complete(tablePath, conf, s"daily:${y}-${mo}-${d}:$compactUs")
+    Result(dayDir.toString, files.length, rowsIn, rowsOut, compacted = true)
+  }
+
+  /** Run daily compaction over every qualifying day (reference defaults:
+    * MinFiles 12, MinAgeHours 24, SkipFileAgeCheckDays 7).
+    *
+    * A day qualifies when it has fully elapsed (`now > dayStart +
+    * minAgeHours`), and either carries ≥ minFiles hour-level files or
+    * already has a daily file (late backfill re-merge). Days younger than
+    * skipFileAgeCheckDays additionally require the newest file to be ≥1h
+    * old, so an in-progress backfill is never merged under it. */
+  def runDaily(catalog: GraftCatalog, db: String, m: String,
+      minFiles: Int = 12, minAgeHours: Int = 24, skipFileAgeCheckDays: Int = 7,
+      nowMicros: () => Long = () => System.currentTimeMillis() * 1000L)
+      : Seq[Result] = {
+    val conf = catalog.spark.sparkContext.hadoopConfiguration
+    val nowUs = nowMicros()
+    catalog.listDayPartitions(db, m).flatMap { dayDir =>
+      partitionDayValues(dayDir).flatMap { case (y, mo, d) =>
+        val dayStartUs = java.time.LocalDate.of(y, mo, d)
+          .atStartOfDay.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+        val elapsed = nowUs > dayStartUs + minAgeHours.toLong * 3600L * 1000000L
+        if (!elapsed) None
+        else {
+          val fs = dayDir.getFileSystem(conf)
+          val hourFiles = fs.listStatus(dayDir).filter(_.isDirectory)
+            .flatMap(h => fs.listStatus(h.getPath))
+            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          val dailyDay = new Path(catalog.dailyDayPath(db, m, y, mo, d))
+          val hasDaily = fs.exists(dailyDay) && fs.listStatus(dailyDay)
+            .exists(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          val enoughFiles = hourFiles.length >= minFiles || hasDaily
+          val veryOld = nowUs > dayStartUs +
+            skipFileAgeCheckDays.toLong * 24L * 3600L * 1000000L
+          val settled = veryOld || (hourFiles.nonEmpty &&
+            hourFiles.map(_.getModificationTime).max * 1000L <= nowUs - 3600L * 1000000L)
+          if (hourFiles.nonEmpty && enoughFiles && settled)
+            Some(compactDay(catalog, db, m, dayDir))
+          else None
+        }
+      }
+    }
   }
 
   /** Repair a `time` column that may arrive as int64 epoch (any unit) or
@@ -134,22 +273,43 @@ object Compaction {
     }
   }
 
-  /** Startup recovery: remove stale `_compact_tmp_*` dirs left by a
-    * crashed compaction (their partition still has the source files or
-    * the renamed output — either way the tmp dir is garbage; duplicate
-    * rows from a mid-swap crash are collapsed by the next compaction).
-    * The filesystem-level analog of the reference's manifest + watcher
-    * (internal/compaction/manifest.go, watcher.go). */
+  /** Startup recovery (reference: internal/compaction/manifest.go +
+    * watcher.go): replay the in-flight manifest — every journaled swap is
+    * either completed (all outputs landed → finish deleting sources) or
+    * rolled back (outputs incomplete → drop them; sources are intact) —
+    * then sweep stale `_compact_tmp_*` dirs in both tiers. */
   def recover(catalog: GraftCatalog, db: String, m: String): Seq[String] = {
     val conf = catalog.spark.sparkContext.hadoopConfiguration
-    val cleaned = scala.collection.mutable.ArrayBuffer.empty[String]
-    catalog.listHourPartitions(db, m).foreach { p =>
-      val fs = p.getFileSystem(conf)
-      fs.listStatus(p.getParent)
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("_compact_tmp_"))
-        .foreach { s => fs.delete(s.getPath, true); cleaned += s.getPath.toString }
+    val tablePath = catalog.tablePath(db, m)
+    val actions = scala.collection.mutable.ArrayBuffer.empty[String]
+    CompactionManifest.load(tablePath, conf).foreach { e =>
+      val what = CompactionManifest.recoverEntry(conf, e)
+      CompactionManifest.complete(tablePath, conf, e.id)
+      actions += s"$what:${e.partition}"
     }
-    cleaned.toSeq
+    val tmpParents =
+      catalog.listHourPartitions(db, m).map(_.getParent) ++
+        catalog.listDailyTierDays(db, m).map(_.getParent)
+    tmpParents.distinct.foreach { parent =>
+      val fs = parent.getFileSystem(conf)
+      fs.listStatus(parent)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("_compact_tmp_"))
+        .foreach { s => fs.delete(s.getPath, true); actions += s.getPath.toString }
+    }
+    actions.toSeq
+  }
+
+  /** (year, month, day) of a .../year=Y/month=M/day=D path. */
+  private[jobs] def partitionDayValues(p: Path): Option[(Int, Int, Int)] = {
+    def v(seg: String): Option[Int] = {
+      val i = seg.indexOf('=')
+      if (i < 0) None else seg.substring(i + 1).toIntOption
+    }
+    for {
+      d <- v(p.getName)
+      mo <- v(p.getParent.getName)
+      y <- v(p.getParent.getParent.getName)
+    } yield (y, mo, d)
   }
 
   /** Epoch hour of a .../year=Y/month=M/day=D/hour=H path. */

@@ -1,0 +1,116 @@
+package graft.jobs
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import java.nio.charset.StandardCharsets
+
+/** In-flight compaction manifest — the durable record that makes the
+  * tmp-write → rename → delete-sources swap recoverable after a crash
+  * (reference: internal/compaction/manifest.go — it journals each job's
+  * input files and output name, and the watcher completes or rolls back
+  * on startup).
+  *
+  * Protocol (both hourly and daily tiers):
+  *   1. `begin(entry)`   — durably record inputs + planned output names
+  *   2. write the tmp dir
+  *   3. rename tmp files to the final output names
+  *   4. delete the input files
+  *   5. `complete(id)`   — drop the entry
+  *
+  * [[recoverEntry]] then has a deterministic decision: if every planned
+  * output exists, the swap had committed — finish step 4/5; otherwise
+  * roll back (delete partial outputs + tmp; inputs are untouched because
+  * deletion only starts after all renames).
+  *
+  * The manifest is one small JSON file per table, rewritten atomically
+  * (tmp + rename). Entries are keyed by partition path so concurrent
+  * schedulers on different tables never contend.
+  */
+object CompactionManifest {
+
+  final case class Entry(
+      id: String,
+      tier: String, // "hourly" | "daily"
+      partition: String, // partition dir being compacted
+      tmpDir: String,
+      inputs: Seq[String], // absolute input file paths
+      outputs: Seq[String]) // absolute FINAL output file paths
+
+  def manifestPath(tablePath: String): Path =
+    new Path(tablePath, "_graft_compact_manifest.json")
+
+  def load(tablePath: String, conf: Configuration): Seq[Entry] = {
+    val p = manifestPath(tablePath)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return Nil
+    val in = fs.open(p)
+    val text =
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        new String(bytes.toByteArray, StandardCharsets.UTF_8)
+      } finally in.close()
+    try {
+      val JArray(items) = JsonMethods.parse(text): @unchecked
+      items.collect { case o: JObject =>
+        implicit val fmt: Formats = DefaultFormats
+        o.extract[Entry]
+      }
+    } catch {
+      // a torn manifest write is treated as empty: every entry it could
+      // have held is at protocol step 1 (nothing renamed yet), so stale
+      // tmp-dir cleanup alone restores invariants
+      case _: Exception => Nil
+    }
+  }
+
+  def begin(tablePath: String, conf: Configuration, entry: Entry): Unit =
+    write(tablePath, conf, load(tablePath, conf).filterNot(_.id == entry.id) :+ entry)
+
+  def complete(tablePath: String, conf: Configuration, id: String): Unit =
+    write(tablePath, conf, load(tablePath, conf).filterNot(_.id == id))
+
+  private def write(tablePath: String, conf: Configuration, entries: Seq[Entry]): Unit = {
+    val p = manifestPath(tablePath)
+    val fs = p.getFileSystem(conf)
+    if (entries.isEmpty) { fs.delete(p, false); return }
+    val json = JArray(entries.toList.map { e =>
+      JObject(
+        "id" -> JString(e.id), "tier" -> JString(e.tier),
+        "partition" -> JString(e.partition), "tmpDir" -> JString(e.tmpDir),
+        "inputs" -> JArray(e.inputs.toList.map(JString(_))),
+        "outputs" -> JArray(e.outputs.toList.map(JString(_))))
+    })
+    val tmp = new Path(tablePath, s"._graft_compact_manifest.json.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(JsonMethods.compact(JsonMethods.render(json))
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(p, false)
+    fs.rename(tmp, p)
+  }
+
+  /** Complete or roll back one in-flight entry; returns what it did. */
+  def recoverEntry(conf: Configuration, e: Entry): String = {
+    val part = new Path(e.partition)
+    val fs = part.getFileSystem(conf)
+    val allOutputsExist = e.outputs.nonEmpty &&
+      e.outputs.forall(o => fs.exists(new Path(o)))
+    if (allOutputsExist) {
+      // swap committed — finish deleting sources
+      e.inputs.foreach(i => fs.delete(new Path(i), false))
+      fs.delete(new Path(e.tmpDir), true)
+      "completed"
+    } else {
+      // swap not committed — roll back partial renames; inputs are intact
+      e.outputs.foreach(o => fs.delete(new Path(o), false))
+      fs.delete(new Path(e.tmpDir), true)
+      "rolled_back"
+    }
+  }
+}

@@ -1,0 +1,75 @@
+package graft.jobs
+
+import graft.catalog.GraftCatalog
+
+import java.util.concurrent.atomic.AtomicBoolean
+
+/** Compaction scheduling (reference: internal/compaction/scheduler.go +
+  * manager.go): a periodic tick that, per measurement, first replays the
+  * in-flight manifest ([[Compaction.recover]]) and then runs the hourly
+  * and daily tiers.
+  *
+  * The tick itself is deterministic and callable directly (tests and
+  * external cron drive `tick()`); `start()` wraps it in a daemon-thread
+  * interval loop for standalone deployments. On a cluster the natural
+  * deployment is one scheduler per driver, with per-measurement work
+  * fanning out as independent Spark jobs — partitions never contend, and
+  * the per-table manifest keeps concurrent schedulers on *different*
+  * tables isolated.
+  */
+final class CompactionScheduler(
+    catalog: GraftCatalog,
+    db: String,
+    intervalMillis: Long = 5 * 60 * 1000L,
+    hourlyMinFiles: Int = 2,
+    hourlyMinAgeHours: Int = 1,
+    dailyMinFiles: Int = 12,
+    dailyMinAgeHours: Int = 24,
+    skipFileAgeCheckDays: Int = 7,
+    nowMicros: () => Long = () => System.currentTimeMillis() * 1000L) {
+
+  final case class TickReport(
+      measurement: String,
+      recovered: Seq[String],
+      hourly: Seq[Compaction.Result],
+      daily: Seq[Compaction.Result])
+
+  /** One scheduler pass over every measurement of the database. */
+  def tick(): Seq[TickReport] =
+    catalog.listTables(db).map { m =>
+      val recovered = Compaction.recover(catalog, db, m)
+      val hourly = Compaction.runHourly(catalog, db, m,
+        minFiles = hourlyMinFiles, minAgeHours = hourlyMinAgeHours,
+        nowMicros = nowMicros)
+      val daily = Compaction.runDaily(catalog, db, m,
+        minFiles = dailyMinFiles, minAgeHours = dailyMinAgeHours,
+        skipFileAgeCheckDays = skipFileAgeCheckDays, nowMicros = nowMicros)
+      TickReport(m, recovered, hourly, daily)
+    }
+
+  private val running = new AtomicBoolean(false)
+  @volatile private var thread: Option[Thread] = None
+
+  def start(): Unit = {
+    if (!running.compareAndSet(false, true)) return
+    val t = new Thread(() => {
+      while (running.get()) {
+        try tick()
+        catch { case _: InterruptedException => () case e: Exception =>
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .warn(s"compaction tick failed: ${e.getMessage}") }
+        try Thread.sleep(intervalMillis)
+        catch { case _: InterruptedException => () }
+      }
+    }, s"graft-compaction-scheduler-$db")
+    t.setDaemon(true)
+    thread = Some(t)
+    t.start()
+  }
+
+  def stop(): Unit = {
+    running.set(false)
+    thread.foreach(_.interrupt())
+    thread = None
+  }
+}

@@ -22,8 +22,14 @@ object Retention {
     val parts = catalog.listHourPartitions(db, m)
     val (old, kept) = parts.partition(p =>
       Compaction.partitionHourEpoch(p).exists(_ < cutoffHour))
+    // day-compacted tier: a day expires when its LAST hour is expired
+    val (oldDays, keptDays) = catalog.listDailyTierDays(db, m).partition(p =>
+      Compaction.partitionDayValues(p).exists { case (y, mo, d) =>
+        java.time.LocalDate.of(y, mo, d).atStartOfDay
+          .toEpochSecond(java.time.ZoneOffset.UTC) / 3600L + 23 < cutoffHour
+      })
     val conf = catalog.spark.sparkContext.hadoopConfiguration
-    old.foreach { p =>
+    (old ++ oldDays).foreach { p =>
       val fs = p.getFileSystem(conf)
       fs.delete(p, true)
       // prune now-empty day/month/year parents
@@ -34,6 +40,6 @@ object Retention {
         parent = parent.getParent
       }
     }
-    Result(old.map(_.toString), kept.length)
+    Result((old ++ oldDays).map(_.toString), kept.length + keptDays.length)
   }
 }
