@@ -14,14 +14,23 @@ object WindowQueries {
 
   val queries: Map[String, Q] = Map(
     // ranking family: top-5 line items per return flag by price
+    // top-5 per return flag: two-phase TopKPerGroup (per-partition bounded
+    // heaps, then an exact window over ≤ partitions·k survivors) instead of
+    // sorting the whole fact table in 3 window tasks. rank/dense_rank stay
+    // exact on the reduced set: the ordering is total (unique tie-break),
+    // so every surviving row's rank equals its row number.
     "q20_window_rank" -> ((s, dir) => {
+      val top = graft.operators.TopKPerGroup.topK(
+        t(s, dir, "lineitem").select(
+          col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice")),
+        groupCols = Seq("l_returnflag"), orderCol = "l_extendedprice",
+        tieCols = Seq("l_orderkey", "l_linenumber"), k = 5)
       val w = Window.partitionBy(col("l_returnflag"))
         .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
-      t(s, dir, "lineitem")
-        .withColumn("rn", row_number().over(w))
+      top
         .withColumn("rk", rank().over(w))
         .withColumn("drk", dense_rank().over(w))
-        .where(col("rn") <= 5)
         .select(col("l_returnflag"), col("rn"), col("rk"), col("drk"),
           col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
         .orderBy(col("l_returnflag"), col("rn"))

@@ -60,6 +60,21 @@ class PlanSpec extends SparkSpec {
       "bucketed ANN must not degenerate into a cartesian product")
   }
 
+  test("q20 top-k per group reduces map-side before any shuffle") {
+    val whole = explained("q20_window_rank")
+    // AQE echoes the pre-adaptive plan below "== Initial Plan ==" — gate
+    // on the final plan only
+    val plan = whole.split("== Initial Plan ==").head
+    val mp = plan.indexOf("MapPartitions")
+    assert(mp >= 0, s"expected phase-1 MapPartitions reduction:\n$whole")
+    // explain prints the root first, so tree lines after the
+    // MapPartitions line are UPSTREAM of it — that side (scan → phase-1
+    // reduction) must be shuffle-free; the window's exchange consumes
+    // the already-reduced rows
+    assert(!plan.substring(mp).contains("Exchange"),
+      s"no shuffle may run below the map-side reduction:\n$whole")
+  }
+
   test("time_bucket stays inside whole-stage codegen") {
     val plan = explained("q40_time_bucket")
     // formatted mode marks codegen'd operators with "[codegen id : N]";
