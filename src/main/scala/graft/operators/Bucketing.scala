@@ -39,9 +39,34 @@ object Bucketing {
   }
 
   /** Join two co-bucketed tables; with matching bucket specs the plan
-    * contains no Exchange on either side. */
+    * contains no Exchange on either side. The `merge` hint keeps the
+    * join sort-merge even when one side would fit a broadcast — the
+    * point of bucketing is the shuffle-free fact-fact path, and at real
+    * scale neither side broadcasts anyway. */
   def bucketedJoin(spark: SparkSession, leftTable: String, leftKey: String,
       rightTable: String, rightKey: String): DataFrame =
-    spark.table(leftTable).join(spark.table(rightTable),
+    spark.table(leftTable).hint("merge").join(spark.table(rightTable),
       spark.table(leftTable)(leftKey) === spark.table(rightTable)(rightKey))
+
+  /** Idempotently materialize `df` as an external bucketed table at
+    * `path`. The bucket layout is written ONCE; later sessions (whose
+    * in-memory catalog lost the definition) re-register the table over
+    * the existing files instead of rewriting them — the write-time
+    * shuffle is paid once and amortized over every later join. */
+  def ensureBucketed(spark: SparkSession, table: String, path: String,
+      df: => DataFrame, key: String, buckets: Int): Unit = {
+    if (spark.catalog.tableExists(table)) return
+    val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(success)) {
+      spark.sql(s"CREATE TABLE $table (${df.schema.toDDL}) USING PARQUET " +
+        s"CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS " +
+        s"LOCATION '$path'")
+    } else {
+      df.write.mode(SaveMode.Overwrite).format("parquet")
+        .bucketBy(buckets, key).sortBy(key)
+        .option("compression", "zstd").option("path", path)
+        .saveAsTable(table)
+    }
+  }
 }

@@ -78,6 +78,27 @@ object JoinQueries {
         .select(col("n_name"), col("r_name"))
         .orderBy(col("n_name"), col("r_name"))),
 
+    // fact⋈fact via co-bucketed tables: both sides stored bucketed+sorted
+    // on the join key, so the sort-merge join runs with ZERO exchanges —
+    // the write-time shuffle is amortized over every later join (the
+    // 100 TB lineitem⋈orders path; PlanSpec pins the no-Exchange shape)
+    "q19_join_bucketed" -> ((s, dir) => {
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val (liT, oT) = (s"lineitem_bkt_$tag", s"orders_bkt_$tag")
+      graft.operators.Bucketing.ensureBucketed(s, liT, s"/tmp/graft_bkt_$tag/li",
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice"),
+          col("l_discount")),
+        "l_orderkey", buckets = 32)
+      graft.operators.Bucketing.ensureBucketed(s, oT, s"/tmp/graft_bkt_$tag/o",
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+        "o_orderkey", buckets = 32)
+      graft.operators.Bucketing.bucketedJoin(s, liT, "l_orderkey", oT, "o_orderkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          dsumRev(col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // non-equi range join against literal bucket bounds (broadcast BNLJ)
     "q17_join_range" -> ((s, dir) => {
       val buckets = s.createDataFrame(Seq(
@@ -134,6 +155,12 @@ object JoinQueries {
     "q16_join_cross" ->
       """SELECT n_name, r_name FROM nation CROSS JOIN region
         |ORDER BY n_name, r_name""".stripMargin,
+
+    "q19_join_bucketed" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n,
+         |  ${oSumRev("l_extendedprice", "l_discount")} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q17_join_range" ->
       s"""SELECT lo, COUNT(*) AS n, ${oSum("o_totalprice")} AS sum_price

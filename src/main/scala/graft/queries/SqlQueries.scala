@@ -49,12 +49,23 @@ object SqlQueries {
       |  (SELECT COUNT(*) FROM customer WHERE c_nationkey = n_nationkey) AS n_custs
       |FROM nation ORDER BY n_name""".stripMargin
 
+  // NATURAL JOIN (reference rewriter recognizes it, internal/api/query.go:72);
+  // TPC-H columns are prefix-disjoint, so shared names come from aliasing
+  private val naturalJoinSql =
+    """SELECT nationkey, n_name, r_name FROM
+      |  (SELECT n_nationkey AS nationkey, n_regionkey AS regionkey, n_name
+      |   FROM nation)
+      |NATURAL JOIN
+      |  (SELECT r_regionkey AS regionkey, r_name FROM region)
+      |ORDER BY nationkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q50_cte" -> sql(cteSql),
     "q51_subquery_scalar" -> sql(scalarSubSql),
     "q52_subquery_in" -> sql(inSubSql),
     "q53_lateral" -> sql(lateralSql),
-    "q54_subquery_correlated" -> sql(corrSubSql)
+    "q54_subquery_correlated" -> sql(corrSubSql),
+    "q56_natural_join" -> sql(naturalJoinSql)
   )
 
   val oracles: Map[String, String] = Map(
@@ -62,6 +73,7 @@ object SqlQueries {
     "q51_subquery_scalar" -> scalarSubSql,
     "q52_subquery_in" -> inSubSql,
     "q53_lateral" -> lateralSql,
-    "q54_subquery_correlated" -> corrSubSql
+    "q54_subquery_correlated" -> corrSubSql,
+    "q56_natural_join" -> naturalJoinSql
   )
 }

@@ -60,6 +60,18 @@ class PlanSpec extends SparkSpec {
       "bucketed ANN must not degenerate into a cartesian product")
   }
 
+  test("q19 co-bucketed fact-fact join has no exchange below the join") {
+    val whole = explained("q19_join_bucketed")
+    val plan = whole.split("== Initial Plan ==").head
+    assert(plan.contains("SortMergeJoin"), s"expected sort-merge join:\n$whole")
+    assert(whole.contains("Bucketed: true"), s"scans not bucketed:\n$whole")
+    // the join consumes bucketed scans directly; the only shuffles in the
+    // final plan belong to the aggregation + output sort above it
+    val smj = plan.indexOf("SortMergeJoin")
+    assert(!plan.substring(smj).contains("Exchange"),
+      s"bucketed join must not shuffle its inputs:\n$whole")
+  }
+
   test("q20 top-k per group reduces map-side before any shuffle") {
     val whole = explained("q20_window_rank")
     // AQE echoes the pre-adaptive plan below "== Initial Plan ==" — gate
