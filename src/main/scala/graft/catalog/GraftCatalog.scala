@@ -97,6 +97,7 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
     if (!f.exists(p)) Nil
     else f.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
       .filterNot(_.endsWith(GraftCatalog.DailySuffix)) // tier dirs aren't tables
+      .filterNot(_.startsWith("_")) // in-flight flush tmp dirs
       .sorted.toSeq
   }
 

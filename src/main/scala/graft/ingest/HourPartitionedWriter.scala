@@ -41,47 +41,64 @@ object HourPartitionedWriter {
 
   /** Write one flush batch into `{root}/{db}/{measurement}`.
     *
-    * After the write, the fresh `part-*` files are renamed to the
-    * reference's recency-ordered scheme `{m}_{flushMicros}_{seq}.parquet`
-    * (arrow_writer.go:3504-3519): compaction's last-write-wins dedup
-    * orders rows by source file name, so names MUST sort by flush time
-    * (Spark's UUID part names don't). */
+    * The batch is written to a sibling tmp tree partitioned by
+    * year/month/day/hour/_salt — `_salt = pmod(hash(time), filesPerHour)`
+    * spreads each touched hour over exactly `filesPerHour` parallel
+    * writers/files (a large backfill would otherwise serialize each hour
+    * through one task) — then every leaf file is renamed into its real
+    * hour dir under the reference's recency-ordered scheme
+    * `{m}_{flushMicros}_{seq}.parquet` (arrow_writer.go:3504-3519):
+    * compaction's last-write-wins dedup orders rows by source file name,
+    * so names MUST sort by flush time (Spark's UUID part names don't).
+    * The table tree only ever sees fully-written, final-named files; a
+    * crash leaves an orphan tmp dir, never a half-visible flush. */
   def write(catalog: GraftCatalog, db: String, measurement: String,
       df: DataFrame, filesPerHour: Int = 1): Unit = {
     require(df.columns.contains("time"), "write batch must carry a 'time' column")
     val meta = catalog.readMeta(db, measurement)
     val sortCols: Seq[Column] =
       (meta.sortKeys.filter(df.columns.contains) :+ "time").map(col)
+    val saltCols = PartitionCols :+ "_salt"
     val prepared = withPartitionColumns(applyDecimals(df, meta))
-      // consolidate each touched hour into `filesPerHour` files, then
-      // sort rows within each output file by sortKeys+time
-      .repartition(PartitionCols.map(col): _*)
-      .sortWithinPartitions(PartitionCols.map(col) ++ sortCols: _*)
-      .cache()
+      .withColumn("_salt",
+        if (filesPerHour <= 1) lit(0)
+        else pmod(hash(col("time")), lit(filesPerHour)))
+      .repartition(saltCols.map(col): _*)
+      .sortWithinPartitions(saltCols.map(col) ++ sortCols: _*)
+
+    val conf = catalog.spark.sparkContext.hadoopConfiguration
+    val tableDir = new org.apache.hadoop.fs.Path(catalog.tablePath(db, measurement))
+    val tmpBase = new org.apache.hadoop.fs.Path(tableDir.getParent,
+      s"_flush_tmp_${tableDir.getName}_${System.nanoTime()}")
+    val fs = tmpBase.getFileSystem(conf)
     try {
-      val touched = prepared
-        .select(PartitionCols.map(col): _*).distinct().collect()
       prepared.write
-        .mode("append")
-        .partitionBy(PartitionCols: _*)
+        .mode("overwrite")
+        .partitionBy(saltCols: _*)
         .option("compression", "zstd")
-        .parquet(catalog.tablePath(db, measurement))
-      val conf = catalog.spark.sparkContext.hadoopConfiguration
+        .parquet(tmpBase.toString)
       val flushUs = System.currentTimeMillis() * 1000L
-      touched.foreach { r =>
-        val dir = new org.apache.hadoop.fs.Path(catalog.partitionPath(db,
-          measurement, r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)))
-        val fs = dir.getFileSystem(conf)
-        fs.listStatus(dir)
-          .filter(f => f.isFile && f.getPath.getName.startsWith("part-") &&
-            f.getPath.getName.endsWith(".parquet"))
-          .sortBy(_.getPath.getName)
-          .zipWithIndex.foreach { case (f, i) =>
-            fs.rename(f.getPath, new org.apache.hadoop.fs.Path(dir,
+      def leafFiles(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
+        fs.listStatus(p).toSeq.flatMap {
+          case d if d.isDirectory => leafFiles(d.getPath)
+          case f if f.isFile && f.getPath.getName.endsWith(".parquet") => Seq(f.getPath)
+          case _ => Nil
+        }
+      // group by hour dir (tmp path minus the _salt segment), move in
+      val qualTmp = fs.makeQualified(tmpBase).toString
+      leafFiles(tmpBase)
+        .groupBy(_.getParent.getParent) // .../hour=H/_salt=K/file -> hour dir
+        .foreach { case (tmpHourDir, files) =>
+          val rel = fs.makeQualified(tmpHourDir).toString
+            .stripPrefix(qualTmp).stripPrefix("/")
+          val dest = new org.apache.hadoop.fs.Path(tableDir, rel)
+          fs.mkdirs(dest)
+          files.sortBy(_.getName).zipWithIndex.foreach { case (f, i) =>
+            fs.rename(f, new org.apache.hadoop.fs.Path(dest,
               flushFileName(measurement, flushUs, i)))
           }
-      }
-    } finally prepared.unpersist()
+        }
+    } finally fs.delete(tmpBase, true)
   }
 
   /** Recency-ordered file name: zero-padded so lexical order == time
