@@ -1,0 +1,255 @@
+package graft.ingest
+
+import graft.catalog.GraftCatalog
+
+import java.io.{DataInputStream, DataOutputStream, EOFException}
+import java.net.Socket
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.atomic.AtomicBoolean
+import scala.collection.mutable
+
+/** MQTT 3.1.1 wire codec — control-packet framing only, no client
+  * library (none exists in this environment; the reference uses paho,
+  * internal/mqtt/subscriber.go). Implements the packets a subscriber
+  * needs: CONNECT/CONNACK, SUBSCRIBE/SUBACK, PUBLISH/PUBACK (QoS ≤ 1),
+  * PINGREQ/PINGRESP, DISCONNECT.
+  */
+object MqttCodec {
+
+  val CONNECT = 1; val CONNACK = 2; val PUBLISH = 3; val PUBACK = 4
+  val SUBSCRIBE = 8; val SUBACK = 9; val PINGREQ = 12; val PINGRESP = 13
+  val DISCONNECT = 14
+
+  final case class Packet(ptype: Int, flags: Int, body: Array[Byte])
+
+  def writePacket(out: DataOutputStream, p: Packet): Unit = {
+    out.writeByte((p.ptype << 4) | (p.flags & 0x0f))
+    // remaining length: 7-bit varint, MSB = continuation (spec §2.2.3)
+    var n = p.body.length
+    do {
+      val digit = n % 128
+      n /= 128
+      out.writeByte(if (n > 0) digit | 0x80 else digit)
+    } while (n > 0)
+    out.write(p.body)
+    out.flush()
+  }
+
+  def readPacket(in: DataInputStream): Packet = {
+    val first = in.read()
+    if (first < 0) throw new EOFException("connection closed")
+    var len = 0; var mult = 1; var digit = 0; var i = 0
+    do {
+      digit = in.readUnsignedByte()
+      len += (digit & 0x7f) * mult
+      mult *= 128
+      i += 1
+      require(i <= 4, "malformed remaining length")
+    } while ((digit & 0x80) != 0)
+    val body = new Array[Byte](len)
+    in.readFully(body)
+    Packet((first >> 4) & 0x0f, first & 0x0f, body)
+  }
+
+  private def utf8(s: String): Array[Byte] = {
+    val b = s.getBytes(StandardCharsets.UTF_8)
+    require(b.length <= 0xffff, "string too long")
+    Array[Byte]((b.length >> 8).toByte, (b.length & 0xff).toByte) ++ b
+  }
+
+  def connect(clientId: String, keepAliveSec: Int,
+      username: Option[String] = None, password: Option[String] = None): Packet = {
+    val flags = 0x02 | // clean session
+      username.map(_ => 0x80).getOrElse(0) | password.map(_ => 0x40).getOrElse(0)
+    val body = mutable.ArrayBuffer.empty[Byte]
+    body ++= utf8("MQTT")
+    body += 4 // protocol level 3.1.1
+    body += flags.toByte
+    body += (keepAliveSec >> 8).toByte; body += (keepAliveSec & 0xff).toByte
+    body ++= utf8(clientId)
+    username.foreach(u => body ++= utf8(u))
+    password.foreach(p => body ++= utf8(p))
+    Packet(CONNECT, 0, body.toArray)
+  }
+
+  def connack(returnCode: Int = 0): Packet =
+    Packet(CONNACK, 0, Array[Byte](0, returnCode.toByte))
+
+  def subscribe(packetId: Int, topics: Seq[(String, Int)]): Packet = {
+    val body = mutable.ArrayBuffer[Byte]((packetId >> 8).toByte, (packetId & 0xff).toByte)
+    topics.foreach { case (t, qos) => body ++= utf8(t); body += qos.toByte }
+    Packet(SUBSCRIBE, 0x2, body.toArray) // flags fixed to 0010 (spec §3.8.1)
+  }
+
+  def suback(packetId: Int, grantedQos: Seq[Int]): Packet =
+    Packet(SUBACK, 0,
+      Array[Byte]((packetId >> 8).toByte, (packetId & 0xff).toByte) ++
+        grantedQos.map(_.toByte))
+
+  def publish(topic: String, payload: Array[Byte], qos: Int = 0,
+      packetId: Int = 0): Packet = {
+    val body = mutable.ArrayBuffer.empty[Byte]
+    body ++= utf8(topic)
+    if (qos > 0) { body += (packetId >> 8).toByte; body += (packetId & 0xff).toByte }
+    body ++= payload
+    Packet(PUBLISH, qos << 1, body.toArray)
+  }
+
+  def puback(packetId: Int): Packet =
+    Packet(PUBACK, 0, Array[Byte]((packetId >> 8).toByte, (packetId & 0xff).toByte))
+
+  def pingreq: Packet = Packet(PINGREQ, 0, Array.emptyByteArray)
+  def pingresp: Packet = Packet(PINGRESP, 0, Array.emptyByteArray)
+  def disconnect: Packet = Packet(DISCONNECT, 0, Array.emptyByteArray)
+
+  final case class Publish(topic: String, packetId: Int, qos: Int, payload: Array[Byte])
+
+  def parsePublish(p: Packet): Publish = {
+    require(p.ptype == PUBLISH, s"not a PUBLISH: ${p.ptype}")
+    val qos = (p.flags >> 1) & 0x3
+    val tLen = ((p.body(0) & 0xff) << 8) | (p.body(1) & 0xff)
+    val topic = new String(p.body, 2, tLen, StandardCharsets.UTF_8)
+    var off = 2 + tLen
+    val pid = if (qos > 0) {
+      val id = ((p.body(off) & 0xff) << 8) | (p.body(off + 1) & 0xff)
+      off += 2; id
+    } else 0
+    Publish(topic, pid, qos, java.util.Arrays.copyOfRange(p.body, off, p.body.length))
+  }
+}
+
+/** MQTT subscriber source (reference: internal/mqtt/subscriber.go +
+  * subscription.go): connects over a raw socket, subscribes, decodes
+  * every PUBLISH payload — MessagePack (arc write shapes, via
+  * [[MsgPack.decodePayload]]) with Line Protocol fallback — buffers the
+  * resulting batches, and flushes them through the hour-partitioned
+  * writer on size/age (the reference's ArrowBuffer cadence).
+  *
+  * Scale: one subscriber is a single-threaded network consumer feeding
+  * the shared writer; horizontal scale = one subscriber per topic/shard
+  * (the reference runs one per subscription), all appending to disjoint
+  * flush files — no coordination needed.
+  */
+final class MqttSubscriber(
+    catalog: GraftCatalog,
+    db: String,
+    host: String,
+    port: Int,
+    topics: Seq[String],
+    clientId: String = "graft-subscriber",
+    qos: Int = 1,
+    keepAliveSec: Int = 30,
+    flushBatches: Int = 64,
+    flushMillis: Long = 5000L,
+    username: Option[String] = None,
+    password: Option[String] = None) {
+
+  import MqttCodec._
+
+  @volatile private var socket: Socket = _
+  @volatile private var out: DataOutputStream = _
+  private val running = new AtomicBoolean(false)
+  private val buffer = mutable.ArrayBuffer.empty[ColumnarBatch]
+  @volatile private var lastFlushAt = System.currentTimeMillis()
+
+  // hot-path counters (reference keeps the same stats, subscriber.go)
+  @volatile var messagesReceived: Long = 0L
+  @volatile var messagesFailed: Long = 0L
+
+  def start(): Unit = {
+    if (!running.compareAndSet(false, true)) return
+    socket = new Socket(host, port)
+    socket.setSoTimeout(keepAliveSec * 1000)
+    out = new DataOutputStream(socket.getOutputStream)
+    val in = new DataInputStream(socket.getInputStream)
+    writePacket(out, connect(clientId, keepAliveSec, username, password))
+    val ack = readPacket(in)
+    require(ack.ptype == CONNACK && ack.body(1) == 0,
+      s"broker refused connection: ${ack.body.toSeq}")
+    writePacket(out, subscribe(1, topics.map(_ -> qos)))
+    val sub = readPacket(in)
+    require(sub.ptype == SUBACK, s"expected SUBACK, got ${sub.ptype}")
+
+    val t = new Thread(() => readLoop(in), s"graft-mqtt-$clientId")
+    t.setDaemon(true)
+    t.start()
+  }
+
+  private def readLoop(in: DataInputStream): Unit = {
+    while (running.get()) {
+      try {
+        val p =
+          try readPacket(in)
+          catch {
+            case _: java.net.SocketTimeoutException =>
+              writePacket(out, pingreq); null
+          }
+        p match {
+          case null => ()
+          case pkt if pkt.ptype == PUBLISH =>
+            val pub = parsePublish(pkt)
+            if (pub.qos >= 1) writePacket(out, puback(pub.packetId))
+            handlePayload(pub.payload)
+          case pkt if pkt.ptype == PINGRESP => ()
+          case _ => ()
+        }
+        maybeFlush()
+      } catch {
+        case _: EOFException => running.set(false)
+        case _: java.net.SocketException => running.set(false)
+      }
+    }
+  }
+
+  private def handlePayload(payload: Array[Byte]): Unit = {
+    val batches =
+      try MsgPack.decodePayload(payload)
+      catch {
+        case _: Exception =>
+          try {
+            val (points, errs) = LineProtocol.parse(
+              new String(payload, StandardCharsets.UTF_8), "ns")
+            if (points.isEmpty && errs.nonEmpty) { messagesFailed += 1; Nil }
+            else ColumnarBatch.fromPoints(points)
+          } catch { case _: Exception => messagesFailed += 1; Nil }
+      }
+    if (batches.nonEmpty) {
+      messagesReceived += 1
+      synchronized { buffer ++= batches }
+    }
+  }
+
+  private def maybeFlush(): Unit = {
+    val due = synchronized {
+      buffer.nonEmpty && (buffer.length >= flushBatches ||
+        System.currentTimeMillis() - lastFlushAt >= flushMillis)
+    }
+    if (due) flush()
+  }
+
+  /** Drain the buffer through the hour-partitioned writer — one write
+    * per measurement (batches union by name, matching batch ingest). */
+  def flush(): Unit = {
+    val pending = synchronized {
+      val p = buffer.toSeq; buffer.clear(); lastFlushAt = System.currentTimeMillis(); p
+    }
+    pending.groupBy(_.measurement).toSeq.sortBy(_._1).foreach { case (m, bs) =>
+      val tagCols = bs.flatMap(_.tagColumns).distinct
+      val existing = catalog.readMeta(db, m)
+      if (existing.tagColumns.isEmpty && tagCols.nonEmpty)
+        catalog.writeMeta(db, m, existing.copy(tagColumns = tagCols))
+      val df = bs.map(_.toDataFrame(catalog.spark))
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+      HourPartitionedWriter.write(catalog, db, m, df)
+    }
+  }
+
+  def stop(): Unit = {
+    if (!running.compareAndSet(true, false)) return
+    try {
+      writePacket(out, disconnect)
+      socket.close()
+    } catch { case _: Exception => () }
+    flush()
+  }
+}
