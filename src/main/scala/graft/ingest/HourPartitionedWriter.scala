@@ -59,11 +59,16 @@ object HourPartitionedWriter {
     val sortCols: Seq[Column] =
       (meta.sortKeys.filter(df.columns.contains) :+ "time").map(col)
     val saltCols = PartitionCols :+ "_salt"
+    // explicit partition count: repartition-by-column alone is an AQE
+    // coalescing target, which would serialize the sort+encode of a large
+    // flush through a handful of tasks
+    val shufflePartitions = catalog.spark.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
     val prepared = withPartitionColumns(applyDecimals(df, meta))
       .withColumn("_salt",
         if (filesPerHour <= 1) lit(0)
         else pmod(hash(col("time")), lit(filesPerHour)))
-      .repartition(saltCols.map(col): _*)
+      .repartition(shufflePartitions, saltCols.map(col): _*)
       .sortWithinPartitions(saltCols.map(col) ++ sortCols: _*)
 
     val conf = catalog.spark.sparkContext.hadoopConfiguration
@@ -84,20 +89,27 @@ object HourPartitionedWriter {
           case f if f.isFile && f.getPath.getName.endsWith(".parquet") => Seq(f.getPath)
           case _ => Nil
         }
-      // group by hour dir (tmp path minus the _salt segment), move in
+      // group by hour dir (tmp path minus the _salt segment), move in —
+      // hundreds of per-partition metadata ops, done concurrently (an
+      // object store would want the same)
       val qualTmp = fs.makeQualified(tmpBase).toString
-      leafFiles(tmpBase)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val moves = leafFiles(tmpBase)
         .groupBy(_.getParent.getParent) // .../hour=H/_salt=K/file -> hour dir
-        .foreach { case (tmpHourDir, files) =>
-          val rel = fs.makeQualified(tmpHourDir).toString
-            .stripPrefix(qualTmp).stripPrefix("/")
-          val dest = new org.apache.hadoop.fs.Path(tableDir, rel)
-          fs.mkdirs(dest)
-          files.sortBy(_.getName).zipWithIndex.foreach { case (f, i) =>
-            fs.rename(f, new org.apache.hadoop.fs.Path(dest,
-              flushFileName(measurement, flushUs, i)))
+        .toSeq.map { case (tmpHourDir, files) =>
+          Future {
+            val rel = fs.makeQualified(tmpHourDir).toString
+              .stripPrefix(qualTmp).stripPrefix("/")
+            val dest = new org.apache.hadoop.fs.Path(tableDir, rel)
+            fs.mkdirs(dest)
+            files.sortBy(_.getName).zipWithIndex.foreach { case (f, i) =>
+              fs.rename(f, new org.apache.hadoop.fs.Path(dest,
+                flushFileName(measurement, flushUs, i)))
+            }
           }
         }
+      Await.result(Future.sequence(moves), scala.concurrent.duration.Duration.Inf)
     } finally fs.delete(tmpBase, true)
   }
 
