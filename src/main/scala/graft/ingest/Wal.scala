@@ -1,0 +1,213 @@
+package graft.ingest
+
+import graft.catalog.GraftCatalog
+
+import java.io.{File, FileOutputStream, RandomAccessFile}
+import java.nio.ByteBuffer
+import java.util.zip.CRC32
+import scala.collection.mutable
+
+/** Write-ahead log for the ingest hot path (reference: internal/wal/
+  * wal.go:20-42 file/entry format, reader.go, recovery.go).
+  *
+  * The buffer→flush window is the one place the engine can lose
+  * acknowledged data: rows sit in memory until the parquet flush. The
+  * WAL closes it — every accepted payload is framed and (optionally
+  * fsync'd) on disk BEFORE it is buffered; segments are deleted only at
+  * checkpoint, after the covering flush has committed.
+  *
+  * File format (mirrors the reference's):
+  *   header  = magic "GRFW" (4) | version u16 | checksumType u8 (CRC32)
+  *   entry   = length u32 | timestampUs u64 | crc32(payload) u32 | payload
+  *   payload = 0x01 | dbLen u16 | db | body   (envelope, wal.go:44-58)
+  *
+  * Recovery reads entries until EOF or the first torn/corrupt frame
+  * (CRC or length mismatch — everything before it is intact by
+  * construction, everything after is from the crashed tail).
+  */
+object Wal {
+
+  val Magic: Array[Byte] = "GRFW".getBytes("US-ASCII")
+  val Version: Short = 1
+  val ChecksumCrc32: Byte = 0x01
+  val HeaderSize = 7
+  val EntryHeaderSize = 16
+  val MaxPayloadSize: Int = 100 * 1024 * 1024
+
+  sealed trait SyncMode
+  case object SyncEvery extends SyncMode // force every append (safest)
+  case object SyncAsync extends SyncMode // OS page cache only (fastest)
+
+  final case class Entry(timestampUs: Long, db: String, body: Array[Byte])
+
+  /** Single-threaded appender with size-based rotation. */
+  final class Writer(dir: File, syncMode: SyncMode = SyncEvery,
+      maxSegmentBytes: Long = 100L * 1024 * 1024) {
+    dir.mkdirs()
+    private var out: FileOutputStream = _
+    private var segFile: File = _
+    private var written = 0L
+    private val sealedSegs = mutable.ArrayBuffer.empty[File]
+    openSegment()
+
+    private def openSegment(): Unit = {
+      segFile = new File(dir, f"wal_${System.currentTimeMillis()}%013d_${System.nanoTime()}%019d.log")
+      out = new FileOutputStream(segFile)
+      out.write(Magic)
+      val h = ByteBuffer.allocate(3)
+      h.putShort(Version); h.put(ChecksumCrc32)
+      out.write(h.array())
+      written = HeaderSize.toLong
+    }
+
+    def append(db: String, body: Array[Byte]): Unit = synchronized {
+      require(body.length <= MaxPayloadSize, "WAL payload exceeds maximum size")
+      val dbBytes = db.getBytes("UTF-8")
+      val payload = ByteBuffer.allocate(3 + dbBytes.length + body.length)
+      payload.put(0x01.toByte).putShort(dbBytes.length.toShort)
+        .put(dbBytes).put(body)
+      val p = payload.array()
+      val crc = new CRC32(); crc.update(p)
+      val head = ByteBuffer.allocate(EntryHeaderSize)
+      head.putInt(p.length)
+        .putLong(System.currentTimeMillis() * 1000L)
+        .putInt(crc.getValue.toInt)
+      out.write(head.array()); out.write(p)
+      if (syncMode == SyncEvery) out.getFD.sync() else out.flush()
+      written += EntryHeaderSize + p.length
+      if (written >= maxSegmentBytes) rotate()
+    }
+
+    /** Seal the current segment and start a new one. */
+    def rotate(): Unit = synchronized {
+      out.close()
+      sealedSegs += segFile
+      openSegment()
+    }
+
+    /** Called AFTER a successful flush of everything appended so far:
+      * all sealed segments plus the just-sealed current one are covered
+      * by durable parquet, so they are deleted (recovery.go's post-flush
+      * segment purge). */
+    def checkpoint(): Unit = synchronized {
+      rotate()
+      sealedSegs.foreach(_.delete())
+      sealedSegs.clear()
+    }
+
+    def close(): Unit = synchronized { out.close() }
+
+    private[ingest] def currentSegment: File = segFile
+  }
+
+  /** Read every intact entry across the directory's segments (oldest
+    * first — segment names sort by creation time). Stops a segment at
+    * the first torn or corrupt frame. */
+  def readAll(dir: File): Seq[Entry] = {
+    val segs = Option(dir.listFiles())
+      .getOrElse(Array.empty[File])
+      .filter(f => f.isFile && f.getName.startsWith("wal_") && f.getName.endsWith(".log"))
+      .sortBy(_.getName)
+    segs.toSeq.flatMap(readSegment)
+  }
+
+  private def readSegment(f: File): Seq[Entry] = {
+    val raf = new RandomAccessFile(f, "r")
+    try {
+      val out = mutable.ArrayBuffer.empty[Entry]
+      val magic = new Array[Byte](4)
+      if (raf.length() < HeaderSize) return Nil
+      raf.readFully(magic)
+      if (!magic.sameElements(Magic)) return Nil
+      raf.readShort(); raf.readByte() // version + checksum type
+      var pos = HeaderSize.toLong
+      var ok = true
+      while (ok && pos + EntryHeaderSize <= raf.length()) {
+        val len = raf.readInt()
+        val ts = raf.readLong()
+        val crcStored = raf.readInt()
+        if (len < 3 || len > MaxPayloadSize || pos + EntryHeaderSize + len > raf.length())
+          ok = false // torn tail
+        else {
+          val p = new Array[Byte](len)
+          raf.readFully(p)
+          val crc = new CRC32(); crc.update(p)
+          if (crc.getValue.toInt != crcStored) ok = false // corrupt frame
+          else {
+            val bb = ByteBuffer.wrap(p)
+            bb.get() // envelope marker
+            val dbLen = bb.getShort & 0xffff
+            val dbBytes = new Array[Byte](dbLen); bb.get(dbBytes)
+            val body = new Array[Byte](p.length - 3 - dbLen); bb.get(body)
+            out += Entry(ts, new String(dbBytes, "UTF-8"), body)
+            pos += EntryHeaderSize + len
+          }
+        }
+      }
+      out.toSeq
+    } finally raf.close()
+  }
+}
+
+/** Durable buffered ingester — the analog of the reference's ArrowBuffer
+  * + WAL coupling (internal/ingest/arrow_writer.go buffer/flush +
+  * internal/wal/recovery.go): `accept` journals the raw payload, then
+  * decodes and buffers it; `flush` writes every buffered batch through
+  * [[DirectParquetWriter]] and checkpoints the WAL. On construction,
+  * un-checkpointed WAL entries from a crashed process are replayed and
+  * flushed immediately, so acknowledged-but-unflushed data survives.
+  */
+final class DurableIngester(catalog: GraftCatalog, walDir: File,
+    syncMode: Wal.SyncMode = Wal.SyncEvery,
+    flushRows: Int = 50000) {
+
+  /** Rows recovered (already flushed to parquet) from a prior crash. */
+  val recoveredRows: Long = {
+    val entries = Wal.readAll(walDir)
+    var rows = 0L
+    entries.groupBy(_.db).toSeq.sortBy(_._1).foreach { case (db, es) =>
+      es.foreach { e =>
+        decodeBody(e.body).foreach { b =>
+          rows += b.rowCount
+          DirectParquetWriter.write(catalog, db, b)
+        }
+      }
+    }
+    // everything replayed is durable in parquet — drop the old segments
+    Option(walDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("wal_")).foreach(_.delete())
+    rows
+  }
+
+  private val wal = new Wal.Writer(walDir, syncMode)
+  private val buffer = mutable.ArrayBuffer.empty[(String, ColumnarBatch)]
+  private var bufferedRows = 0
+
+  private def decodeBody(body: Array[Byte]): Seq[ColumnarBatch] =
+    try MsgPack.decodePayload(body)
+    catch {
+      case _: Exception =>
+        val (points, _) = LineProtocol.parse(new String(body, "UTF-8"), "ns")
+        ColumnarBatch.fromPoints(points)
+    }
+
+  /** Journal + buffer one write payload (msgpack or LP bytes). The
+    * payload is on disk before this returns. */
+  def accept(db: String, payload: Array[Byte]): Int = synchronized {
+    wal.append(db, payload)
+    val batches = decodeBody(payload)
+    batches.foreach { b => buffer += db -> b; bufferedRows += b.rowCount }
+    if (bufferedRows >= flushRows) flush()
+    batches.map(_.rowCount).sum
+  }
+
+  /** Flush all buffered batches to parquet, then checkpoint the WAL. */
+  def flush(): Unit = synchronized {
+    val pending = buffer.toSeq
+    buffer.clear(); bufferedRows = 0
+    pending.foreach { case (db, b) => DirectParquetWriter.write(catalog, db, b) }
+    wal.checkpoint()
+  }
+
+  def close(): Unit = synchronized { flush(); wal.close() }
+}

@@ -1,0 +1,81 @@
+package graft.ingest
+
+import graft.SparkSpec
+import graft.catalog.GraftCatalog
+
+import java.io.File
+
+/** WAL durability for the ingest hot path (reference internal/wal/):
+  * framing round-trip, torn-tail tolerance, crash-replay through the
+  * direct parquet writer, checkpoint truncation.
+  */
+class WalSpec extends SparkSpec {
+
+  private val base = 1717200000000000L // 2024-06-01T00:00:00Z µs
+
+  private def lpBytes(lines: String): Array[Byte] = lines.getBytes("UTF-8")
+
+  test("append/readAll round-trips entries across rotated segments") {
+    val dir = new File(tmpDir("wal_rt"))
+    val w = new Wal.Writer(dir, Wal.SyncEvery, maxSegmentBytes = 256)
+    (0 until 10).foreach { i => w.append("db" + (i % 2), Array.fill(64)(i.toByte)) }
+    w.close()
+    val entries = Wal.readAll(dir)
+    assert(entries.length == 10)
+    assert(entries.map(_.db).distinct.sorted == Seq("db0", "db1"))
+    assert(entries.zipWithIndex.forall { case (e, i) =>
+      e.body.length == 64 && e.body(0) == i.toByte
+    }, "entries must come back in append order")
+    assert(dir.listFiles().count(_.getName.endsWith(".log")) > 1, "expected rotation")
+  }
+
+  test("torn tail: entries before the torn frame survive, tail is dropped") {
+    val dir = new File(tmpDir("wal_torn"))
+    val w = new Wal.Writer(dir, Wal.SyncEvery, maxSegmentBytes = Long.MaxValue)
+    (0 until 5).foreach { i => w.append("d", Array.fill(100)(i.toByte)) }
+    w.close()
+    val seg = dir.listFiles().filter(_.getName.endsWith(".log")).head
+    // tear the file mid-way through the last entry
+    val raf = new java.io.RandomAccessFile(seg, "rw")
+    raf.setLength(raf.length() - 50)
+    raf.close()
+    val entries = Wal.readAll(dir)
+    assert(entries.length == 4, s"got ${entries.length}")
+  }
+
+  test("crash before flush: next ingester replays WAL into parquet") {
+    val root = tmpDir("wal_crash_cat")
+    val walDir = new File(tmpDir("wal_crash"))
+    val cat = new GraftCatalog(spark, root)
+    val ing = new DurableIngester(cat, walDir, flushRows = Int.MaxValue)
+    assert(ing.recoveredRows == 0)
+    val n = ing.accept("default", lpBytes(
+      s"""cpu,host=a v=1.0 ${base * 1000L}
+         |cpu,host=b v=2.0 ${(base + 5) * 1000L}""".stripMargin))
+    assert(n == 2)
+    // crash: no flush(), no close() — data exists ONLY in the WAL
+    intercept[IllegalArgumentException] { cat.table("default", "cpu") }
+
+    val ing2 = new DurableIngester(cat, walDir, flushRows = Int.MaxValue)
+    assert(ing2.recoveredRows == 2)
+    val df = cat.table("default", "cpu")
+    assert(df.count() == 2)
+    assert(df.where(org.apache.spark.sql.functions.col("host") === "b")
+      .head().getAs[Double]("v") == 2.0)
+    ing2.close()
+  }
+
+  test("checkpoint after flush: nothing to replay, no duplicates") {
+    val root = tmpDir("wal_ckpt_cat")
+    val walDir = new File(tmpDir("wal_ckpt"))
+    val cat = new GraftCatalog(spark, root)
+    val ing = new DurableIngester(cat, walDir, flushRows = Int.MaxValue)
+    ing.accept("default", lpBytes(s"m,host=a v=1.0 ${base * 1000L}"))
+    ing.flush()
+    // post-flush "crash": WAL was checkpointed, so replay finds nothing
+    val ing2 = new DurableIngester(cat, walDir, flushRows = Int.MaxValue)
+    assert(ing2.recoveredRows == 0)
+    assert(cat.table("default", "m").count() == 1) // exactly once
+    ing2.close()
+  }
+}
