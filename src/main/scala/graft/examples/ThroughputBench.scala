@@ -68,8 +68,10 @@ object ThroughputBench {
     // --- result-stream throughput per wire format (SELECT LIMIT 1M shape)
     cat.register("default", "cpu")
     val facade = new QueryFacade(spark)
-    val result = spark.sql("SELECT time, host, value FROM cpu LIMIT 1000000")
-    result.count() // warm cache/plan
+    // persist: encoders must measure result MARSHALLING (the reference
+    // encodes from its in-memory Arrow buffers), not query re-execution
+    val result = spark.sql("SELECT time, host, value FROM cpu LIMIT 1000000").persist()
+    result.count() // materialize the cache
     val (json, jSec) = time(facade.toJsonEnvelope(result))
     println(f"[tp] result_json: ${1000000 / jSec / 1e6}%.2f M rows/s (${json.length / 1e6}%.1f MB, $jSec%.2f s)")
     val (jsonD, jdSec) = time(facade.toJsonEnvelopeDistributed(result, preserveOrder = false))

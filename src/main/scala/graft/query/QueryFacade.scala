@@ -72,26 +72,28 @@ final class QueryFacade(spark: SparkSession) {
     (n, warning)
   }
 
-  /** Stream a result as the reference's JSON envelope. Rows are encoded
-    * incrementally from toLocalIterator (per-partition streaming — the
-    * driver holds one partition at a time, not the result). */
+  /** Stream a result as the reference's JSON envelope. Rows stream in
+    * INTERNAL format (per-partition, the driver holds one partition at a
+    * time) and are encoded by schema-specialized appenders — no external
+    * Row conversion, no per-value boxing (see [[RowCodec]]). */
   def toJsonEnvelope(df: DataFrame, maxRows: Long = Long.MaxValue): String = {
     val t0 = System.nanoTime()
     val columns = df.columns
-    val sb = new StringBuilder
+    val apps = RowCodec.jsonAppenders(df.schema)
+    val sb = new StringBuilder(1 << 16)
     sb.append("{\"columns\":[")
     sb.append(columns.map(c => jsonStr(c)).mkString(","))
     sb.append("],\"data\":[")
-    val it = df.toLocalIterator()
+    val it = RowCodec.internalRows(df)
     var n = 0L
     while (it.hasNext && n < maxRows) {
       val row = it.next()
       if (n > 0) sb.append(',')
       sb.append('[')
       var i = 0
-      while (i < columns.length) {
+      while (i < apps.length) {
         if (i > 0) sb.append(',')
-        sb.append(jsonValue(row.get(i)))
+        if (row.isNullAt(i)) sb.append("null") else apps(i)(row, i, sb)
         i += 1
       }
       sb.append(']')
@@ -119,9 +121,10 @@ final class QueryFacade(spark: SparkSession) {
     val capped =
       if (preserveOrder) limited
       else limited.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    import org.apache.spark.sql.Encoders
-    val chunks = capped.mapPartitions { it =>
-      val sb = new StringBuilder
+    val schema = capped.schema
+    val chunks = capped.queryExecution.toRdd.mapPartitions { it =>
+      val apps = RowCodec.jsonAppenders(schema)
+      val sb = new StringBuilder(1 << 16)
       var first = true
       var n = 0L
       while (it.hasNext) {
@@ -132,14 +135,14 @@ final class QueryFacade(spark: SparkSession) {
         var i = 0
         while (i < nCols) {
           if (i > 0) sb.append(',')
-          sb.append(QueryFacade.jsonValue(row.get(i)))
+          if (row.isNullAt(i)) sb.append("null") else apps(i)(row, i, sb)
           i += 1
         }
         sb.append(']')
         n += 1
       }
       Iterator((n, sb.toString))
-    }(Encoders.tuple(Encoders.scalaLong, Encoders.STRING)).collect()
+    }.collect()
     val sb = new StringBuilder
     sb.append("{\"columns\":[")
     sb.append(columns.map(QueryFacade.jsonStr).mkString(","))
