@@ -5,7 +5,8 @@ import org.apache.arrow.vector._
 import org.apache.arrow.vector.ipc.ArrowStreamWriter
 import org.apache.arrow.vector.types.FloatingPointPrecision
 import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ArrowSchema}
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types._
 
 import java.io.ByteArrayOutputStream
@@ -39,8 +40,45 @@ object ArrowEncoder {
   }
 
   def encode(df: DataFrame, batchRows: Int = 4096,
-      maxRows: Long = Long.MaxValue): Array[Byte] = {
-    val sparkSchema = df.schema
+      maxRows: Long = Long.MaxValue): Array[Byte] =
+    encodeInternal(RowCodec.internalRows(df), df.schema, batchRows, maxRows)
+
+  /** Per-column setters resolved ONCE against the root's vectors — the
+    * row loop then runs primitive reads straight from the internal row
+    * into Arrow memory (no boxing, no per-value dispatch).
+    * `root.allocateNew()` reuses vector instances, so the captured
+    * references stay valid across batches. */
+  private def setters(root: VectorSchemaRoot, schema: StructType)
+      : Array[(InternalRow, Int) => Unit] =
+    schema.fields.zipWithIndex.map { case (f, c) =>
+      val fn: (InternalRow, Int) => Unit = (f.dataType, root.getVector(c)) match {
+        case (TimestampType, v: TimeStampMicroTZVector) =>
+          (r, i) => v.setSafe(i, r.getLong(c))
+        case (LongType, v: BigIntVector) => (r, i) => v.setSafe(i, r.getLong(c))
+        case (IntegerType, v: BigIntVector) => (r, i) => v.setSafe(i, r.getInt(c).toLong)
+        case (ShortType, v: BigIntVector) => (r, i) => v.setSafe(i, r.getShort(c).toLong)
+        case (ByteType, v: BigIntVector) => (r, i) => v.setSafe(i, r.getByte(c).toLong)
+        case (DoubleType, v: Float8Vector) => (r, i) => v.setSafe(i, r.getDouble(c))
+        case (FloatType, v: Float8Vector) => (r, i) => v.setSafe(i, r.getFloat(c).toDouble)
+        case (BooleanType, v: BitVector) =>
+          (r, i) => v.setSafe(i, if (r.getBoolean(c)) 1 else 0)
+        case (d: DecimalType, v: DecimalVector) =>
+          (r, i) => v.setSafe(i,
+            r.getDecimal(c, d.precision, d.scale).toJavaBigDecimal.setScale(v.getScale))
+        case (StringType, v: VarCharVector) =>
+          (r, i) => v.setSafe(i, r.getUTF8String(c).getBytes)
+        case (dt, v: VarCharVector) => // stringified fallback (arrays etc.)
+          (r, i) => v.setSafe(i, String.valueOf(r.get(c, dt)).getBytes("UTF-8"))
+        case (dt, v) => throw new IllegalStateException(
+          s"unsupported arrow mapping $dt -> ${v.getClass.getSimpleName}")
+      }
+      fn
+    }
+
+  /** Encode internal rows to a complete standalone IPC stream (shared by
+    * the driver path and the per-partition executor path). */
+  private def encodeInternal(it: Iterator[InternalRow], sparkSchema: StructType,
+      batchRows: Int, maxRows: Long): Array[Byte] = {
     val schema = new ArrowSchema(sparkSchema.fields.map(arrowField).toList.asJava)
     val alloc = new RootAllocator(Long.MaxValue)
     val root = VectorSchemaRoot.create(schema, alloc)
@@ -48,15 +86,17 @@ object ArrowEncoder {
     val writer = new ArrowStreamWriter(root, null, out)
     try {
       writer.start()
-      val it = df.toLocalIterator()
+      val set = setters(root, sparkSchema)
+      val nCols = sparkSchema.length
       var total = 0L
       while (it.hasNext && total < maxRows) {
         var n = 0
         while (it.hasNext && n < batchRows && total < maxRows) {
           val row = it.next()
           var c = 0
-          while (c < sparkSchema.length) {
-            setValue(root.getVector(c), sparkSchema(c).dataType, n, row.get(c))
+          while (c < nCols) {
+            if (row.isNullAt(c)) setNull(root.getVector(c), n)
+            else set(c)(row, n)
             c += 1
           }
           n += 1
@@ -87,10 +127,10 @@ object ArrowEncoder {
     import org.apache.spark.sql.Encoders
 
     val sparkSchema = df.schema
-    val chunks = df.mapPartitions { it =>
+    val chunks = df.queryExecution.toRdd.mapPartitions { it =>
       if (it.isEmpty) Iterator.empty
-      else Iterator(encodeRows(it, sparkSchema, batchRows))
-    }(Encoders.BINARY).collect()
+      else Iterator(encodeInternal(it, sparkSchema, batchRows, Long.MaxValue))
+    }.collect()
 
     val schema = new ArrowSchema(sparkSchema.fields.map(arrowField).toList.asJava)
     val out = new ByteArrayOutputStream()
@@ -112,60 +152,6 @@ object ArrowEncoder {
       org.apache.arrow.vector.ipc.ArrowStreamWriter.writeEndOfStream(ch, IpcOption.DEFAULT)
       out.toByteArray
     } finally alloc.close()
-  }
-
-  /** Encode an iterator of rows to a complete standalone IPC stream
-    * (runs on executors; one chunk per partition). */
-  private def encodeRows(it: Iterator[Row], sparkSchema: StructType,
-      batchRows: Int): Array[Byte] = {
-    val schema = new ArrowSchema(sparkSchema.fields.map(arrowField).toList.asJava)
-    val alloc = new RootAllocator(Long.MaxValue)
-    val root = VectorSchemaRoot.create(schema, alloc)
-    val out = new ByteArrayOutputStream()
-    val writer = new ArrowStreamWriter(root, null, out)
-    try {
-      writer.start()
-      while (it.hasNext) {
-        var n = 0
-        while (it.hasNext && n < batchRows) {
-          val row = it.next()
-          var c = 0
-          while (c < sparkSchema.length) {
-            setValue(root.getVector(c), sparkSchema(c).dataType, n, row.get(c))
-            c += 1
-          }
-          n += 1
-        }
-        root.setRowCount(n)
-        writer.writeBatch()
-        root.allocateNew()
-      }
-      writer.end()
-      out.toByteArray
-    } finally { writer.close(); root.close(); alloc.close() }
-  }
-
-  private def setValue(v: FieldVector, dt: DataType, i: Int, value: Any): Unit = {
-    if (value == null) { setNull(v, i); return }
-    (v, dt) match {
-      case (ts: TimeStampMicroTZVector, TimestampType) =>
-        val t = value.asInstanceOf[java.sql.Timestamp]
-        ts.setSafe(i, t.getTime * 1000L + (t.getNanos / 1000) % 1000)
-      case (bv: BigIntVector, _) =>
-        bv.setSafe(i, value.asInstanceOf[Number].longValue())
-      case (fv: Float8Vector, _) =>
-        fv.setSafe(i, value.asInstanceOf[Number].doubleValue())
-      case (bb: BitVector, _) =>
-        bb.setSafe(i, if (value.asInstanceOf[Boolean]) 1 else 0)
-      case (dv: DecimalVector, _) =>
-        dv.setSafe(i, value.asInstanceOf[java.math.BigDecimal]
-          .setScale(dv.getScale))
-      case (sv: VarCharVector, _) =>
-        sv.setSafe(i, String.valueOf(value).getBytes("UTF-8"))
-      case (other, _) =>
-        throw new IllegalStateException(
-          s"unsupported arrow vector ${other.getClass.getSimpleName}")
-    }
   }
 
   private def setNull(v: FieldVector, i: Int): Unit = v match {

@@ -12,12 +12,30 @@ import java.nio.charset.StandardCharsets
   * with column-oriented value arrays (better compression and decode
   * locality than row tuples).
   *
-  * Values are streamed from `toLocalIterator` and buffered per column in
-  * bounded chunks, so the driver never holds the full result set.
+  * Values are collected once in internal-row form and packed per column
+  * with type-specialized loops (see [[RowCodec]]).
   */
 object MsgPackEncoder {
 
-  final class Packer(out: ByteArrayOutputStream) {
+  /** Growable byte sink without the per-call synchronization of
+    * ByteArrayOutputStream (the packer writes values byte-by-byte). */
+  private[query] final class FastByteBuffer extends java.io.OutputStream {
+    private var buf = new Array[Byte](1 << 16)
+    private var len = 0
+    private def ensure(n: Int): Unit =
+      if (len + n > buf.length) {
+        var cap = buf.length << 1
+        while (cap < len + n) cap <<= 1
+        buf = java.util.Arrays.copyOf(buf, cap)
+      }
+    override def write(b: Int): Unit = { ensure(1); buf(len) = b.toByte; len += 1 }
+    override def write(bs: Array[Byte], off: Int, n: Int): Unit = {
+      ensure(n); System.arraycopy(bs, off, buf, len, n); len += n
+    }
+    def toByteArray: Array[Byte] = java.util.Arrays.copyOf(buf, len)
+  }
+
+  final class Packer(out: java.io.OutputStream) {
     private def b(v: Int): Unit = out.write(v & 0xff)
 
     def packMapHeader(n: Int): Unit =
@@ -72,20 +90,20 @@ object MsgPackEncoder {
     }
   }
 
-  /** Encode a result as the columnar msgpack envelope. */
+  /** Encode a result as the columnar msgpack envelope. Collects internal
+    * rows once, then packs each column with a type-specialized loop —
+    * no external-Row conversion and no per-value boxing for the
+    * engine's storable types (see [[RowCodec]]). Timestamps pack as
+    * epoch-µs int64, matching the previous wire format. */
   def encode(df: DataFrame, maxRows: Long = Long.MaxValue): Array[Byte] = {
+    import org.apache.spark.sql.types._
     val cols = df.columns
-    // buffer values per column (chunked growth; row-major iteration)
-    val buffers = Array.fill(cols.length)(Vector.newBuilder[Any])
-    val it = df.toLocalIterator()
-    var n = 0L
-    while (it.hasNext && n < maxRows) {
-      val row = it.next()
-      var i = 0
-      while (i < cols.length) { buffers(i) += row.get(i); i += 1 }
-      n += 1
-    }
-    val out = new ByteArrayOutputStream()
+    val fields = df.schema.fields
+    val rows = RowCodec.internalRows(df).toArray
+    val n = math.min(rows.length.toLong, maxRows).toInt
+    // unsynchronized sink: BAOS.write locks per byte, and the packer
+    // emits values byte-by-byte
+    val out = new MsgPackEncoder.FastByteBuffer()
     val p = new Packer(out)
     p.packMapHeader(3)
     p.packString("columns")
@@ -93,14 +111,38 @@ object MsgPackEncoder {
     cols.foreach(p.packString)
     p.packString("data")
     p.packMapHeader(cols.length)
-    cols.zipWithIndex.foreach { case (c, i) =>
-      p.packString(c)
-      val vs = buffers(i).result()
-      p.packArrayHeader(vs.length)
-      vs.foreach(p.packValue)
+    var c = 0
+    while (c < cols.length) {
+      p.packString(cols(c))
+      p.packArrayHeader(n)
+      val pack: (org.apache.spark.sql.catalyst.InternalRow => Unit) =
+        fields(c).dataType match {
+          case LongType | TimestampType | TimestampNTZType =>
+            r => p.packLong(r.getLong(c))
+          case IntegerType => r => p.packLong(r.getInt(c).toLong)
+          case ShortType => r => p.packLong(r.getShort(c).toLong)
+          case ByteType => r => p.packLong(r.getByte(c).toLong)
+          case DoubleType => r => p.packDouble(r.getDouble(c))
+          case FloatType => r => p.packDouble(r.getFloat(c).toDouble)
+          case BooleanType => r => p.packBool(r.getBoolean(c))
+          case StringType => r => p.packString(r.getUTF8String(c).toString)
+          case d: DecimalType =>
+            r => p.packString(
+              r.getDecimal(c, d.precision, d.scale).toJavaBigDecimal.toPlainString)
+          case ArrayType(et, _) =>
+            r => p.packValue(r.getArray(c).toObjectArray(et).toSeq)
+          case dt => r => p.packString(String.valueOf(r.get(c, dt)))
+        }
+      var i = 0
+      while (i < n) {
+        val r = rows(i)
+        if (r.isNullAt(c)) p.packNil() else pack(r)
+        i += 1
+      }
+      c += 1
     }
     p.packString("row_count")
-    p.packLong(n)
+    p.packLong(n.toLong)
     out.toByteArray
   }
 }
