@@ -69,27 +69,40 @@ object LineProtocol {
     val n = line.length
 
     // --- measurement + tags (escaped identifiers, terminated by ' ')
-    val meas = new StringBuilder
-    var inTags = false
     val tags = mutable.LinkedHashMap.empty[String, String]
-    def readIdent(stops: Set[Char]): String = {
-      val sb = new StringBuilder
-      while (i < n && !stops.contains(line.charAt(i))) {
+    // explicit stop chars (a Set per call + hash lookup per char was the
+    // parser's dominant cost) with a no-escape substring fast path
+    def readIdent(s1: Char, s2: Char, s3: Char): String = {
+      val start = i
+      var sawEscape = false
+      var done = false
+      while (!done && i < n) {
         val c = line.charAt(i)
-        if (c == '\\' && i + 1 < n) { sb.append(line.charAt(i + 1)); i += 2 }
-        else { sb.append(c); i += 1 }
+        if (c == s1 || c == s2 || c == s3) done = true
+        else if (c == '\\' && i + 1 < n) { sawEscape = true; i += 2 }
+        else i += 1
       }
-      sb.toString
+      if (!sawEscape) line.substring(start, i)
+      else {
+        val sb = new StringBuilder(i - start)
+        var j = start
+        while (j < i) {
+          val c = line.charAt(j)
+          if (c == '\\' && j + 1 < n) { sb.append(line.charAt(j + 1)); j += 2 }
+          else { sb.append(c); j += 1 }
+        }
+        sb.toString
+      }
     }
-    val m = readIdent(Set(',', ' '))
+    val m = readIdent(',', ' ', ' ')
     if (m.isEmpty) throw new IllegalArgumentException("empty measurement")
     while (i < n && line.charAt(i) == ',') {
       i += 1
-      val k = readIdent(Set('=', ' ', ','))
+      val k = readIdent('=', ' ', ',')
       if (i >= n || line.charAt(i) != '=')
         throw new IllegalArgumentException(s"tag '$k' missing '='")
       i += 1
-      val v = readIdent(Set(',', ' '))
+      val v = readIdent(',', ' ', ' ')
       if (k.isEmpty || v.isEmpty)
         throw new IllegalArgumentException("empty tag key or value")
       tags(k) = v
@@ -102,7 +115,7 @@ object LineProtocol {
     val fields = mutable.LinkedHashMap.empty[String, FieldValue]
     var done = false
     while (!done) {
-      val k = readIdent(Set('=', ' ', ','))
+      val k = readIdent('=', ' ', ',')
       if (i >= n || line.charAt(i) != '=')
         throw new IllegalArgumentException(s"field '$k' missing '='")
       i += 1
