@@ -32,6 +32,18 @@ object Compaction {
   final case class Result(partition: String, filesIn: Int, rowsIn: Long,
       rowsOut: Long, compacted: Boolean)
 
+  /** Row count from parquet footers — metadata only, no Spark job (the
+    * reference counts the same way, dedup.go:261-271). Compaction runs
+    * over thousands of partitions per tick; a count() job per partition
+    * just for reporting would double the scheduler's work. */
+  private[jobs] def footerRowCount(
+      conf: org.apache.hadoop.conf.Configuration, files: Seq[Path]): Long =
+    files.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
+
   def compactHour(catalog: GraftCatalog, db: String, m: String,
       partDir: Path, minFiles: Int = 2): Result = {
     val spark = catalog.spark
@@ -59,7 +71,7 @@ object Compaction {
               .withColumn("_src", input_file_name()))
           }.reduce(_.unionByName(_, allowMissingColumns = true))
       }
-    val rowsIn = repaired.count()
+    val rowsIn = footerRowCount(spark.sparkContext.hadoopConfiguration, files)
     val deduped =
       if (meta.tagColumns.nonEmpty || meta.dedupTime) {
         val keys = (meta.tagColumns.filter(repaired.columns.contains) :+ "time").map(col)
@@ -88,7 +100,9 @@ object Compaction {
       inputs = files.map(_.toString).toSeq,
       outputs = Seq(new Path(partDir, finalName).toString)))
     out.write.mode("overwrite").option("compression", "zstd").parquet(tmp.toString)
-    val rowsOut = spark.read.parquet(tmp.toString).count()
+    val rowsOut = footerRowCount(spark.sparkContext.hadoopConfiguration,
+      fs.listStatus(tmp).filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath).toSeq)
     val newFiles = fs.listStatus(tmp)
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet")).map(_.getPath)
     require(newFiles.length == 1, s"coalesce(1) produced ${newFiles.length} files")
@@ -145,7 +159,7 @@ object Compaction {
               .withColumn("_src", input_file_name()))
           }.reduce(_.unionByName(_, allowMissingColumns = true))
       }
-    val rowsIn = repaired.count()
+    val rowsIn = footerRowCount(spark.sparkContext.hadoopConfiguration, files)
     // recency across directories: order by file NAME (the zero-padded
     // flush-time scheme sorts globally), not the full path
     val withRecency = repaired
@@ -174,7 +188,9 @@ object Compaction {
       inputs = files.map(_.toString),
       outputs = Seq(new Path(dailyDay, finalName).toString)))
     out.write.mode("overwrite").option("compression", "zstd").parquet(tmp.toString)
-    val rowsOut = spark.read.parquet(tmp.toString).count()
+    val rowsOut = footerRowCount(spark.sparkContext.hadoopConfiguration,
+      fs.listStatus(tmp).filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath).toSeq)
     val newFiles = fs.listStatus(tmp)
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet")).map(_.getPath)
     require(newFiles.length == 1, s"coalesce(1) produced ${newFiles.length} files")
