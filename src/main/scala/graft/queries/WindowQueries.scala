@@ -71,14 +71,16 @@ object WindowQueries {
     }),
 
     // ntile + percent_rank (analytic extras the SQL surface exposes)
-    "q24_window_ntile" -> ((s, dir) => {
-      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-      t(s, dir, "orders")
-        .withColumn("quartile", ntile(4).over(w))
+    // global NTILE via GlobalRank (range partition + offset stamping) —
+    // the window form's empty PARTITION BY would sort the whole table in
+    // one task; this shape stays parallel at any scale
+    "q24_window_ntile" -> ((s, dir) =>
+      graft.operators.GlobalRank.ntile(
+          t(s, dir, "orders").select(col("o_totalprice"), col("o_orderkey")),
+          Seq(col("o_totalprice"), col("o_orderkey")), 4, bucketCol = "quartile")
         .groupBy(col("quartile"))
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
-        .orderBy(col("quartile"))
-    })
+        .orderBy(col("quartile")))
   )
 
   val oracles: Map[String, String] = Map(
