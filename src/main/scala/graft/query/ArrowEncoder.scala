@@ -41,7 +41,8 @@ object ArrowEncoder {
 
   def encode(df: DataFrame, batchRows: Int = 4096,
       maxRows: Long = Long.MaxValue): Array[Byte] =
-    encodeInternal(RowCodec.internalRows(df), df.schema, batchRows, maxRows)
+    encodeInternal(RowCodec.internalRows(RowCodec.capped(df, maxRows)),
+      df.schema, batchRows, maxRows)
 
   /** Per-column setters resolved ONCE against the root's vectors — the
     * row loop then runs primitive reads straight from the internal row

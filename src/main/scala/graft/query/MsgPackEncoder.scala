@@ -99,7 +99,7 @@ object MsgPackEncoder {
     import org.apache.spark.sql.types._
     val cols = df.columns
     val fields = df.schema.fields
-    val rows = RowCodec.internalRows(df).toArray
+    val rows = RowCodec.internalRows(RowCodec.capped(df, maxRows)).toArray
     val n = math.min(rows.length.toLong, maxRows).toInt
     // unsynchronized sink: BAOS.write locks per byte, and the packer
     // emits values byte-by-byte

@@ -84,7 +84,7 @@ final class QueryFacade(spark: SparkSession) {
     sb.append("{\"columns\":[")
     sb.append(columns.map(c => jsonStr(c)).mkString(","))
     sb.append("],\"data\":[")
-    val it = RowCodec.internalRows(df)
+    val it = RowCodec.internalRows(RowCodec.capped(df, maxRows))
     var n = 0L
     while (it.hasNext && n < maxRows) {
       val row = it.next()

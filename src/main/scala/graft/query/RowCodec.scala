@@ -29,6 +29,12 @@ private[query] object RowCodec {
   def internalRows(df: DataFrame): Iterator[InternalRow] =
     df.queryExecution.executedPlan.executeCollect().iterator
 
+  /** Cap pushed into the plan — `executeCollect` on a LIMIT plan stops
+    * early instead of collecting the full result and truncating. */
+  def capped(df: DataFrame, maxRows: Long): DataFrame =
+    if (maxRows < Long.MaxValue) df.limit(math.min(maxRows, Int.MaxValue.toLong).toInt)
+    else df
+
   def timestampString(micros: Long): String = {
     val sb = new StringBuilder(27)
     appendTimestamp(sb, micros)
