@@ -26,22 +26,28 @@ class GlobalRankSpec extends SparkSpec {
     assert(got == want)
   }
 
-  test("ntile matches the window form for uneven buckets") {
+  test("ntile matches the window form for uneven buckets (both paths)") {
     for (n <- Seq(10, 97, 1000); k <- Seq(3, 4, 7)) {
       val d = df(n)
-      val got = GlobalRank.ntile(d, Seq(col("v"), col("id")), k)
-        .groupBy("bucket").count().orderBy("bucket")
-        .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
       val w = Window.orderBy(col("v"), col("id"))
       val want = d.withColumn("bucket", ntile(k).over(w))
         .groupBy("bucket").count().orderBy("bucket")
         .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
-      assert(got == want, s"n=$n k=$k")
+      // cutoverBytes=0 forces the distributed offset-stamping path;
+      // the default takes the small-input window path
+      for (cutover <- Seq(0L, GlobalRank.WindowCutoverBytes)) {
+        val got = GlobalRank.ntile(d, Seq(col("v"), col("id")), k,
+            cutoverBytes = cutover)
+          .groupBy("bucket").count().orderBy("bucket")
+          .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+        assert(got == want, s"n=$n k=$k cutover=$cutover")
+      }
     }
   }
 
   test("fewer rows than buckets: one bucket per row") {
-    val got = GlobalRank.ntile(df(3), Seq(col("v"), col("id")), 10)
+    val got = GlobalRank.ntile(df(3), Seq(col("v"), col("id")), 10,
+        cutoverBytes = 0L)
       .select("bucket").collect().map(_.getInt(0)).sorted.toSeq
     assert(got == Seq(1, 2, 3))
   }
