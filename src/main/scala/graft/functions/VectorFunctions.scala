@@ -56,6 +56,34 @@ object VectorFunctions {
     bits.reduce(_ + _)
   }
 
+  /** Band variant for multi-band LSH (embedding near-dup, q69): band
+    * `b` uses the disjoint plane-index range [offset, offset+planes) of
+    * the same deterministic plane family, so bands are independent. */
+  def lshBucketBand(vec: Column, planes: Int, offset: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val plane = (offset + p).toLong
+      val proj = fold(zip_with(vec,
+        sequence(lit(0), size(vec) - 1),
+        (x, i) => x.cast("double") *
+          (((lit(plane) * 1315423911L + i.cast("long") * 2654435761L) % 1000003L)
+            .cast("double") / 1000003.0 - 0.5)))
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  def lshBucketBandSql(vec: String, planes: Int, offset: Int): String = {
+    val bits = (0 until planes).map { p =>
+      val plane = (offset + p).toLong
+      val proj = s"list_reduce(list_prepend(0.0, list_transform(" +
+        s"generate_series(1, len($vec)), i -> CAST($vec[i] AS DOUBLE) * " +
+        s"(CAST((CAST($plane AS BIGINT) * 1315423911 + CAST(i - 1 AS BIGINT) * 2654435761) % 1000003 AS DOUBLE) " +
+        s"/ 1000003.0 - 0.5))), (x, y) -> x + y)"
+      s"CASE WHEN $proj > 0 THEN ${1L << p} ELSE 0 END"
+    }
+    bits.mkString("(", " + ", ")")
+  }
+
   def lshBucketSql(vec: String, planes: Int): String = {
     val bits = (0 until planes).map { p =>
       val proj = s"list_reduce(list_prepend(0.0, list_transform(" +

@@ -61,7 +61,34 @@ object VectorQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("nrm")).cast("double").as("sum_norm"))
         .orderBy(col("label")))
+,
+    // embedding-cosine near-dup PAIRS (the dedup-family member of the
+    // vector suite): multi-band random-hyperplane LSH — candidates meet
+    // in any of `DedupBands` independent bucket codes (equi-join), exact
+    // cosine verifies. The oracle mirrors the banding bit-for-bit, so
+    // the candidate sets are identical on both engines.
+    "q69_dedup_embedding" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val bands = emb.select(col("vec_id"), col("embedding"),
+        explode(array((0 until DedupBands).map(b =>
+          struct(lit(b).as("b"),
+            lshBucketBand(col("embedding"), DedupPlanes, b * DedupPlanes).as("k"))): _*))
+          .as("band"))
+      val a = bands.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("band"))
+      val b = bands.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("band"))
+      a.join(b, "band")
+        .where(col("v1") < col("v2"))
+        .withColumn("cos", cosine(col("e1"), col("e2")))
+        .where(col("cos") >= DedupTau)
+        .select(col("v1"), col("v2"), col("cos"))
+        .distinct()
+        .orderBy(col("v1"), col("v2"))
+    })
   )
+
+  private val DedupBands = 3
+  private val DedupPlanes = 4
+  private val DedupTau = 0.35
 
   val oracles: Map[String, String] = Map(
     "q70_ann_bruteforce" -> {
@@ -98,6 +125,22 @@ object VectorQueries {
       s"""SELECT label, COUNT(*) AS n,
          |  CAST(SUM(CAST(round(${norm2Sql("embedding")}, 6) AS DECIMAL(18,6))) AS DOUBLE)
          |    AS sum_norm
-         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+
+    "q69_dedup_embedding" -> {
+      val bandRows = (0 until DedupBands).map(b =>
+        s"SELECT vec_id, $b AS band, " +
+          s"${lshBucketBandSql("embedding", DedupPlanes, b * DedupPlanes)} AS k FROM e")
+        .mkString(" UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |bands AS ($bandRows),
+         |cand AS (SELECT DISTINCT x.vec_id AS v1, y.vec_id AS v2
+         |         FROM bands x JOIN bands y
+         |         ON x.band = y.band AND x.k = y.k AND x.vec_id < y.vec_id)
+         |SELECT v1, v2, cos FROM (
+         |  SELECT v1, v2, ${cosineSql("a.embedding", "b.embedding")} AS cos
+         |  FROM cand JOIN e a ON v1 = a.vec_id JOIN e b ON v2 = b.vec_id)
+         |WHERE cos >= $DedupTau ORDER BY v1, v2""".stripMargin
+    }
   )
 }
