@@ -19,6 +19,15 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "simhash_bits", exprs => SimHashBits(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
+      "vec_cosine",
+      exprs => graft.functions.CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "lsh_bucket",
+      exprs => graft.functions.HyperplaneBucket(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue()),
+      "built-in")
+    reg.createOrReplaceTempFunction(
       "shingle_hashes",
       exprs => graft.functions.ShingleHashes(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue(),

@@ -1,0 +1,129 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native cosine similarity over float/double array columns.
+  *
+  * The HOF spelling (`zip_with` + `aggregate`) evaluates interpreted
+  * per ELEMENT — over an LSH candidate join that is millions of pairs ×
+  * vector dims of lambda dispatch (the same trap the text kernels hit,
+  * see HashExpressions). One native expression evaluates the whole
+  * vector pair in a tight loop.
+  *
+  * Exact parity with the HOF/DuckDB spelling: sequential left-fold
+  * accumulation (i = 0..n-1) in double, then `round(x, 8)` with Spark's
+  * HALF_UP BigDecimal semantics — bit-identical to the previous
+  * `round(dot/(||a||·||b||), 8)` column and its DuckDB twin.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with
+    org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_cosine"
+
+  private def elementOk(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elementOk(left.dataType) && elementOk(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_cosine expects array<float|double>, got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+
+  private val leftIsFloat =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private val rightIsFloat =
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = if (leftIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (rightIsFloat) y.getFloat(i).toDouble else y.getDouble(i)
+      dot += xi * yi
+      i += 1
+    }
+    // norms run over each FULL vector (parity with norm2 of each side)
+    i = 0
+    while (i < x.numElements()) {
+      val v = if (leftIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      nx += v * v; i += 1
+    }
+    i = 0
+    while (i < y.numElements()) {
+      val v = if (rightIsFloat) y.getFloat(i).toDouble else y.getDouble(i)
+      ny += v * v; i += 1
+    }
+    val c = dot / (math.sqrt(nx) * math.sqrt(ny))
+    // Spark round(x, 8) semantics (HALF_UP on the decimal rendering)
+    if (java.lang.Double.isNaN(c) || java.lang.Double.isInfinite(c)) c
+    else java.math.BigDecimal.valueOf(c)
+      .setScale(8, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Native random-hyperplane LSH bucket — one pass over the vector for
+  * all `planes` sign bits (the HOF spelling re-walks the vector per
+  * plane, interpreted). Plane weights are the same deterministic family
+  * as `VectorFunctions.lshBucket`/`lshBucketBand` and the DuckDB twins:
+  * weight(plane, dim) = ((plane·1315423911 + dim·2654435761) mod 1000003)
+  * / 1000003 − 0.5, accumulated in double, sign-tested per plane.
+  */
+case class HyperplaneBucket(child: Expression, planes: Int, offset: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with
+    org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lsh_bucket"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"lsh_bucket expects array<float|double>, got ${other.simpleString}")
+  }
+
+  private val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      val plane = (offset + p).toLong
+      var proj = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        proj += x *
+          (((plane * 1315423911L + i.toLong * 2654435761L) % 1000003L)
+            .toDouble / 1000003.0 - 0.5)
+        i += 1
+      }
+      if (proj > 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -23,8 +23,14 @@ object VectorFunctions {
     sqrt(fold(transform(a, x => x.cast("double") * x.cast("double"))))
 
   /** Cosine similarity, rounded to 8 dp (guards the last-ulp differences
-    * fused operations could introduce on either engine). */
-  def cosine(a: Column, b: Column): Column =
+    * fused operations could introduce on either engine). Native
+    * expression ([[graft.functions.CosineSimilarity]]) — the HOF
+    * spelling evaluates interpreted per element, which dominates LSH
+    * candidate joins of millions of pairs. */
+  def cosine(a: Column, b: Column): Column = call_function("vec_cosine", a, b)
+
+  /** HOF spelling, kept as the parity/reference implementation. */
+  def cosineHof(a: Column, b: Column): Column =
     round(dot(a, b) / (norm2(a) * norm2(b)), 8)
 
   /** DuckDB spellings with identical fold order. */
@@ -44,22 +50,19 @@ object VectorFunctions {
     * ANN search so the 100 TB path joins within buckets instead of
     * brute-forcing the cross product. Plane p, dim i weight:
     * ((p * 1315423911 + i * 2654435761) % 1000003) / 1000003 - 0.5 */
-  def lshBucket(vec: Column, planes: Int): Column = {
-    val bits = (0 until planes).map { p =>
-      val proj = fold(zip_with(vec,
-        sequence(lit(0), size(vec) - 1),
-        (x, i) => x.cast("double") *
-          (((lit(p.toLong) * 1315423911L + i.cast("long") * 2654435761L) % 1000003L)
-            .cast("double") / 1000003.0 - 0.5)))
-      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+  def lshBucket(vec: Column, planes: Int): Column =
+    call_function("lsh_bucket", vec, lit(planes), lit(0))
 
   /** Band variant for multi-band LSH (embedding near-dup, q69): band
     * `b` uses the disjoint plane-index range [offset, offset+planes) of
     * the same deterministic plane family, so bands are independent. */
-  def lshBucketBand(vec: Column, planes: Int, offset: Int): Column = {
+  def lshBucketBand(vec: Column, planes: Int, offset: Int): Column =
+    call_function("lsh_bucket", vec, lit(planes), lit(offset))
+
+  /** HOF spelling of [[lshBucketBand]] — the parity/reference
+    * implementation the native expression is checked against
+    * (VectorExpressionsSpec); `lshBucket(v, p) == lshBucketHof(v, p, 0)`. */
+  def lshBucketHof(vec: Column, planes: Int, offset: Int): Column = {
     val bits = (0 until planes).map { p =>
       val plane = (offset + p).toLong
       val proj = fold(zip_with(vec,

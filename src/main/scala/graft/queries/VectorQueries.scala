@@ -87,7 +87,7 @@ object VectorQueries {
   )
 
   private val DedupBands = 3
-  private val DedupPlanes = 4
+  private val DedupPlanes = 8 // 256 buckets/band: candidate volume ~ n²/256 per band
   private val DedupTau = 0.35
 
   val oracles: Map[String, String] = Map(
