@@ -222,13 +222,12 @@ object Compaction {
       : Seq[Result] = {
     val conf = catalog.spark.sparkContext.hadoopConfiguration
     val nowUs = nowMicros()
-    catalog.listDayPartitions(db, m).flatMap { dayDir =>
-      partitionDayValues(dayDir).flatMap { case (y, mo, d) =>
+    val due = catalog.listDayPartitions(db, m).filter { dayDir =>
+      partitionDayValues(dayDir).exists { case (y, mo, d) =>
         val dayStartUs = java.time.LocalDate.of(y, mo, d)
           .atStartOfDay.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
         val elapsed = nowUs > dayStartUs + minAgeHours.toLong * 3600L * 1000000L
-        if (!elapsed) None
-        else {
+        elapsed && {
           val fs = dayDir.getFileSystem(conf)
           val hourFiles = fs.listStatus(dayDir).filter(_.isDirectory)
             .flatMap(h => fs.listStatus(h.getPath))
@@ -241,12 +240,11 @@ object Compaction {
             skipFileAgeCheckDays.toLong * 24L * 3600L * 1000000L
           val settled = veryOld || (hourFiles.nonEmpty &&
             hourFiles.map(_.getModificationTime).max * 1000L <= nowUs - 3600L * 1000000L)
-          if (hourFiles.nonEmpty && enoughFiles && settled)
-            Some(compactDay(catalog, db, m, dayDir))
-          else None
+          hourFiles.nonEmpty && enoughFiles && settled
         }
       }
     }
+    inParallel(due)(dayDir => compactDay(catalog, db, m, dayDir))
   }
 
   /** Repair a `time` column that may arrive as int64 epoch (any unit) or
@@ -274,19 +272,31 @@ object Compaction {
       .otherwise(floor(v / 1000).cast("long"))
   }
 
+  /** Bounded driver-side fan-out: partitions compact independently, so
+    * their (small) Spark jobs run concurrently — Spark's scheduler
+    * interleaves them; a serial loop would leave the cluster idle
+    * between per-partition jobs. Manifest writes are serialized per
+    * table inside CompactionManifest. */
+  private[jobs] def inParallel[A, B](items: Seq[A], width: Int = 8)(f: A => B): Seq[B] = {
+    if (items.isEmpty) return Nil
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(width, items.length))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try Await.result(Future.sequence(items.map(a => Future(f(a)))), Duration.Inf)
+    finally pool.shutdown()
+  }
+
   /** Compact every qualifying hour partition of a measurement. */
   def runHourly(catalog: GraftCatalog, db: String, m: String,
       minFiles: Int = 2, minAgeHours: Int = 1,
       nowMicros: () => Long = () => System.currentTimeMillis() * 1000L)
       : Seq[Result] = {
     val cutoffHour = (nowMicros() / 1000000L / 3600L) - minAgeHours
-    catalog.listHourPartitions(db, m).flatMap { p =>
-      partitionHourEpoch(p) match {
-        case Some(h) if h <= cutoffHour =>
-          Some(compactHour(catalog, db, m, p, minFiles))
-        case _ => None
-      }
-    }
+    val due = catalog.listHourPartitions(db, m).filter(p =>
+      partitionHourEpoch(p).exists(_ <= cutoffHour))
+    inParallel(due)(p => compactHour(catalog, db, m, p, minFiles))
   }
 
   /** Startup recovery (reference: internal/compaction/manifest.go +

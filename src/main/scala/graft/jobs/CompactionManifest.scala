@@ -42,6 +42,16 @@ object CompactionManifest {
   def manifestPath(tablePath: String): Path =
     new Path(tablePath, "_graft_compact_manifest.json")
 
+  // per-table intra-JVM lock: partitions of one measurement compact
+  // concurrently (runHourly/runDaily fan out), and every swap does a
+  // read-modify-write of the same manifest file. One scheduler per
+  // driver is the deployment model, so a JVM lock suffices (cross-driver
+  // coordination would shard by table anyway).
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(tablePath: String): Object =
+    locks.computeIfAbsent(tablePath, _ => new Object)
+
   def load(tablePath: String, conf: Configuration): Seq[Entry] = {
     val p = manifestPath(tablePath)
     val fs = p.getFileSystem(conf)
@@ -70,10 +80,14 @@ object CompactionManifest {
   }
 
   def begin(tablePath: String, conf: Configuration, entry: Entry): Unit =
-    write(tablePath, conf, load(tablePath, conf).filterNot(_.id == entry.id) :+ entry)
+    lockFor(tablePath).synchronized {
+      write(tablePath, conf, load(tablePath, conf).filterNot(_.id == entry.id) :+ entry)
+    }
 
   def complete(tablePath: String, conf: Configuration, id: String): Unit =
-    write(tablePath, conf, load(tablePath, conf).filterNot(_.id == id))
+    lockFor(tablePath).synchronized {
+      write(tablePath, conf, load(tablePath, conf).filterNot(_.id == id))
+    }
 
   private def write(tablePath: String, conf: Configuration, entries: Seq[Entry]): Unit = {
     val p = manifestPath(tablePath)

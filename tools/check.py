@@ -13,10 +13,15 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    # normalize timestamps to us, decimals to str, floats rounded
+    # normalize timestamps to us; widen ints (the driver's hash treats
+    # int32/int64 as equal); keep floats EXACT — the driver hashes values,
+    # so any numeric fudge here hides real divergence (round-1 lesson:
+    # 4 hash failures passed a lenient local check)
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime64"):
             df[c] = df[c].astype("datetime64[us]")
+        elif str(df[c].dtype) in ("int32", "int16", "int8"):
+            df[c] = df[c].astype("int64")
         elif df[c].dtype == object:
             try:
                 df[c] = pd.to_numeric(df[c])
@@ -50,7 +55,7 @@ def main():
             print(f"FAIL {name}: rows {len(got)} != {len(want)}"); n_fail += 1; continue
         try:
             pd.testing.assert_frame_equal(got, want, check_dtype=False,
-                                          check_exact=False, rtol=1e-9, atol=1e-9)
+                                          check_exact=True)
             print(f"PASS {name} ({len(got)} rows)"); n_pass += 1
         except AssertionError as e:
             print(f"FAIL {name}: {str(e).splitlines()[-1] if str(e) else e}")
