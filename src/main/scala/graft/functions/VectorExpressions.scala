@@ -20,8 +20,7 @@ import org.apache.spark.sql.types._
   * `round(dot/(||a||·||b||), 8)` column and its DuckDB twin.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression with
-    org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_cosine"
@@ -43,9 +42,24 @@ case class CosineSimilarity(left: Expression, right: Expression)
   private val rightIsFloat =
     right.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CosineSimilarity.compute(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], leftIsFloat, rightIsFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.CosineSimilarity.compute(" +
+        s"$a, $b, $leftIsFloat, $rightIsFloat);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSimilarity {
+  /** Shared by interpreted eval and codegen. */
+  def compute(x: ArrayData, y: ArrayData,
+      leftIsFloat: Boolean, rightIsFloat: Boolean): Double = {
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
@@ -72,10 +86,6 @@ case class CosineSimilarity(left: Expression, right: Expression)
     else java.math.BigDecimal.valueOf(c)
       .setScale(8, java.math.RoundingMode.HALF_UP).doubleValue()
   }
-
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): Expression =
-    copy(left = newLeft, right = newRight)
 }
 
 /** Native random-hyperplane LSH bucket — one pass over the vector for
@@ -86,8 +96,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * / 1000003 − 0.5, accumulated in double, sign-tested per plane.
   */
 case class HyperplaneBucket(child: Expression, planes: Int, offset: Int)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with
-    org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "lsh_bucket"
@@ -102,8 +111,20 @@ case class HyperplaneBucket(child: Expression, planes: Int, offset: Int)
   private val isFloat =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  override def nullSafeEval(v: Any): Any =
+    HyperplaneBucket.compute(v.asInstanceOf[ArrayData], planes, offset, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HyperplaneBucket.compute($c, $planes, $offset, $isFloat)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HyperplaneBucket {
+  /** Shared by interpreted eval and codegen. */
+  def compute(arr: ArrayData, planes: Int, offset: Int, isFloat: Boolean): Long = {
     val n = arr.numElements()
     var bucket = 0L
     var p = 0
@@ -123,7 +144,4 @@ case class HyperplaneBucket(child: Expression, planes: Int, offset: Int)
     }
     bucket
   }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
 }
