@@ -142,9 +142,32 @@ final class MqttSubscriber(
     flushBatches: Int = 64,
     flushMillis: Long = 5000L,
     username: Option[String] = None,
-    password: Option[String] = None) {
+    password: Option[String] = None,
+    walDir: Option[java.io.File] = None) {
 
   import MqttCodec._
+
+  /** With a WAL configured, un-checkpointed payloads from a crashed
+    * subscriber are replayed into parquet before this one connects
+    * (reference: the subscriber's ArrowBuffer sits on the shared WAL,
+    * internal/wal/recovery.go). */
+  val recoveredRows: Long = walDir match {
+    case None => 0L
+    case Some(dir) =>
+      val entries = Wal.readAll(dir)
+      var rows = 0L
+      entries.foreach { e =>
+        decodePayload(e.body).foreach { b =>
+          rows += b.rowCount
+          DirectParquetWriter.write(catalog, e.db, b)
+        }
+      }
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("wal_")).foreach(_.delete())
+      rows
+  }
+
+  private val wal = walDir.map(new Wal.Writer(_))
 
   @volatile private var socket: Socket = _
   @volatile private var out: DataOutputStream = _
@@ -201,22 +224,27 @@ final class MqttSubscriber(
     }
   }
 
+  private def decodePayload(payload: Array[Byte]): Seq[ColumnarBatch] =
+    try MsgPack.decodePayload(payload)
+    catch {
+      case _: Exception =>
+        val (points, errs) = LineProtocol.parse(
+          new String(payload, StandardCharsets.UTF_8), "ns")
+        if (points.isEmpty && errs.nonEmpty) Nil
+        else ColumnarBatch.fromPoints(points)
+    }
+
   private def handlePayload(payload: Array[Byte]): Unit = {
     val batches =
-      try MsgPack.decodePayload(payload)
-      catch {
-        case _: Exception =>
-          try {
-            val (points, errs) = LineProtocol.parse(
-              new String(payload, StandardCharsets.UTF_8), "ns")
-            if (points.isEmpty && errs.nonEmpty) { messagesFailed += 1; Nil }
-            else ColumnarBatch.fromPoints(points)
-          } catch { case _: Exception => messagesFailed += 1; Nil }
-      }
+      try decodePayload(payload)
+      catch { case _: Exception => Nil }
     if (batches.nonEmpty) {
+      // journal BEFORE buffering: once PUBACK'd, the payload survives a
+      // crash in the buffer→flush window
+      wal.foreach(_.append(db, payload))
       messagesReceived += 1
       synchronized { buffer ++= batches }
-    }
+    } else messagesFailed += 1
   }
 
   private def maybeFlush(): Unit = {
@@ -242,6 +270,7 @@ final class MqttSubscriber(
         .reduce(_.unionByName(_, allowMissingColumns = true))
       HourPartitionedWriter.write(catalog, db, m, df)
     }
+    wal.foreach(_.checkpoint()) // flushed payloads are durable in parquet
   }
 
   def stop(): Unit = {
@@ -251,5 +280,6 @@ final class MqttSubscriber(
       socket.close()
     } catch { case _: Exception => () }
     flush()
+    wal.foreach(_.close())
   }
 }

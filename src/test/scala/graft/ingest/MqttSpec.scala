@@ -118,6 +118,30 @@ class MqttSpec extends SparkSpec {
     }
   }
 
+  test("WAL-journaled subscriber: crash before flush, next start replays") {
+    val cat = new GraftCatalog(spark, tmpDir("mqtt_wal_cat"))
+    val walDir = new java.io.File(tmpDir("mqtt_wal"))
+    val broker = new BrokerStub
+    val sub = new MqttSubscriber(cat, "default", "127.0.0.1", broker.port,
+      topics = Seq("t/#"), clientId = "spec-wal", qos = 1,
+      flushBatches = 1000, flushMillis = Long.MaxValue, walDir = Some(walDir))
+    try {
+      sub.start()
+      assert(broker.subscribed.await(5, TimeUnit.SECONDS))
+      val baseUs = 1717200000000000L
+      broker.publish("t/cpu",
+        s"cpu,host=a v=1.0 ${baseUs * 1000L}".getBytes("UTF-8"), qos = 1, pid = 3)
+      assert(awaitTrue(5000)(sub.messagesReceived == 1))
+      // crash: no flush/stop — the rows exist ONLY in the WAL
+      intercept[IllegalArgumentException] { cat.table("default", "cpu") }
+    } finally broker.close()
+
+    val sub2 = new MqttSubscriber(cat, "default", "127.0.0.1", 1,
+      topics = Seq("t/#"), walDir = Some(walDir)) // never started: ctor replays
+    assert(sub2.recoveredRows == 1)
+    assert(cat.table("default", "cpu").count() == 1)
+  }
+
   test("codec: packet framing survives multi-byte remaining lengths") {
     val payload = Array.fill[Byte](300)(42) // forces 2-byte varint length
     val pkt = MqttCodec.publish("t", payload, qos = 1, packetId = 260)
