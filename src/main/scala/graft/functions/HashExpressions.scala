@@ -62,7 +62,7 @@ object PolyHash {
   * O(tokens²) per row because `element_at(tokenHashes, i+j)` re-derives
   * the whole hash array for every window. */
 case class ShingleHashes(child: Expression, k: Int, combine: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_hashes"
@@ -73,8 +73,20 @@ case class ShingleHashes(child: Expression, k: Int, combine: Long)
       s"shingle_hashes expects array<string>, got ${other.simpleString}")
   }
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  override def nullSafeEval(v: Any): Any =
+    ShingleHashes.compute(v.asInstanceOf[ArrayData], k, combine)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ShingleHashes.compute($c, $k, ${combine}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+  /** Shared by interpreted eval and codegen. */
+  def compute(arr: ArrayData, k: Int, combine: Long): GenericArrayData = {
     val n = arr.numElements()
     val hashes = new Array[Long](n)
     var i = 0
@@ -102,18 +114,13 @@ case class ShingleHashes(child: Expression, k: Int, combine: Long)
     while (it.hasNext) { out(i) = it.next(); i += 1 }
     new GenericArrayData(out)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
 }
 
 /** MinHash signature over a bigint hash array: for lane i,
   * min over h of (h * a_i + b_i) % P, with (a_i, b_i) from
   * TextFunctions.minhashParams. Tight loop, no per-element closures. */
 case class MinHashArray(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
-
-  private val params = TextFunctions.minhashParams(numHashes).toArray
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_array"
@@ -124,8 +131,29 @@ case class MinHashArray(child: Expression, numHashes: Int)
       s"minhash_array expects array<bigint>, got ${other.simpleString}")
   }
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  override def nullSafeEval(v: Any): Any =
+    MinHashArray.compute(v.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.MinHashArray.compute($c, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashArray {
+  // (a_i, b_i) lane parameters memoized per lane count: deterministic,
+  // computed once per JVM instead of per row (codegen calls are static)
+  private val paramCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[(Long, Long)]]()
+  private def paramsFor(numHashes: Int): Array[(Long, Long)] =
+    paramCache.computeIfAbsent(numHashes,
+      n => TextFunctions.minhashParams(n).toArray)
+
+  /** Shared by interpreted eval and codegen. */
+  def compute(arr: ArrayData, numHashes: Int): GenericArrayData = {
+    val params = paramsFor(numHashes)
     val n = arr.numElements()
     val out = new Array[Long](numHashes)
     var i = 0
@@ -144,15 +172,12 @@ case class MinHashArray(child: Expression, numHashes: Int)
     }
     new GenericArrayData(out)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
 }
 
 /** 32-bit SimHash over a bigint token-hash array (same semantics as
   * TextFunctions.simhash / simhashSql): per bit b, sum (+1/-1) of bit b
   * over all hashes; bit set iff sum > 0. */
-case class SimHashBits(child: Expression) extends UnaryExpression with CodegenFallback {
+case class SimHashBits(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash_bits"
@@ -163,8 +188,19 @@ case class SimHashBits(child: Expression) extends UnaryExpression with CodegenFa
       s"simhash_bits expects array<bigint>, got ${other.simpleString}")
   }
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  override def nullSafeEval(v: Any): Any =
+    SimHashBits.compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashBits.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(newChild)
+}
+
+object SimHashBits {
+  /** Shared by interpreted eval and codegen. */
+  def compute(arr: ArrayData): Long = {
     val n = arr.numElements()
     val counts = new Array[Int](TextFunctions.SimHashBits)
     var j = 0
@@ -183,9 +219,6 @@ case class SimHashBits(child: Expression) extends UnaryExpression with CodegenFa
       if (counts(b) > 0) out |= (1L << b)
       b += 1
     }
-    java.lang.Long.valueOf(out)
+    out
   }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(newChild)
 }
