@@ -54,6 +54,13 @@ class PlanSpec extends SparkSpec {
       s"q01 should shuffle once for agg (plus the output sort):\n$plan")
   }
 
+  test("embedding near-dup joins on band buckets (no cross product)") {
+    val plan = explained("q69_dedup_embedding")
+    assert(!plan.contains("CartesianProduct"),
+      s"banded near-dup must not degenerate into a cartesian product:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("LSH ann query joins on bucket (no cross product)") {
     val plan = explained("q71_ann_lsh")
     assert(!plan.contains("CartesianProduct"),
