@@ -54,12 +54,16 @@ object LineProtocol {
           }
       }
     }
-    val points = mutable.ArrayBuffer.empty[Point]
+    val points = new mutable.ArrayBuffer[Point](lines.length)
     val errors = mutable.ArrayBuffer.empty[ParseError]
-    results.foreach {
-      case p: Point => points += p
-      case e: ParseError => errors += e
-      case _ =>
+    var i = 0
+    while (i < results.length) {
+      results(i) match {
+        case p: Point => points += p
+        case e: ParseError => errors += e
+        case _ =>
+      }
+      i += 1
     }
     (points.toSeq, errors.toSeq)
   }
