@@ -11,8 +11,9 @@ import scala.collection.concurrent.TrieMap
   * is native here; what remains is the serving contract:
   *
   *  - JSON result envelope `{columns, data, row_count, execution_time_ms}`
-  *    (internal/api/query.go:660-675), streamed row-by-row via
-  *    `toLocalIterator` so large results never materialize on the driver;
+  *    (internal/api/query.go:660-675), encoded from internal rows by
+  *    schema-specialized appenders (RowCodec) with row caps pushed into
+  *    the plan;
   *  - row caps (governance max-rows, query.go:1439-1468);
   *  - query registry + cancellation (internal/queryregistry) via Spark
   *    job groups;

@@ -163,6 +163,32 @@ class DailyCompactionSpec extends SparkSpec {
     assert(cat.listTables("default") == Seq("cpu", "mem"))
   }
 
+  test("scheduler start/stop: interval thread runs ticks and terminates") {
+    val cat = newCatalog()
+    lpIngest(cat, s"m,host=a v=1.0 ${base + 5}")
+    lpIngest(cat, s"m,host=b v=2.0 ${base + 6}")
+    val now = base + 8L * 24 * H
+    val sched = new CompactionScheduler(cat, "default",
+      intervalMillis = 100L, nowMicros = () => now)
+    sched.start()
+    sched.start() // idempotent
+    val deadline = System.currentTimeMillis() + 15000
+    def oneFile = {
+      val parts = cat.listHourPartitions("default", "m")
+      parts.nonEmpty && {
+        val fs = parts.head.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // daily tier may have consumed the hour; either way exactly 1 file total
+        val hourFiles = parts.flatMap(p => fs.listStatus(p).toSeq)
+          .count(_.getPath.getName.endsWith(".parquet"))
+        hourFiles == 1
+      } || cat.listDailyTierDays("default", "m").nonEmpty
+    }
+    while (!oneFile && System.currentTimeMillis() < deadline) Thread.sleep(100)
+    assert(oneFile, "background tick never compacted")
+    sched.stop()
+    assert(cat.table("default", "m").count() == 2)
+  }
+
   test("retention prunes expired daily-tier days") {
     val cat = newCatalog()
     (0 until 12).foreach { h =>
