@@ -197,13 +197,21 @@ object Compaction {
     fs.mkdirs(dailyDay)
     fs.rename(newFiles.head, new Path(dailyDay, finalName))
     // delete exactly the input files (a concurrent late flush into one of
-    // these hours must survive), then prune now-empty hour/day dirs
+    // these hours must survive), then prune now-empty hour/day/month/year
+    // dirs — a hollow partition tree would keep the hourly tier in
+    // table() reads with zero files behind it
     files.foreach(fs.delete(_, false))
     fs.delete(tmp, true)
     (fs.listStatus(dayDir).filter(_.isDirectory).map(_.getPath).toSeq :+ dayDir)
       .foreach { p =>
         if (fs.exists(p) && fs.listStatus(p).isEmpty) fs.delete(p, false)
       }
+    var parent = dayDir.getParent
+    while (parent != null && parent.getName.contains("=") &&
+      fs.exists(parent) && fs.listStatus(parent).isEmpty) {
+      fs.delete(parent, false)
+      parent = parent.getParent
+    }
     CompactionManifest.complete(tablePath, conf, s"daily:${y}-${mo}-${d}:$compactUs")
     Result(dayDir.toString, files.length, rowsIn, rowsOut, compacted = true)
   }

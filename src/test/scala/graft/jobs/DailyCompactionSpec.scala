@@ -189,6 +189,21 @@ class DailyCompactionSpec extends SparkSpec {
     assert(cat.table("default", "m").count() == 2)
   }
 
+  test("targeted delete reaches rows inside day-compacted files") {
+    val cat = newCatalog()
+    (0 until 12).foreach { h =>
+      lpIngest(cat, s"m,host=a$h v=$h.0 ${base + h * H + 5}")
+    }
+    Compaction.compactDay(cat, "default", "m",
+      cat.listDayPartitions("default", "m").head)
+    assert(cat.listDailyTierDays("default", "m").length == 1)
+    val res = TargetedDelete(cat, "default", "m", col("v") === 7.0)
+    assert(res.rowsDeleted == 1 && res.rowsKept == 11, res)
+    val df = cat.table("default", "m")
+    assert(df.count() == 11)
+    assert(df.where(col("host") === "a7").count() == 0)
+  }
+
   test("retention prunes expired daily-tier days") {
     val cat = newCatalog()
     (0 until 12).foreach { h =>
