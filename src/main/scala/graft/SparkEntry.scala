@@ -20,6 +20,7 @@ object SparkEntry {
     AggQueries.queries ++ JoinQueries.queries ++ WindowQueries.queries ++
       SortSetQueries.queries ++ FunctionQueries.queries ++ SqlQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++ VectorQueries.queries ++
+      VectorQueries.rowsOnlyQueries ++
       MiscQueries.queries ++ ExtraQueries.queries ++ ReshapeQueries.queries
 
   def oracleSql: Map[String, String] =

@@ -90,6 +90,24 @@ object VectorQueries {
   private val DedupPlanes = 8 // 256 buckets/band: candidate volume ~ n²/256 per band
   private val DedupTau = 0.35
 
+  /** IVF ANN as a rows-only query (no SQL-expressible oracle — k-means
+    * has no DuckDB twin; IvfIndexSpec covers recall/exactness within
+    * probed lists). Deterministic: fixed k-means seed. Registered so the
+    * driver's correctness gate records it, like q80. */
+  val rowsOnlyQueries: Map[String, Q] = Map(
+    "q73_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.where(col("vec_id") >= NQueries)
+      val queriesDf = emb.where(col("vec_id") < NQueries)
+        .select(col("vec_id"), col("embedding"))
+      val model = graft.operators.IvfIndex.build(
+        corpus, "vec_id", "embedding", nLists = 8)
+      graft.operators.IvfIndex.search(model, queriesDf, "vec_id", "embedding",
+          k = TopK, nProbe = 2)
+        .orderBy(col("query_id"), col("rn"))
+    })
+  )
+
   val oracles: Map[String, String] = Map(
     "q70_ann_bruteforce" -> {
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
