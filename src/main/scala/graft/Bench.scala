@@ -14,7 +14,8 @@ object Bench {
     // perform their one-time layout builds (engine write, bucket
     // materialization) here so their timed numbers are steady-state reads
     spark.range(1000000).selectExpr("sum(id)").collect()
-    Seq("q01_agg_groupby", "q90_engine_roundtrip", "q19_join_bucketed")
+    Seq("q01_agg_groupby", "q90_engine_roundtrip", "q19_join_bucketed",
+        "q73_ann_ivf")
       .foreach { q =>
         try SparkEntry.queries(q)(spark, sfDir).count()
         catch { case _: Throwable => }
