@@ -1,10 +1,25 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Expression
 import graft.functions.{MinHashArray, PolyHash, SimHashBits, TimeBucket}
 
 /** SQL-function registration for graft's custom Catalyst expressions. */
 object GraftFunctions {
+
+  /** Parameter arguments (band counts, plane offsets, seeds) must be
+    * literals — evaluating a non-foldable expression at registration
+    * time would throw an opaque analysis-internal error. */
+  private def foldableNum(e: Expression, fn: String, arg: String): Number = {
+    require(e.foldable,
+      s"$fn: argument '$arg' must be a literal, got ${e.sql}")
+    e.eval() match {
+      case n: Number => n
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument '$arg' must be numeric, got $other")
+    }
+  }
+
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
@@ -14,7 +29,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "minhash_array",
       exprs => MinHashArray(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue()),
+        foldableNum(exprs(1), "minhash_array", "k").intValue()),
       "built-in")
     reg.createOrReplaceTempFunction(
       "simhash_bits", exprs => SimHashBits(exprs(0)), "built-in")
@@ -24,14 +39,14 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "lsh_bucket",
       exprs => graft.functions.HyperplaneBucket(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue(),
-        exprs(2).eval().asInstanceOf[Number].intValue()),
+        foldableNum(exprs(1), "lsh_bucket", "planes").intValue(),
+        foldableNum(exprs(2), "lsh_bucket", "offset").intValue()),
       "built-in")
     reg.createOrReplaceTempFunction(
       "shingle_hashes",
       exprs => graft.functions.ShingleHashes(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue(),
-        exprs(2).eval().asInstanceOf[Number].longValue()),
+        foldableNum(exprs(1), "shingle_hashes", "n").intValue(),
+        foldableNum(exprs(2), "shingle_hashes", "seed").longValue()),
       "built-in")
     graft.plans.TimePartitionPruning.install(spark)
   }

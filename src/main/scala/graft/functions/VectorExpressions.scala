@@ -37,9 +37,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
       s"vec_cosine expects array<float|double>, got " +
         s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
 
-  private val leftIsFloat =
+  // lazy: dataType may not be an ArrayType until analysis has run
+  // checkInputDataTypes — an eager cast would CCE before the friendly error
+  private lazy val leftIsFloat =
     left.dataType.asInstanceOf[ArrayType].elementType == FloatType
-  private val rightIsFloat =
+  private lazy val rightIsFloat =
     right.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   override def nullSafeEval(a: Any, b: Any): Any =
@@ -108,7 +110,7 @@ case class HyperplaneBucket(child: Expression, planes: Int, offset: Int)
       s"lsh_bucket expects array<float|double>, got ${other.simpleString}")
   }
 
-  private val isFloat =
+  private lazy val isFloat =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   override def nullSafeEval(v: Any): Any =

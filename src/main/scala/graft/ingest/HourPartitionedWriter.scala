@@ -104,13 +104,30 @@ object HourPartitionedWriter {
             val dest = new org.apache.hadoop.fs.Path(tableDir, rel)
             fs.mkdirs(dest)
             files.sortBy(_.getName).zipWithIndex.foreach { case (f, i) =>
-              fs.rename(f, new org.apache.hadoop.fs.Path(dest,
-                flushFileName(measurement, flushUs, i)))
+              // flushFileName embeds nanoTime, so a retry gets a fresh
+              // name; an unchecked false return (dest exists / fs error)
+              // would let the finally-delete silently discard the data
+              val first = new org.apache.hadoop.fs.Path(dest,
+                flushFileName(measurement, flushUs, i))
+              if (!fs.rename(f, first)) {
+                val retry = new org.apache.hadoop.fs.Path(dest,
+                  flushFileName(measurement, flushUs, i))
+                if (!fs.rename(f, retry))
+                  throw new java.io.IOException(
+                    s"flush rename failed twice: $f -> $retry")
+              }
             }
           }
         }
       Await.result(Future.sequence(moves), scala.concurrent.duration.Duration.Inf)
-    } finally fs.delete(tmpBase, true)
+      // committed: only now is the tmp tree garbage. On failure it is left
+      // in place (same as a crash) — unmoved rows are never deleted.
+      fs.delete(tmpBase, true)
+    } catch {
+      case e: Throwable =>
+        throw new java.io.IOException(
+          s"flush into $tableDir failed; unmoved data preserved at $tmpBase", e)
+    }
   }
 
   /** Recency-ordered file name: zero-padded so lexical order == time

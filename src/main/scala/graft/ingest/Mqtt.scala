@@ -143,7 +143,11 @@ final class MqttSubscriber(
     flushMillis: Long = 5000L,
     username: Option[String] = None,
     password: Option[String] = None,
-    walDir: Option[java.io.File] = None) {
+    walDir: Option[java.io.File] = None,
+    useTls: Boolean = false,
+    socketFactory: Option[(String, Int) => Socket] = None,
+    initialBackoffMs: Long = 500L,
+    maxBackoffMs: Long = 30000L) {
 
   import MqttCodec._
 
@@ -178,49 +182,95 @@ final class MqttSubscriber(
   // hot-path counters (reference keeps the same stats, subscriber.go)
   @volatile var messagesReceived: Long = 0L
   @volatile var messagesFailed: Long = 0L
+  @volatile var reconnects: Long = 0L
+  @volatile private var supervisor: Thread = _
+
+  /** Plain, TLS, or injected socket (tests hand in a factory; production
+    * TLS uses the JVM default SSL context, matching the reference's
+    * tls:// broker URLs, internal/mqtt/subscriber.go). */
+  private def openSocket(): Socket = socketFactory match {
+    case Some(f) => f(host, port)
+    case None if useTls =>
+      javax.net.ssl.SSLSocketFactory.getDefault.createSocket(host, port)
+    case None => new Socket(host, port)
+  }
 
   def start(): Unit = {
     if (!running.compareAndSet(false, true)) return
-    socket = new Socket(host, port)
-    socket.setSoTimeout(keepAliveSec * 1000)
-    out = new DataOutputStream(socket.getOutputStream)
-    val in = new DataInputStream(socket.getInputStream)
-    writePacket(out, connect(clientId, keepAliveSec, username, password))
+    val in = connectAndSubscribe() // fail fast if the broker is down at startup
+    supervisor = new Thread(() => supervisorLoop(in), s"graft-mqtt-$clientId")
+    supervisor.setDaemon(true)
+    supervisor.start()
+  }
+
+  private def connectAndSubscribe(): DataInputStream = {
+    val s = openSocket()
+    s.setSoTimeout(keepAliveSec * 1000)
+    val o = new DataOutputStream(s.getOutputStream)
+    val in = new DataInputStream(s.getInputStream)
+    writePacket(o, connect(clientId, keepAliveSec, username, password))
     val ack = readPacket(in)
     require(ack.ptype == CONNACK && ack.body(1) == 0,
       s"broker refused connection: ${ack.body.toSeq}")
-    writePacket(out, subscribe(1, topics.map(_ -> qos)))
+    writePacket(o, subscribe(1, topics.map(_ -> qos)))
     val sub = readPacket(in)
     require(sub.ptype == SUBACK, s"expected SUBACK, got ${sub.ptype}")
+    socket = s; out = o
+    in
+  }
 
-    val t = new Thread(() => readLoop(in), s"graft-mqtt-$clientId")
-    t.setDaemon(true)
-    t.start()
+  /** Owns the connection for the subscriber's lifetime: runs the read
+    * loop, and on a dropped connection flushes what is buffered, then
+    * reconnects + resubscribes with exponential backoff (reference:
+    * paho's auto-reconnect, internal/mqtt/subscriber.go). */
+  private def supervisorLoop(in0: DataInputStream): Unit = {
+    var in = in0
+    while (running.get()) {
+      try readLoop(in)
+      catch {
+        case _: Exception if running.get() =>
+          // connection lost — nothing buffered should wait out the outage
+          try flush() catch { case _: Exception => () }
+          try socket.close() catch { case _: Exception => () }
+          var backoff = initialBackoffMs
+          var connected = false
+          while (running.get() && !connected) {
+            try {
+              Thread.sleep(backoff)
+              in = connectAndSubscribe()
+              connected = true
+              reconnects += 1
+            } catch {
+              case _: InterruptedException => () // stop() — loop re-checks running
+              case _: Exception =>
+                backoff = math.min(backoff * 2, maxBackoffMs)
+            }
+          }
+        case _: Exception => () // stopping: socket closed under us
+      }
+    }
   }
 
   private def readLoop(in: DataInputStream): Unit = {
     while (running.get()) {
-      try {
-        val p =
-          try readPacket(in)
-          catch {
-            case _: java.net.SocketTimeoutException =>
-              writePacket(out, pingreq); null
-          }
-        p match {
-          case null => ()
-          case pkt if pkt.ptype == PUBLISH =>
-            val pub = parsePublish(pkt)
-            if (pub.qos >= 1) writePacket(out, puback(pub.packetId))
-            handlePayload(pub.payload)
-          case pkt if pkt.ptype == PINGRESP => ()
-          case _ => ()
+      val p =
+        try readPacket(in)
+        catch {
+          case _: java.net.SocketTimeoutException =>
+            writePacket(out, pingreq); null
         }
-        maybeFlush()
-      } catch {
-        case _: EOFException => running.set(false)
-        case _: java.net.SocketException => running.set(false)
+      p match {
+        case null => ()
+        case pkt if pkt.ptype == PUBLISH =>
+          val pub = parsePublish(pkt)
+          // journal + buffer FIRST: once the broker sees PUBACK it will
+          // never redeliver, so the payload must already be durable
+          handlePayload(pub.payload)
+          if (pub.qos >= 1) writePacket(out, puback(pub.packetId))
+        case pkt if pkt.ptype == PINGRESP => ()
+        case _ => ()
       }
+      maybeFlush()
     }
   }
 
@@ -239,11 +289,16 @@ final class MqttSubscriber(
       try decodePayload(payload)
       catch { case _: Exception => Nil }
     if (batches.nonEmpty) {
-      // journal BEFORE buffering: once PUBACK'd, the payload survives a
-      // crash in the buffer→flush window
-      wal.foreach(_.append(db, payload))
+      // journal + buffer under ONE lock, the same lock flush() drains and
+      // seals under: a sealed WAL segment therefore covers exactly the
+      // payloads drained from the buffer — an append can never slip
+      // between the drain and the seal and get checkpointed away while
+      // its batch is still memory-only
+      synchronized {
+        wal.foreach(_.append(db, payload))
+        buffer ++= batches
+      }
       messagesReceived += 1
-      synchronized { buffer ++= batches }
     } else messagesFailed += 1
   }
 
@@ -256,10 +311,15 @@ final class MqttSubscriber(
   }
 
   /** Drain the buffer through the hour-partitioned writer — one write
-    * per measurement (batches union by name, matching batch ingest). */
+    * per measurement (batches union by name, matching batch ingest).
+    * The drain and the WAL seal happen atomically (same lock as append),
+    * and the sealed segments are purged only after the parquet write
+    * succeeds — if it throws, the buffer is gone but every drained
+    * payload is still journaled and replays on restart. */
   def flush(): Unit = {
-    val pending = synchronized {
-      val p = buffer.toSeq; buffer.clear(); lastFlushAt = System.currentTimeMillis(); p
+    val (pending, sealedSegments) = synchronized {
+      val p = buffer.toSeq; buffer.clear(); lastFlushAt = System.currentTimeMillis()
+      (p, wal.map(_.seal()).getOrElse(Nil))
     }
     pending.groupBy(_.measurement).toSeq.sortBy(_._1).foreach { case (m, bs) =>
       val tagCols = bs.flatMap(_.tagColumns).distinct
@@ -270,7 +330,7 @@ final class MqttSubscriber(
         .reduce(_.unionByName(_, allowMissingColumns = true))
       HourPartitionedWriter.write(catalog, db, m, df)
     }
-    wal.foreach(_.checkpoint()) // flushed payloads are durable in parquet
+    wal.foreach(_.purge(sealedSegments)) // flushed payloads durable in parquet
   }
 
   def stop(): Unit = {
@@ -279,6 +339,8 @@ final class MqttSubscriber(
       writePacket(out, disconnect)
       socket.close()
     } catch { case _: Exception => () }
+    val t = supervisor
+    if (t != null) { t.interrupt(); t.join(5000) }
     flush()
     wal.foreach(_.close())
   }

@@ -85,15 +85,28 @@ object Wal {
       openSegment()
     }
 
+    /** Rotate, then hand back every segment sealed so far. The caller
+      * purges them only AFTER the covering flush commits — and because
+      * appends are synchronized against the same writer, any payload
+      * accepted after this call lands in the NEW segment and is never
+      * covered by the returned set (no lost-append window). */
+    def seal(): Seq[File] = synchronized {
+      rotate()
+      val s = sealedSegs.toSeq
+      sealedSegs.clear()
+      s
+    }
+
+    /** Delete segments previously returned by [[seal]], once the flush
+      * that covers them is durable in parquet. */
+    def purge(segs: Seq[File]): Unit = segs.foreach(_.delete())
+
     /** Called AFTER a successful flush of everything appended so far:
       * all sealed segments plus the just-sealed current one are covered
       * by durable parquet, so they are deleted (recovery.go's post-flush
-      * segment purge). */
-    def checkpoint(): Unit = synchronized {
-      rotate()
-      sealedSegs.foreach(_.delete())
-      sealedSegs.clear()
-    }
+      * segment purge). Only safe when the caller serializes accept and
+      * flush itself (DurableIngester does); otherwise use seal + purge. */
+    def checkpoint(): Unit = purge(seal())
 
     def close(): Unit = synchronized { out.close() }
 

@@ -106,7 +106,11 @@ object Compaction {
     val newFiles = fs.listStatus(tmp)
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet")).map(_.getPath)
     require(newFiles.length == 1, s"coalesce(1) produced ${newFiles.length} files")
-    fs.rename(newFiles.head, new Path(partDir, finalName))
+    // failing loudly (not proceeding to delete inputs) keeps the manifest
+    // entry in-flight, so recovery rolls the partial swap back
+    if (!fs.rename(newFiles.head, new Path(partDir, finalName)))
+      throw new java.io.IOException(
+        s"compaction swap rename failed: ${newFiles.head} -> $partDir/$finalName")
     files.foreach(fs.delete(_, false))
     fs.delete(tmp, true)
     CompactionManifest.complete(tablePath, conf, s"hourly:$partDir:$compactUs")
@@ -195,7 +199,9 @@ object Compaction {
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet")).map(_.getPath)
     require(newFiles.length == 1, s"coalesce(1) produced ${newFiles.length} files")
     fs.mkdirs(dailyDay)
-    fs.rename(newFiles.head, new Path(dailyDay, finalName))
+    if (!fs.rename(newFiles.head, new Path(dailyDay, finalName)))
+      throw new java.io.IOException(
+        s"daily swap rename failed: ${newFiles.head} -> $dailyDay/$finalName")
     // delete exactly the input files (a concurrent late flush into one of
     // these hours must survive), then prune now-empty hour/day/month/year
     // dirs — a hollow partition tree would keep the hourly tier in

@@ -72,9 +72,9 @@ object CompactionManifest {
         o.extract[Entry]
       }
     } catch {
-      // a torn manifest write is treated as empty: every entry it could
-      // have held is at protocol step 1 (nothing renamed yet), so stale
-      // tmp-dir cleanup alone restores invariants
+      // unreachable with the overwriting-rename write below (the visible
+      // manifest is always a complete file); kept as a defensive fallback
+      // for a manifest corrupted by external means
       case _: Exception => Nil
     }
   }
@@ -105,8 +105,11 @@ object CompactionManifest {
     try out.write(JsonMethods.compact(JsonMethods.render(json))
       .getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    fs.delete(p, false)
-    fs.rename(tmp, p)
+    // overwriting rename: the old manifest stays intact until the new one
+    // is in place — delete-then-rename would lose every in-flight entry
+    // (some mid-swap, at protocol steps 2-4) on a crash in the gap
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
+    fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Complete or roll back one in-flight entry; returns what it did. */

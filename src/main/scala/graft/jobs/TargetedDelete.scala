@@ -55,7 +55,10 @@ object TargetedDelete {
         val rewritten = fs.listStatus(tmp)
           .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
         fs.delete(p, false)
-        fs.rename(rewritten.head.getPath, p)
+        if (!fs.rename(rewritten.head.getPath, p))
+          throw new java.io.IOException(
+            s"delete-rewrite rename failed: ${rewritten.head.getPath} -> $p " +
+              s"(rewritten rows preserved in $tmp)")
         fs.delete(tmp, true)
       }
       deleted += nMatch

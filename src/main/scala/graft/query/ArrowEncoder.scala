@@ -68,6 +68,9 @@ object ArrowEncoder {
             r.getDecimal(c, d.precision, d.scale).toJavaBigDecimal.setScale(v.getScale))
         case (StringType, v: VarCharVector) =>
           (r, i) => v.setSafe(i, r.getUTF8String(c).getBytes)
+        case (DateType, v: VarCharVector) => // internal rep is epoch-day Int
+          (r, i) => v.setSafe(i, java.time.LocalDate
+            .ofEpochDay(r.getInt(c).toLong).toString.getBytes("UTF-8"))
         case (dt, v: VarCharVector) => // stringified fallback (arrays etc.)
           (r, i) => v.setSafe(i, String.valueOf(r.get(c, dt)).getBytes("UTF-8"))
         case (dt, v) => throw new IllegalStateException(

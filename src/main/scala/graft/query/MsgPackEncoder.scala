@@ -129,6 +129,9 @@ object MsgPackEncoder {
           case d: DecimalType =>
             r => p.packString(
               r.getDecimal(c, d.precision, d.scale).toJavaBigDecimal.toPlainString)
+          case DateType => // internal rep is epoch-day Int — render ISO date
+            r => p.packString(
+              java.time.LocalDate.ofEpochDay(r.getInt(c).toLong).toString)
           case ArrayType(et, _) =>
             r => p.packValue(r.getArray(c).toObjectArray(et).toSeq)
           case dt => r => p.packString(String.valueOf(r.get(c, dt)))

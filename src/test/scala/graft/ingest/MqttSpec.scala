@@ -142,6 +142,89 @@ class MqttSpec extends SparkSpec {
     assert(cat.table("default", "cpu").count() == 1)
   }
 
+  /** Broker that accepts connections in a loop — lets a test kill the
+    * live connection and observe the client reconnect + resubscribe. */
+  private final class ReconnectBroker {
+    val server = new ServerSocket(0)
+    def port: Int = server.getLocalPort
+    @volatile var subscribedCount = 0
+    @volatile private var out: DataOutputStream = _
+    @volatile private var current: java.net.Socket = _
+
+    private val t = new Thread(() => {
+      try {
+        while (!server.isClosed) {
+          val sock = server.accept()
+          current = sock
+          try {
+            val in = new DataInputStream(sock.getInputStream)
+            out = new DataOutputStream(sock.getOutputStream)
+            while (!sock.isClosed) {
+              val p = MqttCodec.readPacket(in)
+              p.ptype match {
+                case MqttCodec.CONNECT =>
+                  MqttCodec.writePacket(out, MqttCodec.connack(0))
+                case MqttCodec.SUBSCRIBE =>
+                  val pid = ((p.body(0) & 0xff) << 8) | (p.body(1) & 0xff)
+                  MqttCodec.writePacket(out, MqttCodec.suback(pid, Seq(1)))
+                  subscribedCount += 1
+                case MqttCodec.PINGREQ =>
+                  MqttCodec.writePacket(out, MqttCodec.pingresp)
+                case _ => ()
+              }
+            }
+          } catch { case _: Exception => () }
+        }
+      } catch { case _: Exception => () }
+    }, "mqtt-reconnect-broker")
+    t.setDaemon(true); t.start()
+
+    def publish(topic: String, payload: Array[Byte], pid: Int): Unit =
+      synchronized {
+        MqttCodec.writePacket(out, MqttCodec.publish(topic, payload, 1, pid))
+      }
+    def dropClient(): Unit = current.close()
+    def close(): Unit = server.close()
+  }
+
+  test("reconnect: dropped broker connection resubscribes, no data loss") {
+    val cat = new GraftCatalog(spark, tmpDir("mqtt_rc_cat"))
+    val walDir = new java.io.File(tmpDir("mqtt_rc_wal"))
+    val broker = new ReconnectBroker
+    // injectable factory — the same hook production TLS goes through
+    val sockets = new java.util.concurrent.atomic.AtomicInteger(0)
+    val sub = new MqttSubscriber(cat, "default", "127.0.0.1", broker.port,
+      topics = Seq("t/#"), clientId = "spec-rc", qos = 1,
+      flushBatches = 1000, flushMillis = Long.MaxValue, walDir = Some(walDir),
+      socketFactory = Some((h, p) => {
+        sockets.incrementAndGet(); new java.net.Socket(h, p)
+      }),
+      initialBackoffMs = 50L, maxBackoffMs = 200L)
+    try {
+      sub.start()
+      assert(awaitTrue(5000)(broker.subscribedCount == 1))
+      val baseUs = 1717200000000000L
+      broker.publish("t/cpu",
+        s"cpu,host=a v=1.0 ${baseUs * 1000L}".getBytes("UTF-8"), pid = 1)
+      assert(awaitTrue(5000)(sub.messagesReceived == 1))
+
+      broker.dropClient() // broker dies mid-stream
+      assert(awaitTrue(15000)(broker.subscribedCount == 2), "no resubscribe")
+      broker.publish("t/cpu",
+        s"cpu,host=b v=2.0 ${(baseUs + 3600L * 1000000L) * 1000L}"
+          .getBytes("UTF-8"), pid = 2)
+      assert(awaitTrue(5000)(sub.messagesReceived == 2))
+      sub.flush()
+
+      // msg1 was flushed by the supervisor at disconnect, msg2 just now
+      assert(cat.table("default", "cpu").count() == 2)
+      assert(sub.reconnects == 1)
+      assert(sockets.get() == 2)
+    } finally {
+      sub.stop(); broker.close()
+    }
+  }
+
   test("codec: packet framing survives multi-byte remaining lengths") {
     val payload = Array.fill[Byte](300)(42) // forces 2-byte varint length
     val pkt = MqttCodec.publish("t", payload, qos = 1, packetId = 260)
