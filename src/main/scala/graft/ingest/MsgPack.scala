@@ -62,8 +62,40 @@ object MsgPack {
       }
     }
 
+    /** Direct-mapped intern cache over UTF-8 regions, enabled for the
+      * columnar fast path: tag values and column names repeat on nearly
+      * every row, so a hit skips both the byte copy and the UTF-8
+      * decode. Collisions overwrite (worst case = the plain path). */
+    private[ingest] var internStrings = false
+    private var internKeys: Array[Array[Byte]] = _
+    private var internVals: Array[String] = _
+
     private def decodeStr(n: Int): String = {
-      val s = new String(buf, pos, n, StandardCharsets.UTF_8); pos += n; s
+      if (internStrings && n > 0 && n <= 64) {
+        if (internKeys == null) {
+          internKeys = new Array[Array[Byte]](1024)
+          internVals = new Array[String](1024)
+        }
+        var h = 0
+        var j = pos
+        val end = pos + n
+        while (j < end) { h = h * 31 + buf(j); j += 1 }
+        val idx = (h ^ (h >>> 10)) & 1023
+        val k = internKeys(idx)
+        if (k != null && k.length == n &&
+          java.util.Arrays.equals(k, 0, n, buf, pos, end)) {
+          pos = end
+          internVals(idx)
+        } else {
+          val s = new String(buf, pos, n, StandardCharsets.UTF_8)
+          internKeys(idx) = java.util.Arrays.copyOfRange(buf, pos, end)
+          internVals(idx) = s
+          pos = end
+          s
+        }
+      } else {
+        val s = new String(buf, pos, n, StandardCharsets.UTF_8); pos += n; s
+      }
     }
     private def decodeBin(n: Int): Array[Byte] = {
       val out = java.util.Arrays.copyOfRange(buf, pos, pos + n); pos += n; out
@@ -78,14 +110,123 @@ object MsgPack {
         }
         k -> decode()
       }.toMap
+
+    /** Map-header size if the next value is a map, else -1 (no input
+      * consumed). Fast-path structural peek for [[MsgPack.decodePayload]]. */
+    private[ingest] def readMapHeaderOpt(): Int = {
+      val b = buf(pos) & 0xff
+      if ((b & 0xf0) == 0x80) { pos += 1; b & 0x0f }
+      else if (b == 0xde) { pos += 1; u16() }
+      else if (b == 0xdf) { pos += 1; u32().toInt }
+      else -1
+    }
+
+    private[ingest] def readStringKey(): String = decode() match {
+      case s: String => s
+      case other => String.valueOf(other)
+    }
+
+    /** Decode a msgpack array straight into `Array[Any]` — one pass, no
+      * Vector node tree, strings sanitized inline, and the time column
+      * normalized to µs during the same pass (the generic path paid
+      * three traversals: Vector build, sanitize map, time map). */
+    private[ingest] def decodeValueArray(sanitize: Boolean,
+        normalizeTime: Boolean): Array[Any] = {
+      val b = u8()
+      val n = b match {
+        case x if (x & 0xf0) == 0x90 => x & 0x0f
+        case 0xdc => u16()
+        case 0xdd => u32().toInt
+        case other =>
+          throw new IllegalArgumentException(
+            f"expected column array, got msgpack byte 0x$other%02x")
+      }
+      val out = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        val v = decode()
+        out(i) = v match {
+          case null => null
+          case s: String if sanitize => Utf8.sanitize(s)
+          case l: java.lang.Long if normalizeTime =>
+            // already-µs payloads (the common case) keep the same box
+            val m = TimestampUnits.toMicros(l.longValue)
+            if (m == l.longValue) l else java.lang.Long.valueOf(m)
+          case _ if normalizeTime =>
+            throw new IllegalArgumentException(
+              s"time column must be integral, got ${v.getClass.getSimpleName}")
+          case _ => v
+        }
+        i += 1
+      }
+      out
+    }
   }
 
   def decode(bytes: Array[Byte]): Any = new Decoder(bytes).decode()
 
-  /** Decode an arc-shaped write payload into ColumnarBatches. */
+  /** Decode an arc-shaped write payload into ColumnarBatches.
+    *
+    * The columnar form `{m, columns:{...}}` — the reference's ingest
+    * fast path — decodes in a single structural pass (see
+    * [[Decoder.decodeValueArray]]); the batch/row forms fall back to the
+    * generic decoder. */
   def decodePayload(bytes: Array[Byte],
       nowMicros: () => Long = () => System.currentTimeMillis() * 1000L)
-      : Seq[ColumnarBatch] =
+      : Seq[ColumnarBatch] = {
+    val d = new Decoder(bytes)
+    d.internStrings = true
+    val nEntries = d.readMapHeaderOpt()
+    if (nEntries >= 0) {
+      var meas: String = null
+      var cols: scala.collection.mutable.LinkedHashMap[String, Array[Any]] = null
+      var tags: Seq[String] = Nil
+      var fallback = false
+      var e = 0
+      while (e < nEntries && !fallback) {
+        d.readStringKey() match {
+          case "m" => meas = String.valueOf(d.decode())
+          case "columns" =>
+            val nc = d.readMapHeaderOpt()
+            if (nc < 0) fallback = true
+            else {
+              cols = scala.collection.mutable.LinkedHashMap.empty
+              var c = 0
+              while (c < nc) {
+                val name = d.readStringKey()
+                cols(name) = d.decodeValueArray(
+                  sanitize = name != "time", normalizeTime = name == "time")
+                c += 1
+              }
+            }
+          case "tags" => d.decode() match {
+            case t: Vector[Any @unchecked] => tags = t.map(String.valueOf(_))
+            case _ => ()
+          }
+          case _ => fallback = true // "batch", row form, unknown keys
+        }
+        e += 1
+      }
+      if (!fallback && cols != null) {
+        if (meas == null)
+          throw new IllegalArgumentException("missing measurement 'm'")
+        val lens = cols.values.map(_.length).toSet
+        if (lens.size > 1)
+          throw new IllegalArgumentException(
+            s"column length mismatch: ${cols.map { case (k, v) => s"$k=${v.length}" }.mkString(", ")}")
+        val nRows = lens.headOption.getOrElse(0)
+        if (!cols.contains("time")) {
+          val now = nowMicros()
+          cols("time") = Array.fill[Any](nRows)(now)
+        }
+        return Seq(ColumnarBatch(meas, cols, tags))
+      }
+    }
+    decodePayloadGeneric(bytes, nowMicros)
+  }
+
+  private def decodePayloadGeneric(bytes: Array[Byte],
+      nowMicros: () => Long): Seq[ColumnarBatch] =
     decode(bytes) match {
       case m: Map[String @unchecked, Any @unchecked] if m.contains("batch") =>
         m("batch") match {

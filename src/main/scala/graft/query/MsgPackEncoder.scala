@@ -19,8 +19,9 @@ object MsgPackEncoder {
 
   /** Growable byte sink without the per-call synchronization of
     * ByteArrayOutputStream (the packer writes values byte-by-byte). */
-  private[query] final class FastByteBuffer extends java.io.OutputStream {
-    private var buf = new Array[Byte](1 << 16)
+  private[query] final class FastByteBuffer(initial: Int = 1 << 16)
+      extends java.io.OutputStream {
+    private var buf = new Array[Byte](initial)
     private var len = 0
     private def ensure(n: Int): Unit =
       if (len + n > buf.length) {
@@ -90,13 +91,39 @@ object MsgPackEncoder {
     }
   }
 
+  /** Type-specialized value packer for column `c` — shared by the
+    * driver-side and distributed encoders so both emit identical bytes. */
+  private def valuePacker(p: Packer, dt: org.apache.spark.sql.types.DataType,
+      c: Int): org.apache.spark.sql.catalyst.InternalRow => Unit = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType | TimestampType | TimestampNTZType =>
+        r => p.packLong(r.getLong(c))
+      case IntegerType => r => p.packLong(r.getInt(c).toLong)
+      case ShortType => r => p.packLong(r.getShort(c).toLong)
+      case ByteType => r => p.packLong(r.getByte(c).toLong)
+      case DoubleType => r => p.packDouble(r.getDouble(c))
+      case FloatType => r => p.packDouble(r.getFloat(c).toDouble)
+      case BooleanType => r => p.packBool(r.getBoolean(c))
+      case StringType => r => p.packString(r.getUTF8String(c).toString)
+      case d: DecimalType =>
+        r => p.packString(
+          r.getDecimal(c, d.precision, d.scale).toJavaBigDecimal.toPlainString)
+      case DateType => // internal rep is epoch-day Int — render ISO date
+        r => p.packString(
+          java.time.LocalDate.ofEpochDay(r.getInt(c).toLong).toString)
+      case ArrayType(et, _) =>
+        r => p.packValue(r.getArray(c).toObjectArray(et).toSeq)
+      case other => r => p.packString(String.valueOf(r.get(c, other)))
+    }
+  }
+
   /** Encode a result as the columnar msgpack envelope. Collects internal
     * rows once, then packs each column with a type-specialized loop —
     * no external-Row conversion and no per-value boxing for the
     * engine's storable types (see [[RowCodec]]). Timestamps pack as
     * epoch-µs int64, matching the previous wire format. */
   def encode(df: DataFrame, maxRows: Long = Long.MaxValue): Array[Byte] = {
-    import org.apache.spark.sql.types._
     val cols = df.columns
     val fields = df.schema.fields
     val rows = RowCodec.internalRows(RowCodec.capped(df, maxRows)).toArray
@@ -115,27 +142,7 @@ object MsgPackEncoder {
     while (c < cols.length) {
       p.packString(cols(c))
       p.packArrayHeader(n)
-      val pack: (org.apache.spark.sql.catalyst.InternalRow => Unit) =
-        fields(c).dataType match {
-          case LongType | TimestampType | TimestampNTZType =>
-            r => p.packLong(r.getLong(c))
-          case IntegerType => r => p.packLong(r.getInt(c).toLong)
-          case ShortType => r => p.packLong(r.getShort(c).toLong)
-          case ByteType => r => p.packLong(r.getByte(c).toLong)
-          case DoubleType => r => p.packDouble(r.getDouble(c))
-          case FloatType => r => p.packDouble(r.getFloat(c).toDouble)
-          case BooleanType => r => p.packBool(r.getBoolean(c))
-          case StringType => r => p.packString(r.getUTF8String(c).toString)
-          case d: DecimalType =>
-            r => p.packString(
-              r.getDecimal(c, d.precision, d.scale).toJavaBigDecimal.toPlainString)
-          case DateType => // internal rep is epoch-day Int — render ISO date
-            r => p.packString(
-              java.time.LocalDate.ofEpochDay(r.getInt(c).toLong).toString)
-          case ArrayType(et, _) =>
-            r => p.packValue(r.getArray(c).toObjectArray(et).toSeq)
-          case dt => r => p.packString(String.valueOf(r.get(c, dt)))
-        }
+      val pack = valuePacker(p, fields(c).dataType, c)
       var i = 0
       while (i < n) {
         val r = rows(i)
@@ -146,6 +153,73 @@ object MsgPackEncoder {
     }
     p.packString("row_count")
     p.packLong(n.toLong)
+    out.toByteArray
+  }
+
+  /** One partition's msgpack element encodings, one byte run per column
+    * (no array headers). Runs concatenate across partitions: a msgpack
+    * array is `header + element stream`, so `header(Σn) + run(0) +
+    * run(1) + …` is byte-identical to a single-pass encode. Rows are
+    * consumed immediately (UnsafeRow reuse-safe). */
+  private def partitionColumnRuns(
+      fields: Array[org.apache.spark.sql.types.StructField],
+      rows: Iterator[org.apache.spark.sql.catalyst.InternalRow])
+      : (Array[Array[Byte]], Long) = {
+    val nc = fields.length
+    val bufs = Array.fill(nc)(new FastByteBuffer(1 << 14))
+    val ps = bufs.map(new Packer(_))
+    val packs = Array.tabulate(nc)(c => valuePacker(ps(c), fields(c).dataType, c))
+    var n = 0L
+    while (rows.hasNext) {
+      val r = rows.next()
+      var c = 0
+      while (c < nc) {
+        if (r.isNullAt(c)) ps(c).packNil() else packs(c)(r)
+        c += 1
+      }
+      n += 1
+    }
+    (bufs.map(_.toByteArray), n)
+  }
+
+  /** Distributed encode: each partition packs its column runs on the
+    * executors (32-way parallel on local[32], fleet-wide on a cluster);
+    * the driver only concatenates byte runs. Identical wire bytes to
+    * [[encode]]; ~linear speedup in cores for the marshalling phase,
+    * which was the single-threaded floor of the collect-then-encode
+    * path. */
+  def encodeDistributed(df: DataFrame, maxRows: Long = Long.MaxValue): Array[Byte] = {
+    val capped = RowCodec.capped(df, maxRows)
+    val cols = capped.columns
+    val fields = capped.schema.fields
+    val parts = capped.queryExecution.executedPlan.execute()
+      .mapPartitions(it => Iterator.single(partitionColumnRuns(fields, it)))
+      .collect()
+    val n = parts.map(_._2).sum
+    require(n <= Int.MaxValue, s"result too large for one envelope: $n rows")
+    val runBytes = parts.map(_._1.map(_.length.toLong).sum).sum
+    val out = new FastByteBuffer(math.min(runBytes + 1024, Int.MaxValue.toLong).toInt)
+    val p = new Packer(out)
+    p.packMapHeader(3)
+    p.packString("columns")
+    p.packArrayHeader(cols.length)
+    cols.foreach(p.packString)
+    p.packString("data")
+    p.packMapHeader(cols.length)
+    var c = 0
+    while (c < cols.length) {
+      p.packString(cols(c))
+      p.packArrayHeader(n.toInt)
+      var pi = 0
+      while (pi < parts.length) {
+        val run = parts(pi)._1(c)
+        out.write(run, 0, run.length)
+        pi += 1
+      }
+      c += 1
+    }
+    p.packString("row_count")
+    p.packLong(n)
     out.toByteArray
   }
 }

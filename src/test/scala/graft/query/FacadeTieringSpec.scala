@@ -97,6 +97,27 @@ class MsgPackEncoderSpec extends SparkSpec {
     val decoded = graft.ingest.MsgPack.decode(bytes).asInstanceOf[Map[String, Any]]
     assert(decoded("row_count") == 3L)
   }
+
+  test("distributed encode is byte-identical to the driver-side encode") {
+    val df = spark.sql(
+      """SELECT id AS k, CAST(id * 1.5 AS DOUBLE) AS v, CONCAT('s', id) AS s,
+        |  CASE WHEN id % 3 = 0 THEN NULL ELSE id END AS n
+        |FROM range(1000)""".stripMargin)
+      .repartition(7).persist()
+    try {
+      df.count() // pin partition contents so both encodes see the same order
+      val a = MsgPackEncoder.encode(df)
+      val b = MsgPackEncoder.encodeDistributed(df)
+      assert(java.util.Arrays.equals(a, b))
+    } finally df.unpersist()
+  }
+
+  test("distributed encode honors the row cap") {
+    val decoded = graft.ingest.MsgPack.decode(
+      MsgPackEncoder.encodeDistributed(spark.range(100).toDF("id"), maxRows = 9))
+      .asInstanceOf[Map[String, Any]]
+    assert(decoded("row_count") == 9L)
+  }
 }
 
 class ArrowEncoderSpec extends SparkSpec {
