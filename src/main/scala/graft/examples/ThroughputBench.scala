@@ -92,6 +92,17 @@ object ThroughputBench {
     // client-side convenience, not part of the serving path
     val (jsonD, jdSec) = bench(facade.toJsonEnvelopeBytesDistributed(result, preserveOrder = false))
     println(f"[tp] result_json_distributed: ${1000000 / jdSec / 1e6}%.2f M rows/s (${jsonD.length / 1e6}%.1f MB, $jdSec%.2f s)")
+    // streamed (bounded driver memory) variants: one wave of chunks
+    // resident at a time — should track the distributed numbers
+    final class CountingNull extends java.io.OutputStream {
+      var count = 0L
+      override def write(b: Int): Unit = count += 1
+      override def write(bs: Array[Byte], off: Int, n: Int): Unit = count += n
+    }
+    val (jsBytes, jsSec) = bench {
+      val o = new CountingNull; facade.writeJsonEnvelope(result, o); o.count
+    }
+    println(f"[tp] result_json_streamed: ${1000000 / jsSec / 1e6}%.2f M rows/s (${jsBytes / 1e6}%.1f MB, $jsSec%.2f s)")
     val (mp, mSec) = bench(MsgPackEncoder.encode(result))
     println(f"[tp] result_msgpack: ${1000000 / mSec / 1e6}%.2f M rows/s (${mp.length / 1e6}%.1f MB, $mSec%.2f s)")
     val (mpD, mdSec) = bench(MsgPackEncoder.encodeDistributed(result))
@@ -100,6 +111,10 @@ object ThroughputBench {
     println(f"[tp] result_arrow_ipc: ${1000000 / aSec / 1e6}%.2f M rows/s (${ar.length / 1e6}%.1f MB, $aSec%.2f s)")
     val (arD, adSec) = bench(ArrowEncoder.encodeDistributed(result))
     println(f"[tp] result_arrow_distributed: ${1000000 / adSec / 1e6}%.2f M rows/s (${arD.length / 1e6}%.1f MB, $adSec%.2f s)")
+    val (asBytes, asSec) = bench {
+      val o = new CountingNull; ArrowEncoder.writeStream(result, o); o.count
+    }
+    println(f"[tp] result_arrow_streamed: ${1000000 / asSec / 1e6}%.2f M rows/s (${asBytes / 1e6}%.1f MB, $asSec%.2f s)")
 
     spark.stop()
     println("TP OK")

@@ -125,36 +125,67 @@ object ArrowEncoder {
     * no per-row work). This moves the row→columnar conversion — the
     * dominant cost — off the single driver thread. */
   def encodeDistributed(df: DataFrame, batchRows: Int = 4096): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    // one wave = one fully-parallel job; the whole result is resident on
+    // the driver anyway since the caller wants a byte array
+    writeStream(df, out, batchRows, wave = Int.MaxValue)
+    out.toByteArray
+  }
+
+  /** Stream an Arrow IPC stream to `out` with bounded driver memory:
+    * partitions encode IPC chunks on the executors; the driver fetches
+    * them in waves of `wave` partitions (one job per wave, ≤wave chunks
+    * resident) and re-frames the record batches into one stream —
+    * buffer-level copies, no per-row work. Driver memory is
+    * O(wave × chunk), independent of result size; the default wave
+    * (defaultParallelism) keeps every core busy. Returns rows written. */
+  def writeStream(df: DataFrame, out: java.io.OutputStream,
+      batchRows: Int = 4096, wave: Int = 0): Long = {
     import org.apache.arrow.vector.ipc.ArrowStreamReader
     import org.apache.arrow.vector.ipc.message.{IpcOption, MessageSerializer}
     import org.apache.arrow.vector.ipc.WriteChannel
-    import org.apache.spark.sql.Encoders
 
+    val sc = df.sparkSession.sparkContext
+    val w =
+      if (wave == Int.MaxValue) Int.MaxValue
+      else if (wave > 0) wave
+      else math.max(1, sc.defaultParallelism)
     val sparkSchema = df.schema
-    val chunks = df.queryExecution.toRdd.mapPartitions { it =>
-      if (it.isEmpty) Iterator.empty
+    val chunkRdd = df.queryExecution.toRdd.mapPartitions { it =>
+      if (it.isEmpty) Iterator(Array.emptyByteArray)
       else Iterator(encodeInternal(it, sparkSchema, batchRows, Long.MaxValue))
-    }.collect()
+    }
 
     val schema = new ArrowSchema(sparkSchema.fields.map(arrowField).toList.asJava)
-    val out = new ByteArrayOutputStream()
     val ch = new WriteChannel(java.nio.channels.Channels.newChannel(out))
     MessageSerializer.serialize(ch, schema)
     val alloc = new RootAllocator(Long.MaxValue)
+    var rows = 0L
     try {
-      chunks.foreach { bytes =>
-        val reader = new ArrowStreamReader(new java.io.ByteArrayInputStream(bytes), alloc)
-        try {
-          val root = reader.getVectorSchemaRoot
-          while (reader.loadNextBatch()) {
-            val batch = new org.apache.arrow.vector.VectorUnloader(root).getRecordBatch
-            try MessageSerializer.serialize(ch, batch)
-            finally batch.close()
+      val nParts = chunkRdd.getNumPartitions
+      var start = 0
+      while (start < nParts) {
+        val end = if (w >= nParts - start) nParts else start + w
+        val res = sc.runJob(chunkRdd,
+          (it: Iterator[Array[Byte]]) => it.next(), (start until end).toSeq)
+        res.foreach { bytes =>
+          if (bytes.length > 0) {
+            val reader = new ArrowStreamReader(new java.io.ByteArrayInputStream(bytes), alloc)
+            try {
+              val root = reader.getVectorSchemaRoot
+              while (reader.loadNextBatch()) {
+                rows += root.getRowCount
+                val batch = new org.apache.arrow.vector.VectorUnloader(root).getRecordBatch
+                try MessageSerializer.serialize(ch, batch)
+                finally batch.close()
+              }
+            } finally reader.close()
           }
-        } finally reader.close()
+        }
+        start = end
       }
       org.apache.arrow.vector.ipc.ArrowStreamWriter.writeEndOfStream(ch, IpcOption.DEFAULT)
-      out.toByteArray
+      rows
     } finally alloc.close()
   }
 

@@ -139,28 +139,7 @@ final class QueryFacade(spark: SparkSession) {
         limited.queryExecution.toRdd.getNumPartitions >= math.max(2, parallelism / 2))
         limited
       else limited.repartition(parallelism)
-    val schema = capped.schema
-    val chunks = capped.queryExecution.toRdd.mapPartitions { it =>
-      val apps = RowCodec.jsonAppenders(schema)
-      val sb = new StringBuilder(1 << 16)
-      var first = true
-      var n = 0L
-      while (it.hasNext) {
-        val row = it.next()
-        if (!first) sb.append(',')
-        first = false
-        sb.append('[')
-        var i = 0
-        while (i < nCols) {
-          if (i > 0) sb.append(',')
-          if (row.isNullAt(i)) sb.append("null") else apps(i)(row, i, sb)
-          i += 1
-        }
-        sb.append(']')
-        n += 1
-      }
-      Iterator((n, sb.toString.getBytes(UTF_8)))
-    }.collect()
+    val chunks = QueryFacade.jsonChunkRdd(capped).collect()
     val rowCount = chunks.map(_._1).sum
     val head = ("{\"columns\":[" + columns.map(QueryFacade.jsonStr).mkString(",") +
       "],\"data\":[").getBytes(UTF_8)
@@ -188,6 +167,54 @@ final class QueryFacade(spark: SparkSession) {
     out
   }
 
+  /** Stream the JSON envelope to `out` without ever materializing the
+    * result on the driver: partitions encode their rows on the
+    * executors, and the driver fetches the encoded chunks in waves of
+    * `wave` partitions — one parallel job per wave, at most `wave`
+    * chunks resident at a time. Driver memory is O(wave × chunk size),
+    * independent of the result's total size, which is what lets an
+    * uncapped 100M-row SELECT flow through a socket the way the
+    * reference streams it (internal/api/query.go:1745, fasthttp
+    * SetBodyStreamWriter). The default wave (defaultParallelism) keeps
+    * every core busy; smaller waves trade throughput for a tighter
+    * memory bound. Returns the row count written. */
+  def writeJsonEnvelope(df: DataFrame, out: java.io.OutputStream,
+      maxRows: Long = Long.MaxValue, wave: Int = 0): Long = {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val t0 = System.nanoTime()
+    val sc = spark.sparkContext
+    val w = if (wave > 0) wave else math.max(1, sc.defaultParallelism)
+    val columns = df.columns
+    val limited =
+      if (maxRows < Long.MaxValue) df.limit(maxRows.min(Int.MaxValue).toInt) else df
+    val chunkRdd = QueryFacade.jsonChunkRdd(limited)
+    out.write(("{\"columns\":[" + columns.map(QueryFacade.jsonStr).mkString(",") +
+      "],\"data\":[").getBytes(UTF_8))
+    var rows = 0L
+    var wroteAny = false
+    val nParts = chunkRdd.getNumPartitions
+    var start = 0
+    while (start < nParts) {
+      val parts = (start until math.min(start + w, nParts)).toArray
+      val res = sc.runJob(chunkRdd,
+        (it: Iterator[(Long, Array[Byte])]) => it.next(), parts.toSeq)
+      res.foreach { case (n, bytes) =>
+        if (bytes.length > 0) {
+          if (wroteAny) out.write(',')
+          out.write(bytes)
+          wroteAny = true
+          rows += n
+        }
+      }
+      start += w
+    }
+    val ms = (System.nanoTime() - t0) / 1e6
+    out.write(
+      s"""],"row_count":$rows,"execution_time_ms":${math.round(ms * 1000) / 1000.0}}"""
+        .getBytes(UTF_8))
+    rows
+  }
+
   private def jsonStr(s: String): String = QueryFacade.jsonStr(s)
 
   private def jsonValue(v: Any): String = QueryFacade.jsonValue(v)
@@ -195,6 +222,36 @@ final class QueryFacade(spark: SparkSession) {
 
 /** Serializable JSON scalar encoding (shared by driver + executors). */
 object QueryFacade {
+
+  /** Per-partition UTF-8 JSON row runs: each element is one partition's
+    * `[v,…],[v,…]` bytes (comma-joined rows, no outer brackets) plus its
+    * row count. Runs splice with commas between non-empty ones. */
+  private[query] def jsonChunkRdd(capped: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.rdd.RDD[(Long, Array[Byte])] = {
+    val schema = capped.schema
+    val nCols = schema.length
+    capped.queryExecution.toRdd.mapPartitions { it =>
+      val apps = RowCodec.jsonAppenders(schema)
+      val sb = new StringBuilder(1 << 16)
+      var first = true
+      var n = 0L
+      while (it.hasNext) {
+        val row = it.next()
+        if (!first) sb.append(',')
+        first = false
+        sb.append('[')
+        var i = 0
+        while (i < nCols) {
+          if (i > 0) sb.append(',')
+          if (row.isNullAt(i)) sb.append("null") else apps(i)(row, i, sb)
+          i += 1
+        }
+        sb.append(']')
+        n += 1
+      }
+      Iterator((n, sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    }
+  }
 
   private[query] def jsonStr(s: String): String =
     "\"" + s.flatMap {

@@ -37,6 +37,39 @@ class QueryFacadeSpec extends SparkSpec {
     assert(json.contains("\"row_count\":7"))
   }
 
+  test("streamed JSON envelope: wave-bounded fetch, same bytes as distributed") {
+    val f = facade
+    val df = spark.sql(
+      "SELECT id AS k, CONCAT('v', id) AS s FROM range(2000)").repartition(7).persist()
+    try {
+      df.count()
+      // wave=2 over 7 partitions → 4 jobs: at most 2 encoded chunks are
+      // ever resident on the driver, so memory is O(wave × chunk) no
+      // matter how large the result — the uncapped-SELECT path
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val out = new java.io.ByteArrayOutputStream()
+      val rows =
+        try f.writeJsonEnvelope(df, out, wave = 2)
+        finally {
+          // listener delivery is async — settle before reading the count
+          Thread.sleep(500)
+          spark.sparkContext.removeSparkListener(listener)
+        }
+      assert(rows == 2000)
+      assert(jobs.get() == 4, s"expected 4 wave jobs, saw ${jobs.get()}")
+      val streamed = out.toString("UTF-8")
+      val collected = f.toJsonEnvelopeDistributed(df)
+      def stripTime(j: String) = j.replaceAll("\"execution_time_ms\":[0-9.]+", "")
+      assert(stripTime(streamed) == stripTime(collected))
+    } finally df.unpersist()
+  }
+
   test("estimate wraps the query in COUNT(*)") {
     val f = facade
     val (n, warn) = f.estimate("SELECT * FROM range(1234)")
@@ -163,6 +196,18 @@ class ArrowEncoderSpec extends SparkSpec {
       }
       assert(rows == 1000 && sum == 499500)
     } finally { reader.close(); alloc.close() }
+  }
+
+  test("streamed arrow write: byte-identical to distributed, wave-bounded") {
+    val df = spark.range(1000).toDF("id").repartition(5).persist()
+    try {
+      df.count()
+      val full = ArrowEncoder.encodeDistributed(df, batchRows = 100)
+      val out = new java.io.ByteArrayOutputStream()
+      val rows = ArrowEncoder.writeStream(df, out, batchRows = 100, wave = 2)
+      assert(rows == 1000)
+      assert(java.util.Arrays.equals(full, out.toByteArray))
+    } finally df.unpersist()
   }
 
   test("row cap limits arrow rows") {
