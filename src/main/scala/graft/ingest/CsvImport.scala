@@ -58,9 +58,9 @@ object CsvImport {
     require(raw.columns.contains(timeCol),
       s"CSV import needs a '$timeCol' column; got ${raw.columns.mkString(",")}")
     val df = normalizeTimeColumn(raw, timeCol)
-    val n = df.count()
+    // row count comes from the written files' parquet footers inside
+    // write — a df.count() here would pay a second full scan of the CSV
     HourPartitionedWriter.write(catalog, db, measurement, df)
-    n
   }
 
   /** Import Line Protocol text files — fully distributed (a 100 GB LP

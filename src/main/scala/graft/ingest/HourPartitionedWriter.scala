@@ -53,7 +53,7 @@ object HourPartitionedWriter {
     * The table tree only ever sees fully-written, final-named files; a
     * crash leaves an orphan tmp dir, never a half-visible flush. */
   def write(catalog: GraftCatalog, db: String, measurement: String,
-      df: DataFrame, filesPerHour: Int = 1): Unit = {
+      df: DataFrame, filesPerHour: Int = 1): Long = {
     require(df.columns.contains("time"), "write batch must carry a 'time' column")
     val meta = catalog.readMeta(db, measurement)
     val sortCols: Seq[Column] =
@@ -103,7 +103,12 @@ object HourPartitionedWriter {
               .stripPrefix(qualTmp).stripPrefix("/")
             val dest = new org.apache.hadoop.fs.Path(tableDir, rel)
             fs.mkdirs(dest)
+            // row count from the footers being moved — callers that need
+            // "rows imported" (CSV/LP bulk import) get it for free
+            // instead of paying a second full scan (VERDICT r2 #5)
+            var rows = 0L
             files.sortBy(_.getName).zipWithIndex.foreach { case (f, i) =>
+              rows += graft.jobs.Compaction.footerRowCount(conf, Seq(f))
               // flushFileName embeds nanoTime, so a retry gets a fresh
               // name; an unchecked false return (dest exists / fs error)
               // would let the finally-delete silently discard the data
@@ -117,12 +122,15 @@ object HourPartitionedWriter {
                     s"flush rename failed twice: $f -> $retry")
               }
             }
+            rows
           }
         }
-      Await.result(Future.sequence(moves), scala.concurrent.duration.Duration.Inf)
+      val written =
+        Await.result(Future.sequence(moves), scala.concurrent.duration.Duration.Inf).sum
       // committed: only now is the tmp tree garbage. On failure it is left
       // in place (same as a crash) — unmoved rows are never deleted.
       fs.delete(tmpBase, true)
+      written
     } catch {
       case e: Throwable =>
         throw new java.io.IOException(

@@ -36,7 +36,7 @@ object Compaction {
     * reference counts the same way, dedup.go:261-271). Compaction runs
     * over thousands of partitions per tick; a count() job per partition
     * just for reporting would double the scheduler's work. */
-  private[jobs] def footerRowCount(
+  private[graft] def footerRowCount(
       conf: org.apache.hadoop.conf.Configuration, files: Seq[Path]): Long =
     files.map { f =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf)

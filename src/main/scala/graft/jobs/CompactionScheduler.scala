@@ -11,15 +11,20 @@ import java.util.concurrent.atomic.AtomicBoolean
   *
   * The tick itself is deterministic and callable directly (tests and
   * external cron drive `tick()`); `start()` wraps it in a daemon-thread
-  * interval loop for standalone deployments. On a cluster the natural
-  * deployment is one scheduler per driver, with per-measurement work
-  * fanning out as independent Spark jobs — partitions never contend, and
-  * the per-table manifest keeps concurrent schedulers on *different*
-  * tables isolated.
+  * interval loop for standalone deployments. With `db = None` the tick
+  * covers EVERY database the catalog lists at that moment (the
+  * reference's manager schedules all databases, manager.go) — new
+  * databases are picked up on the next tick with no re-configuration.
+  * On a cluster the natural deployment is one scheduler per driver,
+  * with per-measurement work fanning out as independent Spark jobs —
+  * partitions never contend, and the per-table manifest keeps
+  * concurrent schedulers on *different* tables isolated; each table's
+  * swap journal is its own file, so a multi-db tick adds no shared
+  * state.
   */
 final class CompactionScheduler(
     catalog: GraftCatalog,
-    db: String,
+    db: Option[String] = None,
     intervalMillis: Long = 5 * 60 * 1000L,
     hourlyMinFiles: Int = 2,
     hourlyMinAgeHours: Int = 1,
@@ -29,22 +34,39 @@ final class CompactionScheduler(
     nowMicros: () => Long = () => System.currentTimeMillis() * 1000L) {
 
   final case class TickReport(
+      db: String,
       measurement: String,
       recovered: Seq[String],
       hourly: Seq[Compaction.Result],
       daily: Seq[Compaction.Result])
 
-  /** One scheduler pass over every measurement of the database. */
-  def tick(): Seq[TickReport] =
-    catalog.listTables(db).map { m =>
-      val recovered = Compaction.recover(catalog, db, m)
-      val hourly = Compaction.runHourly(catalog, db, m,
+  /** One scheduler pass over every measurement of every covered
+    * database. Per-database failures are isolated: one broken table
+    * (e.g. corrupt partition dir) must not starve the other databases
+    * of compaction, mirroring the reference's per-job isolation. */
+  def tick(): Seq[TickReport] = {
+    val dbs = db.map(Seq(_)).getOrElse(catalog.listDatabases())
+    dbs.flatMap { d =>
+      try tickDb(d)
+      catch {
+        case e: Exception =>
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .warn(s"compaction tick failed for db '$d': ${e.getMessage}")
+          Nil
+      }
+    }
+  }
+
+  private def tickDb(d: String): Seq[TickReport] =
+    catalog.listTables(d).map { m =>
+      val recovered = Compaction.recover(catalog, d, m)
+      val hourly = Compaction.runHourly(catalog, d, m,
         minFiles = hourlyMinFiles, minAgeHours = hourlyMinAgeHours,
         nowMicros = nowMicros)
-      val daily = Compaction.runDaily(catalog, db, m,
+      val daily = Compaction.runDaily(catalog, d, m,
         minFiles = dailyMinFiles, minAgeHours = dailyMinAgeHours,
         skipFileAgeCheckDays = skipFileAgeCheckDays, nowMicros = nowMicros)
-      TickReport(m, recovered, hourly, daily)
+      TickReport(d, m, recovered, hourly, daily)
     }
 
   private val running = new AtomicBoolean(false)
@@ -61,7 +83,7 @@ final class CompactionScheduler(
         try Thread.sleep(intervalMillis)
         catch { case _: InterruptedException => () }
       }
-    }, s"graft-compaction-scheduler-$db")
+    }, s"graft-compaction-scheduler-${db.getOrElse("all")}")
     t.setDaemon(true)
     thread = Some(t)
     t.start()

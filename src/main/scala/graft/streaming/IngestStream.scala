@@ -45,8 +45,10 @@ object IngestStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty)
+        if (!batch.isEmpty) {
           HourPartitionedWriter.write(catalog, db, measurement, batch)
+          ()
+        }
       }
       .start()
 }

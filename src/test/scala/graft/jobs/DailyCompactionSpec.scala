@@ -148,7 +148,7 @@ class DailyCompactionSpec extends SparkSpec {
     lpIngest(cat, s"mem,host=a used=1.0 ${base + 5}")
     lpIngest(cat, s"mem,host=a used=2.0 ${base + 6}")
     val now = base + 8L * 24 * H
-    val sched = new CompactionScheduler(cat, "default", nowMicros = () => now)
+    val sched = new CompactionScheduler(cat, Some("default"), nowMicros = () => now)
     val reports = sched.tick()
     assert(reports.map(_.measurement).sorted == Seq("cpu", "mem"))
     val cpu = reports.find(_.measurement == "cpu").get
@@ -163,12 +163,40 @@ class DailyCompactionSpec extends SparkSpec {
     assert(cat.listTables("default") == Seq("cpu", "mem"))
   }
 
+  test("scheduler with db=None covers every database in one tick") {
+    val cat = newCatalog()
+    def ingest(db: String, lines: String): Unit = {
+      val (pts, errs) = LineProtocol.parse(lines, "us")
+      assert(errs.isEmpty, errs.mkString(";"))
+      ColumnarBatch.fromPoints(pts).foreach(HourPartitionedWriter.ingest(cat, db, _))
+    }
+    // two databases, each with a 2-file hour due for compaction
+    ingest("metrics", s"cpu,host=a v=1.0 ${base + 5}")
+    ingest("metrics", s"cpu,host=b v=2.0 ${base + 6}")
+    ingest("logs", s"app,host=a n=1.0 ${base + 5}")
+    ingest("logs", s"app,host=b n=2.0 ${base + 6}")
+    val now = base + 8L * 24 * H
+    val sched = new CompactionScheduler(cat, db = None, nowMicros = () => now)
+    val reports = sched.tick()
+    assert(reports.map(r => (r.db, r.measurement)).sorted ==
+      Seq(("logs", "app"), ("metrics", "cpu")))
+    assert(reports.forall(_.hourly.count(_.compacted) == 1))
+    // a database created AFTER construction is picked up on the next tick
+    ingest("late", s"m,host=a v=1.0 ${base + 5}")
+    ingest("late", s"m,host=b v=2.0 ${base + 6}")
+    val second = sched.tick()
+    assert(second.exists(r => r.db == "late" && r.hourly.count(_.compacted) == 1))
+    // already-compacted dbs are no-ops in the same tick
+    assert(second.filter(_.db != "late")
+      .forall(r => r.hourly.forall(!_.compacted)))
+  }
+
   test("scheduler start/stop: interval thread runs ticks and terminates") {
     val cat = newCatalog()
     lpIngest(cat, s"m,host=a v=1.0 ${base + 5}")
     lpIngest(cat, s"m,host=b v=2.0 ${base + 6}")
     val now = base + 8L * 24 * H
-    val sched = new CompactionScheduler(cat, "default",
+    val sched = new CompactionScheduler(cat, Some("default"),
       intervalMillis = 100L, nowMicros = () => now)
     sched.start()
     sched.start() // idempotent
