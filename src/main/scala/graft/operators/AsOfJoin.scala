@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -51,5 +51,88 @@ object AsOfJoin {
     filled.where(col("_side") === 0)
       .select(leftCols.map(col) ++
         rightVals.values.map(to => col(s"_asof_$to").as(to)).toSeq: _*)
+  }
+
+  /** Skew-salted as-of join: identical semantics to [[asof]], but the
+    * per-key sort is split into (key, time-bucket) groups so a hot key
+    * (one user with 10M events — SCALE.md's named risk) spreads over
+    * `span / bucketMicros` window groups instead of sorting in ONE task.
+    *
+    * Correctness across bucket boundaries comes from a carry-in row: for
+    * every (key, bucket) the most recent right row from any EARLIER
+    * bucket is injected as a synthetic right row that sorts before all
+    * real rows of the bucket (null time, ascending-nulls-first). The
+    * carry itself is computed on bucket SUMMARIES (one row per key ×
+    * bucket — metadata-sized), so the extra shuffles are tiny relative
+    * to the data.
+    *
+    * Tie note: among right rows sharing (keys, time) the greatest
+    * carried-value tuple wins deterministically (max over the struct);
+    * [[asof]]'s window leaves that order undefined — pre-dedup the right
+    * side when the survivor matters, as with [[asof]].
+    *
+    * @param bucketMicros bucket width in the time column's resolution
+    *                     (µs for TimestampType), default one day
+    */
+  def asofSalted(left: DataFrame, right: DataFrame, keys: Seq[String],
+      timeCol: String, rightVals: Map[String, String],
+      bucketMicros: Long = 86400000000L): DataFrame = {
+    import org.apache.spark.sql.types._
+    require(bucketMicros > 0, "bucketMicros must be positive")
+    val leftCols = left.columns.toSeq
+    val rvals = rightVals.toSeq
+    val timeType = left.schema(timeCol).dataType
+
+    // exact floor-div bucketing (long / long in Spark SQL is a double
+    // divide; subtracting pmod first keeps the quotient integral/exact)
+    def bucketOf(df: DataFrame): Column = {
+      val tl = df.schema(timeCol).dataType match {
+        case TimestampType => unix_micros(col(timeCol))
+        case _ => col(timeCol).cast("long")
+      }
+      ((tl - pmod(tl, lit(bucketMicros))) / lit(bucketMicros)).cast("long")
+    }
+
+    val r0 = right.select(
+      (keys.map(col) :+ col(timeCol)) ++
+        rvals.map { case (from, to) => col(from).as(s"_r_$to") }: _*)
+    val r = r0.withColumn("_side", lit(1)).withColumn("_b", bucketOf(r0))
+    val l = left.withColumn("_side", lit(0)).withColumn("_b", bucketOf(left))
+
+    // one summary row per (key, bucket): the right row that would win the
+    // bucket (max over (time, values) — see tie note)
+    val summaryStruct = struct(
+      col(timeCol).as("_t") +: rvals.map { case (_, to) => col(s"_r_$to") }: _*)
+    val keyB = (keys :+ "_b").map(col)
+    val rSum = r.groupBy(keyB: _*).agg(max(summaryStruct).as("_s"))
+
+    // carry-in per (key, bucket) over every bucket either side touches:
+    // the last summary from STRICTLY earlier buckets (rows frame ends
+    // at -1), propagated across right-empty buckets by ignoreNulls
+    val allB = l.select(keyB: _*).union(r.select(keyB: _*)).distinct()
+    val carryW = Window.partitionBy(keys.map(col): _*).orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carried = allB.join(rSum, keys :+ "_b", "left")
+      .withColumn("_carry", last(col("_s"), ignoreNulls = true).over(carryW))
+      .where(col("_carry").isNotNull)
+    val synthetic = carried.select(
+      (keys.map(col) :+ col("_b") :+
+        lit(null).cast(timeType).as(timeCol) :+ lit(1).as("_side")) ++
+        rvals.map { case (_, to) => col("_carry")(s"_r_$to").as(s"_r_$to") }: _*)
+
+    // per-(key, bucket) fill — the synthetic carry row sorts first
+    // (null time, asc = nulls first), real right rows beat left rows at
+    // equal time, exactly like the unsalted window
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+      .unionByName(synthetic, allowMissingColumns = true)
+    val w = Window.partitionBy(keyB: _*)
+      .orderBy(col(timeCol).asc, col("_side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rvals.foldLeft(unioned) { case (df, (_, to)) =>
+      df.withColumn(s"_asof_$to", last(col(s"_r_$to"), ignoreNulls = true).over(w))
+    }
+    filled.where(col("_side") === 0)
+      .select(leftCols.map(col) ++
+        rvals.map { case (_, to) => col(s"_asof_$to").as(to) }: _*)
   }
 }

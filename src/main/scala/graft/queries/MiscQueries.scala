@@ -27,6 +27,23 @@ object MiscQueries {
         .orderBy(col("event_id"))
     }),
 
+    // the same point-in-time join through the skew-salted variant: the
+    // per-key sort splits into (user, day) window groups with carry-in
+    // rows across buckets — same DuckDB ASOF oracle proves equivalence
+    "q57_join_asof_salted" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val dedupW = Window.partitionBy(col("user_id"), col("ts"))
+        .orderBy(col("event_id").desc)
+      val right = ev.where(col("event_type") === "signup")
+        .withColumn("_rn", row_number().over(dedupW))
+        .where(col("_rn") === 1).drop("_rn")
+      AsOfJoin.asofSalted(
+          ev.select(col("event_id"), col("user_id"), col("ts")),
+          right, Seq("user_id"), "ts", Map("value" -> "signup_value"))
+        .select(col("event_id"), col("user_id"), col("signup_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // sketch aggregates: approximate distinct + percentiles.
     // No DuckDB oracle — sketch algorithms differ per engine; the driver
     // records a rows-only check, and the exact twins are q02/q24.
@@ -83,6 +100,17 @@ object MiscQueries {
 
   val oracles: Map[String, String] = Map(
     "q18_join_asof" ->
+      """WITH r AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+        |  WHERE event_type = 'signup'
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+        |)
+        |SELECT l.event_id, l.user_id, r.value AS signup_value
+        |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) l
+        |ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+
+    "q57_join_asof_salted" ->
       """WITH r AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
         |  WHERE event_type = 'signup'
