@@ -68,4 +68,128 @@ object ContinuousQuery {
     val exec = execute(catalog, cq, lastProcessedUs, nowUs)
     (exec, nowUs)
   }
+
+  /** Default first-run lookback when no watermark is stored — the
+    * reference starts new CQs one hour back
+    * (internal/api/continuous_query.go:531). */
+  val DefaultLookbackUs: Long = 3600L * 1000000L
+
+  /** Run every COMPLETE interval window from the persisted watermark up
+    * to `now`, in order — the catch-up path after downtime (reference
+    * cq_scheduler semantics: the watermark only advances on success, so
+    * a stale watermark means the gap gets covered on the next tick;
+    * internal/api/continuous_query.go:526-532,1250).
+    *
+    * Windows are floor-aligned to the interval so a window's identity —
+    * and therefore its stamped output rows (`time` = window start) — is
+    * the same no matter when it actually runs: re-running after a crash
+    * re-emits identical rows and compaction's dedup collapses them.
+    * Each window persists its watermark BEFORE the next starts, so a
+    * crash mid-catch-up resumes exactly at the first unfinished window,
+    * never re-running completed ones (except the idempotent-by-design
+    * duplicate emission of the crashed window itself). */
+  def catchUp(catalog: GraftCatalog, cq: ContinuousQuery, intervalUs: Long,
+      nowUs: Long): Seq[Execution] = {
+    require(intervalUs > 0, "intervalUs must be positive")
+    def align(us: Long): Long = us - Math.floorMod(us, intervalUs)
+    var w = CqState.load(catalog, cq.name) match {
+      case Some(stored) => align(stored)
+      case None => align(nowUs - DefaultLookbackUs)
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Execution]
+    while (w + intervalUs <= nowUs) {
+      out += execute(catalog, cq, w, w + intervalUs)
+      w += intervalUs
+      CqState.store(catalog, cq.name, w)
+    }
+    out.toSeq
+  }
+}
+
+/** File-backed last-processed persistence — the reference keeps
+  * `last_processed_time` in its continuous_queries table and advances
+  * it atomically with the execution record
+  * (internal/api/continuous_query.go:220,1129,1250). One file per CQ
+  * under `{root}/_cq/`, written via tmp + overwrite-rename so the
+  * visible watermark is always a complete value. */
+object CqState {
+
+  private def stateFile(catalog: GraftCatalog, name: String) =
+    new org.apache.hadoop.fs.Path(catalog.root, s"_cq/$name.watermark")
+
+  def load(catalog: GraftCatalog, name: String): Option[Long] = {
+    val p = stateFile(catalog, name)
+    val fs = p.getFileSystem(catalog.spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      catch { case _: NumberFormatException => None }
+      finally in.close()
+    }
+  }
+
+  def store(catalog: GraftCatalog, name: String, lastProcessedUs: Long): Unit = {
+    val conf = catalog.spark.sparkContext.hadoopConfiguration
+    val p = stateFile(catalog, name)
+    val fs = p.getFileSystem(conf)
+    fs.mkdirs(p.getParent)
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent, s".${p.getName}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(lastProcessedUs.toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
+    fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+}
+
+/** Interval scheduler for continuous queries (reference:
+  * internal/scheduler/cq_scheduler.go — one ticker per CQ at its own
+  * interval). Each tick drives [[ContinuousQuery.catchUp]], so a
+  * scheduler that was down for N intervals runs the N missed windows in
+  * order on its first tick back. `tick()` is deterministic and callable
+  * directly; `start()` wraps it in a daemon interval loop. */
+final class CqScheduler(
+    catalog: GraftCatalog,
+    cqs: Seq[(ContinuousQuery, Long)], // (cq, interval µs)
+    tickMillis: Long = 60000L,
+    nowMicros: () => Long = () => System.currentTimeMillis() * 1000L) {
+
+  def tick(): Map[String, Seq[ContinuousQuery.Execution]] =
+    cqs.map { case (cq, intervalUs) =>
+      cq.name -> (
+        try ContinuousQuery.catchUp(catalog, cq, intervalUs, nowMicros())
+        catch {
+          case e: Exception =>
+            org.slf4j.LoggerFactory.getLogger(getClass)
+              .warn(s"CQ '${cq.name}' tick failed: ${e.getMessage}")
+            Nil // watermark not advanced — the window re-runs next tick
+        })
+    }.toMap
+
+  private val running = new java.util.concurrent.atomic.AtomicBoolean(false)
+  @volatile private var thread: Option[Thread] = None
+
+  def start(): Unit = {
+    if (!running.compareAndSet(false, true)) return
+    val t = new Thread(() => {
+      while (running.get()) {
+        try tick()
+        catch { case _: InterruptedException => () }
+        try Thread.sleep(tickMillis)
+        catch { case _: InterruptedException => () }
+      }
+    }, "graft-cq-scheduler")
+    t.setDaemon(true)
+    thread = Some(t)
+    t.start()
+  }
+
+  def stop(): Unit = {
+    running.set(false)
+    thread.foreach(_.interrupt())
+    thread = None
+  }
 }

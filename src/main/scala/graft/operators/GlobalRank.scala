@@ -2,40 +2,75 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
 /** Exact global ranking without a single-task sort.
   *
   * `ntile(k) OVER (ORDER BY ...)` — an empty PARTITION BY — executes as
   * ONE window task holding every row: the known global-sort anti-pattern
-  * (SCALE.md). The scalable shape is the classic zip-with-index plan:
+  * (SCALE.md). The scalable shape:
   *
   *   1. `repartitionByRange` on the sort key (sampled range exchange —
   *      partitions are globally ordered),
   *   2. sort within each partition (parallel),
-  *   3. stamp exact global row numbers = partition offset + local index
-  *      (`RDD.zipWithIndex`: a per-partition count pass, then a stamp
-  *      pass — both parallel, nothing ever gathers to one task),
-  *   4. bucket arithmetic on the row number reproduces NTILE's exact
-  *      semantics (first `n % k` buckets get the extra row).
+  *   3. stamp exact global row numbers = partition offset + local index.
+  *
+  * Step 3 is fully columnar (VERDICT r2 #8 — the former
+  * `RDD.zipWithIndex` round trip deserialized every row through a
+  * RowEncoder and back): `monotonically_increasing_id()` already
+  * encodes `partitionId << 33 | localRowIndex` in iteration order —
+  * which IS the sorted order of the checkpointed partition — so the
+  * local index is recovered arithmetically inside codegen. Partition
+  * offsets come from ONE metadata-sized aggregation job (rows per
+  * partition id, p rows total) and re-attach via a broadcast join.
+  * Nothing leaves Tungsten; nothing gathers to one task.
   */
 object GlobalRank {
 
+  /** Per-partition offsets + columnar row-number stamp over an already
+    * range-partitioned, partition-sorted, checkpointed input. Returns
+    * the stamped frame and the total row count (free from the counts). */
+  private def stamp(sorted: DataFrame, rnCol: String): (DataFrame, Long) = {
+    val spark = sorted.sparkSession
+    // one small job: rows per partition id (p result rows)
+    val counts: Map[Int, Long] = sorted
+      .groupBy(spark_partition_id().as("_pid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nParts = sorted.queryExecution.toRdd.getNumPartitions
+    var off = 0L
+    val offsetRows = (0 until nParts).map { pid =>
+      val o = off; off += counts.getOrElse(pid, 0L); Row(pid, o)
+    }
+    val offsetsDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offsetRows, 1),
+      StructType(Seq(StructField("_pid", IntegerType, nullable = false),
+        StructField("_offset", LongType, nullable = false))))
+    // local index = mid - (pid << 33); mid assignment follows iteration
+    // order, which for the checkpointed sorted partition is sort order
+    val out = sorted
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_lrn", monotonically_increasing_id() -
+        shiftleft(spark_partition_id().cast("long"), 33))
+      .join(broadcast(offsetsDf), "_pid")
+      .withColumn(rnCol, col("_offset") + col("_lrn") + lit(1L))
+      .select(sorted.columns.map(col) :+ col(rnCol): _*)
+    (out, off)
+  }
+
+  private def rangeSorted(df: DataFrame, sortCols: Seq[Column],
+      partitions: Int): DataFrame = {
+    val p = if (partitions > 0) partitions
+      else df.sparkSession.sparkContext.defaultParallelism
+    df.repartitionByRange(p, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .localCheckpoint() // pins partition contents/order across the
+                         // counts job and the stamp job
+  }
+
   /** `df` + a global row-number column (1-based, ordered by sortCols). */
   def withRowNumber(df: DataFrame, sortCols: Seq[Column],
-      rnCol: String = "rn", partitions: Int = 0): DataFrame = {
-    val spark = df.sparkSession
-    val p = if (partitions > 0) partitions
-      else spark.sparkContext.defaultParallelism
-    val sorted = df.repartitionByRange(p, sortCols: _*)
-      .sortWithinPartitions(sortCols: _*)
-      .localCheckpoint() // zipWithIndex runs two passes; sort once
-    val schema = sorted.schema.add(rnCol, LongType, nullable = false)
-    val stamped = sorted.rdd.zipWithIndex.map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ (i + 1L))
-    }
-    spark.createDataFrame(stamped, schema)
-  }
+      rnCol: String = "rn", partitions: Int = 0): DataFrame =
+    stamp(rangeSorted(df, sortCols, partitions), rnCol)._1
 
   /** Default size cutover: below this the single-task window sort is
     * cheaper than the multi-pass distributed stamping. */
@@ -58,24 +93,11 @@ object GlobalRank {
       val w = org.apache.spark.sql.expressions.Window.orderBy(sortCols: _*)
       df.withColumn(bucketCol, org.apache.spark.sql.functions.ntile(k).over(w))
     } else {
-      val sorted = df
-        .repartitionByRange(
-          if (partitions > 0) partitions
-          else df.sparkSession.sparkContext.defaultParallelism,
-          sortCols: _*)
-        .sortWithinPartitions(sortCols: _*)
-        .localCheckpoint() // consumed by count + two zipWithIndex passes
-      val n = sorted.count()
+      val (withRn, n) = stamp(rangeSorted(df, sortCols, partitions), "_grn")
       // NTILE semantics: first (n % k) buckets hold ceil(n/k) rows
       val base = n / k
       val rem = n % k
       val bigCut = (base + 1) * rem
-      val spark = df.sparkSession
-      val schema = sorted.schema.add("_grn", LongType, nullable = false)
-      val withRn = spark.createDataFrame(
-        sorted.rdd.zipWithIndex.map { case (r, i) =>
-          Row.fromSeq(r.toSeq :+ (i + 1L))
-        }, schema)
       val grn = col("_grn")
       val bucket =
         if (base == 0) grn.cast("int") // fewer rows than buckets

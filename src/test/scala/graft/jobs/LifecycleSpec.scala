@@ -125,6 +125,57 @@ class LifecycleSpec extends SparkSpec {
       Seq(base / 1000L))
   }
 
+  test("CQ scheduler: downtime catch-up re-runs missed windows in order") {
+    val cat = newCatalog()
+    // one source row per hour, distinct values -> distinguishable windows
+    lpIngest(cat,
+      (0 until 4).map(h => s"cqsrc,host=a v=${h * 10}.0 ${base + h * H + 5}")
+        .mkString("\n"))
+    cat.register("default", "cqsrc")
+    val cq = ContinuousQuery("hourly_avg",
+      """SELECT host, CAST(AVG(v) AS DOUBLE) AS avg_v FROM cqsrc
+        |WHERE time >= {start_time} AND time < {end_time} GROUP BY host""".stripMargin,
+      "default", "cq_out", tagColumns = Seq("host"))
+    @volatile var now = base + H
+    val sched = new CqScheduler(cat, Seq(cq -> H), nowMicros = () => now)
+
+    // first tick: no watermark -> one-hour lookback, window [base, base+H)
+    val first = sched.tick()("hourly_avg")
+    assert(first.map(e => (e.windowStartMicros, e.windowEndMicros)) ==
+      Seq((base, base + H)))
+    assert(CqState.load(cat, "hourly_avg").contains(base + H))
+
+    // downtime: three intervals pass with no ticks; the next tick runs
+    // every missed window IN ORDER, persisting after each
+    now = base + 4 * H
+    val caught = sched.tick()("hourly_avg")
+    assert(caught.map(_.windowStartMicros) ==
+      Seq(base + H, base + 2 * H, base + 3 * H))
+    assert(CqState.load(cat, "hourly_avg").contains(base + 4 * H))
+
+    // per-window outputs: one row per window, stamped with ITS start
+    val rows = cat.table("default", "cq_out")
+      .select("time", "avg_v").orderBy("time").collect()
+    assert(rows.map(_.getTimestamp(0).getTime).toSeq ==
+      (0 until 4).map(h => (base + h * H) / 1000L))
+    assert(rows.map(_.getDouble(1)).toSeq == Seq(0.0, 10.0, 20.0, 30.0))
+
+    // same instant again: nothing due, nothing re-run
+    assert(sched.tick()("hourly_avg").isEmpty)
+
+    // crash between execute and store: watermark lags one window -> that
+    // window re-emits, and dedup-at-compaction collapses the duplicate
+    CqState.store(cat, "hourly_avg", base + 3 * H)
+    assert(sched.tick()("hourly_avg").map(_.windowStartMicros) ==
+      Seq(base + 3 * H))
+    cat.listHourPartitions("default", "cq_out").foreach(p =>
+      Compaction.compactHour(cat, "default", "cq_out", p, minFiles = 1))
+    val after = cat.table("default", "cq_out")
+      .select("time", "avg_v").orderBy("time").collect()
+    assert(after.map(_.getTimestamp(0).getTime).toSeq ==
+      (0 until 4).map(h => (base + h * H) / 1000L))
+  }
+
   test("compaction repairs mixed-type time columns (string epoch file)") {
     val cat = newCatalog()
     import spark.implicits._
