@@ -60,6 +60,20 @@ object DedupQueries {
           shingleK = 2, numHashes = MinHashK, bands = Bands)
         .orderBy(col("doc1"), col("doc2"))),
 
+    // connected components over the MinHash candidate pairs: transitive
+    // near-dup clusters with one keeper (min doc_id) per cluster — the
+    // step a dedup pipeline runs after pair generation (pairwise output
+    // alone under-deletes chained duplicates). Large-star/small-star
+    // contraction; the oracle is an unbounded recursive transitive
+    // closure proving the contraction reaches the same fixpoint.
+    "q75_dedup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = graft.operators.MinHashDedup.candidatePairs(
+        docs, "doc_id", "text", shingleK = 2, numHashes = MinHashK, bands = Bands)
+      graft.operators.DedupClusters.clusters(docs, "doc_id", pairs, "doc1", "doc2")
+        .orderBy(col("doc_id"))
+    }),
+
     // SimHash near-dup via signature-band blocking: 3 bands of the 32-bit
     // simhash — pigeonhole guarantees every hd<=2 pair shares an 11-bit
     // band, so the result EQUALS brute force (the oracle below is the
@@ -72,6 +86,24 @@ object DedupQueries {
   )
 
   private val toks = "string_split_regex(trim(text), '\\s+')"
+
+  /** Shared CTE chain ending in `pairs(doc1, doc2)` — the MinHash LSH
+    * candidate pairs, spelled once for q66 (direct) and q75 (cluster
+    * closure over the same pairs). */
+  private lazy val minhashPairsCtes: String = {
+    val hashes = graft.operators.MinHashDedup.shingleHashesFromTokensSql("text", 2)
+    val sig = minhashSignatureSql("hs", MinHashK)
+    val bandRows = (0 until Bands).map(bnd =>
+      s"SELECT doc_id, $bnd AS band, array_to_string(list_slice(sig, " +
+        s"${bnd * RowsPerBand + 1}, ${(bnd + 1) * RowsPerBand}), ',') AS key FROM sigs")
+      .mkString(" UNION ALL ")
+    s"""hsx AS (SELECT doc_id, $hashes AS hs FROM documents),
+       |sigs AS (SELECT doc_id, $sig AS sig FROM hsx),
+       |bands AS ($bandRows),
+       |pairs AS (SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "q64_dedup_exact" ->
@@ -91,21 +123,26 @@ object DedupQueries {
          |        len(list_distinct(list_concat(a.tk, b.tk))), 6) >= 0.5
          |ORDER BY doc1, doc2""".stripMargin,
 
-    "q66_dedup_minhash" -> {
-      val hashes = graft.operators.MinHashDedup.shingleHashesFromTokensSql("text", 2)
-      val sig = minhashSignatureSql("hs", MinHashK)
-      val bandRows = (0 until Bands).map(bnd =>
-        s"SELECT doc_id, $bnd AS band, array_to_string(list_slice(sig, " +
-          s"${bnd * RowsPerBand + 1}, ${(bnd + 1) * RowsPerBand}), ',') AS key FROM sigs")
-        .mkString(" UNION ALL ")
-      s"""WITH hsx AS (SELECT doc_id, $hashes AS hs FROM documents),
-         |sigs AS (SELECT doc_id, $sig AS sig FROM hsx),
-         |bands AS ($bandRows)
-         |SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
-         |FROM bands x JOIN bands y
-         |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
-         |ORDER BY doc1, doc2""".stripMargin
-    },
+    "q66_dedup_minhash" ->
+      s"WITH $minhashPairsCtes\nSELECT doc1, doc2 FROM pairs ORDER BY doc1, doc2",
+
+    // transitive closure via recursive CTE (unbounded reachability) — if
+    // the Spark-side star contraction stopped short of the fixpoint, the
+    // component minima here would differ
+    "q75_dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (SELECT doc1 AS s, doc2 AS d FROM pairs
+         |          UNION ALL SELECT doc2, doc1 FROM pairs),
+         |reach(n, r) AS (
+         |  SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+         |  UNION
+         |  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.n),
+         |comp AS (SELECT n AS node, MIN(r) AS component FROM reach GROUP BY n)
+         |SELECT d.doc_id AS doc_id,
+         |  coalesce(c.component, d.doc_id) AS cluster_id,
+         |  CAST(coalesce(c.component, d.doc_id) = d.doc_id AS INT) AS is_keeper
+         |FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+         |ORDER BY doc_id""".stripMargin,
 
     // deliberately UNBLOCKED brute force: if the Spark-side band blocking
     // lost any hd<=6 pair, this oracle would catch it
