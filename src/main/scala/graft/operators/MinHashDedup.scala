@@ -69,15 +69,24 @@ object MinHashDedup {
       shingleK: Int = 2, numHashes: Int = 16, bands: Int = 4): DataFrame = {
     val rows = numHashes / bands
     val sigs = signatures(docs, idCol, textCol, shingleK, numHashes)
-    val banded = sigs.select(col(idCol), explode(array(
+    val banded = sigs.select(col(idCol), col("sig"), explode(array(
       (0 until bands).map(bnd =>
         struct(lit(bnd).as("band"),
           array_join(slice(col("sig"), bnd * rows + 1, rows), ",").as("key"))): _*)).as("b"))
-      .select(col(idCol), col("b.band").as("band"), col("b.key").as("key"))
+      .select(col(idCol), col("sig"), col("b.band").as("band"), col("b.key").as("key"))
+    // first-matching-band emission instead of distinct(): a pair agreeing
+    // in k bands lands in k buckets; only the smallest matching band's
+    // bucket emits it. The carried signatures make the earlier-band
+    // compare a local array-slice equality — the candidate-pair dedup
+    // shuffle disappears (pairs >> docs when buckets run hot).
+    val firstBand = (0 until bands).map { j =>
+      (col("x.band") > j) &&
+        (slice(col("x.sig"), j * rows + 1, rows) === slice(col("y.sig"), j * rows + 1, rows))
+    }.reduce(_ || _)
     banded.alias("x").join(banded.alias("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
+      .where(!firstBand)
       .select(col(s"x.$idCol").as("doc1"), col(s"y.$idCol").as("doc2"))
-      .distinct()
   }
 }

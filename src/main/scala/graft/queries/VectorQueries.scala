@@ -68,20 +68,31 @@ object VectorQueries {
     // cosine verifies. The oracle mirrors the banding bit-for-bit, so
     // the candidate sets are identical on both engines.
     "q69_dedup_embedding" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      val bands = emb.select(col("vec_id"), col("embedding"),
+      // band codes computed ONCE per vector (array of DedupBands ints),
+      // then exploded; a pair meeting in several bands is emitted only at
+      // its smallest matching band (cheap carried-key compares) — no
+      // distinct() shuffle over the candidate set.
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          array((0 until DedupBands).map(b =>
+            lshBucketBand(col("embedding"), DedupPlanes, b * DedupPlanes)): _*).as("ks"))
+      val bands = emb.select(col("vec_id"), col("embedding"), col("ks"),
         explode(array((0 until DedupBands).map(b =>
-          struct(lit(b).as("b"),
-            lshBucketBand(col("embedding"), DedupPlanes, b * DedupPlanes).as("k"))): _*))
-          .as("band"))
-      val a = bands.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("band"))
-      val b = bands.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("band"))
+          struct(lit(b).as("b"), element_at(col("ks"), b + 1).as("k"))): _*)).as("band"))
+      val a = bands.select(col("vec_id").as("v1"), col("embedding").as("e1"),
+        col("ks").as("ks1"), col("band"))
+      val b = bands.select(col("vec_id").as("v2"), col("embedding").as("e2"),
+        col("ks").as("ks2"), col("band"))
+      val earlier = (0 until DedupBands).map(j =>
+        (col("band.b") > j) &&
+          (element_at(col("ks1"), j + 1) === element_at(col("ks2"), j + 1)))
+        .reduce(_ || _)
       a.join(b, "band")
         .where(col("v1") < col("v2"))
+        .where(!earlier)
         .withColumn("cos", cosine(col("e1"), col("e2")))
         .where(col("cos") >= DedupTau)
         .select(col("v1"), col("v2"), col("cos"))
-        .distinct()
         .orderBy(col("v1"), col("v2"))
     })
   )
