@@ -21,11 +21,13 @@ object SparkEntry {
       SortSetQueries.queries ++ FunctionQueries.queries ++ SqlQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++ VectorQueries.queries ++
       VectorQueries.rowsOnlyQueries ++
-      MiscQueries.queries ++ ExtraQueries.queries ++ ReshapeQueries.queries
+      MiscQueries.queries ++ ExtraQueries.queries ++ ReshapeQueries.queries ++
+      SampleQueries.queries
 
   def oracleSql: Map[String, String] =
     AggQueries.oracles ++ JoinQueries.oracles ++ WindowQueries.oracles ++
       SortSetQueries.oracles ++ FunctionQueries.oracles ++ SqlQueries.oracles ++
       TextQueries.oracles ++ DedupQueries.oracles ++ VectorQueries.oracles ++
-      MiscQueries.oracles ++ ExtraQueries.oracles ++ ReshapeQueries.oracles
+      MiscQueries.oracles ++ ExtraQueries.oracles ++ ReshapeQueries.oracles ++
+      SampleQueries.oracles
 }

@@ -1,0 +1,90 @@
+package graft.queries
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+/** Sampling + corpus-shaping surface for training-data pipelines.
+  *
+  * All sampling here is DETERMINISTIC (content-hash thresholds, not RNG):
+  * the same rows are selected on every run, every engine, every cluster
+  * size — reproducible subsets are a hard requirement for training-data
+  * lineage, and hash-mod thresholds are the standard trick (same one the
+  * q39 flat sample uses). Integer-exact arithmetic keeps the DuckDB
+  * oracle bit-identical.
+  *
+  * Scale shape: every query is scan → (tiny broadcast of per-group
+  * thresholds) → filter → linear; no data-sized shuffle anywhere.
+  */
+object SampleQueries {
+
+  /** Content hash in [0, P): stable across engines (same polynomial). */
+  private def fp = TextFunctions.charFingerprint(col("text"))
+  private def fpSql = TextFunctions.charFingerprintSql("text")
+
+  val queries: Map[String, Q] = Map(
+    // stratified sample: per-language keep-rates (downsample the dominant
+    // language, keep half of the rest) — the "rebalance before training"
+    // primitive. rate(lang)% of each stratum survives, deterministically.
+    "q76_sample_stratified" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .where(pmod(fp, lit(100)) <
+          when(col("lang") === "en", 10).otherwise(50))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+
+    // dataset-mixture rebalance: downsample every language stratum to
+    // (approximately) the smallest stratum's row count — the
+    // uniform-mixture primitive for interleaving skewed corpora (the
+    // dominant language's keep-rate is DERIVED FROM THE DATA, unlike
+    // q76's fixed rates). Per-stratum keep-rate min_cnt/cnt is applied
+    // as an exact integer cross-multiplication against a content-hash
+    // bucket in [0, 1e6): (fp % 1e6) * cnt < min_cnt * 1e6. The
+    // per-stratum counts are a tiny aggregate (one row per language)
+    // broadcast back onto the scan — the corpus itself never shuffles.
+    "q77_dataset_mixture" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cnts = docs.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+      val mn = cnts.agg(min(col("cnt")).as("min_cnt"))
+      docs.join(broadcast(cnts), "lang")
+        .crossJoin(broadcast(mn))
+        .where(pmod(fp, lit(1000000L)) * col("cnt") < col("min_cnt") * lit(1000000L))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // token-length histogram (fixed-width buckets): the corpus-shape
+    // report run before choosing sequence lengths. Linear scan, one
+    // partial+final aggregate over ~tens of buckets.
+    "q78_length_histogram" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(TextFunctions.tokenCount(col("text")).as("n_tok"),
+          length(col("text")).as("n_chars_txt"))
+        .groupBy((col("n_tok") / lit(8)).cast("bigint").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_tok")).as("min_tok"), max(col("n_tok")).as("max_tok"),
+          sum(col("n_chars_txt")).as("sum_chars"))
+        .orderBy(col("bucket")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q76_sample_stratified" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE $fpSql % 100 < CASE WHEN lang = 'en' THEN 10 ELSE 50 END
+         |ORDER BY doc_id""".stripMargin,
+
+    "q77_dataset_mixture" ->
+      s"""WITH cnts AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+         |mn AS (SELECT MIN(cnt) AS min_cnt FROM cnts)
+         |SELECT doc_id, lang FROM documents JOIN cnts USING (lang) CROSS JOIN mn
+         |WHERE ($fpSql % 1000000) * cnt < min_cnt * 1000000
+         |ORDER BY doc_id""".stripMargin,
+
+    "q78_length_histogram" ->
+      s"""SELECT CAST(len(string_split_regex(trim(text), '\\s+')) // 8 AS BIGINT) AS bucket,
+         |  COUNT(*) AS n_docs,
+         |  MIN(len(string_split_regex(trim(text), '\\s+'))) AS min_tok,
+         |  MAX(len(string_split_regex(trim(text), '\\s+'))) AS max_tok,
+         |  CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+         |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin
+  )
+}
