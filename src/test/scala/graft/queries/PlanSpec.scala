@@ -94,6 +94,25 @@ class PlanSpec extends SparkSpec {
       s"no shuffle may run below the map-side reduction:\n$whole")
   }
 
+  test("mixture sampling broadcasts thresholds; corpus itself never shuffles") {
+    val plan = explained("q77_dataset_mixture")
+    // per-stratum counts + global min join back via broadcast only —
+    // the documents scan must not hash-shuffle on its way to the filter
+    assert(count(plan, "BroadcastHashJoin") >= 1 ||
+      count(plan, "BroadcastNestedLoopJoin") >= 1, plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus must reach the mixture filter without a join shuffle:\n$plan")
+  }
+
+  test("LSH dedup emits pairs without a distinct shuffle over candidates") {
+    // first-matching-band emission: the only exchanges are the band-join
+    // shuffles and the output sort — no aggregate over the pair stream
+    val plan = explained("q67_dedup_simhash")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("HashAggregate"),
+      s"no distinct()/aggregate should remain in the pair pipeline:\n$plan")
+  }
+
   test("time_bucket stays inside whole-stage codegen") {
     val plan = explained("q40_time_bucket")
     // formatted mode marks codegen'd operators with "[codegen id : N]";
