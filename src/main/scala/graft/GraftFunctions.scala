@@ -34,6 +34,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "simhash_bits", exprs => SimHashBits(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
+      "term_counts", exprs => graft.functions.TermCounts(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
       "vec_cosine",
       exprs => graft.functions.CosineSimilarity(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(

@@ -76,11 +76,13 @@ object DedupClusters {
   private def largeStar(e: DataFrame): DataFrame = {
     val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
     val mins = sym.groupBy("u").agg(min(least(col("v"), col("u"))).as("m"))
+    // no distinct here: duplicate edges ride through one round and are
+    // collapsed by small-star's round-ending distinct — one shuffle per
+    // round instead of two
     sym.join(mins, "u")
       .where(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
       .where(col("u") =!= col("v"))
-      .distinct()
   }
 
   /** Small-star: orient edges large→small; each node connects its smaller

@@ -48,7 +48,13 @@ object TextQueries {
 
     // TF-IDF (ratio idf variant — log-free so both engines compute the
     // identical double): most characteristic term per document.
-    // explode → per-(doc,term) counts → doc-frequency join → score.
+    // TF is computed LOCALLY per row (native term_counts kernel) — the
+    // classic explode→groupBy(doc,term) plan shuffles every token
+    // occurrence to count within a document, but a document's counts
+    // need no other row. The exploded (doc, term, cnt) stream is already
+    // distinct per (doc, term), so document frequency is a window count
+    // per term. Two data shuffles total (df by term, top-1 by doc)
+    // instead of four.
     "q68_text_tfidf" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), tokens(col("text")).as("toks"),
@@ -57,20 +63,19 @@ object TextQueries {
       // docs.count() here would force a second full scan of documents.
       val nDocs = broadcast(t(s, dir, "documents")
         .agg(count(lit(1)).cast("double").as("n_docs")))
-      val terms = docs.select(col("doc_id"), col("n_tok"),
-        explode(col("toks")).as("term"))
-      val tf = terms.groupBy(col("doc_id"), col("n_tok"), col("term"))
-        .agg(count(lit(1)).as("cnt"))
-      val dfreq = tf.groupBy(col("term"))
-        .agg(count(lit(1)).as("df_t")) // tf rows are distinct (doc, term)
-      val w = org.apache.spark.sql.expressions.Window
+      val tf = docs.select(col("doc_id"), col("n_tok"),
+          explode(call_function("term_counts", col("toks"))).as("tc"))
+        .select(col("doc_id"), col("n_tok"),
+          col("tc.term").as("term"), col("tc.cnt").as("cnt"))
+      val wTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+      val wDoc = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id"))
         .orderBy(col("score").desc, col("term"))
-      tf.join(dfreq, "term")
+      tf.withColumn("df_t", count(lit(1)).over(wTerm))
         .crossJoin(nDocs)
         .withColumn("score", round(
           col("cnt").cast("double") / col("n_tok") * col("n_docs") / col("df_t"), 6))
-        .withColumn("rn", row_number().over(w))
+        .withColumn("rn", row_number().over(wDoc))
         .where(col("rn") === 1)
         .select(col("doc_id"), col("term"), col("score"))
         .orderBy(col("doc_id"))
