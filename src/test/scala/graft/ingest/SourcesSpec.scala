@@ -45,6 +45,22 @@ class MsgPackSpec extends AnyFunSuite {
     assert(b.columns("value").toSeq == Seq(1.5, 2.5))
   }
 
+  test("an entirely-null column survives the batch with a concrete type") {
+    // reference semantic (2026.09.1 #337): a batch where some column is
+    // all null must keep that column, not silently drop it
+    val payload = enc(Map(
+      "m" -> "cpu",
+      "columns" -> Map(
+        "time" -> Seq(1609459200L, 1609459260L),
+        "gap" -> Seq(null, null),
+        "value" -> Seq(1.5, 2.5))))
+    val b = MsgPack.decodePayload(payload).head
+    assert(b.columns.contains("gap"))
+    val df = b.toDataFrame(graft.TestSpark.spark)
+    assert(df.schema.fieldNames.contains("gap"))
+    assert(df.select("gap").collect().forall(_.isNullAt(0)))
+  }
+
   test("row + batch payloads pivot per measurement") {
     val payload = enc(Map("batch" -> Seq(
       Map("m" -> "cpu", "t" -> 1609459200000L,
