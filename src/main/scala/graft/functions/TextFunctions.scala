@@ -24,6 +24,20 @@ object TextFunctions {
 
   def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
 
+  /** BPE-ish pretokenizer count (GPT-2-family pattern, lookahead-free so
+    * Java regex and RE2 agree): contractions, space-prefixed letter runs,
+    * number runs, punctuation runs. The "how many model tokens is this
+    * corpus" estimator — whitespace counting under-counts punctuation-
+    * heavy text. Both engines use leftmost-first alternation, so counts
+    * are identical. */
+  val BpeTokenPattern = "'(?:s|t|re|ve|m|ll|d)| ?[\\p{L}\\p{N}]+| ?[^\\p{L}\\p{N}\\s]+"
+
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(BpeTokenPattern))
+
+  def bpeTokenCountSql(col: String): String =
+    s"len(regexp_extract_all($col, '${BpeTokenPattern.replace("'", "''")}'))"
+
   /** Polynomial rolling hash over characters: fold (acc*31 + ascii(c)) % P.
     * The document-fingerprint primitive; also the base hash for MinHash
     * shingles (deterministic, engine-independent — unlike murmur/xxhash

@@ -18,6 +18,7 @@ object TextQueries {
           col("doc_id"),
           tokenCount(col("text")).as("n_tokens"),
           distinctTokenCount(col("text")).as("n_distinct"),
+          bpeTokenCount(col("text")).as("n_bpe"),
           length(col("text")).as("n_chars_txt"))
         .orderBy(col("doc_id"))),
 
@@ -87,6 +88,7 @@ object TextQueries {
       s"""SELECT doc_id,
          |  len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
          |  len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS n_distinct,
+         |  ${bpeTokenCountSql("text")} AS n_bpe,
          |  length(text) AS n_chars_txt
          |FROM documents ORDER BY doc_id""".stripMargin,
 
