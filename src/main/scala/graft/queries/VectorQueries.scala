@@ -109,8 +109,27 @@ object VectorQueries {
   // model per dataset (same lifecycle as q90's one-time engine write)
   private val ivfCache =
     scala.collection.concurrent.TrieMap.empty[String, graft.operators.IvfIndex.Model]
+  private val pqCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.operators.PqIndex.Model]
 
   val rowsOnlyQueries: Map[String, Q] = Map(
+    // PQ-ADC ANN (rows-only like q73: k-means codebooks have no DuckDB
+    // twin; PqIndexSpec covers recall vs brute force + self-match).
+    // The corpus is scanned in compressed-code form only — the 100 TB
+    // memory-bound path; composes with IVF for IVF-PQ.
+    "q74_ann_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queriesDf = emb.where(col("vec_id") < NQueries)
+        .select(col("vec_id"), col("embedding"))
+      val model = pqCache.getOrElseUpdate(dir,
+        graft.operators.PqIndex.build(
+          emb.where(col("vec_id") >= NQueries), "vec_id", "embedding",
+          dim = 64, m = 8, ksub = 16))
+      graft.operators.PqIndex.search(model, queriesDf, "vec_id", "embedding",
+          k = TopK)
+        .orderBy(col("query_id"), col("rn"))
+    }),
+
     "q73_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val queriesDf = emb.where(col("vec_id") < NQueries)
