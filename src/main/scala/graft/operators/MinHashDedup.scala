@@ -64,16 +64,39 @@ object MinHashDedup {
       .localCheckpoint()
   }
 
-  /** Candidate near-duplicate pairs via LSH banding. */
+  /** Candidate near-duplicate pairs via LSH banding.
+    *
+    * @param maxBucketSize 0 = unlimited. At corpus scale a degenerate
+    *        band key (boilerplate-heavy shards, empty docs) can collect
+    *        millions of members and the within-bucket pairing turns
+    *        quadratic in ONE task. A positive cap drops buckets larger
+    *        than the cap from pair generation (both sides — symmetric),
+    *        trading recall ONLY on pathological keys for a hard bound on
+    *        per-bucket work: a pair lost here is found again in any of
+    *        its other bands, or swept up by clustering transitivity
+    *        ([[DedupClusters]]) when any co-member pairs survive.
+    */
   def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
-      shingleK: Int = 2, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+      shingleK: Int = 2, numHashes: Int = 16, bands: Int = 4,
+      maxBucketSize: Int = 0): DataFrame = {
     val rows = numHashes / bands
     val sigs = signatures(docs, idCol, textCol, shingleK, numHashes)
-    val banded = sigs.select(col(idCol), col("sig"), explode(array(
+    val banded0 = sigs.select(col(idCol), col("sig"), explode(array(
       (0 until bands).map(bnd =>
         struct(lit(bnd).as("band"),
           array_join(slice(col("sig"), bnd * rows + 1, rows), ",").as("key"))): _*)).as("b"))
       .select(col(idCol), col("sig"), col("b.band").as("band"), col("b.key").as("key"))
+    val banded =
+      if (maxBucketSize <= 0) banded0
+      else {
+        // bucket sizes via partial+final count — the hot key's size is a
+        // single aggregate row, never a materialized member list
+        val sizes = banded0.groupBy(col("band"), col("key"))
+          .agg(count(lit(1)).as("_bucket_n"))
+        banded0.join(sizes, Seq("band", "key"))
+          .where(col("_bucket_n") <= maxBucketSize)
+          .drop("_bucket_n")
+      }
     // first-matching-band emission instead of distinct(): a pair agreeing
     // in k bands lands in k buckets; only the smallest matching band's
     // bucket emits it. The carried signatures make the earlier-band

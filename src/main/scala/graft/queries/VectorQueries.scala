@@ -111,6 +111,8 @@ object VectorQueries {
     scala.collection.concurrent.TrieMap.empty[String, graft.operators.IvfIndex.Model]
   private val pqCache =
     scala.collection.concurrent.TrieMap.empty[String, graft.operators.PqIndex.Model]
+  private val ivfPqCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.operators.IvfPq.Model]
 
   val rowsOnlyQueries: Map[String, Q] = Map(
     // PQ-ADC ANN (rows-only like q73: k-means codebooks have no DuckDB
@@ -127,6 +129,22 @@ object VectorQueries {
           dim = 64, m = 8, ksub = 16))
       graft.operators.PqIndex.search(model, queriesDf, "vec_id", "embedding",
           k = TopK)
+        .orderBy(col("query_id"), col("rn"))
+    }),
+
+    // IVF-PQ composition (rows-only; IvfPqSpec pins recall + probe
+    // bounding): probing bounds WHICH vectors are scanned, codes bound
+    // WHAT is read per vector — the two bounds multiply at 100 TB.
+    "q79_ann_ivfpq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queriesDf = emb.where(col("vec_id") < NQueries)
+        .select(col("vec_id"), col("embedding"))
+      val model = ivfPqCache.getOrElseUpdate(dir,
+        graft.operators.IvfPq.build(
+          emb.where(col("vec_id") >= NQueries), "vec_id", "embedding",
+          dim = 64, nLists = 8, m = 8, ksub = 16))
+      graft.operators.IvfPq.search(model, queriesDf, "vec_id", "embedding",
+          k = TopK, nProbe = 2)
         .orderBy(col("query_id"), col("rn"))
     }),
 

@@ -32,6 +32,26 @@ class DedupOperatorsSpec extends SparkSpec {
       s"false positives: $pairs")
   }
 
+  test("hot-bucket cap drops only the degenerate bucket's pairs") {
+    import spark.implicits._
+    // 30 identical boilerplate docs (one degenerate bucket in EVERY
+    // band) + the planted near-dup pair from the distinct corpus
+    val boiler = (100 until 130).map(i => (i.toLong, "empty empty empty empty"))
+    val docs = corpus.union(boiler.toDF("doc_id", "text"))
+    val uncapped = MinHashDedup.candidatePairs(docs, "doc_id", "text",
+        shingleK = 2, numHashes = 16, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = MinHashDedup.candidatePairs(docs, "doc_id", "text",
+        shingleK = 2, numHashes = 16, bands = 8, maxBucketSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // uncapped: boilerplate contributes 30*29/2 pairs; capped: none of
+    // them survive, while every pair among ordinary docs is untouched
+    assert(uncapped.count { case (a, b) => a >= 100L && b >= 100L } == 435)
+    assert(capped.forall { case (a, b) => a < 100L && b < 100L })
+    assert(capped == uncapped.filter { case (a, b) => a < 100L && b < 100L })
+    assert(capped.contains((0L, 1L)))
+  }
+
   test("SimHash band blocking finds near-dups that DIFFER in token count") {
     import spark.implicits._
     graft.GraftFunctions.registerAll(spark)
