@@ -1,0 +1,79 @@
+package graft.pipelines
+
+import graft.functions.TextFunctions
+import graft.operators.{DedupClusters, MinHashDedup}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The end-to-end training-corpus preparation pipeline, composed from
+  * the library's operators — the shape a 100 TB data-curation run takes:
+  *
+  *   annotate (quality / lang-ID / token stats, one linear pass)
+  *     → quality gate (pushdown filter)
+  *     → exact dedup (normalized-key groupBy, min-id survivor)
+  *     → near-dup dedup (MinHash LSH pairs → connected components →
+  *       keeper-only)
+  *     → mixture rebalance (deterministic per-stratum hash thresholds)
+  *
+  * Everything before the LSH band join is a single scan with no shuffle;
+  * the whole pipeline shuffles only at: exact-dedup groupBy, LSH band
+  * join, cluster contraction rounds, and the final per-stratum count
+  * broadcast. Deterministic end to end — same survivors on every run,
+  * every cluster size (content-hash thresholds, min-id keepers).
+  *
+  * Each stage is also independently exposed as a `SparkEntry` query with
+  * a DuckDB oracle (q60–q78); this composition is how they run together.
+  */
+object CorpusPipeline {
+
+  final case class Config(
+      minTokens: Int = 5,
+      minQuality: Double = 0.2,
+      shingleK: Int = 2,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      maxBucketSize: Int = 0,
+      mixturePerMillion: Long = 1000000L) // 1e6 = keep all of smallest stratum
+
+  /** docs(idCol, textCol, strataCol) → kept rows with annotations:
+    * (id, text, stratum, n_tokens, n_bpe, quality, cluster_id). */
+  def run(docs: DataFrame, idCol: String, textCol: String,
+      strataCol: String, cfg: Config = Config()): DataFrame = {
+    // 1. annotate + quality gate (single scan, codegen'd kernels)
+    val annotated = docs.select(
+        col(idCol).cast("long").as("doc_id"), col(textCol).as("text"),
+        col(strataCol).as("stratum"),
+        TextFunctions.tokenCount(col(textCol)).as("n_tokens"),
+        TextFunctions.bpeTokenCount(col(textCol)).as("n_bpe"),
+        TextFunctions.qualityScore(col(textCol)).as("quality"))
+      .where(col("n_tokens") >= cfg.minTokens && col("quality") >= cfg.minQuality)
+
+    // 2. exact dedup: normalized 3-token-prefix key, min-id survivor
+    val exactKey = array_join(slice(TextFunctions.tokens(col("text")), 1, 3), " ")
+    val exactSurvivors = annotated
+      .withColumn("_k", exactKey)
+      .withColumn("_keeper", min(col("doc_id"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("_k"))))
+      .where(col("doc_id") === col("_keeper"))
+      .drop("_k", "_keeper")
+
+    // 3. near-dup dedup: LSH pairs → components → keeper-only
+    val pairs = MinHashDedup.candidatePairs(exactSurvivors, "doc_id", "text",
+      cfg.shingleK, cfg.numHashes, cfg.bands, cfg.maxBucketSize)
+    val clustered = DedupClusters.clusters(exactSurvivors, "doc_id",
+      pairs, "doc1", "doc2")
+    val nearSurvivors = exactSurvivors
+      .join(clustered.where(col("is_keeper") === 1).select(col("doc_id"), col("cluster_id")),
+        "doc_id")
+
+    // 4. mixture rebalance: downsample every stratum toward the smallest
+    val cnts = nearSurvivors.groupBy(col("stratum")).agg(count(lit(1)).as("_cnt"))
+    val mn = cnts.agg(min(col("_cnt")).as("_min_cnt"))
+    nearSurvivors
+      .join(broadcast(cnts), "stratum")
+      .crossJoin(broadcast(mn))
+      .where(pmod(TextFunctions.charFingerprint(col("text")), lit(1000000L)) * col("_cnt") <
+        col("_min_cnt") * lit(cfg.mixturePerMillion))
+      .drop("_cnt", "_min_cnt")
+  }
+}

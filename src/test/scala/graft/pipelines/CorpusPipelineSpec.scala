@@ -1,0 +1,48 @@
+package graft.pipelines
+
+import graft.SparkSpec
+
+/** End-to-end corpus preparation: each gate must act (quality, exact
+  * dedup, near-dup transitive dedup, mixture), survivors are the
+  * deterministic min-id keepers, and the whole run is reproducible.
+  */
+class CorpusPipelineSpec extends SparkSpec {
+
+  private def corpus() = {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    Seq(
+      (1L, base, "web"),
+      (2L, base.replace("today", "tonight"), "web"), // near-dup of 1
+      (3L, base.replace("today", "tonite"), "web"),  // near-dup of 2 (chain)
+      (4L, "spark shuffles partition data across executors during wide transformations", "web"),
+      (5L, "columnar parquet storage enables efficient predicate pushdown and pruning", "books"),
+      (6L, "watermarks bound state retention in streaming aggregation pipelines always", "books"),
+      (7L, "minhash signatures approximate jaccard similarity between shingle sets", "books"),
+      (8L, "the quick brown fox jumps over seven happy dogs by the river delta", "books"),
+      (9L, "tiny", "web"), // fails minTokens
+      (10L, "spark shuffles partition data across executors during wide transformations", "web") // exact dup of 4 (same 3-token prefix)
+    ).toDF("doc_id", "text", "source")
+  }
+
+  test("quality, exact-dup, near-dup-chain and mixture gates all act; run is deterministic") {
+    val cfg = CorpusPipeline.Config(minTokens = 5, minQuality = 0.0,
+      numHashes = 16, bands = 8)
+    val out = CorpusPipeline.run(corpus(), "doc_id", "text", "source", cfg)
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+
+    assert(!kept.contains(9L), "minTokens gate missed")
+    assert(!kept.contains(10L), "exact-dup loser survived")
+    // near-dup chain 1-2-3: transitive clustering keeps only doc 1
+    assert(kept.contains(1L) && !kept.contains(2L) && !kept.contains(3L),
+      s"chain dedup wrong: $kept")
+    // survivors carry their cluster id (min of component)
+    val c1 = out.where(org.apache.spark.sql.functions.col("doc_id") === 1L)
+      .select("cluster_id").head().getLong(0)
+    assert(c1 == 1L)
+
+    val again = CorpusPipeline.run(corpus(), "doc_id", "text", "source", cfg)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == kept, "pipeline not deterministic")
+  }
+}
