@@ -22,12 +22,12 @@ object SparkEntry {
       TextQueries.queries ++ DedupQueries.queries ++ VectorQueries.queries ++
       VectorQueries.rowsOnlyQueries ++
       MiscQueries.queries ++ ExtraQueries.queries ++ ReshapeQueries.queries ++
-      SampleQueries.queries
+      SampleQueries.queries ++ TimeseriesQueries.queries
 
   def oracleSql: Map[String, String] =
     AggQueries.oracles ++ JoinQueries.oracles ++ WindowQueries.oracles ++
       SortSetQueries.oracles ++ FunctionQueries.oracles ++ SqlQueries.oracles ++
       TextQueries.oracles ++ DedupQueries.oracles ++ VectorQueries.oracles ++
       MiscQueries.oracles ++ ExtraQueries.oracles ++ ReshapeQueries.oracles ++
-      SampleQueries.oracles
+      SampleQueries.oracles ++ TimeseriesQueries.oracles
 }
