@@ -113,6 +113,16 @@ class PlanSpec extends SparkSpec {
       s"no distinct()/aggregate should remain in the pair pipeline:\n$plan")
   }
 
+  test("sessionize aggregates on the window's partitioning (one data shuffle)") {
+    val plan = explained("q26_sessionize")
+    // HashPartitioning(user_id) from the session window satisfies the
+    // (user_id, session_no) clustering — the per-session aggregate must
+    // NOT re-shuffle; the only exchanges are the window's and the
+    // output sort's
+    assert(count(plan, "+- ShuffleQueryStage") <= 2,
+      s"expected window + output-sort exchanges only:\n$plan")
+  }
+
   test("time_bucket stays inside whole-stage codegen") {
     val plan = explained("q40_time_bucket")
     // formatted mode marks codegen'd operators with "[codegen id : N]";
