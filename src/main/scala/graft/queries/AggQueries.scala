@@ -50,6 +50,19 @@ object AggQueries {
           grouping_id().as("gid"))
         .orderBy(col("gid"), asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
 
+    // explicit GROUPING SETS (neither rollup nor cube): per-flag,
+    // per-status, and grand-total rows only
+    "q28_agg_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem") // registers views
+      s.sql(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               |  ${oSum("l_quantity")} AS sum_qty,
+               |  grouping_id(l_returnflag, l_linestatus) AS gid
+               |FROM lineitem
+               |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+               |ORDER BY gid, l_returnflag ASC NULLS FIRST,
+               |  l_linestatus ASC NULLS FIRST""".stripMargin)
+    }),
+
     // CUBE over two order dimensions
     "q05_agg_cube" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -95,6 +108,15 @@ object AggQueries {
          |  GROUPING(l_returnflag, l_linestatus) AS gid
          |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
          |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q28_agg_grouping_sets" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         |  ${oSum("l_quantity")} AS sum_qty,
+         |  GROUPING(l_returnflag, l_linestatus) AS gid
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         |ORDER BY gid, l_returnflag ASC NULLS FIRST,
+         |  l_linestatus ASC NULLS FIRST""".stripMargin,
 
     "q05_agg_cube" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,

@@ -70,6 +70,23 @@ object WindowQueries {
         .orderBy(col("user_id"), col("event_type"))
     }),
 
+    // distribution windows + IGNORE NULLS navigation: percent_rank /
+    // cume_dist per priority, first non-'O' status carried per frame
+    "q29_window_distribution" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("pr", round(percent_rank().over(w), 6))
+        .withColumn("cd", round(cume_dist().over(w), 6))
+        .withColumn("first_nonO",
+          first(nullif(col("o_orderstatus"), lit("O")), ignoreNulls = true)
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .where(col("o_orderkey") % 10 === 0) // thin the output, keep the math
+        .select(col("o_orderkey"), col("o_orderpriority"), col("pr"), col("cd"),
+          col("first_nonO"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // ntile + percent_rank (analytic extras the SQL surface exposes)
     // global NTILE via GlobalRank (range partition + offset stamping) —
     // the window form's empty PARTITION BY would sort the whole table in
@@ -114,6 +131,19 @@ object WindowQueries {
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
         |  ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) = 1
         |ORDER BY user_id, event_type""".stripMargin,
+
+    "q29_window_distribution" ->
+      """SELECT o_orderkey, o_orderpriority, pr, cd, first_nonO
+        |FROM (SELECT o_orderkey, o_orderpriority,
+        |  round(PERCENT_RANK() OVER w, 6) AS pr,
+        |  round(CUME_DIST() OVER w, 6) AS cd,
+        |  FIRST_VALUE(nullif(o_orderstatus, 'O') IGNORE NULLS) OVER
+        |    (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_nonO
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderpriority
+        |               ORDER BY o_totalprice, o_orderkey))
+        |WHERE o_orderkey % 10 = 0 ORDER BY o_orderkey""".stripMargin,
 
     "q24_window_ntile" ->
       s"""SELECT quartile, COUNT(*) AS n, ${oSum("o_totalprice")} AS sum_price
