@@ -29,9 +29,15 @@ object AsOfJoin {
     * @param keys       equi-join key columns present on both sides
     * @param timeCol    event-time column name present on both sides
     * @param rightVals  right-side columns to carry (renamed as given)
+    * @param forward    false (default): most recent right row with
+    *                   `right.time <= left.time`; true: EARLIEST right
+    *                   row with `right.time >= left.time` (the "next
+    *                   scheduled event" direction). Same plan either way
+    *                   — only the window sort order flips.
     */
   def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
-      timeCol: String, rightVals: Map[String, String]): DataFrame = {
+      timeCol: String, rightVals: Map[String, String],
+      forward: Boolean = false): DataFrame = {
     val leftCols = left.columns.toSeq
     // right side reduced to keys + time + carried values (renamed)
     val r = right.select(
@@ -41,9 +47,12 @@ object AsOfJoin {
     val l = left.withColumn("_side", lit(0))
     val unioned = l.unionByName(r, allowMissingColumns = true)
 
-    // right rows sort before left rows at equal time (inclusive match)
+    // right rows sort before left rows at equal time (inclusive match);
+    // forward direction = the same scan over reversed time order, where
+    // "preceding" rows are the future ones
+    val timeOrd = if (forward) col(timeCol).desc else col(timeCol).asc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(timeCol).asc, col("_side").desc)
+      .orderBy(timeOrd, col("_side").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = rightVals.values.foldLeft(unioned) { (df, to) =>
       df.withColumn(s"_asof_$to", last(col(s"_r_$to"), ignoreNulls = true).over(w))

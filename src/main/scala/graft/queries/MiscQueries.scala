@@ -44,6 +44,24 @@ object MiscQueries {
         .orderBy(col("event_id"))
     }),
 
+    // forward as-of: each event gets the NEXT (earliest future,
+    // inclusive) signup value of the same user — the "next scheduled
+    // event" direction; same single-shuffle plan with the sort reversed
+    "q58_join_asof_fwd" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val dedupW = Window.partitionBy(col("user_id"), col("ts"))
+        .orderBy(col("event_id").desc)
+      val right = ev.where(col("event_type") === "signup")
+        .withColumn("_rn", row_number().over(dedupW))
+        .where(col("_rn") === 1).drop("_rn")
+      AsOfJoin.asof(
+          ev.select(col("event_id"), col("user_id"), col("ts")),
+          right, Seq("user_id"), "ts", Map("value" -> "signup_value"),
+          forward = true)
+        .select(col("event_id"), col("user_id"), col("signup_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // sketch aggregates: approximate distinct + percentiles.
     // No DuckDB oracle — sketch algorithms differ per engine; the driver
     // records a rows-only check, and the exact twins are q02/q24.
@@ -119,6 +137,17 @@ object MiscQueries {
         |SELECT l.event_id, l.user_id, r.value AS signup_value
         |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) l
         |ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+
+    "q58_join_asof_fwd" ->
+      """WITH r AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+        |  WHERE event_type = 'signup'
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+        |)
+        |SELECT l.event_id, l.user_id, r.value AS signup_value
+        |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) l
+        |ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
         |ORDER BY l.event_id""".stripMargin,
 
     "q90_engine_roundtrip" ->
