@@ -31,6 +31,7 @@ final class CompactionScheduler(
     dailyMinFiles: Int = 12,
     dailyMinAgeHours: Int = 24,
     skipFileAgeCheckDays: Int = 7,
+    icebergExport: Boolean = false,
     nowMicros: () => Long = () => System.currentTimeMillis() * 1000L) {
 
   final case class TickReport(
@@ -38,7 +39,8 @@ final class CompactionScheduler(
       measurement: String,
       recovered: Seq[String],
       hourly: Seq[Compaction.Result],
-      daily: Seq[Compaction.Result])
+      daily: Seq[Compaction.Result],
+      iceberg: Option[IcebergExport.Result] = None)
 
   /** One scheduler pass over every measurement of every covered
     * database. Per-database failures are isolated: one broken table
@@ -66,7 +68,20 @@ final class CompactionScheduler(
       val daily = Compaction.runDaily(catalog, d, m,
         minFiles = dailyMinFiles, minAgeHours = dailyMinAgeHours,
         skipFileAgeCheckDays = skipFileAgeCheckDays, nowMicros = nowMicros)
-      TickReport(d, m, recovered, hourly, daily)
+      // iceberg reconcile runs AFTER compaction so the snapshot sees the
+      // post-merge file set (reference: iceberg/scheduler.go drives the
+      // exporter off the same periodic loop); per-table failures stay
+      // isolated like everything else in the tick
+      val ice =
+        if (!icebergExport) None
+        else try Some(IcebergExport.reconcile(catalog, d, m))
+        catch {
+          case e: Exception =>
+            org.slf4j.LoggerFactory.getLogger(getClass)
+              .warn(s"iceberg export failed for $d/$m: ${e.getMessage}")
+            None
+        }
+      TickReport(d, m, recovered, hourly, daily, ice)
     }
 
   private val running = new AtomicBoolean(false)

@@ -191,6 +191,24 @@ class DailyCompactionSpec extends SparkSpec {
       .forall(r => r.hourly.forall(!_.compacted)))
   }
 
+  test("scheduler with iceberg export reconciles the post-compaction file set") {
+    val cat = newCatalog()
+    lpIngest(cat, s"m,host=a v=1.0 ${base + 5}")
+    lpIngest(cat, s"m,host=b v=2.0 ${base + 6}")
+    val now = base + 8L * 24 * H
+    val sched = new CompactionScheduler(cat, Some("default"),
+      icebergExport = true, nowMicros = () => now)
+    val reports = sched.tick()
+    val ice = reports.head.iceberg
+    assert(ice.nonEmpty, "iceberg export did not run")
+    // snapshot taken AFTER compaction: the 2-file hour merged to 1 file
+    assert(reports.head.hourly.count(_.compacted) == 1)
+    assert(ice.get.files == 1 && ice.get.rows == 2, ice.get.toString)
+    // second tick: nothing to compact, version advances idempotently
+    val second = sched.tick().head.iceberg.get
+    assert(second.version == 2 && second.files == 1 && second.rows == 2)
+  }
+
   test("scheduler start/stop: interval thread runs ticks and terminates") {
     val cat = newCatalog()
     lpIngest(cat, s"m,host=a v=1.0 ${base + 5}")
