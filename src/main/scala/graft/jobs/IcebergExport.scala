@@ -73,11 +73,24 @@ object IcebergExport {
     }
 
     val prev = readCurrent(fs, metaDir)
+    // no-op reconcile: a scheduler tick with an unchanged file set must
+    // not publish a new (identical) snapshot — at one tick/hour over many
+    // tables that's unbounded metadata churn for zero information. The
+    // current file set is fingerprinted into the table properties; same
+    // fingerprint ⇒ return the published state untouched (the reference's
+    // reconciler likewise diffs before replacing, exporter.go
+    // ReconcileMeasurement).
+    val fp = filesFingerprint(sized)
+    prev match {
+      case Some(c) if c.fingerprint.contains(fp) =>
+        return Result(c.version, c.currentSnapshotId, sized.length, sized.map(_._3).sum)
+      case _ => ()
+    }
     val version = prev.map(_.version).getOrElse(0) + 1
     val seqNum = prev.map(_.lastSequenceNumber).getOrElse(0L) + 1L
     val snapshotId = seqNum
     val parentId = prev.map(_.currentSnapshotId)
-    val schemaJson = icebergSchema(catalog, db, m, prev)
+    val (schemaJson, lastColumnId) = icebergSchema(catalog, db, m, prev)
     val nowMs = System.currentTimeMillis()
 
     // 1. manifest (immutable, content-addressed by snapshot)
@@ -110,7 +123,13 @@ object IcebergExport {
       case None => JObject()
     })
 
-    val snapshots = prev.map(_.snapshots).getOrElse(JArray(Nil)).arr :+ snapshot
+    // keep exactly the snapshots whose manifest-list files survive
+    // pruneOldVersions — older entries would be dangling references, and
+    // an unbounded array grows the metadata json forever. The oldest kept
+    // snapshot's parent-snapshot-id may point at an expired snapshot,
+    // which the spec permits (same state expire_snapshots leaves).
+    val snapshots = (prev.map(_.snapshots).getOrElse(JArray(Nil)).arr :+ snapshot)
+      .takeRight(Retain)
     val snapLog = prev.map(_.snapshotLog).getOrElse(JArray(Nil)).arr :+
       JObject("timestamp-ms" -> JLong(nowMs), "snapshot-id" -> JLong(snapshotId))
 
@@ -121,7 +140,7 @@ object IcebergExport {
       "location" -> JString(icebergDir.toString),
       "last-sequence-number" -> JLong(seqNum),
       "last-updated-ms" -> JLong(nowMs),
-      "last-column-id" -> JInt((schemaJson \ "fields").asInstanceOf[JArray].arr.length),
+      "last-column-id" -> JInt(lastColumnId),
       "current-schema-id" -> JInt(0),
       "schemas" -> JArray(List(schemaJson)),
       "default-spec-id" -> JInt(0),
@@ -136,6 +155,7 @@ object IcebergExport {
       // same property, exporter.go:289-336)
       "properties" -> JObject(
         "write.format.default" -> JString("parquet"),
+        "graft.files-fingerprint" -> JString(fp),
         "schema.name-mapping.default" -> JString(JsonMethods.compact(JArray(
           (schemaJson \ "fields").asInstanceOf[JArray].arr.map { f =>
             JObject("field-id" -> (f \ "id"),
@@ -165,7 +185,17 @@ object IcebergExport {
 
   private final case class Current(version: Int, lastSequenceNumber: Long,
       currentSnapshotId: Long, snapshots: JArray, snapshotLog: JArray,
-      schema: Option[JValue])
+      schema: Option[JValue], fingerprint: Option[String])
+
+  /** Order-independent digest of (path, length, rows) for the current
+    * file set — equality means the published snapshot is already exact. */
+  private def filesFingerprint(sized: Seq[(String, Long, Long)]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    sized.sortBy(_._1).foreach { case (p, len, rows) =>
+      md.update(s"$p|$len|$rows\n".getBytes(StandardCharsets.UTF_8))
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
 
   private def readCurrent(fs: FileSystem, metaDir: Path): Option[Current] = {
     val hint = new Path(metaDir, "version-hint.text")
@@ -178,16 +208,23 @@ object IcebergExport {
       currentSnapshotId = asLong(meta \ "current-snapshot-id"),
       snapshots = (meta \ "snapshots").asInstanceOf[JArray],
       snapshotLog = (meta \ "snapshot-log").asInstanceOf[JArray],
-      schema = (meta \ "schemas").asInstanceOf[JArray].arr.headOption))
+      schema = (meta \ "schemas").asInstanceOf[JArray].arr.headOption,
+      fingerprint = meta \ "properties" \ "graft.files-fingerprint" match {
+        case JString(s) => Some(s)
+        case _ => None
+      }))
   }
 
   // ---- schema mapping ---------------------------------------------------
 
   /** Spark → Iceberg primitive mapping with STABLE field ids: ids are
     * positional on first export and preserved by NAME afterwards (new
-    * columns extend the id space) — the spec's schema-evolution rule. */
+    * columns extend the id space) — the spec's schema-evolution rule.
+    * Returns (schema json, last-column-id); the latter is the highest id
+    * EVER assigned (spec invariant) — after a drop+add it exceeds the
+    * current field count, so it cannot be derived from the field list. */
   private def icebergSchema(catalog: GraftCatalog, db: String, m: String,
-      prev: Option[Current]): JValue = {
+      prev: Option[Current]): (JValue, Int) = {
     val sparkSchema = org.apache.spark.sql.types.StructType(
       catalog.table(db, m).schema.fields.filterNot(f =>
         Set("year", "month", "day", "hour").contains(f.name)))
@@ -205,8 +242,8 @@ object IcebergExport {
         "required" -> JBool(false),
         "type" -> JString(icebergType(f.dataType)))
     }
-    JObject("type" -> JString("struct"), "schema-id" -> JInt(0),
-      "fields" -> JArray(fields))
+    (JObject("type" -> JString("struct"), "schema-id" -> JInt(0),
+      "fields" -> JArray(fields)), nextId)
   }
 
   private def icebergType(dt: org.apache.spark.sql.types.DataType): String = {

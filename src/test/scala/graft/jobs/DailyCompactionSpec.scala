@@ -204,9 +204,14 @@ class DailyCompactionSpec extends SparkSpec {
     // snapshot taken AFTER compaction: the 2-file hour merged to 1 file
     assert(reports.head.hourly.count(_.compacted) == 1)
     assert(ice.get.files == 1 && ice.get.rows == 2, ice.get.toString)
-    // second tick: nothing to compact, version advances idempotently
+    // second tick: file set unchanged ⇒ reconcile is a no-op (no new
+    // snapshot published, no metadata churn), same state reported
     val second = sched.tick().head.iceberg.get
-    assert(second.version == 2 && second.files == 1 && second.rows == 2)
+    assert(second.version == 1 && second.files == 1 && second.rows == 2)
+    // new data makes the next tick publish again
+    lpIngest(cat, s"m,host=c v=3.0 ${base + 7}")
+    val third = sched.tick().head.iceberg.get
+    assert(third.version == 2 && third.rows == 3, third.toString)
   }
 
   test("scheduler start/stop: interval thread runs ticks and terminates") {

@@ -106,5 +106,28 @@ class IcebergExportSpec extends SparkSpec {
       .map(f => (f \ "name").asInstanceOf[JString].s -> (f \ "id")).toMap
     val ids1 = fields.children.map(f => (f \ "name").asInstanceOf[JString].s -> (f \ "id")).toMap
     assert(ids2 == ids1, "field ids must be stable across reconciles")
+
+    // bounded history, no dangling references: after enough reconciles to
+    // roll past the retention window, every snapshot still listed in the
+    // metadata must point at a manifest-list file that exists, the
+    // snapshots array must not grow without bound, and last-column-id
+    // still covers every field id
+    val rLast = (3 to 6).map { _ =>
+      writeRows(cat, 1, offset = 9000L * 1000000L)
+      IcebergExport.reconcile(cat, "default", "ice_m")
+    }.last
+    val metaN = JsonMethods.parse(readStr(new Path(metaDir, s"v${rLast.version}.metadata.json")))
+    val snapsN = (metaN \ "snapshots").children
+    assert(snapsN.length <= 3, s"snapshots unbounded: ${snapsN.length}")
+    snapsN.foreach { s =>
+      val JString(ml) = (s \ "manifest-list"): @unchecked
+      assert(fs.exists(new Path(ml)), s"dangling manifest-list $ml")
+    }
+    assert(snapsN.map(s => s \ "snapshot-id").contains(metaN \ "current-snapshot-id"))
+    val maxId = ((metaN \ "schemas")(0) \ "fields").children
+      .map(f => (f \ "id").asInstanceOf[JInt].num.toInt).max
+    val JInt(lastCol) = (metaN \ "last-column-id"): @unchecked
+    assert(lastCol.toInt >= maxId, s"last-column-id $lastCol < max field id $maxId")
+    assert(!fs.exists(new Path(metaDir, "v1.metadata.json")), "old metadata not pruned")
   }
 }
