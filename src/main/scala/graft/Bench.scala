@@ -25,7 +25,8 @@ object Bench {
     // time is the comparable metric — a single shot folds in first-run
     // codegen/JIT and stray GC pauses, which at sub-second query times
     // dominate the measurement
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    val iters = math.max(1,
+      sys.env.get("SPARK_GRAFT_BENCH_ITERS").flatMap(_.toIntOption).getOrElse(2))
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val dt = (1 to iters).map { _ =>
         val t0 = System.nanoTime()

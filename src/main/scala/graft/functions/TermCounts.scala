@@ -53,10 +53,15 @@ object TermCounts {
     val counts = new java.util.LinkedHashMap[UTF8String, Array[Long]](n * 2)
     var i = 0
     while (i < n) {
+      // null elements are skipped, not counted: the declared output type
+      // (term non-null) has no encoding for them, and a null token is
+      // never a term
       val t = arr.getUTF8String(i)
-      val slot = counts.get(t)
-      if (slot != null) slot(0) += 1L
-      else counts.put(t.clone(), Array(1L))
+      if (t != null) {
+        val slot = counts.get(t)
+        if (slot != null) slot(0) += 1L
+        else counts.put(t.clone(), Array(1L))
+      }
       i += 1
     }
     val out = new Array[Any](counts.size())

@@ -65,26 +65,30 @@ object IcebergExport {
     val metaDir = new Path(icebergDir, "metadata")
     fs.mkdirs(metaDir)
 
-    // current data files (recursive through hour partitions)
+    // current data files (recursive through hour partitions); the listing
+    // already carries lengths, so the no-op check below costs exactly one
+    // recursive listing — no footer reads, no per-file status RPCs
     val files = listParquet(fs, tableDir)
-    val sized = files.map { f =>
-      val rows = Compaction.footerRowCount(conf, Seq(f))
-      (f.toString, fs.getFileStatus(f).getLen, rows)
-    }
 
     val prev = readCurrent(fs, metaDir)
     // no-op reconcile: a scheduler tick with an unchanged file set must
     // not publish a new (identical) snapshot — at one tick/hour over many
     // tables that's unbounded metadata churn for zero information. The
-    // current file set is fingerprinted into the table properties; same
-    // fingerprint ⇒ return the published state untouched (the reference's
-    // reconciler likewise diffs before replacing, exporter.go
+    // current (path, length) set is fingerprinted into the table
+    // properties (data files are immutable — compaction/retention replace
+    // paths, never rewrite in place — so path+length identifies content);
+    // same fingerprint ⇒ return the published state untouched (the
+    // reference's reconciler likewise diffs before replacing, exporter.go
     // ReconcileMeasurement).
-    val fp = filesFingerprint(sized)
+    val fp = filesFingerprint(files)
     prev match {
       case Some(c) if c.fingerprint.contains(fp) =>
-        return Result(c.version, c.currentSnapshotId, sized.length, sized.map(_._3).sum)
+        return Result(c.version, c.currentSnapshotId, files.length, c.totalRecords)
       case _ => ()
+    }
+    // publishing for real: now pay the per-file parquet footer reads
+    val sized = files.map { case (p, len) =>
+      (p, len, Compaction.footerRowCount(conf, Seq(new Path(p))))
     }
     val version = prev.map(_.version).getOrElse(0) + 1
     val seqNum = prev.map(_.lastSequenceNumber).getOrElse(0L) + 1L
@@ -185,14 +189,15 @@ object IcebergExport {
 
   private final case class Current(version: Int, lastSequenceNumber: Long,
       currentSnapshotId: Long, snapshots: JArray, snapshotLog: JArray,
-      schema: Option[JValue], fingerprint: Option[String])
+      schema: Option[JValue], fingerprint: Option[String],
+      lastColumnId: Int, totalRecords: Long)
 
-  /** Order-independent digest of (path, length, rows) for the current
-    * file set — equality means the published snapshot is already exact. */
-  private def filesFingerprint(sized: Seq[(String, Long, Long)]): String = {
+  /** Order-independent digest of (path, length) for the current file
+    * set — equality means the published snapshot is already exact. */
+  private def filesFingerprint(files: Seq[(String, Long)]): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
-    sized.sortBy(_._1).foreach { case (p, len, rows) =>
-      md.update(s"$p|$len|$rows\n".getBytes(StandardCharsets.UTF_8))
+    files.sortBy(_._1).foreach { case (p, len) =>
+      md.update(s"$p|$len\n".getBytes(StandardCharsets.UTF_8))
     }
     md.digest().map("%02x".format(_)).mkString
   }
@@ -212,6 +217,16 @@ object IcebergExport {
       fingerprint = meta \ "properties" \ "graft.files-fingerprint" match {
         case JString(s) => Some(s)
         case _ => None
+      },
+      lastColumnId = asLong(meta \ "last-column-id").toInt,
+      totalRecords = {
+        val cur = asLong(meta \ "current-snapshot-id")
+        (meta \ "snapshots").asInstanceOf[JArray].arr
+          .find(s => asLong(s \ "snapshot-id") == cur)
+          .map(s => (s \ "summary" \ "total-records") match {
+            case JString(n) => n.toLong
+            case _ => 0L
+          }).getOrElse(0L)
       }))
   }
 
@@ -233,7 +248,12 @@ object IcebergExport {
         (f \ "name").asInstanceOf[JString].s -> BigInt(asLong(f \ "id"))
       }.toMap
     }.getOrElse(Map.empty)
-    var nextId = if (prevIds.isEmpty) 0 else prevIds.values.max.toInt
+    // seed from the previous metadata's last-column-id, NOT the previous
+    // schema's max id: a column dropped in an earlier reconcile keeps its
+    // id retired forever (spec invariant — reusing it would alias two
+    // different columns under one id in retained snapshots/name-mapping)
+    var nextId = prev.map(_.lastColumnId)
+      .getOrElse(if (prevIds.isEmpty) 0 else prevIds.values.max.toInt)
     val fields = sparkSchema.fields.toList.map { f =>
       val id = prevIds.getOrElse(f.name, { nextId += 1; BigInt(nextId) })
       JObject(
@@ -382,25 +402,32 @@ object IcebergExport {
 
   // ---- fs helpers -------------------------------------------------------
 
-  private def listParquet(fs: FileSystem, dir: Path): Seq[Path] = {
+  /** (path, length) per data file, path-sorted — lengths come from the
+    * one recursive listing, no extra status calls. */
+  private def listParquet(fs: FileSystem, dir: Path): Seq[(String, Long)] = {
     val it = fs.listFiles(dir, true)
-    val buf = scala.collection.mutable.ArrayBuffer.empty[Path]
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     while (it.hasNext) {
       val f = it.next()
       val p = f.getPath
       if (f.isFile && p.getName.endsWith(".parquet") &&
         !p.toString.contains("/metadata/") && !p.getName.startsWith("_"))
-        buf += p
+        buf += ((p.toString, f.getLen))
     }
-    buf.toSeq.sortBy(_.toString)
+    buf.sortBy(_._1).toSeq
   }
 
-  private def pruneOldVersions(fs: FileSystem, metaDir: Path, version: Int): Unit =
-    (1 until version - Retain + 1).foreach { v =>
+  /** Delete the newly expired version plus a small self-heal window —
+    * NOT every version since 1, which would re-issue O(version) no-op
+    * delete RPCs on each publish of a long-lived table. */
+  private def pruneOldVersions(fs: FileSystem, metaDir: Path, version: Int): Unit = {
+    val newest = version - Retain
+    (math.max(1, newest - 2) to newest).foreach { v =>
       fs.delete(new Path(metaDir, s"v$v.metadata.json"), false)
       fs.delete(new Path(metaDir, f"snap-$v%05d.avro"), false)
       fs.delete(new Path(metaDir, f"m-$v%05d.avro"), false)
     }
+  }
 
   private def writeString(fs: FileSystem, p: Path, s: String): Unit = {
     val out = fs.create(p, true)

@@ -78,33 +78,51 @@ object MinHashDedup {
     */
   def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 2, numHashes: Int = 16, bands: Int = 4,
-      maxBucketSize: Int = 0): DataFrame = {
+      maxBucketSize: Int = 0): DataFrame =
+    candidatePairsFromSignatures(
+      signatures(docs, idCol, textCol, shingleK, numHashes),
+      idCol, numHashes, bands, maxBucketSize)
+
+  /** Pair generation over precomputed `(id, sig)` signatures — split out
+    * so alternate signature sources (and the spec's crafted-collision
+    * cases) reuse the exact banding/emission logic. */
+  def candidatePairsFromSignatures(sigs: DataFrame, idCol: String,
+      numHashes: Int, bands: Int, maxBucketSize: Int): DataFrame = {
     val rows = numHashes / bands
-    val sigs = signatures(docs, idCol, textCol, shingleK, numHashes)
     val banded0 = sigs.select(col(idCol), col("sig"), explode(array(
       (0 until bands).map(bnd =>
         struct(lit(bnd).as("band"),
           array_join(slice(col("sig"), bnd * rows + 1, rows), ",").as("key"))): _*)).as("b"))
       .select(col(idCol), col("sig"), col("b.band").as("band"), col("b.key").as("key"))
     val banded =
-      if (maxBucketSize <= 0) banded0
+      if (maxBucketSize <= 0) banded0.withColumn("_survMask", lit(-1L))
       else {
         // bucket sizes via partial+final count — the hot key's size is a
-        // single aggregate row, never a materialized member list
+        // single aggregate row, never a materialized member list. Each doc
+        // also carries a bitmask of which of ITS bands survived the cap:
+        // the first-band suppression below may only defer to an earlier
+        // band that actually emitted (capped-away buckets emit nothing).
         val sizes = banded0.groupBy(col("band"), col("key"))
           .agg(count(lit(1)).as("_bucket_n"))
-        banded0.join(sizes, Seq("band", "key"))
-          .where(col("_bucket_n") <= maxBucketSize)
-          .drop("_bucket_n")
+        val flagged = banded0.join(sizes, Seq("band", "key"))
+          .withColumn("_surv", col("_bucket_n") <= maxBucketSize)
+        val masks = flagged.groupBy(col(idCol)).agg(
+          sum(when(col("_surv"),
+            expr("shiftleft(CAST(1 AS BIGINT), band)")).otherwise(lit(0L)))
+            .as("_survMask"))
+        flagged.where(col("_surv")).join(masks, Seq(idCol))
+          .drop("_bucket_n", "_surv")
       }
     // first-matching-band emission instead of distinct(): a pair agreeing
-    // in k bands lands in k buckets; only the smallest matching band's
-    // bucket emits it. The carried signatures make the earlier-band
-    // compare a local array-slice equality — the candidate-pair dedup
+    // in k bands lands in k buckets; only the smallest matching SURVIVING
+    // band's bucket emits it. The carried signatures make the earlier-band
+    // compare a local array-slice equality (slices equal ⇒ same bucket, so
+    // x's survival bit speaks for both docs) — the candidate-pair dedup
     // shuffle disappears (pairs >> docs when buckets run hot).
     val firstBand = (0 until bands).map { j =>
       (col("x.band") > j) &&
-        (slice(col("x.sig"), j * rows + 1, rows) === slice(col("y.sig"), j * rows + 1, rows))
+        (slice(col("x.sig"), j * rows + 1, rows) === slice(col("y.sig"), j * rows + 1, rows)) &&
+        (col("x._survMask").bitwiseAND(lit(1L << j)) =!= lit(0L))
     }.reduce(_ || _)
     banded.alias("x").join(banded.alias("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&

@@ -62,9 +62,14 @@ object CorpusPipeline {
       cfg.shingleK, cfg.numHashes, cfg.bands, cfg.maxBucketSize)
     val clustered = DedupClusters.clusters(exactSurvivors, "doc_id",
       pairs, "doc1", "doc2")
+    // materialized once: the mixture stage below consumes nearSurvivors
+    // three times (stratum counts, their min, and the output join) — an
+    // unmaterialized lineage would re-run the annotate scan, exact-dedup
+    // window and LSH band join per consumer
     val nearSurvivors = exactSurvivors
       .join(clustered.where(col("is_keeper") === 1).select(col("doc_id"), col("cluster_id")),
         "doc_id")
+      .localCheckpoint()
 
     // 4. mixture rebalance: downsample every stratum toward the smallest
     val cnts = nearSurvivors.groupBy(col("stratum")).agg(count(lit(1)).as("_cnt"))

@@ -62,10 +62,10 @@ object TimeseriesQueries {
 
   val oracles: Map[String, String] = Map(
     "q26_sessionize" ->
-      s"""WITH d AS (SELECT user_id, ts, event_id,
+      s"""WITH d AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
          |    epoch_us(CAST(ts AS TIMESTAMP)) -
          |      LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER
-         |        (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+         |        (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS gap_us
          |  FROM events),
          |s AS (SELECT user_id, ts,
          |    CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > $SessionGapUs

@@ -52,6 +52,33 @@ class DedupOperatorsSpec extends SparkSpec {
     assert(capped.contains((0L, 1L)))
   }
 
+  test("pair whose FIRST matching band is capped away still emits from a later surviving band") {
+    import spark.implicits._
+    // crafted signatures (numHashes=8, bands=4 ⇒ 2 rows/band):
+    //  - docs 100..119 share band 0's slice (hot bucket, > cap) and are
+    //    unique everywhere else;
+    //  - docs 1 and 2 ALSO carry that band-0 slice AND share a private
+    //    band-2 slice. Their first matching band (0) is capped away, so
+    //    emission must come from band 2 — the pre-fix first-band test
+    //    suppressed it there and the pair vanished entirely.
+    def sig(b0: Long, b1: Long, b2: Long, b3: Long) =
+      Array(b0, b0 + 1, b1, b1 + 1, b2, b2 + 1, b3, b3 + 1)
+    val hot = (100 until 120).map(i => (i.toLong, sig(7L, 1000L + i, 2000L + i, 3000L + i)))
+    val pairDocs = Seq(
+      (1L, sig(7L, 41L, 55L, 61L)),
+      (2L, sig(7L, 42L, 55L, 62L)))
+    val sigs = (hot ++ pairDocs).toDF("doc_id", "sig")
+    val capped = MinHashDedup.candidatePairsFromSignatures(sigs, "doc_id",
+        numHashes = 8, bands = 4, maxBucketSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L)), s"expected the deferred pair only: $capped")
+    // and without the cap the same pair emits exactly once (no dup rows)
+    val uncapped = MinHashDedup.candidatePairsFromSignatures(sigs, "doc_id",
+        numHashes = 8, bands = 4, maxBucketSize = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(uncapped.count(_ == (1L, 2L)) == 1)
+  }
+
   test("SimHash band blocking finds near-dups that DIFFER in token count") {
     import spark.implicits._
     graft.GraftFunctions.registerAll(spark)
