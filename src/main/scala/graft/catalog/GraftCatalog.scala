@@ -88,7 +88,10 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
     val r = new Path(root)
     val f = fs(r)
     if (!f.exists(r)) Nil
-    else f.listStatus(r).filter(_.isDirectory).map(_.getPath.getName).sorted.toSeq
+    else f.listStatus(r).filter(_.isDirectory).map(_.getPath.getName)
+      // engine-internal trees (_cq watermarks, _iceberg metadata) are not
+      // databases — same underscore convention listTables applies
+      .filterNot(_.startsWith("_")).sorted.toSeq
   }
 
   def listTables(db: String): Seq[String] = {

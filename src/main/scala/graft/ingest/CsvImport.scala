@@ -60,7 +60,7 @@ object CsvImport {
     val df = normalizeTimeColumn(raw, timeCol)
     // row count comes from the written files' parquet footers inside
     // write — a df.count() here would pay a second full scan of the CSV
-    HourPartitionedWriter.write(catalog, db, measurement, df)
+    HourPartitionedWriter.write(catalog, db, measurement, df, countRows = true)
   }
 
   /** Import Line Protocol text files — fully distributed (a 100 GB LP
@@ -147,7 +147,8 @@ object CsvImport {
         val existing = catalog.readMeta(db, m)
         if (existing.tagColumns.isEmpty && tagKeys.nonEmpty)
           catalog.writeMeta(db, m, existing.copy(tagColumns = tagKeys.toSeq))
-        HourPartitionedWriter.write(catalog, db, m, dfm.select(cols: _*))
+        HourPartitionedWriter.write(catalog, db, m, dfm.select(cols: _*),
+          countRows = true)
       }
       (nPoints, errs)
     } finally parsed.unpersist()

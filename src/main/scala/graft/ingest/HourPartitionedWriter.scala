@@ -51,9 +51,14 @@ object HourPartitionedWriter {
     * compaction's last-write-wins dedup orders rows by source file name,
     * so names MUST sort by flush time (Spark's UUID part names don't).
     * The table tree only ever sees fully-written, final-named files; a
-    * crash leaves an orphan tmp dir, never a half-visible flush. */
+    * crash leaves an orphan tmp dir, never a half-visible flush (the
+    * compaction tick's recover sweeps abandoned tmp trees after 1h).
+    *
+    * @return rows written when `countRows` (read from the moved files'
+    *         parquet footers); 0 otherwise — hot-path writers that
+    *         discard the count skip the per-file footer reads. */
   def write(catalog: GraftCatalog, db: String, measurement: String,
-      df: DataFrame, filesPerHour: Int = 1): Long = {
+      df: DataFrame, filesPerHour: Int = 1, countRows: Boolean = false): Long = {
     require(df.columns.contains("time"), "write batch must carry a 'time' column")
     val meta = catalog.readMeta(db, measurement)
     val sortCols: Seq[Column] =
@@ -103,12 +108,14 @@ object HourPartitionedWriter {
               .stripPrefix(qualTmp).stripPrefix("/")
             val dest = new org.apache.hadoop.fs.Path(tableDir, rel)
             fs.mkdirs(dest)
-            // row count from the footers being moved — callers that need
-            // "rows imported" (CSV/LP bulk import) get it for free
-            // instead of paying a second full scan (VERDICT r2 #5)
+            // row count from the footers being moved — bulk import asks
+            // for "rows imported" this way instead of a second full scan
+            // (VERDICT r2 #5). Hot-path writers (MQTT, streaming
+            // micro-batches) discard the count, so the footer read — an
+            // extra GET per file on object storage — is opt-in.
             var rows = 0L
             files.sortBy(_.getName).zipWithIndex.foreach { case (f, i) =>
-              rows += graft.jobs.Compaction.footerRowCount(conf, Seq(f))
+              if (countRows) rows += graft.jobs.Compaction.footerRowCount(conf, Seq(f))
               // flushFileName embeds nanoTime, so a retry gets a fresh
               // name; an unchecked false return (dest exists / fs error)
               // would let the finally-delete silently discard the data

@@ -205,18 +205,27 @@ final class MqttSubscriber(
 
   private def connectAndSubscribe(): DataInputStream = {
     val s = openSocket()
-    s.setSoTimeout(keepAliveSec * 1000)
-    val o = new DataOutputStream(s.getOutputStream)
-    val in = new DataInputStream(s.getInputStream)
-    writePacket(o, connect(clientId, keepAliveSec, username, password))
-    val ack = readPacket(in)
-    require(ack.ptype == CONNACK && ack.body(1) == 0,
-      s"broker refused connection: ${ack.body.toSeq}")
-    writePacket(o, subscribe(1, topics.map(_ -> qos)))
-    val sub = readPacket(in)
-    require(sub.ptype == SUBACK, s"expected SUBACK, got ${sub.ptype}")
-    socket = s; out = o
-    in
+    try {
+      s.setSoTimeout(keepAliveSec * 1000)
+      val o = new DataOutputStream(s.getOutputStream)
+      val in = new DataInputStream(s.getInputStream)
+      writePacket(o, connect(clientId, keepAliveSec, username, password))
+      val ack = readPacket(in)
+      require(ack.ptype == CONNACK && ack.body(1) == 0,
+        s"broker refused connection: ${ack.body.toSeq}")
+      writePacket(o, subscribe(1, topics.map(_ -> qos)))
+      val sub = readPacket(in)
+      require(sub.ptype == SUBACK, s"expected SUBACK, got ${sub.ptype}")
+      socket = s; out = o
+      in
+    } catch {
+      // a half-open socket from a failed handshake must not outlive the
+      // attempt — the reconnect loop retries forever, and an unclosed
+      // socket per retry is an unbounded fd leak across a broker outage
+      case e: Throwable =>
+        try s.close() catch { case _: Exception => () }
+        throw e
+    }
   }
 
   /** Owns the connection for the subscriber's lifetime: runs the read
@@ -302,35 +311,71 @@ final class MqttSubscriber(
     } else messagesFailed += 1
   }
 
+  @volatile private var retryNotBefore = 0L
+
   private def maybeFlush(): Unit = {
-    val due = synchronized {
+    val now = System.currentTimeMillis()
+    val due = now >= retryNotBefore && synchronized {
       buffer.nonEmpty && (buffer.length >= flushBatches ||
-        System.currentTimeMillis() - lastFlushAt >= flushMillis)
+        now - lastFlushAt >= flushMillis)
     }
-    if (due) flush()
+    // a storage failure is NOT a connection failure: letting it escape
+    // into readLoop would make the supervisor close a healthy broker
+    // connection and reconnect in a loop. flush() restored the batches,
+    // so a later flush retries (after a cooldown — the size trigger would
+    // otherwise re-attempt the failing write on every packet); the
+    // connection keeps draining meanwhile.
+    if (due) {
+      try flush()
+      catch {
+        case e: Exception =>
+          retryNotBefore = System.currentTimeMillis() + flushMillis
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .warn(s"flush failed, batches retained for retry: ${e.getMessage}")
+      }
+    }
   }
+
+  // sealed WAL segments whose parquet write failed: not yet purgeable,
+  // but their payloads are back in the buffer — purged with the next
+  // successful flush so a restart never replays already-written data
+  private var unpurged: Seq[java.io.File] = Nil
 
   /** Drain the buffer through the hour-partitioned writer — one write
     * per measurement (batches union by name, matching batch ingest).
     * The drain and the WAL seal happen atomically (same lock as append),
     * and the sealed segments are purged only after the parquet write
-    * succeeds — if it throws, the buffer is gone but every drained
-    * payload is still journaled and replays on restart. */
+    * succeeds. If the write throws, the drained batches are restored to
+    * the buffer (front, preserving order) for the next flush — PUBACK'd
+    * data is never dropped on a storage error, WAL or not — and the
+    * sealed segments stay on disk until a later flush lands them. */
   def flush(): Unit = {
     val (pending, sealedSegments) = synchronized {
       val p = buffer.toSeq; buffer.clear(); lastFlushAt = System.currentTimeMillis()
       (p, wal.map(_.seal()).getOrElse(Nil))
     }
-    pending.groupBy(_.measurement).toSeq.sortBy(_._1).foreach { case (m, bs) =>
-      val tagCols = bs.flatMap(_.tagColumns).distinct
-      val existing = catalog.readMeta(db, m)
-      if (existing.tagColumns.isEmpty && tagCols.nonEmpty)
-        catalog.writeMeta(db, m, existing.copy(tagColumns = tagCols))
-      val df = bs.map(_.toDataFrame(catalog.spark))
-        .reduce(_.unionByName(_, allowMissingColumns = true))
-      HourPartitionedWriter.write(catalog, db, m, df)
+    try {
+      pending.groupBy(_.measurement).toSeq.sortBy(_._1).foreach { case (m, bs) =>
+        val tagCols = bs.flatMap(_.tagColumns).distinct
+        val existing = catalog.readMeta(db, m)
+        if (existing.tagColumns.isEmpty && tagCols.nonEmpty)
+          catalog.writeMeta(db, m, existing.copy(tagColumns = tagCols))
+        val df = bs.map(_.toDataFrame(catalog.spark))
+          .reduce(_.unionByName(_, allowMissingColumns = true))
+        HourPartitionedWriter.write(catalog, db, m, df)
+      }
+    } catch {
+      case e: Exception =>
+        synchronized {
+          pending ++=: buffer
+          unpurged = unpurged ++ sealedSegments
+        }
+        throw e
     }
-    wal.foreach(_.purge(sealedSegments)) // flushed payloads durable in parquet
+    val purgeNow = synchronized {
+      val u = unpurged ++ sealedSegments; unpurged = Nil; u
+    }
+    wal.foreach(_.purge(purgeNow)) // flushed payloads durable in parquet
   }
 
   def stop(): Unit = {

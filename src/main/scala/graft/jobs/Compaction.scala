@@ -336,6 +336,25 @@ object Compaction {
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("_compact_tmp_"))
         .foreach { s => fs.delete(s.getPath, true); actions += s.getPath.toString }
     }
+    // abandoned flush-tmp trees: a failed HourPartitionedWriter.write
+    // leaves its tmp tree in place for the caller's retry (every ingest
+    // path re-submits the batch: MQTT restores its buffer, streaming
+    // replays the micro-batch, bulk import surfaces the error). Nothing
+    // ever re-reads the tree itself, so once it is clearly abandoned
+    // (an hour old — in-flight flushes run seconds) it is swept here,
+    // bounding the leak a persistently flaky store would otherwise grow.
+    locally {
+      val tableP = new Path(tablePath)
+      val fs = tableP.getFileSystem(conf)
+      val dbDir = tableP.getParent
+      val cutoff = System.currentTimeMillis() - 3600000L
+      if (fs.exists(dbDir))
+        fs.listStatus(dbDir)
+          .filter(s => s.isDirectory &&
+            s.getPath.getName.startsWith(s"_flush_tmp_${m}_") &&
+            s.getModificationTime < cutoff)
+          .foreach { s => fs.delete(s.getPath, true); actions += s.getPath.toString }
+    }
     actions.toSeq
   }
 

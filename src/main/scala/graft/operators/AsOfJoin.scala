@@ -75,10 +75,11 @@ object AsOfJoin {
     * bucket — metadata-sized), so the extra shuffles are tiny relative
     * to the data.
     *
-    * Tie note: among right rows sharing (keys, time) the greatest
-    * carried-value tuple wins deterministically (max over the struct);
-    * [[asof]]'s window leaves that order undefined — pre-dedup the right
-    * side when the survivor matters, as with [[asof]].
+    * Tie note: per carried column, among right rows sharing (keys, time)
+    * the greatest non-null value wins deterministically (max over a
+    * null-filtered (time, value) struct); [[asof]]'s window leaves that
+    * order undefined — pre-dedup the right side when the survivor
+    * matters, as with [[asof]].
     *
     * @param bucketMicros bucket width in the time column's resolution
     *                     (µs for TimestampType), default one day
@@ -108,26 +109,36 @@ object AsOfJoin {
     val r = r0.withColumn("_side", lit(1)).withColumn("_b", bucketOf(r0))
     val l = left.withColumn("_side", lit(0)).withColumn("_b", bucketOf(left))
 
-    // one summary row per (key, bucket): the right row that would win the
-    // bucket (max over (time, values) — see tie note)
-    val summaryStruct = struct(
-      col(timeCol).as("_t") +: rvals.map { case (_, to) => col(s"_r_$to") }: _*)
+    // one summary row per (key, bucket), with a PER-COLUMN latest
+    // non-null value: asof fills each column independently with
+    // last(ignoreNulls), so a single latest-row summary would carry a
+    // null over an older non-null value (right rows (t=10, v=5),
+    // (t=20, v=null) must carry v=5, not null). max over a null-filtered
+    // (time, value) struct is exactly "latest non-null" per column.
     val keyB = (keys :+ "_b").map(col)
-    val rSum = r.groupBy(keyB: _*).agg(max(summaryStruct).as("_s"))
+    val sumAggs = rvals.map { case (_, to) =>
+      max(when(col(s"_r_$to").isNotNull,
+        struct(col(timeCol).as("_t"), col(s"_r_$to").as("_v")))).as(s"_s_$to")
+    }
+    val rSum = r.groupBy(keyB: _*).agg(sumAggs.head, sumAggs.tail: _*)
 
     // carry-in per (key, bucket) over every bucket either side touches:
-    // the last summary from STRICTLY earlier buckets (rows frame ends
-    // at -1), propagated across right-empty buckets by ignoreNulls
+    // the last per-column summary from STRICTLY earlier buckets (rows
+    // frame ends at -1), propagated across right-empty buckets by
+    // ignoreNulls — each column independently, matching asof's fill
     val allB = l.select(keyB: _*).union(r.select(keyB: _*)).distinct()
     val carryW = Window.partitionBy(keys.map(col): _*).orderBy(col("_b"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val carried = allB.join(rSum, keys :+ "_b", "left")
-      .withColumn("_carry", last(col("_s"), ignoreNulls = true).over(carryW))
-      .where(col("_carry").isNotNull)
+    val carried = rvals.foldLeft(allB.join(rSum, keys :+ "_b", "left")) {
+        case (df, (_, to)) =>
+          df.withColumn(s"_c_$to",
+            last(col(s"_s_$to"), ignoreNulls = true).over(carryW))
+      }
+      .where(rvals.map { case (_, to) => col(s"_c_$to").isNotNull }.reduce(_ || _))
     val synthetic = carried.select(
       (keys.map(col) :+ col("_b") :+
         lit(null).cast(timeType).as(timeCol) :+ lit(1).as("_side")) ++
-        rvals.map { case (_, to) => col("_carry")(s"_r_$to").as(s"_r_$to") }: _*)
+        rvals.map { case (_, to) => col(s"_c_$to")("_v").as(s"_r_$to") }: _*)
 
     // per-(key, bucket) fill — the synthetic carry row sorts first
     // (null time, asc = nulls first), real right rows beat left rows at

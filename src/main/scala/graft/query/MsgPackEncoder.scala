@@ -192,7 +192,11 @@ object MsgPackEncoder {
     val capped = RowCodec.capped(df, maxRows)
     val cols = capped.columns
     val fields = capped.schema.fields
-    val parts = capped.queryExecution.executedPlan.execute()
+    // toRdd, not executedPlan.execute(): the former wraps the plan in
+    // SQLExecutionRDD, which propagates session-local SQLConf (timezone,
+    // ANSI mode) to executor-side expression evaluation — same as the
+    // JSON and Arrow distributed paths
+    val parts = capped.queryExecution.toRdd
       .mapPartitions(it => Iterator.single(partitionColumnRuns(fields, it)))
       .collect()
     val n = parts.map(_._2).sum

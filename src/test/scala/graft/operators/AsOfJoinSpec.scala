@@ -70,6 +70,33 @@ class AsOfJoinSpec extends SparkSpec {
     assert(byId(9999L).contains(3.0))
   }
 
+  test("salted as-of: null right values carry per-column like asof (latest non-null wins)") {
+    import spark.implicits._
+    // bucket 0 right rows for key a: (t=10, v=5, w=null), (t=20, v=null,
+    // w=7) — the LATEST row has v=null, so a latest-row carry summary
+    // would lose v=5. Probes in bucket 1 (and bucket 3, across an empty
+    // bucket) must see v=5, w=7 — exactly what unsalted asof fills.
+    val left = Seq(
+      (1L, "a", base + 25L * H), // bucket 1
+      (2L, "a", base + 80L * H)  // bucket 3 (bucket 2 right-empty)
+    ).toDF("id", "k", "us")
+      .withColumn("t", timestamp_micros(col("us"))).drop("us")
+    val right = Seq(
+      ("a", base + 10L, Some(5.0), Option.empty[Double]),
+      ("a", base + 20L, Option.empty[Double], Some(7.0))
+    ).toDF("k", "us", "v", "w")
+      .withColumn("t", timestamp_micros(col("us"))).drop("us")
+    val vals = Map("v" -> "v", "w" -> "w")
+    val plain = AsOfJoin.asof(left, right, Seq("k"), "t", vals)
+      .orderBy("id").collect().map(r => (r.getLong(0), Option(r.get(3)), Option(r.get(4))))
+    val salted = AsOfJoin.asofSalted(left, right, Seq("k"), "t", vals,
+      bucketMicros = 24L * H)
+      .orderBy("id").collect().map(r => (r.getLong(0), Option(r.get(3)), Option(r.get(4))))
+    assert(plain.sameElements(salted), s"plain=${plain.toSeq} salted=${salted.toSeq}")
+    assert(salted(0) == ((1L, Some(5.0), Some(7.0))), salted.toSeq.toString)
+    assert(salted(1) == ((2L, Some(5.0), Some(7.0))), salted.toSeq.toString)
+  }
+
   test("salted as-of: empty right side yields all-null matches") {
     import spark.implicits._
     val left = Seq((1L, "a", base), (2L, "a", base + H)).toDF("id", "k", "us")
