@@ -386,7 +386,18 @@ final class MqttSubscriber(
     } catch { case _: Exception => () }
     val t = supervisor
     if (t != null) { t.interrupt(); t.join(5000) }
-    flush()
+    // a failing final flush must not skip the WAL close: with a WAL the
+    // restored batches are journaled (sealed, unpurged) and replay on the
+    // next start; without one, the loss is logged rather than hidden
+    // behind a stop() exception
+    try flush()
+    catch {
+      case e: Exception =>
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"final flush failed on stop: ${e.getMessage}" +
+            (if (wal.isEmpty) " (no WAL — buffered rows lost)"
+             else " (journaled rows replay on next start)"))
+    }
     wal.foreach(_.close())
   }
 }

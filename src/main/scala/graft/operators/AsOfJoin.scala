@@ -89,6 +89,7 @@ object AsOfJoin {
       bucketMicros: Long = 86400000000L): DataFrame = {
     import org.apache.spark.sql.types._
     require(bucketMicros > 0, "bucketMicros must be positive")
+    require(rightVals.nonEmpty, "asofSalted needs at least one carried column")
     val leftCols = left.columns.toSeq
     val rvals = rightVals.toSeq
     val timeType = left.schema(timeCol).dataType
