@@ -106,12 +106,16 @@ object DirectParquetWriter {
       // streams primitives straight into the column writers (~3× the
       // rows/s at the same ZSTD level)
       val support = new RowIndexWriteSupport(schema, names, types, arrays)
-      val writer = new RowIndexWriterBuilder(
+      val builder = new RowIndexWriterBuilder(
           org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(file, conf),
           support)
         .withConf(conf)
         .withCompressionCodec(CompressionCodecName.ZSTD)
-        .build()
+      // bloom filters on tag columns — same file-skipping contract as the
+      // Spark writer path (HourPartitionedWriter.bloomOptions)
+      batch.tagColumns.filter(names.contains).foreach(c =>
+        builder.withBloomFilterEnabled(c, true))
+      val writer = builder.build()
       try rows.foreach(i => writer.write(i))
       finally writer.close()
       file.toString

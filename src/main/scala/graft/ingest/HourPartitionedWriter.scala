@@ -86,6 +86,7 @@ object HourPartitionedWriter {
         .mode("overwrite")
         .partitionBy(saltCols: _*)
         .option("compression", "zstd")
+        .options(bloomOptions(meta.tagColumns.filter(df.columns.contains)))
         .parquet(tmpBase.toString)
       val flushUs = System.currentTimeMillis() * 1000L
       def leafFiles(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
@@ -144,6 +145,16 @@ object HourPartitionedWriter {
           s"flush into $tableDir failed; unmoved data preserved at $tmpBase", e)
     }
   }
+
+  /** Parquet write options enabling bloom filters on the table's tag
+    * columns. Tags are the point-predicate columns (`WHERE host='x'`),
+    * and they interleave within a file, so row-group min/max stats never
+    * prune them — a bloom filter does, skipping whole row groups at scan
+    * time (Spark's parquet reader consults them for equality filters).
+    * Standard parquet-hadoop per-column setting; a few KB per column per
+    * row group, paid only on the columns that benefit. */
+  def bloomOptions(tagColumns: Seq[String]): Map[String, String] =
+    tagColumns.map(c => s"parquet.bloom.filter.enabled#$c" -> "true").toMap
 
   /** Recency-ordered file name: zero-padded so lexical order == time
     * order (16-digit µs covers years 1970..2286). */

@@ -99,7 +99,10 @@ object Compaction {
       partition = partDir.toString, tmpDir = tmp.toString,
       inputs = files.map(_.toString).toSeq,
       outputs = Seq(new Path(partDir, finalName).toString)))
-    out.write.mode("overwrite").option("compression", "zstd").parquet(tmp.toString)
+    out.write.mode("overwrite").option("compression", "zstd")
+      .options(graft.ingest.HourPartitionedWriter.bloomOptions(
+        meta.tagColumns.filter(deduped.columns.contains)))
+      .parquet(tmp.toString)
     val rowsOut = footerRowCount(spark.sparkContext.hadoopConfiguration,
       fs.listStatus(tmp).filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
         .map(_.getPath).toSeq)
@@ -191,7 +194,10 @@ object Compaction {
       partition = dayDir.toString, tmpDir = tmp.toString,
       inputs = files.map(_.toString),
       outputs = Seq(new Path(dailyDay, finalName).toString)))
-    out.write.mode("overwrite").option("compression", "zstd").parquet(tmp.toString)
+    out.write.mode("overwrite").option("compression", "zstd")
+      .options(graft.ingest.HourPartitionedWriter.bloomOptions(
+        meta.tagColumns.filter(deduped.columns.contains)))
+      .parquet(tmp.toString)
     val rowsOut = footerRowCount(spark.sparkContext.hadoopConfiguration,
       fs.listStatus(tmp).filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
         .map(_.getPath).toSeq)
