@@ -16,7 +16,10 @@ final case class TableMeta(
     sortKeys: Seq[String] = Nil,
     tagColumns: Seq[String] = Nil,
     dedupTime: Boolean = false,
-    decimals: Map[String, (Int, Int)] = Map.empty)
+    decimals: Map[String, (Int, Int)] = Map.empty,
+    // numeric/timestamp dims to Z-order-cluster at the daily rewrite
+    // (operators.ZOrder); empty = plain sortKeys ordering
+    zorderKeys: Seq[String] = Nil)
 
 /** Measurement catalog over `{root}/{db}/{measurement}` Parquet trees
   * with Hive-style `year=/month=/day=/hour=` partitions (a deliberate
@@ -55,6 +58,7 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
     props.setProperty("dedupTime", meta.dedupTime.toString)
     props.setProperty("decimals",
       meta.decimals.map { case (c, (p, s)) => s"$c:$p:$s" }.mkString(","))
+    props.setProperty("zorderKeys", meta.zorderKeys.mkString(","))
     val path = metaPath(db, m)
     val out = fs(path).create(path, true)
     try props.store(out, "graft table metadata") finally out.close()
@@ -77,7 +81,8 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
         decimals = list("decimals").map { s =>
           val Array(c, p, sc) = s.split(":")
           c -> (p.toInt, sc.toInt)
-        }.toMap)
+        }.toMap,
+        zorderKeys = list("zorderKeys"))
     }
   }
 

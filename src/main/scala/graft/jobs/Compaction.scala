@@ -44,6 +44,44 @@ object Compaction {
       try r.getRecordCount finally r.close()
     }.sum
 
+  /** (min, max) of a numeric column across the files, from footer
+    * row-group statistics only — no data pass. None when any file lacks
+    * stats for the column (missing column, all-null chunks, or a
+    * non-numeric physical type). */
+  private[graft] def footerColumnRange(
+      conf: org.apache.hadoop.conf.Configuration, files: Seq[Path],
+      column: String): Option[(Double, Double)] = {
+    def num(v: Any): Option[Double] = v match {
+      case n: java.lang.Number => Some(n.doubleValue())
+      case _ => None
+    }
+    val perFile = files.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        import scala.jdk.CollectionConverters._
+        val ranges = r.getFooter.getBlocks.asScala.flatMap { b =>
+          b.getColumns.asScala
+            .find(_.getPath.toDotString == column)
+            .flatMap { c =>
+              val s = c.getStatistics
+              if (s == null || !s.hasNonNullValue) None
+              else for {
+                mn <- num(s.genericGetMin()); mx <- num(s.genericGetMax())
+              } yield (mn, mx)
+            }
+        }
+        if (ranges.isEmpty) None
+        else Some((ranges.map(_._1).min, ranges.map(_._2).max))
+      } finally r.close()
+    }
+    if (perFile.exists(_.isEmpty)) None
+    else {
+      val rs = perFile.flatten
+      Some((rs.map(_._1).min, rs.map(_._2).max))
+    }
+  }
+
   def compactHour(catalog: GraftCatalog, db: String, m: String,
       partDir: Path, minFiles: Int = 2): Result = {
     val spark = catalog.spark
@@ -178,10 +216,30 @@ object Compaction {
         withRecency.withColumn("_rn", row_number().over(w))
           .where(col("_rn") === 1).drop("_rn")
       } else withRecency
-    val sortCols = (meta.sortKeys.filter(deduped.columns.contains) :+ "time").map(col)
+    // Z-order at the daily rewrite when configured: these are the
+    // long-lived files that absorb most scans, and the interleaved order
+    // clusters EVERY z-key so row-group min/max stats prune range
+    // predicates on each of them (operators.ZOrder). Dimension ranges
+    // come from the input footers' statistics — no extra data pass; any
+    // missing stat falls back to the plain sort-key order.
+    val zKeys = meta.zorderKeys.filter(deduped.columns.contains)
+    val zRanges: Seq[(org.apache.spark.sql.Column, Double, Double)] =
+      zKeys.flatMap { k =>
+        // footer stats for timestamps are the physical INT64 micros —
+        // compare in the same unit (cast("double") would give seconds)
+        val zc = deduped.schema(k).dataType match {
+          case org.apache.spark.sql.types.TimestampType => unix_micros(col(k))
+          case _ => col(k)
+        }
+        footerColumnRange(conf, files, k).map { case (mn, mx) => (zc, mn, mx) }
+      }
+    val orderCols: Seq[org.apache.spark.sql.Column] =
+      if (zKeys.nonEmpty && zRanges.length == zKeys.length)
+        Seq(graft.operators.ZOrder.zvalue(zRanges), col("time"))
+      else (meta.sortKeys.filter(deduped.columns.contains) :+ "time").map(col)
     val out = deduped.drop("_src", "_src_name")
       .withColumn("hour", hour(col("time"))) // path segment -> data column
-      .orderBy(sortCols: _*).coalesce(1)
+      .orderBy(orderCols: _*).coalesce(1)
 
     val tmp = new Path(dailyDay.getParent, s"_compact_tmp_day_${dailyDay.getName}")
     fs.delete(tmp, true)
