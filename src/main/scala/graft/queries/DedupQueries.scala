@@ -82,7 +82,29 @@ object DedupQueries {
     "q67_dedup_simhash" -> ((s, dir) =>
       graft.operators.SimHashDedup.candidatePairs(
           t(s, dir, "documents"), "doc_id", "text", maxHd = 2)
-        .orderBy(col("doc1"), col("doc2")))
+        .orderBy(col("doc1"), col("doc2"))),
+
+    // benchmark decontamination: corpus docs sharing >= 2 distinct
+    // shingle hashes with the eval set (stand-in: doc_id % 97 = 0) must
+    // be dropped before training. Eval shingles are a broadcast set; the
+    // probe is one equi-join — no pairwise anything, linear in corpus
+    // size at 100 TB. Real pipelines window at 8-13 grams; the synthetic
+    // corpus's short random texts only overlap at 3-grams, so the window
+    // is a parameter, not a semantic.
+    "q83_decontaminate" -> ((s, dir) => {
+      graft.GraftFunctions.registerAll(s)
+      val sh = t(s, dir, "documents").select(col("doc_id"),
+        explode(graft.operators.MinHashDedup
+          .shingleHashesFromTokens(col("text"), 3)).as("sh"))
+      val evalSet = sh.where(col("doc_id") % 97 === 0)
+        .select(col("sh")).distinct()
+      sh.where(col("doc_id") % 97 =!= 0)
+        .join(broadcast(evalSet), "sh")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("sh")).as("n_shared"))
+        .where(col("n_shared") >= 2)
+        .orderBy(col("doc_id"))
+    })
   )
 
   private val toks = "string_split_regex(trim(text), '\\s+')"
@@ -152,6 +174,17 @@ object DedupQueries {
          |  bit_count(xor(a.sh, b.sh)) AS hd
          |FROM d a JOIN d b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.sh, b.sh)) <= 2
-         |ORDER BY doc1, doc2""".stripMargin
+         |ORDER BY doc1, doc2""".stripMargin,
+
+    "q83_decontaminate" -> {
+      val sh3 = graft.operators.MinHashDedup.shingleHashesFromTokensSql("text", 3)
+      s"""WITH sh AS (SELECT doc_id, unnest($sh3) AS sh FROM documents),
+         |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0)
+         |SELECT doc_id, CAST(COUNT(DISTINCT sh) AS BIGINT) AS n_shared
+         |FROM sh JOIN ev USING (sh)
+         |WHERE doc_id % 97 <> 0
+         |GROUP BY doc_id HAVING COUNT(DISTINCT sh) >= 2
+         |ORDER BY doc_id""".stripMargin
+    }
   )
 }

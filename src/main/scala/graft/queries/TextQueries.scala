@@ -80,8 +80,57 @@ object TextQueries {
         .where(col("rn") === 1)
         .select(col("doc_id"), col("term"), col("score"))
         .orderBy(col("doc_id"))
+    }),
+
+    // PII scrub: mask emails/URLs, count what was masked. The synthetic
+    // corpus carries no PII (counts come back 0 and the text passes
+    // through), so the oracle verifies regex-parity mechanics;
+    // ScrubSpec proves the masking on planted PII.
+    "q81_text_scrub" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          regexp_replace(
+            regexp_replace(col("text"), TextQueries.UrlRe, "<URL>"),
+            TextQueries.EmailRe, "<EMAIL>").as("scrubbed"),
+          size(regexp_extract_all(col("text"), lit(TextQueries.UrlRe), lit(0)))
+            .as("n_urls"),
+          size(regexp_extract_all(col("text"), lit(TextQueries.EmailRe), lit(0)))
+            .as("n_emails"))
+        .orderBy(col("doc_id"))),
+
+    // repetition-based quality stats (public MassiveText/Gopher-style
+    // filters): most-frequent-token fraction and duplicate-bigram
+    // fraction. Token counts come from the local term_counts kernel —
+    // per-row compute, no shuffle except the final sort.
+    "q82_text_repetition" -> ((s, dir) => {
+      graft.GraftFunctions.registerAll(s)
+      t(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(
+          col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          expr("array_max(transform(term_counts(toks), x -> x.cnt))").as("top_cnt"),
+          expr("""transform(slice(toks, 1, size(toks) - 1),
+                 |  (x, i) -> concat_ws(' ', x, element_at(toks, i + 2)))"""
+            .stripMargin).as("bigrams"))
+        .select(
+          col("doc_id"), col("n_tokens"),
+          round(col("top_cnt").cast("double") / col("n_tokens"), 6)
+            .as("top_token_frac"),
+          when(size(col("bigrams")) === 0, lit(0.0))
+            .otherwise(round(lit(1.0) -
+              size(array_distinct(col("bigrams"))).cast("double") /
+                size(col("bigrams")), 6))
+            .as("dup_bigram_frac"))
+        .orderBy(col("doc_id"))
     })
   )
+
+  // conservative RE2-and-Java-compatible patterns (no backrefs or
+  // lookaround) so Spark and the DuckDB oracle match exactly
+  private[queries] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[queries] val UrlRe = "https?://\\S+"
 
   val oracles: Map[String, String] = Map(
     "q60_text_tokens" ->
@@ -123,6 +172,30 @@ object TextQueries {
          |  round(CAST(cnt AS DOUBLE) / n_tok * CAST(n_docs AS DOUBLE) / df_t, 6) AS score
          |FROM tf JOIN dfreq USING (term) CROSS JOIN n
          |QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) = 1
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    "q81_text_scrub" ->
+      s"""SELECT doc_id,
+         |  regexp_replace(regexp_replace(text, '$UrlRe', '<URL>', 'g'),
+         |    '$EmailRe', '<EMAIL>', 'g') AS scrubbed,
+         |  len(regexp_extract_all(text, '$UrlRe')) AS n_urls,
+         |  len(regexp_extract_all(text, '$EmailRe')) AS n_emails
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q82_text_repetition" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+         |s AS (SELECT doc_id, toks, len(toks) AS n_tokens,
+         |    list_max(list_transform(list_distinct(toks),
+         |      t -> len(list_filter(toks, x -> x = t)))) AS top_cnt,
+         |    list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+         |      i -> toks[i] || ' ' || toks[i + 1]) AS bigrams
+         |  FROM d)
+         |SELECT doc_id, n_tokens,
+         |  round(CAST(top_cnt AS DOUBLE) / n_tokens, 6) AS top_token_frac,
+         |  CASE WHEN len(bigrams) = 0 THEN 0.0
+         |       ELSE round(1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE)
+         |                        / len(bigrams), 6) END AS dup_bigram_frac
+         |FROM s ORDER BY doc_id""".stripMargin
   )
 }
