@@ -8,8 +8,9 @@ import org.apache.spark.sql.functions._
 /** The end-to-end training-corpus preparation pipeline, composed from
   * the library's operators — the shape a 100 TB data-curation run takes:
   *
-  *   annotate (quality / lang-ID / token stats, one linear pass)
-  *     → quality gate (pushdown filter)
+  *   PII scrub (email/URL masking — downstream stages see masked text)
+  *     → annotate (quality / repetition / token stats, one linear pass)
+  *     → quality + repetition gates (pushdown filter)
   *     → exact dedup (normalized-key groupBy, min-id survivor)
   *     → near-dup dedup (MinHash LSH pairs → connected components →
   *       keeper-only)
@@ -29,6 +30,9 @@ object CorpusPipeline {
   final case class Config(
       minTokens: Int = 5,
       minQuality: Double = 0.2,
+      scrubPii: Boolean = true, // mask emails/URLs before anything reads text
+      maxTopTokenFrac: Double = 1.0, // repetition gates (1.0 = off)
+      maxDupBigramFrac: Double = 1.0,
       shingleK: Int = 2,
       numHashes: Int = 16,
       bands: Int = 4,
@@ -36,17 +40,43 @@ object CorpusPipeline {
       mixturePerMillion: Long = 1000000L) // 1e6 = keep all of smallest stratum
 
   /** docs(idCol, textCol, strataCol) → kept rows with annotations:
-    * (id, text, stratum, n_tokens, n_bpe, quality, cluster_id). */
+    * (id, text, stratum, n_tokens, n_bpe, quality, top_token_frac,
+    * dup_bigram_frac, cluster_id); text is PII-scrubbed when enabled. */
   def run(docs: DataFrame, idCol: String, textCol: String,
       strataCol: String, cfg: Config = Config()): DataFrame = {
-    // 1. annotate + quality gate (single scan, codegen'd kernels)
-    val annotated = docs.select(
-        col(idCol).cast("long").as("doc_id"), col(textCol).as("text"),
+    // 0. PII scrub first, so every downstream stage (annotations,
+    // signatures, the kept text itself) sees masked content only
+    graft.GraftFunctions.registerAll(docs.sparkSession)
+    val scrubbed =
+      if (!cfg.scrubPii) docs.withColumn("_text", col(textCol))
+      else docs.withColumn("_text",
+        regexp_replace(
+          regexp_replace(col(textCol), graft.queries.TextQueries.UrlRe, "<URL>"),
+          graft.queries.TextQueries.EmailRe, "<EMAIL>"))
+
+    // 1. annotate + quality/repetition gates (single scan, codegen'd
+    // kernels; repetition stats per q82 — local term_counts, no shuffle)
+    val toks = col("_toks")
+    val bigrams = transform(slice(toks, lit(1), size(toks) - 1),
+      (x, i) => concat_ws(" ", x, get(toks, i + 1)))
+    val annotated = scrubbed
+      .withColumn("_toks", TextFunctions.tokens(col("_text")))
+      .select(
+        col(idCol).cast("long").as("doc_id"), col("_text").as("text"),
         col(strataCol).as("stratum"),
-        TextFunctions.tokenCount(col(textCol)).as("n_tokens"),
-        TextFunctions.bpeTokenCount(col(textCol)).as("n_bpe"),
-        TextFunctions.qualityScore(col(textCol)).as("quality"))
-      .where(col("n_tokens") >= cfg.minTokens && col("quality") >= cfg.minQuality)
+        TextFunctions.tokenCount(col("_text")).as("n_tokens"),
+        TextFunctions.bpeTokenCount(col("_text")).as("n_bpe"),
+        TextFunctions.qualityScore(col("_text")).as("quality"),
+        (array_max(transform(call_function("term_counts", toks),
+          x => x.getField("cnt"))).cast("double") / size(toks))
+          .as("top_token_frac"),
+        when(size(toks) <= 1, lit(0.0))
+          .otherwise(lit(1.0) - size(array_distinct(bigrams)).cast("double") /
+            (size(toks) - 1))
+          .as("dup_bigram_frac"))
+      .where(col("n_tokens") >= cfg.minTokens && col("quality") >= cfg.minQuality &&
+        col("top_token_frac") <= cfg.maxTopTokenFrac &&
+        col("dup_bigram_frac") <= cfg.maxDupBigramFrac)
 
     // 2. exact dedup: normalized 3-token-prefix key, min-id survivor
     val exactKey = array_join(slice(TextFunctions.tokens(col("text")), 1, 3), " ")

@@ -129,8 +129,8 @@ object TextQueries {
 
   // conservative RE2-and-Java-compatible patterns (no backrefs or
   // lookaround) so Spark and the DuckDB oracle match exactly
-  private[queries] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private[queries] val UrlRe = "https?://\\S+"
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val UrlRe = "https?://\\S+"
 
   val oracles: Map[String, String] = Map(
     "q60_text_tokens" ->

@@ -45,4 +45,21 @@ class CorpusPipelineSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(again == kept, "pipeline not deterministic")
   }
+
+  test("PII scrub masks text before it is kept; repetition gates drop degenerate docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "contact alice@example.com about the quarterly report draft tomorrow", "web"),
+      (2L, "spam spam spam spam spam spam spam spam spam spam", "web"), // top-token 1.0
+      (3L, "go stop go stop go stop go stop go stop go stop", "web"),   // dup bigrams
+      (4L, "columnar storage engines favor late materialization strategies overall", "web")
+    ).toDF("doc_id", "text", "source")
+    val cfg = CorpusPipeline.Config(minTokens = 3, minQuality = 0.0,
+      maxTopTokenFrac = 0.5, maxDupBigramFrac = 0.8, numHashes = 16, bands = 8)
+    val out = CorpusPipeline.run(docs, "doc_id", "text", "source", cfg)
+    val byId = out.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(byId.keySet == Set(1L, 4L), s"repetition gates wrong: ${byId.keySet}")
+    assert(byId(1L).contains("<EMAIL>") && !byId(1L).contains("alice@"),
+      s"PII not masked: ${byId(1L)}")
+  }
 }
