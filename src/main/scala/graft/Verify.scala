@@ -16,9 +16,16 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // queries that build a GraftCatalog flip the session to
+        // TIMESTAMP_MICROS (the ENGINE's storage format); the driver's
+        // compare expects these RESULT dumps in Spark's default INT96
+        // (tz-naive in pandas) — pin it per dump, after the query lambda
+        // (and any catalog construction inside it) has run
+        spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

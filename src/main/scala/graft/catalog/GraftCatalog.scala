@@ -33,6 +33,14 @@ final case class TableMeta(
   */
 final class GraftCatalog(val spark: SparkSession, val root: String) {
 
+  // engine-written parquet stores timestamps as INT64 micros, not
+  // Spark's legacy INT96 default: INT96 chunks carry no usable footer
+  // statistics (no min/max pushdown, no z-order ranges, no metadata-only
+  // time bounds) and the Iceberg spec rejects the type outright — the
+  // A12 export points external readers at these same files. Micros is
+  // lossless for Spark's TimestampType (which is micros internally).
+  spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+
   private def fs(p: Path): FileSystem = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   def tablePath(db: String, measurement: String): String = s"$root/$db/$measurement"

@@ -112,9 +112,11 @@ object DirectParquetWriter {
         .withConf(conf)
         .withCompressionCodec(CompressionCodecName.ZSTD)
       // bloom filters on tag columns — same file-skipping contract as the
-      // Spark writer path (HourPartitionedWriter.bloomOptions)
-      batch.tagColumns.filter(names.contains).foreach(c =>
-        builder.withBloomFilterEnabled(c, true))
+      // Spark writer and compaction paths. Union of registered and
+      // batch-declared tags: a batch that doesn't re-declare its tags
+      // (msgpack without a tag map) still blooms the table's known ones.
+      (meta.tagColumns ++ batch.tagColumns).distinct.filter(names.contains)
+        .foreach(c => builder.withBloomFilterEnabled(c, true))
       val writer = builder.build()
       try rows.foreach(i => writer.write(i))
       finally writer.close()

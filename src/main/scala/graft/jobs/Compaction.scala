@@ -44,43 +44,54 @@ object Compaction {
       try r.getRecordCount finally r.close()
     }.sum
 
-  /** (min, max) of a numeric column across the files, from footer
-    * row-group statistics only — no data pass. None when any file lacks
-    * stats for the column (missing column, all-null chunks, or a
-    * non-numeric physical type). */
-  private[graft] def footerColumnRange(
+  /** (min, max) per requested numeric column across the files, from
+    * footer row-group statistics only — ONE footer open per file
+    * regardless of column count, no data pass. A column maps to None
+    * when any file lacks stats for it (missing column, all-null chunks,
+    * or a non-numeric physical type such as INT96). */
+  private[graft] def footerColumnRanges(
       conf: org.apache.hadoop.conf.Configuration, files: Seq[Path],
-      column: String): Option[(Double, Double)] = {
+      columns: Seq[String]): Map[String, Option[(Double, Double)]] = {
     def num(v: Any): Option[Double] = v match {
       case n: java.lang.Number => Some(n.doubleValue())
       case _ => None
     }
-    val perFile = files.map { f =>
+    val perFile: Seq[Map[String, Option[(Double, Double)]]] = files.map { f =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try {
         import scala.jdk.CollectionConverters._
-        val ranges = r.getFooter.getBlocks.asScala.flatMap { b =>
-          b.getColumns.asScala
-            .find(_.getPath.toDotString == column)
-            .flatMap { c =>
-              val s = c.getStatistics
-              if (s == null || !s.hasNonNullValue) None
-              else for {
-                mn <- num(s.genericGetMin()); mx <- num(s.genericGetMax())
-              } yield (mn, mx)
-            }
-        }
-        if (ranges.isEmpty) None
-        else Some((ranges.map(_._1).min, ranges.map(_._2).max))
+        columns.map { column =>
+          val ranges = r.getFooter.getBlocks.asScala.flatMap { b =>
+            b.getColumns.asScala
+              .find(_.getPath.toDotString == column)
+              .flatMap { c =>
+                val s = c.getStatistics
+                if (s == null || !s.hasNonNullValue) None
+                else for {
+                  mn <- num(s.genericGetMin()); mx <- num(s.genericGetMax())
+                } yield (mn, mx)
+              }
+          }
+          column -> (if (ranges.isEmpty) None
+                     else Some((ranges.map(_._1).min, ranges.map(_._2).max)))
+        }.toMap
       } finally r.close()
     }
-    if (perFile.exists(_.isEmpty)) None
-    else {
-      val rs = perFile.flatten
-      Some((rs.map(_._1).min, rs.map(_._2).max))
-    }
+    columns.map { c =>
+      val rs = perFile.map(_(c))
+      c -> (if (rs.isEmpty || rs.exists(_.isEmpty)) None
+            else {
+              val flat = rs.flatten
+              Some((flat.map(_._1).min, flat.map(_._2).max))
+            })
+    }.toMap
   }
+
+  private[graft] def footerColumnRange(
+      conf: org.apache.hadoop.conf.Configuration, files: Seq[Path],
+      column: String): Option[(Double, Double)] =
+    footerColumnRanges(conf, files, Seq(column))(column)
 
   def compactHour(catalog: GraftCatalog, db: String, m: String,
       partDir: Path, minFiles: Int = 2): Result = {
@@ -223,15 +234,24 @@ object Compaction {
     // come from the input footers' statistics — no extra data pass; any
     // missing stat falls back to the plain sort-key order.
     val zKeys = meta.zorderKeys.filter(deduped.columns.contains)
+    val footerRanges =
+      if (zKeys.isEmpty) Map.empty[String, Option[(Double, Double)]]
+      else footerColumnRanges(conf, files, zKeys)
     val zRanges: Seq[(org.apache.spark.sql.Column, Double, Double)] =
       zKeys.flatMap { k =>
-        // footer stats for timestamps are the physical INT64 micros —
-        // compare in the same unit (cast("double") would give seconds)
-        val zc = deduped.schema(k).dataType match {
-          case org.apache.spark.sql.types.TimestampType => unix_micros(col(k))
-          case _ => col(k)
+        import org.apache.spark.sql.types._
+        // align the compared expression with the footer stats' physical
+        // unit: timestamps are INT64 micros (cast("double") would give
+        // seconds), dates are INT32 days, decimals store UNSCALED ints
+        // (descale the stats); DATE->DOUBLE is also an invalid cast, so
+        // dates go through unix_date
+        val (zc, rescale) = deduped.schema(k).dataType match {
+          case TimestampType => (unix_micros(col(k)), 1.0)
+          case DateType => (unix_date(col(k)), 1.0)
+          case d: DecimalType => (col(k).cast("double"), math.pow(10, -d.scale))
+          case _ => (col(k).cast("double"), 1.0)
         }
-        footerColumnRange(conf, files, k).map { case (mn, mx) => (zc, mn, mx) }
+        footerRanges(k).map { case (mn, mx) => (zc, mn * rescale, mx * rescale) }
       }
     val orderCols: Seq[org.apache.spark.sql.Column] =
       if (zKeys.nonEmpty && zRanges.length == zKeys.length)

@@ -64,7 +64,7 @@ object CorpusPipeline {
       .select(
         col(idCol).cast("long").as("doc_id"), col("_text").as("text"),
         col(strataCol).as("stratum"),
-        TextFunctions.tokenCount(col("_text")).as("n_tokens"),
+        size(toks).as("n_tokens"), // same value as tokenCount, one split
         TextFunctions.bpeTokenCount(col("_text")).as("n_bpe"),
         TextFunctions.qualityScore(col("_text")).as("quality"),
         (array_max(transform(call_function("term_counts", toks),

@@ -88,14 +88,19 @@ object TextQueries {
     // ScrubSpec proves the masking on planted PII.
     "q81_text_scrub" -> ((s, dir) =>
       t(s, dir, "documents")
+        // masking is sequential (URLs first), so the email count runs on
+        // the URL-masked intermediate — n_emails equals the number of
+        // <EMAIL> tokens actually emitted (an address inside a URL's
+        // query string is already covered by <URL>, not double-reported)
+        .withColumn("_nourl",
+          regexp_replace(col("text"), TextQueries.UrlRe, "<URL>"))
         .select(
           col("doc_id"),
-          regexp_replace(
-            regexp_replace(col("text"), TextQueries.UrlRe, "<URL>"),
-            TextQueries.EmailRe, "<EMAIL>").as("scrubbed"),
+          regexp_replace(col("_nourl"), TextQueries.EmailRe, "<EMAIL>")
+            .as("scrubbed"),
           size(regexp_extract_all(col("text"), lit(TextQueries.UrlRe), lit(0)))
             .as("n_urls"),
-          size(regexp_extract_all(col("text"), lit(TextQueries.EmailRe), lit(0)))
+          size(regexp_extract_all(col("_nourl"), lit(TextQueries.EmailRe), lit(0)))
             .as("n_emails"))
         .orderBy(col("doc_id"))),
 
@@ -130,7 +135,7 @@ object TextQueries {
   // conservative RE2-and-Java-compatible patterns (no backrefs or
   // lookaround) so Spark and the DuckDB oracle match exactly
   private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private[graft] val UrlRe = "https?://\\S+"
+  private[graft] val UrlRe = "(?i)https?://\\S+" // (?i): schemes leak in any case
 
   val oracles: Map[String, String] = Map(
     "q60_text_tokens" ->
@@ -175,12 +180,14 @@ object TextQueries {
          |ORDER BY doc_id""".stripMargin,
 
     "q81_text_scrub" ->
-      s"""SELECT doc_id,
-         |  regexp_replace(regexp_replace(text, '$UrlRe', '<URL>', 'g'),
-         |    '$EmailRe', '<EMAIL>', 'g') AS scrubbed,
+      s"""WITH u AS (SELECT doc_id, text,
+         |    regexp_replace(text, '$UrlRe', '<URL>', 'g') AS nourl
+         |  FROM documents)
+         |SELECT doc_id,
+         |  regexp_replace(nourl, '$EmailRe', '<EMAIL>', 'g') AS scrubbed,
          |  len(regexp_extract_all(text, '$UrlRe')) AS n_urls,
-         |  len(regexp_extract_all(text, '$EmailRe')) AS n_emails
-         |FROM documents ORDER BY doc_id""".stripMargin,
+         |  len(regexp_extract_all(nourl, '$EmailRe')) AS n_emails
+         |FROM u ORDER BY doc_id""".stripMargin,
 
     "q82_text_repetition" ->
       s"""WITH d AS (SELECT doc_id,

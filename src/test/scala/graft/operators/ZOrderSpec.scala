@@ -77,6 +77,27 @@ class ZOrderSpec extends SparkSpec {
       }.toSeq
     }
 
+    // timestamp columns must be range-readable from footers too: the
+    // catalog forces TIMESTAMP_MICROS output (INT96, Spark's legacy
+    // default, carries no usable stats and would silently disable
+    // timestamp z-keys)
+    locally {
+      val cat = mkCatalog(zorder = false)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(cat.root).getFileSystem(conf)
+      val it = fs.listFiles(
+        new org.apache.hadoop.fs.Path(cat.tablePath("default", "m")), true)
+      val files = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && f.getPath.getName.endsWith(".parquet")) files += f.getPath
+      }
+      val tr = graft.jobs.Compaction.footerColumnRange(conf, files.toSeq, "time")
+      assert(tr.isDefined, "time column has no footer stats (INT96 write?)")
+      assert(tr.get._1 >= base.toDouble && tr.get._2 < base.toDouble + 25 * H,
+        s"time range not in micros: $tr")
+    }
+
     val zSpans = compactAndReadSpans(mkCatalog(zorder = true))
     val sSpans = compactAndReadSpans(mkCatalog(zorder = false))
     // z-order: every quarter covers about one z-quadrant — BOTH dims

@@ -19,6 +19,8 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     # 4 hash failures passed a lenient local check)
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime64"):
+            if getattr(df[c].dtype, "tz", None) is not None:
+                df[c] = df[c].dt.tz_convert("UTC").dt.tz_localize(None)
             df[c] = df[c].astype("datetime64[us]")
         elif str(df[c].dtype) in ("int32", "int16", "int8"):
             df[c] = df[c].astype("int64")
