@@ -72,6 +72,22 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
     try props.store(out, "graft table metadata") finally out.close()
   }
 
+  /** Union-merge newly observed tag columns into the table meta. Tags
+    * define series identity: compaction's dedup key and the
+    * bloom-filtered columns must track every tag ever declared — a
+    * first-batch-only registration would drop later tags at the first
+    * rewrite. Returns the up-to-date meta. */
+  def registerTags(db: String, m: String, tags: Seq[String]): TableMeta = {
+    val meta = readMeta(db, m)
+    val merged = (meta.tagColumns ++ tags).distinct
+    if (merged == meta.tagColumns) meta
+    else {
+      val upd = meta.copy(tagColumns = merged)
+      writeMeta(db, m, upd)
+      upd
+    }
+  }
+
   def readMeta(db: String, m: String): TableMeta = {
     val path = metaPath(db, m)
     val f = fs(path)

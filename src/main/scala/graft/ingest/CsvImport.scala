@@ -144,9 +144,7 @@ object CsvImport {
             }
             F.element_at(F.col(src), k).as(k)
           }
-        val existing = catalog.readMeta(db, m)
-        if (existing.tagColumns.isEmpty && tagKeys.nonEmpty)
-          catalog.writeMeta(db, m, existing.copy(tagColumns = tagKeys.toSeq))
+        catalog.registerTags(db, m, tagKeys.toSeq)
         HourPartitionedWriter.write(catalog, db, m, dfm.select(cols: _*),
           countRows = true)
       }

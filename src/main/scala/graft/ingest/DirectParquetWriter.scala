@@ -54,10 +54,7 @@ object DirectParquetWriter {
   /** Write one batch; returns the files written (one per hour). */
   def write(catalog: GraftCatalog, db: String, batch: ColumnarBatch): Seq[String] = {
     require(batch.columns.contains("time"), "batch must carry 'time'")
-    val meta = catalog.readMeta(db, batch.measurement)
-    if (meta.tagColumns.isEmpty && batch.tagColumns.nonEmpty)
-      catalog.writeMeta(db, batch.measurement,
-        meta.copy(tagColumns = batch.tagColumns))
+    val meta = catalog.registerTags(db, batch.measurement, batch.tagColumns)
 
     val n = batch.rowCount
     val cols = batch.columns

@@ -60,6 +60,11 @@ object HourPartitionedWriter {
   def write(catalog: GraftCatalog, db: String, measurement: String,
       df: DataFrame, filesPerHour: Int = 1, countRows: Boolean = false): Long = {
     require(df.columns.contains("time"), "write batch must carry a 'time' column")
+    // re-asserted at every engine write (not only in the catalog
+    // constructor): the conf is session-global and other code may have
+    // flipped it (Verify pins INT96 for its result dumps) — engine files
+    // must always be INT64 micros (footer stats, Iceberg compat)
+    catalog.spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     val meta = catalog.readMeta(db, measurement)
     val sortCols: Seq[Column] =
       (meta.sortKeys.filter(df.columns.contains) :+ "time").map(col)
@@ -164,10 +169,7 @@ object HourPartitionedWriter {
   /** Ingest a ColumnarBatch end-to-end (decode → DataFrame → write),
     * registering tag columns in table metadata on first write. */
   def ingest(catalog: GraftCatalog, db: String, batch: ColumnarBatch): Unit = {
-    val existing = catalog.readMeta(db, batch.measurement)
-    if (existing.tagColumns.isEmpty && batch.tagColumns.nonEmpty)
-      catalog.writeMeta(db, batch.measurement,
-        existing.copy(tagColumns = batch.tagColumns))
+    catalog.registerTags(db, batch.measurement, batch.tagColumns)
     val df = batch.toDataFrame(catalog.spark)
     write(catalog, db, batch.measurement, df)
   }

@@ -356,10 +356,7 @@ final class MqttSubscriber(
     }
     try {
       pending.groupBy(_.measurement).toSeq.sortBy(_._1).foreach { case (m, bs) =>
-        val tagCols = bs.flatMap(_.tagColumns).distinct
-        val existing = catalog.readMeta(db, m)
-        if (existing.tagColumns.isEmpty && tagCols.nonEmpty)
-          catalog.writeMeta(db, m, existing.copy(tagColumns = tagCols))
+        catalog.registerTags(db, m, bs.flatMap(_.tagColumns).distinct)
         val df = bs.map(_.toDataFrame(catalog.spark))
           .reduce(_.unionByName(_, allowMissingColumns = true))
         HourPartitionedWriter.write(catalog, db, m, df)

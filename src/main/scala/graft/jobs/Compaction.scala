@@ -48,14 +48,28 @@ object Compaction {
     * footer row-group statistics only — ONE footer open per file
     * regardless of column count, no data pass. A column maps to None
     * when any file lacks stats for it (missing column, all-null chunks,
-    * or a non-numeric physical type such as INT96). */
+    * or a non-numeric physical type such as INT96).
+    *
+    * Columns in `requireMicrosTs` must additionally be annotated
+    * TIMESTAMP(MICROS) in EVERY file: stats are compared in one unit, and
+    * a legacy file storing time as epoch millis/seconds (the mixed-type
+    * fixture normalizeTime repairs) would otherwise contribute a range
+    * off by 10^3+ — silently degenerating the quantization. */
   private[graft] def footerColumnRanges(
       conf: org.apache.hadoop.conf.Configuration, files: Seq[Path],
-      columns: Seq[String]): Map[String, Option[(Double, Double)]] = {
+      columns: Seq[String],
+      requireMicrosTs: Set[String] = Set.empty): Map[String, Option[(Double, Double)]] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
     def num(v: Any): Option[Double] = v match {
       case n: java.lang.Number => Some(n.doubleValue())
       case _ => None
     }
+    def isMicrosTs(c: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData): Boolean =
+      c.getPrimitiveType.getLogicalTypeAnnotation match {
+        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS
+        case _ => false
+      }
     val perFile: Seq[Map[String, Option[(Double, Double)]]] = files.map { f =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
@@ -68,6 +82,7 @@ object Compaction {
               .flatMap { c =>
                 val s = c.getStatistics
                 if (s == null || !s.hasNonNullValue) None
+                else if (requireMicrosTs.contains(column) && !isMicrosTs(c)) None
                 else for {
                   mn <- num(s.genericGetMin()); mx <- num(s.genericGetMax())
                 } yield (mn, mx)
@@ -148,6 +163,7 @@ object Compaction {
       partition = partDir.toString, tmpDir = tmp.toString,
       inputs = files.map(_.toString).toSeq,
       outputs = Seq(new Path(partDir, finalName).toString)))
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     out.write.mode("overwrite").option("compression", "zstd")
       .options(graft.ingest.HourPartitionedWriter.bloomOptions(
         meta.tagColumns.filter(deduped.columns.contains)))
@@ -234,9 +250,11 @@ object Compaction {
     // come from the input footers' statistics — no extra data pass; any
     // missing stat falls back to the plain sort-key order.
     val zKeys = meta.zorderKeys.filter(deduped.columns.contains)
+    val tsKeys = zKeys.filter(k => deduped.schema(k).dataType ==
+      org.apache.spark.sql.types.TimestampType).toSet
     val footerRanges =
       if (zKeys.isEmpty) Map.empty[String, Option[(Double, Double)]]
-      else footerColumnRanges(conf, files, zKeys)
+      else footerColumnRanges(conf, files, zKeys, requireMicrosTs = tsKeys)
     val zRanges: Seq[(org.apache.spark.sql.Column, Double, Double)] =
       zKeys.flatMap { k =>
         import org.apache.spark.sql.types._
@@ -272,6 +290,7 @@ object Compaction {
       partition = dayDir.toString, tmpDir = tmp.toString,
       inputs = files.map(_.toString),
       outputs = Seq(new Path(dailyDay, finalName).toString)))
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     out.write.mode("overwrite").option("compression", "zstd")
       .options(graft.ingest.HourPartitionedWriter.bloomOptions(
         meta.tagColumns.filter(deduped.columns.contains)))

@@ -54,19 +54,22 @@ class ZOrderSpec extends SparkSpec {
       HourPartitionedWriter.write(cat, "default", "m", df)
       cat
     }
+    def listParquet(cat: GraftCatalog, dir: String): Seq[org.apache.hadoop.fs.Path] = {
+      val fs = new org.apache.hadoop.fs.Path(cat.root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && f.getPath.getName.endsWith(".parquet")) buf += f.getPath
+      }
+      buf.toSeq
+    }
     def compactAndReadSpans(cat: GraftCatalog): Seq[(Double, Double)] = {
       val dayDir = cat.listDayPartitions("default", "m").head
       val r = graft.jobs.Compaction.compactDay(cat, "default", "m", dayDir)
       assert(r.compacted && r.rowsOut == n, r.toString)
-      val fs = new org.apache.hadoop.fs.Path(cat.root)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val it = fs.listFiles(
-        new org.apache.hadoop.fs.Path(cat.dailyPath("default", "m")), true)
-      var file: String = null
-      while (it.hasNext) {
-        val f = it.next()
-        if (f.isFile && f.getPath.getName.endsWith(".parquet")) file = f.getPath.toString
-      }
+      val file = listParquet(cat, cat.dailyPath("default", "m")).last.toString
       // single file read by one task preserves row order; quarter spans
       val vals = spark.read.parquet(file).select("a", "b").collect()
         .map(r => (r.getDouble(0), r.getDouble(1)))
@@ -77,29 +80,22 @@ class ZOrderSpec extends SparkSpec {
       }.toSeq
     }
 
+    val zCat = mkCatalog(zorder = true)
+    val sCat = mkCatalog(zorder = false)
+
     // timestamp columns must be range-readable from footers too: the
-    // catalog forces TIMESTAMP_MICROS output (INT96, Spark's legacy
+    // engine forces TIMESTAMP_MICROS output (INT96, Spark's legacy
     // default, carries no usable stats and would silently disable
     // timestamp z-keys)
-    locally {
-      val cat = mkCatalog(zorder = false)
-      val conf = spark.sparkContext.hadoopConfiguration
-      val fs = new org.apache.hadoop.fs.Path(cat.root).getFileSystem(conf)
-      val it = fs.listFiles(
-        new org.apache.hadoop.fs.Path(cat.tablePath("default", "m")), true)
-      val files = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
-      while (it.hasNext) {
-        val f = it.next()
-        if (f.isFile && f.getPath.getName.endsWith(".parquet")) files += f.getPath
-      }
-      val tr = graft.jobs.Compaction.footerColumnRange(conf, files.toSeq, "time")
-      assert(tr.isDefined, "time column has no footer stats (INT96 write?)")
-      assert(tr.get._1 >= base.toDouble && tr.get._2 < base.toDouble + 25 * H,
-        s"time range not in micros: $tr")
-    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tr = graft.jobs.Compaction.footerColumnRange(conf,
+      listParquet(sCat, sCat.tablePath("default", "m")), "time")
+    assert(tr.isDefined, "time column has no footer stats (INT96 write?)")
+    assert(tr.get._1 >= base.toDouble && tr.get._2 < base.toDouble + 25 * H,
+      s"time range not in micros: $tr")
 
-    val zSpans = compactAndReadSpans(mkCatalog(zorder = true))
-    val sSpans = compactAndReadSpans(mkCatalog(zorder = false))
+    val zSpans = compactAndReadSpans(zCat)
+    val sSpans = compactAndReadSpans(sCat)
     // z-order: every quarter covers about one z-quadrant — BOTH dims
     // bounded well under the full 63-wide range
     zSpans.foreach { case (a, b) =>
