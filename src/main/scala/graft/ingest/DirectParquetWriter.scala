@@ -112,8 +112,13 @@ object DirectParquetWriter {
       // Spark writer and compaction paths. Union of registered and
       // batch-declared tags: a batch that doesn't re-declare its tags
       // (msgpack without a tag map) still blooms the table's known ones.
+      // The explicit NDV keeps the filter fixed-size — the adaptive
+      // default costs several hash inserts per value (see bloomOptions).
       (meta.tagColumns ++ batch.tagColumns).distinct.filter(names.contains)
-        .foreach(c => builder.withBloomFilterEnabled(c, true))
+        .foreach { c =>
+          builder.withBloomFilterEnabled(c, true)
+          builder.withBloomFilterNDV(c, HourPartitionedWriter.BloomNdv)
+        }
       val writer = builder.build()
       try rows.foreach(i => writer.write(i))
       finally writer.close()

@@ -249,6 +249,20 @@ class LifecycleSpec extends SparkSpec {
     assert(cat.table("default", "m").count() == 1) // data untouched
   }
 
+  test("tag registration union-merges tags declared after the first write") {
+    val cat = newCatalog()
+    lpIngest(cat, s"m,host=a v=1.0 ${base + 5}")
+    assert(cat.readMeta("default", "m").tagColumns == Seq("host"))
+    // a later batch declares an additional tag: meta must grow (dedup
+    // keys and bloom columns track every tag ever declared), keeping
+    // the earlier tag and order
+    lpIngest(cat, s"m,host=a,region=eu v=2.0 ${base + 6}")
+    assert(cat.readMeta("default", "m").tagColumns == Seq("host", "region"))
+    // re-declaring the same tags is a no-op
+    lpIngest(cat, s"m,host=b,region=us v=3.0 ${base + 7}")
+    assert(cat.readMeta("default", "m").tagColumns == Seq("host", "region"))
+  }
+
   test("catalog: SHOW DATABASES / SHOW TABLES from storage listing") {
     val cat = newCatalog()
     lpIngest(cat, s"m1,host=a v=1.0 $base")
