@@ -63,7 +63,18 @@ object SampleQueries {
         .agg(count(lit(1)).as("n_docs"),
           min(col("n_tok")).as("min_tok"), max(col("n_tok")).as("max_tok"),
           sum(col("n_chars_txt")).as("sum_chars"))
-        .orderBy(col("bucket")))
+        .orderBy(col("bucket"))),
+
+    // training-shard packing: the corpus's LAST pipeline step — pack
+    // documents into ~4096-token shards in deterministic doc_id order
+    // (token-offset sharding; operators.ShardPack). The oracle is the
+    // single-task `SUM() OVER (ORDER BY)` form ShardPack exists to
+    // avoid — exact equality proves the distributed offset arithmetic.
+    "q84_shard_pack" -> ((s, dir) =>
+      graft.operators.ShardPack.manifest(
+        t(s, dir, "documents"),
+        col("doc_id"), TextFunctions.tokenCount(col("text")),
+        budget = 4096L))
   )
 
   val oracles: Map[String, String] = Map(
@@ -85,6 +96,19 @@ object SampleQueries {
          |  MIN(len(string_split_regex(trim(text), '\\s+'))) AS min_tok,
          |  MAX(len(string_split_regex(trim(text), '\\s+'))) AS max_tok,
          |  CAST(SUM(length(text)) AS BIGINT) AS sum_chars
-         |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin
+         |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q84_shard_pack" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    len(string_split_regex(trim(text), '\\s+')) AS w FROM documents),
+         |c AS (SELECT doc_id, w,
+         |    COALESCE(SUM(w) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+         |  FROM d)
+         |SELECT CAST(prior // 4096 AS BIGINT) AS shard_id,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(w) AS BIGINT) AS shard_tokens,
+         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM c GROUP BY shard_id ORDER BY shard_id""".stripMargin
   )
 }

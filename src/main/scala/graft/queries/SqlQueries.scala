@@ -59,13 +59,33 @@ object SqlQueries {
       |  (SELECT r_regionkey AS regionkey, r_name FROM region)
       |ORDER BY nationkey""".stripMargin
 
+  // WITH RECURSIVE (DuckDB-native, so the reference exposes it; Spark 4
+  // runs it as UnionLoop): a generated weekly date spine outer-joined
+  // to orders — weeks with no orders stay in the result with n=0. The
+  // spine is 12 rows, so the non-equi join plans as a broadcast nested
+  // loop over the fact scan: O(n), never O(n²). Only the `d + 7 days`
+  // spelling differs per engine.
+  private def recursiveCteSql(step: String) =
+    s"""WITH RECURSIVE spine(d) AS (
+       |  SELECT DATE '1995-01-02' AS d
+       |  UNION ALL
+       |  SELECT $step FROM spine WHERE d < DATE '1995-03-20'
+       |)
+       |SELECT CAST(d AS STRING) AS week_start,
+       |  COUNT(o_orderkey) AS n_orders,
+       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS wk_rev
+       |FROM spine LEFT JOIN orders
+       |  ON o_orderdate >= d AND o_orderdate < $step
+       |GROUP BY d ORDER BY week_start""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q50_cte" -> sql(cteSql),
     "q51_subquery_scalar" -> sql(scalarSubSql),
     "q52_subquery_in" -> sql(inSubSql),
     "q53_lateral" -> sql(lateralSql),
     "q54_subquery_correlated" -> sql(corrSubSql),
-    "q56_natural_join" -> sql(naturalJoinSql)
+    "q56_natural_join" -> sql(naturalJoinSql),
+    "q59_recursive_cte" -> sql(recursiveCteSql("date_add(d, 7)"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -74,6 +94,9 @@ object SqlQueries {
     "q52_subquery_in" -> inSubSql,
     "q53_lateral" -> lateralSql,
     "q54_subquery_correlated" -> corrSubSql,
-    "q56_natural_join" -> naturalJoinSql
+    "q56_natural_join" -> naturalJoinSql,
+    "q59_recursive_cte" ->
+      recursiveCteSql("CAST(d + INTERVAL 7 DAY AS DATE)")
+        .replace("AS STRING", "AS VARCHAR")
   )
 }

@@ -123,6 +123,19 @@ class PlanSpec extends SparkSpec {
       s"expected window + output-sort exchanges only:\n$plan")
   }
 
+  test("shard packing never runs an empty-PARTITION-BY window") {
+    // ShardPack's contract: the prefix sum is computed per range
+    // partition (window PARTITIONED BY the partition id) + broadcast
+    // offsets — the single-task global window must not appear
+    val plan = explained("q84_shard_pack")
+    val winLines = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty, s"expected a window stage:\n$plan")
+    assert(winLines.forall(_.contains("_pid")),
+      s"window must partition by _pid (no global single-task sort):\n$winLines")
+    assert(plan.contains("BroadcastExchange"),
+      s"partition offsets must broadcast:\n$plan")
+  }
+
   test("time_bucket stays inside whole-stage codegen") {
     val plan = explained("q40_time_bucket")
     // formatted mode marks codegen'd operators with "[codegen id : N]";
