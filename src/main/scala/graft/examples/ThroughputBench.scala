@@ -64,6 +64,45 @@ object ThroughputBench {
     val (batches, mpSec) = bench(MsgPack.decodePayload(packed))
     println(f"[tp] msgpack_columnar_decode: ${n / mpSec / 1e6}%.2f M rec/s (${batches.head.rowCount} rows, $mpSec%.2f s)")
 
+    // --- aggregate decode across concurrent connections. The reference's
+    // 20.9M rec/s headline is the SUM over 12 concurrent writer
+    // connections sending small batches (BASELINE.md "12 concurrent
+    // workers, 1000-record batches"); the server analog is one decode
+    // per request thread over request-sized payloads, so the live set
+    // stays per-request-small.
+    {
+      val workers = 12
+      val reqRows = 100000
+      val reqPayload = {
+        val out = new java.io.ByteArrayOutputStream()
+        val p = new graft.query.MsgPackEncoder.Packer(out)
+        p.packMapHeader(2); p.packString("m"); p.packString("cpu")
+        p.packString("columns"); p.packMapHeader(3)
+        p.packString("time"); p.packArrayHeader(reqRows)
+        var i = 0; while (i < reqRows) { p.packLong(base + i); i += 1 }
+        p.packString("host"); p.packArrayHeader(reqRows)
+        i = 0; while (i < reqRows) { p.packString("server" + (i % 16)); i += 1 }
+        p.packString("value"); p.packArrayHeader(reqRows)
+        i = 0; while (i < reqRows) { p.packDouble(i * 0.5); i += 1 }
+        out.toByteArray
+      }
+      val reqsPerWorker = 20
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(workers)
+      def decodeAll(): Unit = {
+        val fs = (0 until workers).map(_ => pool.submit(new Runnable {
+          def run(): Unit = {
+            var r = 0
+            while (r < reqsPerWorker) { MsgPack.decodePayload(reqPayload); r += 1 }
+          }
+        }))
+        fs.foreach(_.get())
+      }
+      val (_, aggSec) = bench(decodeAll())
+      pool.shutdown()
+      val total = workers.toLong * reqsPerWorker * reqRows
+      println(f"[tp] msgpack_decode_aggregate_${workers}w: ${total / aggSec / 1e6}%.2f M rec/s ($aggSec%.2f s)")
+    }
+
     // --- hour-partitioned write throughput (single flush batch)
     val cat = new GraftCatalog(spark, java.nio.file.Files.createTempDirectory("tp").toString)
     val df = batches.head.toDataFrame(spark)
@@ -74,6 +113,27 @@ object ThroughputBench {
     val cat2 = new GraftCatalog(spark, java.nio.file.Files.createTempDirectory("tp2").toString)
     val (files, dSec) = time(DirectParquetWriter.write(cat2, "default", batches.head))
     println(f"[tp] direct_parquet_flush: ${n / dSec / 1e6}%.2f M rows/s (${files.length} files, $dSec%.2f s)")
+
+    // --- aggregate flush across concurrent measurements: the server
+    // runs one flush worker per (db, measurement) shard (reference
+    // arrow_writer.go flush workers); disjoint output dirs, no
+    // coordination, so node throughput = per-flush × workers until the
+    // disk saturates.
+    {
+      val workers = 8
+      val cat3 = new GraftCatalog(spark, java.nio.file.Files.createTempDirectory("tp3").toString)
+      val shards = (0 until workers).map(i => batches.head.copy(measurement = s"cpu_$i"))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(workers)
+      def flushAll(): Unit = {
+        val fs = shards.map(b => pool.submit(new Runnable {
+          def run(): Unit = { DirectParquetWriter.write(cat3, "default", b); () }
+        }))
+        fs.foreach(_.get())
+      }
+      val (_, fSec) = time(flushAll()) // once: repeat runs would re-write the same hours
+      pool.shutdown()
+      println(f"[tp] direct_flush_aggregate_${workers}w: ${workers.toLong * n / fSec / 1e6}%.2f M rows/s ($fSec%.2f s)")
+    }
 
     // --- result-stream throughput per wire format (SELECT LIMIT 1M shape)
     cat.register("default", "cpu")
