@@ -74,7 +74,22 @@ object SampleQueries {
       graft.operators.ShardPack.manifest(
         t(s, dir, "documents"),
         col("doc_id"), TextFunctions.tokenCount(col("text")),
-        budget = 4096L))
+        budget = 4096L)),
+
+    // deterministic training order (epoch shuffle): permute the corpus
+    // by a salted content hash — same permutation on every run/engine/
+    // cluster size, new permutation per salt ("epoch1:"). Exact global
+    // positions come from GlobalRank's distributed offset stamping
+    // (range partition + parallel sort), never a single-task window.
+    "q85_training_order" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.charFingerprint(
+          concat(lit("epoch1:"), col("doc_id"))).as("fp"))
+      graft.operators.GlobalRank
+        .withRowNumber(docs, Seq(col("fp"), col("doc_id")), "pos")
+        .select(col("pos"), col("doc_id"))
+        .orderBy(col("pos"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -109,6 +124,13 @@ object SampleQueries {
          |  COUNT(*) AS n_docs,
          |  CAST(SUM(w) AS BIGINT) AS shard_tokens,
          |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
-         |FROM c GROUP BY shard_id ORDER BY shard_id""".stripMargin
+         |FROM c GROUP BY shard_id ORDER BY shard_id""".stripMargin,
+
+    "q85_training_order" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    ${TextFunctions.charFingerprintSql("('epoch1:' || doc_id)")} AS fp
+         |  FROM documents)
+         |SELECT ROW_NUMBER() OVER (ORDER BY fp, doc_id) AS pos, doc_id
+         |FROM d ORDER BY pos""".stripMargin
   )
 }
