@@ -110,6 +110,44 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
     }
   }
 
+  // ---- database lifecycle (reference internal/api/databases.go:
+  // handleCreate :128, handleDelete :291, isValidDatabaseName :415) ------
+
+  /** Reference name rule: starts with a letter; alphanumeric/_/- after;
+    * max 64 chars. */
+  def isValidDatabaseName(name: String): Boolean =
+    name.nonEmpty && name.length <= 64 &&
+      name.head.isLetter && name.head <= 'z' &&
+      name.forall(c => (c.isLetterOrDigit && c <= 'z') || c == '_' || c == '-')
+
+  /** Create an (empty) database directory. Idempotence matches the
+    * reference: creating an existing database is an error. */
+  def createDatabase(name: String): Unit = {
+    require(isValidDatabaseName(name),
+      s"invalid database name '$name': must start with a letter and contain " +
+        "only alphanumeric characters, underscores, or hyphens (max 64 chars)")
+    require(!GraftCatalog.ReservedDatabaseNames(name.toLowerCase),
+      s"database name '$name' is reserved")
+    val p = new Path(s"$root/$name")
+    val f = fs(p)
+    require(!f.exists(p), s"database '$name' already exists")
+    f.mkdirs(p)
+  }
+
+  /** Delete a database tree. `confirm = true` is mandatory (reference
+    * requires ?confirm=true and a delete.enabled config) and reserved
+    * names are never deletable. */
+  def deleteDatabase(name: String, confirm: Boolean = false): Unit = {
+    require(confirm, s"deleting database '$name' requires confirm=true")
+    require(!GraftCatalog.ReservedDatabaseNames(name.toLowerCase),
+      s"cannot delete reserved database '$name'")
+    require(isValidDatabaseName(name), s"invalid database name '$name'")
+    val p = new Path(s"$root/$name")
+    val f = fs(p)
+    require(f.exists(p), s"database '$name' not found")
+    f.delete(p, true)
+  }
+
   // ---- listing (SHOW DATABASES / SHOW TABLES — reference implements
   // these as storage listings, query.go:3229-3465) ----------------------
 
@@ -226,4 +264,6 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
 object GraftCatalog {
   /** Sibling-directory suffix of the day-compacted tier. */
   val DailySuffix = "__daily"
+  /** Reference reservedDatabaseNames (databases.go:58). */
+  val ReservedDatabaseNames: Set[String] = Set("system", "internal", "_internal")
 }

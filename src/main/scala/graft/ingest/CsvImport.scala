@@ -19,12 +19,16 @@ private[ingest] final case class LpParsed(
     strings: Map[String, String],
     bools: Map[String, Boolean])
 
-/** Bulk import (reference: internal/api/import.go — multipart CSV / LP
-  * file uploads batched into the write path).
+/** Bulk import (reference: internal/api/import.go — multipart CSV /
+  * Parquet / LP file uploads batched into the write path).
   *
   *  - CSV: schema-inferred read, a named time column normalized to µs
   *    TimestampType (string timestamps parsed; integral epochs
   *    unit-detected), then through the standard hour-partitioned writer.
+  *  - Parquet: external parquet re-partitioned into the engine layout
+  *    (reference importParquet, import_inprocess.go:322 — read, time
+  *    column to µs, ingest); `timeFormat` forces an epoch unit where
+  *    magnitude auto-detection would guess (epoch_s/ms/us/ns).
   *  - LP: text files parsed with the LineProtocol grammar.
   */
 object CsvImport {
@@ -60,6 +64,43 @@ object CsvImport {
     val df = normalizeTimeColumn(raw, timeCol)
     // row count comes from the written files' parquet footers inside
     // write — a df.count() here would pay a second full scan of the CSV
+    HourPartitionedWriter.write(catalog, db, measurement, df, countRows = true)
+  }
+
+  /** Import existing Parquet files into `{db}/{measurement}` — the
+    * engine-layout rewrite of external parquet (hour partitions, sort
+    * keys, ZSTD, tag blooms). Fully distributed: scan → normalize →
+    * hour-partitioned write; the row count comes from the written
+    * files' footers, never a second scan.
+    *
+    * @param timeFormat None = auto (timestamp passes through; integral
+    *   epochs magnitude-detected); Some("epoch_s"|"epoch_ms"|"epoch_us"|
+    *   "epoch_ns") forces the unit, as the reference's `time_format`
+    *   query param does (import_inprocess.go:322).
+    */
+  def parquet(catalog: GraftCatalog, db: String, measurement: String,
+      path: String, timeCol: String = "time",
+      timeFormat: Option[String] = None): Long = {
+    val raw = catalog.spark.read.option("mergeSchema", "true").parquet(path)
+    require(raw.columns.contains(timeCol),
+      s"parquet import needs a '$timeCol' column; got ${raw.columns.mkString(",")}")
+    val df = timeFormat match {
+      case None => normalizeTimeColumn(raw, timeCol)
+      case Some(fmt) =>
+        val mult = fmt match {
+          case "epoch_s" => 1000000L
+          case "epoch_ms" => 1000L
+          case "epoch_us" => 1L
+          case "epoch_ns" => -1L // divide
+          case other => throw new IllegalArgumentException(
+            s"unsupported time_format '$other' (epoch_s|epoch_ms|epoch_us|epoch_ns)")
+        }
+        val c = F.col(timeCol).cast("long")
+        val micros = if (mult > 0) c * mult
+          else F.floor(c / 1000).cast("long")
+        val withTime = raw.withColumn("time", F.timestamp_micros(micros))
+        if (timeCol == "time") withTime else withTime.drop(timeCol)
+    }
     HourPartitionedWriter.write(catalog, db, measurement, df, countRows = true)
   }
 
