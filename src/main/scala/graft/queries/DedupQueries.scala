@@ -20,6 +20,9 @@ object DedupQueries {
   private val MinHashK = 16
   private val Bands = 4
   private val RowsPerBand = MinHashK / Bands
+  // 8-token passages: long enough that cross-doc repeats mean copied
+  // spans (near-dup docs), short enough to fire on the synthetic corpus
+  private val PassageK = 8
 
   val queries: Map[String, Q] = Map(
     // exact dedup on a normalized key (first-3-token prefix): groups
@@ -83,6 +86,33 @@ object DedupQueries {
       graft.operators.SimHashDedup.candidatePairs(
           t(s, dir, "documents"), "doc_id", "text", maxHd = 2)
         .orderBy(col("doc1"), col("doc2"))),
+
+    // duplicated-passage coverage: the MEASURE step of substring-level
+    // dedup (Lee et al. 2021, "Deduplicating Training Data Makes LMs
+    // Better") — per document, the fraction of its distinct k-token
+    // shingles that also occur in at least one OTHER document. One
+    // shuffle keys the distinct (doc, shingle-hash) stream on the hash
+    // (count-over-window — pairs are already distinct per doc, so the
+    // partition count IS the doc frequency), one more aggregates per
+    // doc: linear at 100 TB, no pairwise anything. Degenerate shingles
+    // shared by millions of docs make a hot window key — the same
+    // hot-bucket profile as LSH banding (cap/salt if it bites; the
+    // count is algebraic so a salted partial+final form is exact).
+    "q86_dedup_passages" -> ((s, dir) => {
+      graft.GraftFunctions.registerAll(s)
+      val w = Window.partitionBy(col("sh"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(shingleHashes(col("text"), PassageK)).as("sh"))
+        .withColumn("nd", count(lit(1)).over(w))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_shingles"),
+          count(when(col("nd") >= 2, lit(1))).as("n_dup"))
+        .withColumn("dup_frac",
+          round(col("n_dup").cast("double") / col("n_shingles"), 6))
+        .orderBy(col("doc_id"))
+    }),
 
     // benchmark decontamination: corpus docs sharing >= 2 distinct
     // shingle hashes with the eval set (stand-in: doc_id % 97 = 0) must
@@ -175,6 +205,16 @@ object DedupQueries {
          |FROM d a JOIN d b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.sh, b.sh)) <= 2
          |ORDER BY doc1, doc2""".stripMargin,
+
+    "q86_dedup_passages" ->
+      s"""WITH sh AS (SELECT doc_id, unnest(${shingleHashesSql("text", PassageK)}) AS sh
+         |  FROM documents),
+         |f AS (SELECT doc_id, sh, COUNT(*) OVER (PARTITION BY sh) AS nd FROM sh)
+         |SELECT doc_id, COUNT(*) AS n_shingles,
+         |  CAST(COUNT(*) FILTER (WHERE nd >= 2) AS BIGINT) AS n_dup,
+         |  round(CAST(COUNT(*) FILTER (WHERE nd >= 2) AS DOUBLE) / COUNT(*), 6)
+         |    AS dup_frac
+         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q83_decontaminate" -> {
       val sh3 = graft.operators.MinHashDedup.shingleHashesFromTokensSql("text", 3)

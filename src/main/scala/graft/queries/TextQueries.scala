@@ -129,8 +129,35 @@ object TextQueries {
                 size(col("bigrams")), 6))
             .as("dup_bigram_frac"))
         .orderBy(col("doc_id"))
+    }),
+
+    // hashed-linear classifier scoring (the fasttext-style "model-score
+    // gate" of corpus filtering): each token hashes into one of D weight
+    // buckets, the doc's score is the mean bucket weight. The weight
+    // table here is a deterministic stand-in (a real model would ship
+    // its D weights as a broadcast array — same plan shape); everything
+    // up to the final division is integer-exact, and the whole score is
+    // per-row codegen'd compute — linear, zero shuffles before the sort.
+    "q87_quality_classifier" -> ((s, dir) => {
+      graft.GraftFunctions.registerAll(s)
+      val toks = tokens(col("text"))
+      val weights = transform(toks, tk =>
+        (tokenHash(tk) % ClassifierD) * 40503L % 2001L - 1000L)
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          size(toks).as("n_tokens"),
+          aggregate(weights, lit(0L), (acc, x) => acc + x).as("score_sum"))
+        .withColumn("score", round(
+          col("score_sum").cast("double") /
+            (lit(1000.0) * greatest(col("n_tokens"), lit(1))), 6))
+        .withColumn("keep", (col("score") > 0).cast("int"))
+        .orderBy(col("doc_id"))
     })
   )
+
+  // weight-table size for q87 (power of two, like a real hashing trick)
+  private val ClassifierD = 1024L
 
   // conservative RE2-and-Java-compatible patterns (no backrefs or
   // lookaround) so Spark and the DuckDB oracle match exactly
@@ -203,6 +230,22 @@ object TextQueries {
          |  CASE WHEN len(bigrams) = 0 THEN 0.0
          |       ELSE round(1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE)
          |                        / len(bigrams), 6) END AS dup_bigram_frac
-         |FROM s ORDER BY doc_id""".stripMargin
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q87_quality_classifier" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+         |s AS (SELECT doc_id, len(toks) AS n_tokens,
+         |    CAST(list_sum(list_transform(toks, t ->
+         |      ((${tokenHashSql("t")}) % 1024) * 40503 % 2001 - 1000))
+         |      AS BIGINT) AS score_sum
+         |  FROM d),
+         |sc AS (SELECT doc_id, n_tokens, score_sum,
+         |    round(CAST(score_sum AS DOUBLE) /
+         |          (1000.0 * greatest(n_tokens, 1)), 6) AS score
+         |  FROM s)
+         |SELECT doc_id, n_tokens, score_sum, score,
+         |  CAST(score > 0 AS INT) AS keep
+         |FROM sc ORDER BY doc_id""".stripMargin
   )
 }

@@ -136,6 +136,28 @@ class PlanSpec extends SparkSpec {
       s"partition offsets must broadcast:\n$plan")
   }
 
+  test("passage-coverage runs on two data shuffles (window + doc agg)") {
+    val plan = explained("q86_dedup_passages")
+    // doc-frequency comes from count-over-window on the shingle hash
+    // (the exploded stream shuffles ONCE), the per-doc rollup once more,
+    // plus the output sort — any join or extra aggregate over the
+    // shingle stream is a regression
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"dup flags must come from a window, not a join back:\n$plan")
+    assert(count(plan, "+- ShuffleQueryStage") <= 3,
+      s"expected window + doc-agg + output-sort exchanges only:\n$plan")
+  }
+
+  test("classifier gate is pure per-row compute (no data shuffle)") {
+    val plan = explained("q87_quality_classifier")
+    // hashed-linear scoring never aggregates across rows — the only
+    // exchange is the output sort's range partitioning
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortMergeJoin"),
+      s"classifier scoring must not aggregate or join:\n$plan")
+    assert(count(plan, "+- ShuffleQueryStage") <= 1,
+      s"only the output sort may shuffle:\n$plan")
+  }
+
   test("time_bucket stays inside whole-stage codegen") {
     val plan = explained("q40_time_bucket")
     // formatted mode marks codegen'd operators with "[codegen id : N]";
