@@ -102,8 +102,14 @@ object DedupQueries {
       graft.GraftFunctions.registerAll(s)
       val w = Window.partitionBy(col("sh"))
       t(s, dir, "documents")
+        // native single-pass shingle kernel (same as q66/q83 — the
+        // composed HOF form costs ~10× more per doc), spread to full
+        // parallelism first: hashing is CPU-bound and a few parquet
+        // splits would serialize it through a handful of tasks
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"),
-          explode(shingleHashes(col("text"), PassageK)).as("sh"))
+          explode(graft.operators.MinHashDedup
+            .shingleHashesFromTokens(col("text"), PassageK)).as("sh"))
         .withColumn("nd", count(lit(1)).over(w))
         .groupBy(col("doc_id"))
         .agg(
@@ -207,7 +213,8 @@ object DedupQueries {
          |ORDER BY doc1, doc2""".stripMargin,
 
     "q86_dedup_passages" ->
-      s"""WITH sh AS (SELECT doc_id, unnest(${shingleHashesSql("text", PassageK)}) AS sh
+      s"""WITH sh AS (SELECT doc_id, unnest(${graft.operators.MinHashDedup
+             .shingleHashesFromTokensSql("text", PassageK)}) AS sh
          |  FROM documents),
          |f AS (SELECT doc_id, sh, COUNT(*) OVER (PARTITION BY sh) AS nd FROM sh)
          |SELECT doc_id, COUNT(*) AS n_shingles,

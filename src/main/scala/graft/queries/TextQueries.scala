@@ -153,8 +153,34 @@ object TextQueries {
             (lit(1000.0) * greatest(col("n_tokens"), lit(1))), 6))
         .withColumn("keep", (col("score") > 0).cast("int"))
         .orderBy(col("doc_id"))
+    }),
+
+    // context-window chunking: split each document into overlapping
+    // token windows (size ChunkC, stride ChunkS) — the step that turns a
+    // corpus into training sequences. Chunk starts come from a generated
+    // sequence, the window is a slice: per-row compute that explodes to
+    // ~n_tokens/stride rows, no shuffle except the output sort. The
+    // final window is allowed to run short (slice past the end truncates
+    // identically in both engines).
+    "q88_doc_chunks" -> ((s, dir) => {
+      val toks = tokens(col("text"))
+      val starts = sequence(
+        lit(1), greatest(size(toks) - (ChunkC - 1), lit(1)), lit(ChunkS))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(transform(starts, i => slice(toks, i, lit(ChunkC)))))
+        .select(
+          col("doc_id"),
+          (col("pos") + 1).as("chunk_no"),
+          size(col("col")).as("n_chunk_tokens"),
+          array_join(col("col"), " ").as("chunk_text"))
+        .orderBy(col("doc_id"), col("chunk_no"))
     })
   )
+
+  // q88 training-sequence geometry: 32-token windows, 8-token overlap
+  private val ChunkC = 32
+  private val ChunkS = 24
 
   // weight-table size for q87 (power of two, like a real hashing trick)
   private val ClassifierD = 1024L
@@ -246,6 +272,22 @@ object TextQueries {
          |  FROM s)
          |SELECT doc_id, n_tokens, score_sum, score,
          |  CAST(score > 0 AS INT) AS keep
-         |FROM sc ORDER BY doc_id""".stripMargin
+         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "q88_doc_chunks" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+         |c AS (SELECT doc_id,
+         |    list_transform(
+         |      generate_series(1, greatest(len(toks) - ${ChunkC - 1}, 1), $ChunkS),
+         |      i -> list_slice(toks, i, i + ${ChunkC - 1})) AS chunks
+         |  FROM d),
+         |u AS (SELECT doc_id, unnest(list_transform(
+         |    generate_series(1, len(chunks)),
+         |    j -> {'no': j, 'ch': chunks[j]})) AS s FROM c)
+         |SELECT doc_id, CAST(s.no AS INT) AS chunk_no,
+         |  CAST(len(s.ch) AS INT) AS n_chunk_tokens,
+         |  array_to_string(s.ch, ' ') AS chunk_text
+         |FROM u ORDER BY doc_id, chunk_no""".stripMargin
   )
 }

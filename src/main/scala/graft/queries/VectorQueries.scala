@@ -100,6 +100,7 @@ object VectorQueries {
   private val DedupBands = 3
   private val DedupPlanes = 8 // 256 buckets/band: candidate volume ~ n²/256 per band
   private val DedupTau = 0.35
+  private val SemDedupTau = 0.35 // same radius as the LSH banded path (q69)
 
   /** IVF ANN as a rows-only query (no SQL-expressible oracle — k-means
     * has no DuckDB twin; IvfIndexSpec covers recall/exactness within
@@ -115,6 +116,22 @@ object VectorQueries {
     scala.collection.concurrent.TrieMap.empty[String, graft.operators.IvfPq.Model]
 
   val rowsOnlyQueries: Map[String, Q] = Map(
+    // SemDeDup semantic dedup (rows-only like q73: the k-means
+    // clustering has no DuckDB twin; SemanticDedupSpec proves the
+    // within-cluster contract against a driver-side reference and
+    // planted duplicates). Reuses the cached IVF index — the coarse
+    // quantizer IS the dedup clustering.
+    "q89_semantic_dedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val model = ivfCache.getOrElseUpdate(dir,
+        graft.operators.IvfIndex.build(
+          emb.where(col("vec_id") >= NQueries), "vec_id", "embedding", nLists = 8))
+      graft.operators.SemanticDedup
+        .verdictsFromAssignments(model.assignments, "vec_id", "embedding",
+          threshold = SemDedupTau)
+        .orderBy(col("vec_id"))
+    }),
+
     // PQ-ADC ANN (rows-only like q73: k-means codebooks have no DuckDB
     // twin; PqIndexSpec covers recall vs brute force + self-match).
     // The corpus is scanned in compressed-code form only — the 100 TB

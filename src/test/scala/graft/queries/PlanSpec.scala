@@ -140,12 +140,13 @@ class PlanSpec extends SparkSpec {
     val plan = explained("q86_dedup_passages")
     // doc-frequency comes from count-over-window on the shingle hash
     // (the exploded stream shuffles ONCE), the per-doc rollup once more,
-    // plus the output sort — any join or extra aggregate over the
-    // shingle stream is a regression
+    // plus the CPU-spread repartition of the raw docs and the output
+    // sort — any join or extra aggregate over the shingle stream is a
+    // regression (measured: the join-back form is 2× slower at sf0.1)
     assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
       s"dup flags must come from a window, not a join back:\n$plan")
-    assert(count(plan, "+- ShuffleQueryStage") <= 3,
-      s"expected window + doc-agg + output-sort exchanges only:\n$plan")
+    assert(count(plan, "+- ShuffleQueryStage") <= 4,
+      s"expected repartition + window + doc-agg + output-sort exchanges only:\n$plan")
   }
 
   test("classifier gate is pure per-row compute (no data shuffle)") {
