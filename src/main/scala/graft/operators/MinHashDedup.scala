@@ -130,4 +130,38 @@ object MinHashDedup {
       .where(!firstBand)
       .select(col(s"x.$idCol").as("doc1"), col(s"y.$idCol").as("doc2"))
   }
+
+  /** Incremental pair generation — the daily-increment shape at corpus
+    * scale: history×history pairs were already found when history was
+    * ingested, so only new×(history ∪ new) needs examining. The band
+    * join's probe side carries ONLY the new batch; history signatures
+    * are read from their store (one scan), never re-paired against each
+    * other — per-increment cost is O(new × collision rate), independent
+    * of history size. Emits (doc1, doc2) with doc2 (the higher id) in
+    * the new batch; equals the full-corpus [[candidatePairsFromSignatures]]
+    * filtered to new doc2 (IncrementalDedupSpec proves it).
+    */
+  def incrementalPairsFromSignatures(historySigs: DataFrame,
+      newSigs: DataFrame, idCol: String, numHashes: Int,
+      bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    def banded(sigs: DataFrame) =
+      sigs.select(col(idCol), col("sig"), explode(array(
+        (0 until bands).map(bnd =>
+          struct(lit(bnd).as("band"),
+            array_join(slice(col("sig"), bnd * rows + 1, rows), ",").as("key"))): _*)).as("b"))
+        .select(col(idCol), col("sig"), col("b.band").as("band"), col("b.key").as("key"))
+    val all = banded(historySigs.select(col(idCol), col("sig"))
+      .unionByName(newSigs.select(col(idCol), col("sig"))))
+    val probe = banded(newSigs.select(col(idCol), col("sig")))
+    val firstBand = (0 until bands).map { j =>
+      (col("x.band") > j) &&
+        (slice(col("x.sig"), j * rows + 1, rows) === slice(col("y.sig"), j * rows + 1, rows))
+    }.reduce(_ || _)
+    all.alias("x").join(probe.alias("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .where(!firstBand)
+      .select(col(s"x.$idCol").as("doc1"), col(s"y.$idCol").as("doc2"))
+  }
 }

@@ -23,6 +23,8 @@ object DedupQueries {
   // 8-token passages: long enough that cross-doc repeats mean copied
   // spans (near-dup docs), short enough to fire on the synthetic corpus
   private val PassageK = 8
+  // q91: docs with id >= 80% of the sf0.01 corpus play the "new batch"
+  private val IncrSplit = 400L
 
   val queries: Map[String, Q] = Map(
     // exact dedup on a normalized key (first-3-token prefix): groups
@@ -120,6 +122,26 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // incremental near-dup: dedup a NEW batch (doc_id >= IncrSplit)
+    // against the already-ingested history WITHOUT re-pairing history
+    // against itself — the daily-increment shape where history is 100 TB
+    // and the increment is 0.1%. History signatures stream from their
+    // store (recomputed here; persisted in production), the band join's
+    // probe side carries only the new batch. Result == the full-corpus
+    // q66 pairs filtered to new doc2 (ids are append-only monotone).
+    "q91_dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val history = graft.operators.MinHashDedup.signatures(
+        docs.where(col("doc_id") < IncrSplit), "doc_id", "text",
+        shingleK = 2, numHashes = MinHashK)
+      val fresh = graft.operators.MinHashDedup.signatures(
+        docs.where(col("doc_id") >= IncrSplit), "doc_id", "text",
+        shingleK = 2, numHashes = MinHashK)
+      graft.operators.MinHashDedup.incrementalPairsFromSignatures(
+          history, fresh, "doc_id", numHashes = MinHashK, bands = Bands)
+        .orderBy(col("doc1"), col("doc2"))
+    }),
+
     // benchmark decontamination: corpus docs sharing >= 2 distinct
     // shingle hashes with the eval set (stand-in: doc_id % 97 = 0) must
     // be dropped before training. Eval shingles are a broadcast set; the
@@ -183,6 +205,12 @@ object DedupQueries {
 
     "q66_dedup_minhash" ->
       s"WITH $minhashPairsCtes\nSELECT doc1, doc2 FROM pairs ORDER BY doc1, doc2",
+
+    // the incremental path must lose nothing vs the full-corpus pairs
+    // restricted to new doc2 — the oracle IS that restriction
+    "q91_dedup_incremental" ->
+      (s"WITH $minhashPairsCtes\nSELECT doc1, doc2 FROM pairs " +
+        s"WHERE doc2 >= $IncrSplit ORDER BY doc1, doc2"),
 
     // transitive closure via recursive CTE (unbounded reachability) — if
     // the Spark-side star contraction stopped short of the fixpoint, the
