@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.functions.TextFunctions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data text analysis over the `documents` table: token
@@ -175,8 +176,36 @@ object TextQueries {
           size(col("col")).as("n_chunk_tokens"),
           array_join(col("col"), " ").as("chunk_text"))
         .orderBy(col("doc_id"), col("chunk_no"))
+    }),
+
+    // vocabulary coverage: top-K corpus terms by frequency with the
+    // running fraction of all token occurrences they cover — the
+    // precursor to building a tokenizer vocabulary ("how many types
+    // cover 95% of tokens"). One partial+final count shuffle on term;
+    // top-K compiles to TakeOrderedAndProject (per-partition heaps, no
+    // global sort); the running sum's single-partition window sees only
+    // the K survivors, and the corpus total is an aggregate of the
+    // (small) per-term counts — the raw token stream is scanned once.
+    "q92_vocab_coverage" -> ((s, dir) => {
+      val terms = t(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("term"))
+      val counts = terms.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      val total = broadcast(counts.agg(sum(col("cnt")).cast("double").as("total")))
+      val ord = Seq(col("cnt").desc, col("term"))
+      val w = Window.orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      counts.orderBy(ord: _*).limit(VocabK)
+        .crossJoin(total)
+        .select(
+          row_number().over(Window.orderBy(ord: _*)).as("rank"),
+          col("term"), col("cnt"),
+          round(sum(col("cnt")).over(w) / col("total"), 6).as("cum_frac"))
+        .orderBy(col("rank"))
     })
   )
+
+  // q92: vocabulary prefix size to report coverage for
+  private val VocabK = 50
 
   // q88 training-sequence geometry: 32-token windows, 8-token overlap
   private val ChunkC = 32
@@ -288,6 +317,18 @@ object TextQueries {
          |SELECT doc_id, CAST(s.no AS INT) AS chunk_no,
          |  CAST(len(s.ch) AS INT) AS n_chunk_tokens,
          |  array_to_string(s.ch, ' ') AS chunk_text
-         |FROM u ORDER BY doc_id, chunk_no""".stripMargin
+         |FROM u ORDER BY doc_id, chunk_no""".stripMargin,
+
+    "q92_vocab_coverage" ->
+      s"""WITH terms AS (SELECT unnest(string_split_regex(trim(text), '\\s+'))
+         |    AS term FROM documents),
+         |c AS (SELECT term, COUNT(*) AS cnt FROM terms GROUP BY term),
+         |tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM c),
+         |top AS (SELECT term, cnt FROM c ORDER BY cnt DESC, term LIMIT $VocabK)
+         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS INT) AS rank,
+         |  term, cnt,
+         |  round(SUM(cnt) OVER (ORDER BY cnt DESC, term
+         |                       ROWS UNBOUNDED PRECEDING) / total, 6) AS cum_frac
+         |FROM top CROSS JOIN tot ORDER BY rank""".stripMargin
   )
 }

@@ -159,6 +159,14 @@ class PlanSpec extends SparkSpec {
       s"only the output sort may shuffle:\n$plan")
   }
 
+  test("vocab coverage heap-selects top-K and partial-aggregates counts") {
+    val plan = explained("q92_vocab_coverage")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-K terms must not global-sort the vocabulary:\n$plan")
+    assert(plan.contains("partial_"),
+      s"term counting must map-side combine:\n$plan")
+  }
+
   test("time_bucket stays inside whole-stage codegen") {
     val plan = explained("q40_time_bucket")
     // formatted mode marks codegen'd operators with "[codegen id : N]";
