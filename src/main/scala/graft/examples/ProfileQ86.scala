@@ -7,7 +7,10 @@ import org.apache.spark.sql.functions._
 
 /** A/B the q86 doc-frequency plan: count-over-window on the shingle
   * hash (1 shuffle + sort) vs groupBy+shuffle-join-back (2 hash
-  * shuffles, no sort). Run: sbt "runMain graft.examples.ProfileQ86". */
+  * shuffles, no sort). The shingle stream uses the NATIVE kernel (what
+  * q86 ships) and is checkpointed once, so both arms pay identical
+  * input cost and the measurement isolates the plan shape.
+  * Run: sbt "runMain graft.examples.ProfileQ86". */
 object ProfileQ86 {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -18,8 +21,11 @@ object ProfileQ86 {
     graft.GraftFunctions.registerAll(spark)
     val docs = spark.read.parquet(s"$dir/documents.parquet")
 
-    def sh = docs.select(col("doc_id"),
-      explode(shingleHashes(col("text"), 8)).as("sh"))
+    val sh = docs.repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        explode(graft.operators.MinHashDedup
+          .shingleHashesFromTokens(col("text"), 8)).as("sh"))
+      .localCheckpoint()
 
     def windowForm = {
       val w = Window.partitionBy(col("sh"))

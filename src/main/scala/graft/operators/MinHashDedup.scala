@@ -88,47 +88,9 @@ object MinHashDedup {
     * cases) reuse the exact banding/emission logic. */
   def candidatePairsFromSignatures(sigs: DataFrame, idCol: String,
       numHashes: Int, bands: Int, maxBucketSize: Int): DataFrame = {
-    val rows = numHashes / bands
-    val banded0 = sigs.select(col(idCol), col("sig"), explode(array(
-      (0 until bands).map(bnd =>
-        struct(lit(bnd).as("band"),
-          array_join(slice(col("sig"), bnd * rows + 1, rows), ",").as("key"))): _*)).as("b"))
-      .select(col(idCol), col("sig"), col("b.band").as("band"), col("b.key").as("key"))
-    val banded =
-      if (maxBucketSize <= 0) banded0.withColumn("_survMask", lit(-1L))
-      else {
-        // bucket sizes via partial+final count — the hot key's size is a
-        // single aggregate row, never a materialized member list. Each doc
-        // also carries a bitmask of which of ITS bands survived the cap:
-        // the first-band suppression below may only defer to an earlier
-        // band that actually emitted (capped-away buckets emit nothing).
-        val sizes = banded0.groupBy(col("band"), col("key"))
-          .agg(count(lit(1)).as("_bucket_n"))
-        val flagged = banded0.join(sizes, Seq("band", "key"))
-          .withColumn("_surv", col("_bucket_n") <= maxBucketSize)
-        val masks = flagged.groupBy(col(idCol)).agg(
-          sum(when(col("_surv"),
-            expr("shiftleft(CAST(1 AS BIGINT), band)")).otherwise(lit(0L)))
-            .as("_survMask"))
-        flagged.where(col("_surv")).join(masks, Seq(idCol))
-          .drop("_bucket_n", "_surv")
-      }
-    // first-matching-band emission instead of distinct(): a pair agreeing
-    // in k bands lands in k buckets; only the smallest matching SURVIVING
-    // band's bucket emits it. The carried signatures make the earlier-band
-    // compare a local array-slice equality (slices equal ⇒ same bucket, so
-    // x's survival bit speaks for both docs) — the candidate-pair dedup
-    // shuffle disappears (pairs >> docs when buckets run hot).
-    val firstBand = (0 until bands).map { j =>
-      (col("x.band") > j) &&
-        (slice(col("x.sig"), j * rows + 1, rows) === slice(col("y.sig"), j * rows + 1, rows)) &&
-        (col("x._survMask").bitwiseAND(lit(1L << j)) =!= lit(0L))
-    }.reduce(_ || _)
-    banded.alias("x").join(banded.alias("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          col(s"x.$idCol") < col(s"y.$idCol"))
-      .where(!firstBand)
-      .select(col(s"x.$idCol").as("doc1"), col(s"y.$idCol").as("doc2"))
+    val banded = bandedWithCap(
+      sigs.select(col(idCol), col("sig")), idCol, numHashes, bands, maxBucketSize)
+    emitPairs(banded, banded, idCol, numHashes, bands)
   }
 
   /** Incremental pair generation — the daily-increment shape at corpus
@@ -139,26 +101,74 @@ object MinHashDedup {
     * other — per-increment cost is O(new × collision rate), independent
     * of history size. Emits (doc1, doc2) with doc2 (the higher id) in
     * the new batch; equals the full-corpus [[candidatePairsFromSignatures]]
-    * filtered to new doc2 (IncrementalDedupSpec proves it).
+    * filtered to new doc2 (IncrementalDedupSpec proves it). The
+    * hot-bucket cap applies exactly as in the full path (the bucket
+    * census spans history ∪ new, so a boilerplate key that went hot in
+    * history stays capped for every later increment).
     */
   def incrementalPairsFromSignatures(historySigs: DataFrame,
       newSigs: DataFrame, idCol: String, numHashes: Int,
-      bands: Int): DataFrame = {
+      bands: Int, maxBucketSize: Int = 0): DataFrame = {
+    // tag rows BEFORE banding: the probe side is a filter over the same
+    // banded/capped frame — no second banding pass, no id semi-join
+    val all = historySigs.select(col(idCol), col("sig"), lit(false).as("_new"))
+      .unionByName(newSigs.select(col(idCol), col("sig"), lit(true).as("_new")))
+    val banded = bandedWithCap(all, idCol, numHashes, bands, maxBucketSize)
+    emitPairs(banded, banded.where(col("_new")), idCol, numHashes, bands)
+  }
+
+  /** One row per (doc, band) with the band's bucket key; when capped,
+    * rows in over-sized buckets are dropped and each doc carries a
+    * bitmask of which of ITS bands survived. Extra input columns (e.g.
+    * an incremental `_new` tag) pass through. */
+  private def bandedWithCap(sigs: DataFrame, idCol: String, numHashes: Int,
+      bands: Int, maxBucketSize: Int): DataFrame = {
     val rows = numHashes / bands
-    def banded(sigs: DataFrame) =
-      sigs.select(col(idCol), col("sig"), explode(array(
-        (0 until bands).map(bnd =>
-          struct(lit(bnd).as("band"),
-            array_join(slice(col("sig"), bnd * rows + 1, rows), ",").as("key"))): _*)).as("b"))
-        .select(col(idCol), col("sig"), col("b.band").as("band"), col("b.key").as("key"))
-    val all = banded(historySigs.select(col(idCol), col("sig"))
-      .unionByName(newSigs.select(col(idCol), col("sig"))))
-    val probe = banded(newSigs.select(col(idCol), col("sig")))
+    val passThrough = sigs.columns.filter(c => c != idCol && c != "sig")
+      .map(col).toSeq
+    val banded0 = sigs.select(Seq(col(idCol), col("sig"), explode(array(
+      (0 until bands).map(bnd =>
+        struct(lit(bnd).as("band"),
+          array_join(slice(col("sig"), bnd * rows + 1, rows), ",").as("key"))): _*)).as("b"))
+      ++ passThrough: _*)
+      .withColumn("band", col("b.band")).withColumn("key", col("b.key"))
+      .drop("b")
+    if (maxBucketSize <= 0) banded0.withColumn("_survMask", lit(-1L))
+    else {
+      // bucket sizes via partial+final count — the hot key's size is a
+      // single aggregate row, never a materialized member list. Each doc
+      // also carries a bitmask of which of ITS bands survived the cap:
+      // the first-band suppression below may only defer to an earlier
+      // band that actually emitted (capped-away buckets emit nothing).
+      val sizes = banded0.groupBy(col("band"), col("key"))
+        .agg(count(lit(1)).as("_bucket_n"))
+      val flagged = banded0.join(sizes, Seq("band", "key"))
+        .withColumn("_surv", col("_bucket_n") <= maxBucketSize)
+      val masks = flagged.groupBy(col(idCol)).agg(
+        sum(when(col("_surv"),
+          expr("shiftleft(CAST(1 AS BIGINT), band)")).otherwise(lit(0L)))
+          .as("_survMask"))
+      flagged.where(col("_surv")).join(masks, Seq(idCol))
+        .drop("_bucket_n", "_surv")
+    }
+  }
+
+  /** Band-bucket equi-join with first-matching-band emission instead of
+    * distinct(): a pair agreeing in k bands lands in k buckets; only the
+    * smallest matching SURVIVING band's bucket emits it. The carried
+    * signatures make the earlier-band compare a local array-slice
+    * equality (slices equal ⇒ same bucket, so x's survival bit speaks
+    * for both docs) — the candidate-pair dedup shuffle disappears
+    * (pairs >> docs when buckets run hot). */
+  private def emitPairs(bandedX: DataFrame, bandedY: DataFrame,
+      idCol: String, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
     val firstBand = (0 until bands).map { j =>
       (col("x.band") > j) &&
-        (slice(col("x.sig"), j * rows + 1, rows) === slice(col("y.sig"), j * rows + 1, rows))
+        (slice(col("x.sig"), j * rows + 1, rows) === slice(col("y.sig"), j * rows + 1, rows)) &&
+        (col("x._survMask").bitwiseAND(lit(1L << j)) =!= lit(0L))
     }.reduce(_ || _)
-    all.alias("x").join(probe.alias("y"),
+    bandedX.alias("x").join(bandedY.alias("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
       .where(!firstBand)

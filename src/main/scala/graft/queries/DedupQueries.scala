@@ -131,14 +131,15 @@ object DedupQueries {
     // q66 pairs filtered to new doc2 (ids are append-only monotone).
     "q91_dedup_incremental" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val history = graft.operators.MinHashDedup.signatures(
-        docs.where(col("doc_id") < IncrSplit), "doc_id", "text",
-        shingleK = 2, numHashes = MinHashK)
-      val fresh = graft.operators.MinHashDedup.signatures(
-        docs.where(col("doc_id") >= IncrSplit), "doc_id", "text",
-        shingleK = 2, numHashes = MinHashK)
+      // one signature pass (checkpointed), split AFTER: two separate
+      // signatures() calls would scan the table twice and run two
+      // eager checkpoint jobs
+      val sigs = graft.operators.MinHashDedup.signatures(
+        docs, "doc_id", "text", shingleK = 2, numHashes = MinHashK)
       graft.operators.MinHashDedup.incrementalPairsFromSignatures(
-          history, fresh, "doc_id", numHashes = MinHashK, bands = Bands)
+          sigs.where(col("doc_id") < IncrSplit),
+          sigs.where(col("doc_id") >= IncrSplit),
+          "doc_id", numHashes = MinHashK, bands = Bands)
         .orderBy(col("doc1"), col("doc2"))
     }),
 

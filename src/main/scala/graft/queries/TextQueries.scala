@@ -292,7 +292,7 @@ object TextQueries {
          |    string_split_regex(trim(text), '\\s+') AS toks FROM documents),
          |s AS (SELECT doc_id, len(toks) AS n_tokens,
          |    CAST(list_sum(list_transform(toks, t ->
-         |      ((${tokenHashSql("t")}) % 1024) * 40503 % 2001 - 1000))
+         |      ((${tokenHashSql("t")}) % $ClassifierD) * 40503 % 2001 - 1000))
          |      AS BIGINT) AS score_sum
          |  FROM d),
          |sc AS (SELECT doc_id, n_tokens, score_sum,

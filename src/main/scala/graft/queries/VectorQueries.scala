@@ -114,18 +114,21 @@ object VectorQueries {
     scala.collection.concurrent.TrieMap.empty[String, graft.operators.PqIndex.Model]
   private val ivfPqCache =
     scala.collection.concurrent.TrieMap.empty[String, graft.operators.IvfPq.Model]
+  private val semCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.operators.IvfIndex.Model]
 
   val rowsOnlyQueries: Map[String, Q] = Map(
     // SemDeDup semantic dedup (rows-only like q73: the k-means
     // clustering has no DuckDB twin; SemanticDedupSpec proves the
     // within-cluster contract against a driver-side reference and
-    // planted duplicates). Reuses the cached IVF index — the coarse
-    // quantizer IS the dedup clustering.
+    // planted duplicates). Clusters the FULL embeddings table — the ANN
+    // index (ivfCache) excludes the query rows, and a dedup that
+    // silently skipped them would under-delete — so this builds its own
+    // cached quantizer over every vector.
     "q89_semantic_dedup" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val model = ivfCache.getOrElseUpdate(dir,
-        graft.operators.IvfIndex.build(
-          emb.where(col("vec_id") >= NQueries), "vec_id", "embedding", nLists = 8))
+      val model = semCache.getOrElseUpdate(dir,
+        graft.operators.IvfIndex.build(emb, "vec_id", "embedding", nLists = 8))
       graft.operators.SemanticDedup
         .verdictsFromAssignments(model.assignments, "vec_id", "embedding",
           threshold = SemDedupTau)
