@@ -34,6 +34,25 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(got.forall(_._2 >= split))
   }
 
+  test("incremental hot-bucket cap equals the capped full-corpus result") {
+    val split = 25L
+    val expected = pairSet(
+      MinHashDedup.candidatePairs(docs, "doc_id", "text",
+          shingleK = 2, numHashes = 16, bands = 4, maxBucketSize = 3)
+        .where(col("doc2") >= split))
+    val sigs = MinHashDedup.signatures(docs, "doc_id", "text", 2, 16)
+    val got = pairSet(MinHashDedup.incrementalPairsFromSignatures(
+      sigs.where(col("doc_id") < split), sigs.where(col("doc_id") >= split),
+      "doc_id", 16, 4, maxBucketSize = 3))
+    assert(got == expected)
+    // the cap at 3 must actually bite on this fixture (otherwise this
+    // test collapses into the uncapped parity test above)
+    val uncapped = pairSet(MinHashDedup.incrementalPairsFromSignatures(
+      sigs.where(col("doc_id") < split), sigs.where(col("doc_id") >= split),
+      "doc_id", 16, 4))
+    assert(got != uncapped, "cap should drop at least one hot-bucket pair")
+  }
+
   test("empty new batch yields no pairs without touching history pairs") {
     val history = MinHashDedup.signatures(docs, "doc_id", "text", 2, 16)
     val fresh = history.where(lit(false))
