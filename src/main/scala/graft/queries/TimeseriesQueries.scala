@@ -57,6 +57,44 @@ object TimeseriesQueries {
           round(last(col("avg_v"), ignoreNulls = true).over(wFill), 6))
         .select(col("event_type"), col("bucket_ts"), col("v_filled"))
         .orderBy(col("event_type"), col("bucket_ts"))
+    }),
+
+    // ordered-sequence funnel (view → click → purchase): per user, the
+    // earliest view, the earliest click strictly after it, the earliest
+    // purchase strictly after that. ONE shuffle (groupBy user) + a
+    // per-user time-ordered fold — stage k+1's condition compares only
+    // against the accumulator's stage-k timestamp (strict ts >), so the
+    // result is independent of tie order and matches the oracle's
+    // three-level join chain exactly. The oracle spells the naive form
+    // (3 joins + 3 aggregations); the fold is the 100 TB shape: a
+    // user's funnel needs no other user's rows, so it never re-shuffles.
+    "q93_event_funnel" -> ((s, dir) => {
+      val nullTs = lit(null).cast("timestamp")
+      val folded = aggregate(
+        col("evs"),
+        struct(nullTs.as("t1"), nullTs.as("t2"), nullTs.as("t3")),
+        (acc, e) => struct(
+          when(acc("t1").isNull && e("et") === "view", e("ts"))
+            .otherwise(acc("t1")).as("t1"),
+          when(acc("t2").isNull && acc("t1").isNotNull &&
+              e("et") === "click" && e("ts") > acc("t1"), e("ts"))
+            .otherwise(acc("t2")).as("t2"),
+          when(acc("t3").isNull && acc("t2").isNotNull &&
+              e("et") === "purchase" && e("ts") > acc("t2"), e("ts"))
+            .otherwise(acc("t3")).as("t3")))
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(
+          struct(col("ts"), col("event_type").as("et")))).as("evs"))
+        .withColumn("f", folded)
+        .select(col("user_id"),
+          when(col("f.t3").isNotNull, lit(3))
+            .when(col("f.t2").isNotNull, lit(2))
+            .when(col("f.t1").isNotNull, lit(1))
+            .otherwise(lit(0)).as("stage"),
+          col("f.t1").as("t_view"), col("f.t2").as("t_click"),
+          col("f.t3").as("t_purchase"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -94,6 +132,26 @@ object TimeseriesQueries {
          |    (PARTITION BY event_type ORDER BY bucket_ts
          |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS v_filled
          |FROM grid LEFT JOIN hourly USING (event_type, bucket_ts)
-         |ORDER BY event_type, bucket_ts""".stripMargin
+         |ORDER BY event_type, bucket_ts""".stripMargin,
+
+    // the naive three-level join chain — strict ts > at each level, so
+    // it agrees with the Spark fold under any tie order
+    "q93_event_funnel" ->
+      s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+         |  FROM events),
+         |s1 AS (SELECT user_id, MIN(ts) AS t1 FROM e
+         |  WHERE event_type = 'view' GROUP BY user_id),
+         |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM e JOIN s1 USING (user_id)
+         |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+         |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM e JOIN s2 USING (user_id)
+         |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id),
+         |u AS (SELECT DISTINCT user_id FROM e)
+         |SELECT u.user_id,
+         |  CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+         |       WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS stage,
+         |  t1 AS t_view, t2 AS t_click, t3 AS t_purchase
+         |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+         |  LEFT JOIN s3 USING (user_id)
+         |ORDER BY user_id""".stripMargin
   )
 }

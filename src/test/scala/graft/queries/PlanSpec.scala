@@ -167,6 +167,16 @@ class PlanSpec extends SparkSpec {
       s"term counting must map-side combine:\n$plan")
   }
 
+  test("funnel folds per user on one data shuffle (no join chain)") {
+    val plan = explained("q93_event_funnel")
+    // the oracle's 3-join/3-agg chain is the shape to AVOID — the fold
+    // needs only the per-user grouping shuffle plus the output sort
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"funnel stages must come from the fold, not joins:\n$plan")
+    assert(count(plan, "+- ShuffleQueryStage") <= 2,
+      s"expected user-grouping + output-sort exchanges only:\n$plan")
+  }
+
   test("time_bucket stays inside whole-stage codegen") {
     val plan = explained("q40_time_bucket")
     // formatted mode marks codegen'd operators with "[codegen id : N]";
