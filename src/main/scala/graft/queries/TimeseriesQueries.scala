@@ -95,6 +95,22 @@ object TimeseriesQueries {
           col("f.t1").as("t_view"), col("f.t2").as("t_click"),
           col("f.t3").as("t_purchase"))
         .orderBy(col("user_id"))
+    }),
+
+    // cohort retention: users grouped by first-active day, counted per
+    // day-offset from that cohort. No pre-distinct pass — the user-keyed
+    // window stamps each event with its user's cohort (first shuffle),
+    // and the two-phase distinct aggregate collapses duplicates (second)
+    // — two keyed data shuffles total, both linear in events.
+    "q94_cohort_retention" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .withColumn("cohort", min(col("day")).over(w))
+        .withColumn("offset_days", datediff(col("day"), col("cohort")))
+        .groupBy(col("cohort"), col("offset_days"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort"), col("offset_days"))
     })
   )
 
@@ -152,6 +168,15 @@ object TimeseriesQueries {
          |  t1 AS t_view, t2 AS t_click, t3 AS t_purchase
          |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
          |  LEFT JOIN s3 USING (user_id)
-         |ORDER BY user_id""".stripMargin
+         |ORDER BY user_id""".stripMargin,
+
+    "q94_cohort_retention" ->
+      s"""WITH a AS (SELECT user_id,
+         |    date_trunc('day', CAST(ts AS TIMESTAMP)) AS day FROM events),
+         |c AS (SELECT user_id, MIN(day) AS cohort FROM a GROUP BY user_id)
+         |SELECT cohort, CAST(date_diff('day', cohort, day) AS INT) AS offset_days,
+         |  CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+         |FROM a JOIN c USING (user_id)
+         |GROUP BY cohort, offset_days ORDER BY cohort, offset_days""".stripMargin
   )
 }
