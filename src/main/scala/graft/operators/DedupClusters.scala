@@ -34,17 +34,29 @@ object DedupClusters {
 
   /** Connected components of an undirected edge list.
     *
+    * Size-adaptive like [[GlobalRank]]: below `driverCutoverEdges` the
+    * edge list is union-found on the driver (one collect of the already-
+    * checkpointed, deduped edges — a near-dup graph that small pays 4-5
+    * rounds of job scheduling for nothing); above it, the star
+    * contraction runs fully distributed and the driver never sees an
+    * edge. The cutover compares the DEDUPED edge count, known for free
+    * from the checkpoint.
+    *
     * @param edges  two numeric columns; self-loops ignored
+    * @param driverCutoverEdges  0 forces the distributed path (specs pin
+    *        both paths against each other and the recursive-CTE oracle)
     * @return (node LONG, component LONG) — component = min node id in the
     *         connected component; one row per non-isolated node
     */
   def components(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIterations: Int = 25): DataFrame = {
+      maxIterations: Int = 25, driverCutoverEdges: Long = 1L << 20): DataFrame = {
     var e = edges
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint()
+
+    if (e.count() <= driverCutoverEdges) return driverComponents(e)
 
     var converged = false
     var iter = 0
@@ -62,6 +74,31 @@ object DedupClusters {
     e.select(col("u").as("node"), col("v").as("component"))
       .union(e.select(col("v").as("node"), col("v").as("component")))
       .groupBy("node").agg(min("component").as("component"))
+  }
+
+  /** Path-compressed union-find with the smaller id as root, so each
+    * root IS its component's minimum — the same contract as the star
+    * contraction. Used below the size cutover only. */
+  private def driverComponents(e: DataFrame): DataFrame = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    val rows = e.collect()
+    rows.foreach { r =>
+      val (ru, rv) = (find(r.getLong(0)), find(r.getLong(1)))
+      if (ru != rv) {
+        if (ru < rv) parent(rv) = ru else parent(ru) = rv
+      }
+    }
+    val nodes = rows.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
+    val spark = e.sparkSession
+    import spark.implicits._
+    nodes.map(nd => (nd, find(nd))).toSeq.toDF("node", "component")
   }
 
   /** (count, xor of row hashes) — order-independent edge-set fingerprint

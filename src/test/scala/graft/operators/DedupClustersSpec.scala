@@ -27,7 +27,17 @@ class DedupClustersSpec extends SparkSpec {
     parent.keys.map(k => k -> find(k)).toMap
   }
 
+  // force the DISTRIBUTED star contraction — the size cutover would
+  // otherwise route every test-sized graph to the driver union-find,
+  // and these tests exist to pin the contraction itself
   private def run(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    DedupClusters.components(edges.toDF("a", "b"), "a", "b",
+        driverCutoverEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  private def runDriverPath(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     import spark.implicits._
     DedupClusters.components(edges.toDF("a", "b"), "a", "b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -53,6 +63,14 @@ class DedupClustersSpec extends SparkSpec {
     val edges = Seq.fill(500)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
       .filter { case (a, b) => a != b }
     assert(run(edges) == cc(edges))
+  }
+
+  test("size-cutover driver path equals the distributed contraction") {
+    val rnd = new Random(7)
+    val edges = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+    assert(runDriverPath(edges) == run(edges))
+    assert(runDriverPath(edges) == cc(edges))
   }
 
   test("clusters() assigns singletons to themselves and flags keepers") {
