@@ -111,6 +111,32 @@ object TimeseriesQueries {
         .groupBy(col("cohort"), col("offset_days"))
         .agg(countDistinct(col("user_id")).as("n_users"))
         .orderBy(col("cohort"), col("offset_days"))
+    }),
+
+    // rolling-baseline anomaly flags: hourly per-type totals compared
+    // against the trailing 24-hour mean (excluding the current hour).
+    // All arithmetic is decimal-exact until the final rounded ratio, so
+    // both engines agree bit-for-bit — a stddev-based z-score would
+    // depend on float summation order. One shuffle to the hourly grain,
+    // one per-type ordered window over the (tiny) hourly series.
+    "q95_rolling_anomaly" -> ((s, dir) => {
+      val hourly = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("bucket_ts"))
+        .agg(sum(dec(col("value"))).as("hv"))
+      val wTrail = Window.partitionBy(col("event_type"))
+        .orderBy(col("bucket_ts")).rowsBetween(-24, -1)
+      hourly
+        .withColumn("trail_sum", sum(col("hv")).over(wTrail))
+        .withColumn("trail_n", count(col("hv")).over(wTrail))
+        .where(col("trail_n") === 24)
+        .select(col("event_type"), col("bucket_ts"),
+          col("hv").cast("double").as("hour_value"),
+          round((col("hv") * 24).cast("double") /
+            col("trail_sum").cast("double"), 6).as("ratio_to_baseline"))
+        .withColumn("is_anomaly",
+          (col("ratio_to_baseline") > 1.5).cast("int"))
+        .orderBy(col("event_type"), col("bucket_ts"))
     })
   )
 
@@ -177,6 +203,25 @@ object TimeseriesQueries {
          |SELECT cohort, CAST(date_diff('day', cohort, day) AS INT) AS offset_days,
          |  CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
          |FROM a JOIN c USING (user_id)
-         |GROUP BY cohort, offset_days ORDER BY cohort, offset_days""".stripMargin
+         |GROUP BY cohort, offset_days ORDER BY cohort, offset_days""".stripMargin,
+
+    "q95_rolling_anomaly" ->
+      s"""WITH hourly AS (SELECT event_type,
+         |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket_ts,
+         |    SUM(CAST(value AS DECIMAL(18,2))) AS hv
+         |  FROM events GROUP BY 1, 2),
+         |r AS (SELECT event_type, bucket_ts, hv,
+         |    SUM(hv) OVER (PARTITION BY event_type ORDER BY bucket_ts
+         |      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS trail_sum,
+         |    COUNT(hv) OVER (PARTITION BY event_type ORDER BY bucket_ts
+         |      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS trail_n
+         |  FROM hourly)
+         |SELECT event_type, bucket_ts, CAST(hv AS DOUBLE) AS hour_value,
+         |  round(CAST(hv * 24 AS DOUBLE) / CAST(trail_sum AS DOUBLE), 6)
+         |    AS ratio_to_baseline,
+         |  CAST(round(CAST(hv * 24 AS DOUBLE) / CAST(trail_sum AS DOUBLE), 6)
+         |    > 1.5 AS INT) AS is_anomaly
+         |FROM r WHERE trail_n = 24
+         |ORDER BY event_type, bucket_ts""".stripMargin
   )
 }
