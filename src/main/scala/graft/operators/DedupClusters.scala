@@ -34,13 +34,14 @@ object DedupClusters {
 
   /** Connected components of an undirected edge list.
     *
-    * Size-adaptive like [[GlobalRank]]: below `driverCutoverEdges` the
-    * edge list is union-found on the driver (one collect of the already-
-    * checkpointed, deduped edges — a near-dup graph that small pays 4-5
-    * rounds of job scheduling for nothing); above it, the star
-    * contraction runs fully distributed and the driver never sees an
-    * edge. The cutover compares the DEDUPED edge count, known for free
-    * from the checkpoint.
+    * Size-adaptive like [[GlobalRank]]: strictly below
+    * `driverCutoverEdges` the edge list is union-found on the driver
+    * (one collect of the already-checkpointed, deduped edges — a
+    * near-dup graph that small pays 4-5 rounds of job scheduling for
+    * nothing); at or above it, the star contraction runs fully
+    * distributed and the driver never sees an edge. The cutover count
+    * is one cheap job over the checkpointed blocks, skipped entirely
+    * when the cutover is 0.
     *
     * @param edges  two numeric columns; self-loops ignored
     * @param driverCutoverEdges  0 forces the distributed path (specs pin
@@ -56,7 +57,8 @@ object DedupClusters {
       .distinct()
       .localCheckpoint()
 
-    if (e.count() <= driverCutoverEdges) return driverComponents(e)
+    if (driverCutoverEdges > 0 && e.count() < driverCutoverEdges)
+      return driverComponents(e)
 
     var converged = false
     var iter = 0

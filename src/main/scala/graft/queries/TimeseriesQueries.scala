@@ -99,9 +99,10 @@ object TimeseriesQueries {
 
     // cohort retention: users grouped by first-active day, counted per
     // day-offset from that cohort. No pre-distinct pass — the user-keyed
-    // window stamps each event with its user's cohort (first shuffle),
-    // and the two-phase distinct aggregate collapses duplicates (second)
-    // — two keyed data shuffles total, both linear in events.
+    // window stamps each event with its user's cohort, then Spark's
+    // two-exchange distinct aggregate collapses duplicate (cohort,
+    // offset, user) rows: three keyed data shuffles (window, distinct
+    // phase, final count), all linear in events — PlanSpec pins it.
     "q94_cohort_retention" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
       t(s, dir, "events")
@@ -114,8 +115,12 @@ object TimeseriesQueries {
     }),
 
     // rolling-baseline anomaly flags: hourly per-type totals compared
-    // against the trailing 24-hour mean (excluding the current hour).
-    // All arithmetic is decimal-exact until the final rounded ratio, so
+    // against the mean of the populated hours in the trailing 24
+    // WALL-CLOCK hours (RANGE frame over an epoch-hour index, current
+    // hour excluded — a ROWS frame would silently span gaps in the
+    // hourly series, which exist at every SF). Windows with under half
+    // coverage carry no trustworthy baseline and are dropped. All
+    // arithmetic is decimal-exact until the final rounded ratio, so
     // both engines agree bit-for-bit — a stddev-based z-score would
     // depend on float summation order. One shuffle to the hourly grain,
     // one per-type ordered window over the (tiny) hourly series.
@@ -124,15 +129,16 @@ object TimeseriesQueries {
         .groupBy(col("event_type"),
           date_trunc("hour", col("ts")).as("bucket_ts"))
         .agg(sum(dec(col("value"))).as("hv"))
+        .withColumn("hour_idx", expr("unix_micros(bucket_ts) div 3600000000"))
       val wTrail = Window.partitionBy(col("event_type"))
-        .orderBy(col("bucket_ts")).rowsBetween(-24, -1)
+        .orderBy(col("hour_idx")).rangeBetween(-24, -1)
       hourly
         .withColumn("trail_sum", sum(col("hv")).over(wTrail))
         .withColumn("trail_n", count(col("hv")).over(wTrail))
-        .where(col("trail_n") === 24)
+        .where(col("trail_n") >= 12)
         .select(col("event_type"), col("bucket_ts"),
           col("hv").cast("double").as("hour_value"),
-          round((col("hv") * 24).cast("double") /
+          round((col("hv") * col("trail_n")).cast("double") /
             col("trail_sum").cast("double"), 6).as("ratio_to_baseline"))
         .withColumn("is_anomaly",
           (col("ratio_to_baseline") > 1.5).cast("int"))
@@ -208,20 +214,22 @@ object TimeseriesQueries {
     "q95_rolling_anomaly" ->
       s"""WITH hourly AS (SELECT event_type,
          |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket_ts,
-         |    SUM(CAST(value AS DECIMAL(18,2))) AS hv
+         |    SUM(CAST(value AS DECIMAL(18,2))) AS hv,
+         |    epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) // 3600000000
+         |      AS hour_idx
          |  FROM events GROUP BY 1, 2),
          |r AS (SELECT event_type, bucket_ts, hv,
-         |    SUM(hv) OVER (PARTITION BY event_type ORDER BY bucket_ts
-         |      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS trail_sum,
-         |    COUNT(hv) OVER (PARTITION BY event_type ORDER BY bucket_ts
-         |      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS trail_n
+         |    SUM(hv) OVER (PARTITION BY event_type ORDER BY hour_idx
+         |      RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING) AS trail_sum,
+         |    COUNT(hv) OVER (PARTITION BY event_type ORDER BY hour_idx
+         |      RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING) AS trail_n
          |  FROM hourly)
          |SELECT event_type, bucket_ts, CAST(hv AS DOUBLE) AS hour_value,
-         |  round(CAST(hv * 24 AS DOUBLE) / CAST(trail_sum AS DOUBLE), 6)
+         |  round(CAST(hv * trail_n AS DOUBLE) / CAST(trail_sum AS DOUBLE), 6)
          |    AS ratio_to_baseline,
-         |  CAST(round(CAST(hv * 24 AS DOUBLE) / CAST(trail_sum AS DOUBLE), 6)
+         |  CAST(round(CAST(hv * trail_n AS DOUBLE) / CAST(trail_sum AS DOUBLE), 6)
          |    > 1.5 AS INT) AS is_anomaly
-         |FROM r WHERE trail_n = 24
+         |FROM r WHERE trail_n >= 12
          |ORDER BY event_type, bucket_ts""".stripMargin
   )
 }

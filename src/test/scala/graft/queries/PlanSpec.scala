@@ -177,6 +177,15 @@ class PlanSpec extends SparkSpec {
       s"expected user-grouping + output-sort exchanges only:\n$plan")
   }
 
+  test("cohort retention shuffles three times (window, distinct, count)") {
+    val plan = explained("q94_cohort_retention")
+    assert(!plan.contains("SortMergeJoin"),
+      s"cohort must come from the window, not a join back:\n$plan")
+    // user window + distinct phase + final count + output sort
+    assert(count(plan, "+- ShuffleQueryStage") <= 4,
+      s"expected window/distinct/count/sort exchanges only:\n$plan")
+  }
+
   test("time_bucket stays inside whole-stage codegen") {
     val plan = explained("q40_time_bucket")
     // formatted mode marks codegen'd operators with "[codegen id : N]";
