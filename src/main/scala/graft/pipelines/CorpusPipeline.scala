@@ -11,6 +11,10 @@ import org.apache.spark.sql.functions._
   *   PII scrub (email/URL masking — downstream stages see masked text)
   *     → annotate (quality / repetition / token stats, one linear pass)
   *     → quality + repetition gates (pushdown filter)
+  *     → classifier gate (optional: mean hashed-bucket weight vs
+  *       threshold — the q87 model-score shape)
+  *     → decontamination (optional: drop docs overlapping a broadcast
+  *       eval set's shingle hashes — the q83 shape)
   *     → exact dedup (normalized-key groupBy, min-id survivor)
   *     → near-dup dedup (MinHash LSH pairs → connected components →
   *       keeper-only)
@@ -33,6 +37,13 @@ object CorpusPipeline {
       scrubPii: Boolean = true, // mask emails/URLs before anything reads text
       maxTopTokenFrac: Double = 1.0, // repetition gates (1.0 = off)
       maxDupBigramFrac: Double = 1.0,
+      // model-score gate (q87 shape): hashed-bucket weight table, keep
+      // docs whose mean token weight exceeds the threshold; None = off.
+      // A trained fasttext-style model exports exactly this array.
+      classifierWeights: Option[Seq[Double]] = None,
+      classifierMinScore: Double = 0.0,
+      deconShingleK: Int = 3, // decontamination window (q83)
+      deconMinShared: Int = 2,
       shingleK: Int = 2,
       numHashes: Int = 16,
       bands: Int = 4,
@@ -41,9 +52,15 @@ object CorpusPipeline {
 
   /** docs(idCol, textCol, strataCol) → kept rows with annotations:
     * (id, text, stratum, n_tokens, n_bpe, quality, top_token_frac,
-    * dup_bigram_frac, cluster_id); text is PII-scrubbed when enabled. */
+    * dup_bigram_frac, cluster_id); text is PII-scrubbed when enabled.
+    *
+    * @param evalTexts optional benchmark eval set (single `text`
+    *        column): docs sharing ≥ `deconMinShared` distinct
+    *        `deconShingleK`-gram hashes with it are dropped
+    *        (decontamination, q83 shape — broadcast probe, linear) */
   def run(docs: DataFrame, idCol: String, textCol: String,
-      strataCol: String, cfg: Config = Config()): DataFrame = {
+      strataCol: String, cfg: Config = Config(),
+      evalTexts: Option[DataFrame] = None): DataFrame = {
     // 0. PII scrub first, so every downstream stage (annotations,
     // signatures, the kept text itself) sees masked content only
     graft.GraftFunctions.registerAll(docs.sparkSession)
@@ -78,9 +95,44 @@ object CorpusPipeline {
         col("top_token_frac") <= cfg.maxTopTokenFrac &&
         col("dup_bigram_frac") <= cfg.maxDupBigramFrac)
 
+    // 1b. model-score gate (q87 shape): mean hashed-bucket weight per
+    // doc, per-row compute against a broadcast-literal weight table
+    val classified = cfg.classifierWeights match {
+      case None => annotated
+      case Some(w) =>
+        val weights = array(w.map(lit): _*)
+        val toksC = TextFunctions.tokens(col("text"))
+        val score = aggregate(
+          transform(toksC, tk => element_at(weights,
+            pmod(TextFunctions.tokenHash(tk), lit(w.length.toLong))
+              .cast("int") + 1)),
+          lit(0.0), (acc, x) => acc + x) / greatest(size(toksC), lit(1))
+        annotated.where(score > cfg.classifierMinScore)
+    }
+
+    // 1c. decontamination (q83 shape): eval-set shingle hashes are a
+    // broadcast set; contaminated doc ids fall out of one equi-join +
+    // per-doc count — linear in corpus size, then an anti-join drops them
+    val decontaminated = evalTexts match {
+      case None => classified
+      case Some(ev) =>
+        val k = cfg.deconShingleK
+        val evSh = ev.select(explode(MinHashDedup
+          .shingleHashesFromTokens(col(ev.columns.head), k)).as("_sh")).distinct()
+        val hits = classified
+          .select(col("doc_id"),
+            explode(MinHashDedup.shingleHashesFromTokens(col("text"), k)).as("_sh"))
+          .join(broadcast(evSh), "_sh")
+          .groupBy(col("doc_id"))
+          .agg(countDistinct(col("_sh")).as("_n_shared"))
+          .where(col("_n_shared") >= cfg.deconMinShared)
+          .select(col("doc_id"))
+        classified.join(hits, Seq("doc_id"), "left_anti")
+    }
+
     // 2. exact dedup: normalized 3-token-prefix key, min-id survivor
     val exactKey = array_join(slice(TextFunctions.tokens(col("text")), 1, 3), " ")
-    val exactSurvivors = annotated
+    val exactSurvivors = decontaminated
       .withColumn("_k", exactKey)
       .withColumn("_keeper", min(col("doc_id"))
         .over(org.apache.spark.sql.expressions.Window.partitionBy(col("_k"))))

@@ -46,6 +46,40 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(again == kept, "pipeline not deterministic")
   }
 
+  test("classifier gate and decontamination drop their targets; off by default") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "columnar storage engines favor late materialization strategies overall", "web"),
+      (2L, "watermarks bound state retention in streaming aggregation pipelines always", "web"),
+      // verbatim copy of an eval-set prompt inside a longer doc
+      (3L, "prefix words here the secret benchmark question text appears verbatim", "web")
+    ).toDF("doc_id", "text", "source")
+    val evalSet = Seq("the secret benchmark question text appears verbatim").toDF("text")
+    val base = CorpusPipeline.Config(minTokens = 3, minQuality = 0.0,
+      numHashes = 16, bands = 8)
+
+    // defaults: both stages off, everything survives
+    val all = CorpusPipeline.run(docs, "doc_id", "text", "source", base)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(all == Set(1L, 2L, 3L))
+
+    // decontamination drops doc 3 only
+    val decon = CorpusPipeline.run(docs, "doc_id", "text", "source", base,
+        evalTexts = Some(evalSet))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(decon == Set(1L, 2L), s"decontamination wrong: $decon")
+
+    // classifier with all-negative weights rejects everything; with
+    // all-positive weights it keeps everything (threshold 0)
+    val neg = CorpusPipeline.run(docs, "doc_id", "text", "source",
+      base.copy(classifierWeights = Some(Seq.fill(64)(-1.0))))
+    assert(neg.count() == 0)
+    val pos = CorpusPipeline.run(docs, "doc_id", "text", "source",
+        base.copy(classifierWeights = Some(Seq.fill(64)(1.0))))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(pos == Set(1L, 2L, 3L))
+  }
+
   test("PII scrub masks text before it is kept; repetition gates drop degenerate docs") {
     import spark.implicits._
     val docs = Seq(
