@@ -143,6 +143,79 @@ object DedupQueries {
         .orderBy(col("doc1"), col("doc2"))
     }),
 
+    // paragraph-level boilerplate REMOVAL (q86 only measures; this
+    // rewrites the corpus): fixed 8-token segments stand in for
+    // paragraphs (the synthetic text has no newlines); a segment seen in
+    // >= 2 distinct docs is boilerplate and is dropped, survivors
+    // reassemble in original order. The CCNet paragraph-dedup shape.
+    // At 100 TB: "appears in >= 2 distinct docs" is min(doc_id) !=
+    // max(doc_id) over a window on the segment key — ONE keyed shuffle,
+    // no distinct pre-pass, no join back (q86's lesson; COUNT DISTINCT
+    // is not window-able but min/max are), then one per-doc rollup.
+    // Never pairwise, output linear in corpus size. (Real corpora would
+    // window on a segment HASH to shrink shuffle bytes; the string key
+    // keeps the oracle exact here.)
+    "q96_dedup_paragraphs" -> ((s, dir) => {
+      // tokens bound to a column BEFORE the generator: slice inside the
+      // explode lambda would re-tokenize per segment otherwise (no CSE
+      // through generators)
+      val segs = t(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+        .select(col("doc_id"), posexplode(
+          transform(sequence(lit(0), floor((size(col("tk")) - 1) / 8).cast("int")),
+            i => array_join(slice(col("tk"), i * 8 + 1, lit(8)), " "))))
+        .toDF("doc_id", "seg_idx", "seg")
+      val w = Window.partitionBy(col("seg"))
+      segs
+        .withColumn("_multi",
+          min(col("doc_id")).over(w) =!= max(col("doc_id")).over(w))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_segs"),
+          count(when(!col("_multi"), lit(1))).as("n_kept"),
+          // collect_list skips nulls -> kept segments only; array_sort on
+          // (seg_idx, seg) structs restores original order
+          coalesce(array_join(transform(array_sort(collect_list(
+            when(!col("_multi"), struct(col("seg_idx"), col("seg"))))),
+            x => x.getField("seg")), " "), lit("")).as("text_clean"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // cross-source contamination matrix: 3-token-shingle Jaccard between
+    // every source pair — "how much does dataset A duplicate dataset B"
+    // before fixing mixture weights. Shingles go through the native hash
+    // kernel (strings only exist transiently per row); the per-shingle
+    // source set comes from ONE groupBy(sh) with a map-side-combining
+    // collect_set — the oracle's declarative self-join would shuffle the
+    // shingle stream twice more (distinct + both join sides; measured
+    // ~2x slower). Pairs explode from each source set (bounded by
+    // #sources, tiny); sizes roll up from the same materialized
+    // grouping; never pairwise in docs. Hash collisions (~1e9 space)
+    // affect both engines identically — the oracle mirrors the kernel.
+    "q99_source_overlap" -> ((s, dir) => {
+      graft.GraftFunctions.registerAll(s)
+      val grouped = t(s, dir, "documents")
+        .select(col("source"), explode(graft.operators.MinHashDedup
+          .shingleHashesFromTokens(col("text"), 3)).as("sh"))
+        .groupBy(col("sh"))
+        .agg(sort_array(collect_set(col("source"))).as("srcs"))
+        .localCheckpoint() // sizes + pairs both read it; built once
+      val sz = grouped.select(explode(col("srcs")).as("source"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      grouped.where(size(col("srcs")) >= 2)
+        .select(explode(flatten(transform(col("srcs"), (a, i) =>
+          transform(slice(col("srcs"), i + 2, size(col("srcs"))),
+            b => struct(a.as("src1"), b.as("src2")))))).as("p"))
+        .groupBy(col("p.src1").as("src1"), col("p.src2").as("src2"))
+        .agg(count(lit(1)).as("n_shared"))
+        .join(broadcast(sz.select(col("source").as("src1"), col("n").as("n1"))), "src1")
+        .join(broadcast(sz.select(col("source").as("src2"), col("n").as("n2"))), "src2")
+        .select(col("src1"), col("src2"), col("n_shared"), col("n1"), col("n2"),
+          round(col("n_shared").cast("double") /
+            (col("n1") + col("n2") - col("n_shared")), 6).as("jaccard"))
+        .orderBy(col("src1"), col("src2"))
+    }),
+
     // benchmark decontamination: corpus docs sharing >= 2 distinct
     // shingle hashes with the eval set (stand-in: doc_id % 97 = 0) must
     // be dropped before training. Eval shingles are a broadcast set; the
@@ -251,6 +324,30 @@ object DedupQueries {
          |  round(CAST(COUNT(*) FILTER (WHERE nd >= 2) AS DOUBLE) / COUNT(*), 6)
          |    AS dup_frac
          |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q96_dedup_paragraphs" ->
+      s"""WITH tok AS (SELECT doc_id, $toks AS toksl FROM documents),
+         |seg AS (SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
+         |               array_to_string(list_slice(toksl, i*8+1, i*8+8), ' ') AS seg
+         |        FROM tok, UNNEST(range(CAST(ceil(len(toksl)/8.0) AS BIGINT))) AS u(i)),
+         |df AS (SELECT seg, COUNT(DISTINCT doc_id) AS df FROM seg GROUP BY seg),
+         |j AS (SELECT s.doc_id, s.seg_idx, s.seg, d.df FROM seg s JOIN df d USING (seg))
+         |SELECT doc_id, COUNT(*) AS n_segs,
+         |  CAST(COUNT(*) FILTER (WHERE df < 2) AS BIGINT) AS n_kept,
+         |  coalesce(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE df < 2), '')
+         |    AS text_clean
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q99_source_overlap" ->
+      s"""WITH sh AS (SELECT DISTINCT source, unnest(${graft.operators.MinHashDedup
+             .shingleHashesFromTokensSql("text", 3)}) AS sh FROM documents),
+         |sz AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+         |ov AS (SELECT a.source AS src1, b.source AS src2, COUNT(*) AS n_shared
+         |       FROM sh a JOIN sh b USING (sh) WHERE a.source < b.source GROUP BY 1, 2)
+         |SELECT src1, src2, n_shared, s1.n AS n1, s2.n AS n2,
+         |  round(CAST(n_shared AS DOUBLE) / (s1.n + s2.n - n_shared), 6) AS jaccard
+         |FROM ov JOIN sz s1 ON s1.source = ov.src1 JOIN sz s2 ON s2.source = ov.src2
+         |ORDER BY src1, src2""".stripMargin,
 
     "q83_decontaminate" -> {
       val sh3 = graft.operators.MinHashDedup.shingleHashesFromTokensSql("text", 3)

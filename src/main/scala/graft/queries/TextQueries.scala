@@ -201,6 +201,72 @@ object TextQueries {
           col("term"), col("cnt"),
           round(sum(col("cnt")).over(w) / col("total"), 6).as("cum_frac"))
         .orderBy(col("rank"))
+    }),
+
+    // bigram-LM likelihood scoring — the CCNet perplexity-filter shape:
+    // train an add-one-smoothed bigram model on the corpus, score every
+    // doc by its mean bigram probability. Log-free and integer-exact
+    // (like q68's ratio idf): each probability is the INTEGER
+    // floor((c2+1)*1e6 / (c1+V)) so both engines agree bit-for-bit; the
+    // per-doc mean divides two exact integers once at the end. Scale
+    // shape: the bigram stream shuffles once to build counts(w1,w2) —
+    // unigram counts roll up FROM those counts (partial agg over the
+    // already-small model, not a second pass over the corpus) — then one
+    // equi-join scores it; V (the smoothing vocabulary = distinct
+    // bigram contexts w1) is a 1-row rollup of the model, broadcast —
+    // so the corpus is scanned exactly twice (model build + scoring
+    // probe; at 100 TB re-scanning beats persisting a bigram stream
+    // that is larger than the source). Headroom: c2*1e6 stays < 2^63
+    // until a single bigram repeats ~9e12 times.
+    "q97_text_lmscore" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      // tokenize into a BOUND column first, then pair via zip_with of two
+      // shifted slices: a per-index element_at lambda re-evaluates the
+      // tokenizer per element inside a generator (no CSE through
+      // generators — measured 12× slower at sf0.1)
+      val bg = docs
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+        .select(col("doc_id"), explode(
+          zip_with(slice(col("tk"), lit(1), size(col("tk")) - 1),
+            slice(col("tk"), lit(2), size(col("tk")) - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
+        .select(col("doc_id"), col("b.w1"), col("b.w2"))
+      // the MODEL is materialized once (localCheckpoint, small relative
+      // to the corpus) — c1 and V roll up from it; without this Spark
+      // re-derives the whole count chain per consumer (4 corpus scans)
+      val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+        .localCheckpoint()
+      val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+      val v = broadcast(c1.agg(count(lit(1)).as("v")))
+      bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1")).crossJoin(v)
+        .select(col("doc_id"), expr("(c2 + 1) * 1000000 div (c1 + v)").as("p"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum(col("p")).cast("double") / count(lit(1)), 6).as("lm_score"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // text normalization: collapse consecutive duplicate tokens (the
+    // intra-doc repetition cleanup every web-corpus pipeline runs before
+    // scoring; whitespace runs already collapse in tokenization). Pure
+    // per-row compute — no shuffle, scales linearly. The i=1 branch is a
+    // separate WHEN arm so toks[i-1] is never evaluated at i=1 (CaseWhen
+    // guarantees sequential condition evaluation; OR would too, but this
+    // does not rely on short-circuit codegen).
+    "q98_text_normalize" -> ((s, dir) => {
+      val toksC = tokens(col("text"))
+      val kept = filter(
+        transform(sequence(lit(1), size(toksC)),
+          i => when(i === 1, element_at(toksC, i))
+            .when(element_at(toksC, i) =!= element_at(toksC, i - 1),
+              element_at(toksC, i))),
+        x => x.isNotNull)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(toksC).cast("long").as("n_before"),
+          size(kept).cast("long").as("n_after"),
+          array_join(kept, " ").as("text_norm"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -329,6 +395,33 @@ object TextQueries {
          |  term, cnt,
          |  round(SUM(cnt) OVER (ORDER BY cnt DESC, term
          |                       ROWS UNBOUNDED PRECEDING) / total, 6) AS cum_frac
-         |FROM top CROSS JOIN tot ORDER BY rank""".stripMargin
+         |FROM top CROSS JOIN tot ORDER BY rank""".stripMargin,
+
+    "q97_text_lmscore" ->
+      s"""WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+')
+         |    AS toksl FROM documents),
+         |bg AS (SELECT doc_id, toksl[i] AS w1, toksl[i+1] AS w2
+         |       FROM tok, UNNEST(range(1, len(toksl))) AS u(i)),
+         |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+         |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+         |v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM c1),
+         |sc AS (SELECT doc_id, (c2.c2 + 1) * 1000000 // (c1.c1 + v.v) AS p
+         |       FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+         |SELECT doc_id, COUNT(*) AS n_bigrams,
+         |  round(CAST(SUM(p) AS DOUBLE) / COUNT(*), 6) AS lm_score
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q98_text_normalize" ->
+      s"""WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+')
+         |    AS toksl FROM documents),
+         |n AS (SELECT doc_id, toksl,
+         |  list_filter(list_transform(generate_series(1, len(toksl)),
+         |    i -> CASE WHEN i = 1 OR toksl[i] <> toksl[i-1] THEN toksl[i] END),
+         |    x -> x IS NOT NULL) AS kept
+         |  FROM tok)
+         |SELECT doc_id, CAST(len(toksl) AS BIGINT) AS n_before,
+         |  CAST(len(kept) AS BIGINT) AS n_after,
+         |  array_to_string(kept, ' ') AS text_norm
+         |FROM n ORDER BY doc_id""".stripMargin
   )
 }

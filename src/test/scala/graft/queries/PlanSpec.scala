@@ -186,6 +186,57 @@ class PlanSpec extends SparkSpec {
       s"expected window/distinct/count/sort exchanges only:\n$plan")
   }
 
+  test("paragraph dedup windows on the segment key (no join, never pairwise)") {
+    val plan = explained("q96_dedup_paragraphs")
+    // the multi-doc flag is min!=max over a window on seg — a distinct +
+    // count-distinct + join-back is 3 shuffles doing the same thing
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"boilerplate flags must come from a window, not a join back:\n$plan")
+    assert(count(plan, "+- ShuffleQueryStage") <= 3,
+      s"expected segment-window + doc-rollup + output-sort exchanges only:\n$plan")
+  }
+
+  test("bigram LM score scans the corpus exactly twice (model + probe)") {
+    // look at the AQE FINAL plan only (the formatted dump repeats the
+    // pre-execution plan under "Initial Plan")
+    val full = explained("q97_text_lmscore")
+    val plan = full.indexOf("Initial Plan") match {
+      case -1 => full
+      case i => full.substring(0, i)
+    }
+    // the checkpointed bigram model feeds the count join, the unigram
+    // rollup AND the vocabulary scalar — the probe is the only parquet
+    // scan in the scoring job (the model build's scan already ran);
+    // re-deriving counts from the corpus per consumer is a regression
+    assert(count(plan, "Scan parquet") <= 1,
+      s"expected the scoring probe as the only corpus scan:\n$plan")
+    assert(count(plan, "Scan ExistingRDD") >= 3,
+      s"c2/c1/V must all reuse the materialized model:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"scoring must attach counts via equi-joins:\n$plan")
+  }
+
+  test("token normalization is pure per-row compute (no data shuffle)") {
+    val plan = explained("q98_text_normalize")
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortMergeJoin"),
+      s"normalization must not aggregate or join:\n$plan")
+    assert(count(plan, "+- ShuffleQueryStage") <= 1,
+      s"only the output sort may shuffle:\n$plan")
+  }
+
+  test("source overlap groups the shingle stream once; sizes broadcast") {
+    val plan = explained("q99_source_overlap")
+    // per-shingle source sets come from one collect_set groupBy — a
+    // shingle-stream self-join (two more shuffles of the big stream) is
+    // the shape to avoid
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"the pair matrix must come from source-set explosion, not a self-join:\n$plan")
+    assert(count(plan, "BroadcastHashJoin") >= 2,
+      s"per-source sizes must broadcast:\n$plan")
+  }
+
   test("time_bucket stays inside whole-stage codegen") {
     val plan = explained("q40_time_bucket")
     // formatted mode marks codegen'd operators with "[codegen id : N]";
