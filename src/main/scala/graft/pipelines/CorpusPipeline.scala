@@ -9,6 +9,11 @@ import org.apache.spark.sql.functions._
   * the library's operators — the shape a 100 TB data-curation run takes:
   *
   *   PII scrub (email/URL masking — downstream stages see masked text)
+  *     → token normalization (optional: consecutive-duplicate collapse,
+  *       per-row — the q98 shape)
+  *     → paragraph boilerplate removal (optional: segments seen in ≥2
+  *       distinct docs dropped, text reassembled — the q96 shape, one
+  *       window shuffle on the segment key)
   *     → annotate (quality / repetition / token stats, one linear pass)
   *     → quality + repetition gates (pushdown filter)
   *     → classifier gate (optional: mean hashed-bucket weight vs
@@ -35,6 +40,12 @@ object CorpusPipeline {
       minTokens: Int = 5,
       minQuality: Double = 0.2,
       scrubPii: Boolean = true, // mask emails/URLs before anything reads text
+      normalizeTokens: Boolean = false, // collapse consecutive dup tokens (q98)
+      // drop segments of `boilerplateSegTokens` tokens that appear in >=2
+      // distinct docs and reassemble the text (q96 shape); docs reduced
+      // to nothing fall to the minTokens gate
+      dropBoilerplate: Boolean = false,
+      boilerplateSegTokens: Int = 8,
       maxTopTokenFrac: Double = 1.0, // repetition gates (1.0 = off)
       maxDupBigramFrac: Double = 1.0,
       // model-score gate (q87 shape): hashed-bucket weight table, keep
@@ -71,12 +82,53 @@ object CorpusPipeline {
           regexp_replace(col(textCol), graft.queries.TextQueries.UrlRe, "<URL>"),
           graft.queries.TextQueries.EmailRe, "<EMAIL>"))
 
+    // 0b. token normalization (q98 shape): consecutive-duplicate
+    // collapse, per-row — bound token column, no generator involved
+    val normalized =
+      if (!cfg.normalizeTokens) scrubbed
+      else scrubbed
+        .withColumn("_ntk", TextFunctions.tokens(col("_text")))
+        .withColumn("_text", array_join(filter(
+          transform(sequence(lit(1), size(col("_ntk"))),
+            i => when(i === 1, element_at(col("_ntk"), i))
+              .when(element_at(col("_ntk"), i) =!= element_at(col("_ntk"), i - 1),
+                element_at(col("_ntk"), i))),
+          x => x.isNotNull), " "))
+        .drop("_ntk")
+
+    // 0c. paragraph boilerplate removal (q96 shape): a fixed-size token
+    // segment appearing in >= 2 distinct docs is boilerplate — detected
+    // as min!=max doc id over ONE window on the segment key (COUNT
+    // DISTINCT is not window-able; min/max are), survivors reassembled
+    // in order. Only (id, stratum, text) survive this stage — the
+    // downstream annotate reads nothing else.
+    val deboiled =
+      if (!cfg.dropBoilerplate) normalized
+      else {
+        val n = cfg.boilerplateSegTokens
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("_seg"))
+        normalized
+          .select(col(idCol), col(strataCol), col("_text"),
+            TextFunctions.tokens(col("_text")).as("_tk"))
+          .select(col(idCol), col(strataCol), posexplode(
+            transform(sequence(lit(0), floor((size(col("_tk")) - 1) / n).cast("int")),
+              i => array_join(slice(col("_tk"), i * n + 1, lit(n)), " "))))
+          .withColumnRenamed("pos", "_i").withColumnRenamed("col", "_seg")
+          .withColumn("_multi",
+            min(col(idCol)).over(w) =!= max(col(idCol)).over(w))
+          .groupBy(col(idCol))
+          .agg(max(col(strataCol)).as(strataCol),
+            coalesce(array_join(transform(array_sort(collect_list(
+              when(!col("_multi"), struct(col("_i"), col("_seg"))))),
+              x => x.getField("_seg")), " "), lit("")).as("_text"))
+      }
+
     // 1. annotate + quality/repetition gates (single scan, codegen'd
     // kernels; repetition stats per q82 — local term_counts, no shuffle)
     val toks = col("_toks")
     val bigrams = transform(slice(toks, lit(1), size(toks) - 1),
       (x, i) => concat_ws(" ", x, get(toks, i + 1)))
-    val annotated = scrubbed
+    val annotated = deboiled
       .withColumn("_toks", TextFunctions.tokens(col("_text")))
       .select(
         col(idCol).cast("long").as("doc_id"), col("_text").as("text"),

@@ -46,6 +46,39 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(again == kept, "pipeline not deterministic")
   }
 
+  test("normalization collapses runs and boilerplate segments vanish; off by default") {
+    import spark.implicits._
+    // exactly 8 tokens = one full segment, so after removal the two docs
+    // share NOTHING (a shared residue could near-dup-cluster them later)
+    val boiler = "subscribe to our newsletter for more updates today"
+    val docs = Seq(
+      // consecutive-duplicate run that normalization must collapse
+      (1L, "data data data pipelines shuffle tokens across wide executor stages", "web"),
+      // two docs sharing an 8-token boilerplate prefix segment
+      (2L, s"$boiler columnar scans prune unread pages quickly", "web"),
+      (3L, s"$boiler watermark state bounds streaming aggregation memory", "web")
+    ).toDF("doc_id", "text", "source")
+    val base = CorpusPipeline.Config(minTokens = 3, minQuality = 0.0,
+      numHashes = 16, bands = 8)
+
+    // defaults: both stages off — texts pass through untouched
+    val off = CorpusPipeline.run(docs, "doc_id", "text", "source", base)
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(off(1L).startsWith("data data data"), "normalization must default off")
+    assert(off(2L).startsWith("subscribe"), "boilerplate removal must default off")
+
+    val on = CorpusPipeline.run(docs, "doc_id", "text", "source",
+        base.copy(normalizeTokens = true, dropBoilerplate = true))
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the run collapsed to one token; the doc survives with shorter text
+    assert(on(1L).startsWith("data pipelines"), s"run not collapsed: ${on(1L)}")
+    // the shared 8-token segment is gone from both docs; unique tails stay
+    assert(!on(2L).contains("subscribe") && on(2L).contains("columnar"),
+      s"boilerplate kept: ${on(2L)}")
+    assert(!on(3L).contains("subscribe") && on(3L).contains("watermark"),
+      s"boilerplate kept: ${on(3L)}")
+  }
+
   test("classifier gate and decontamination drop their targets; off by default") {
     import spark.implicits._
     val docs = Seq(
