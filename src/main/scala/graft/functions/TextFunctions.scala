@@ -22,6 +22,19 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Consecutive-duplicate collapse over a token array (q98 / pipeline
+    * normalization stage). The i=1 branch is a separate WHEN arm so
+    * toks[i-1] is never evaluated at i=1 (CaseWhen guarantees sequential
+    * condition evaluation). Pass a BOUND column, not a raw tokenizer
+    * expression — per-index element_at re-evaluates its child per
+    * element inside generators. */
+  def collapseConsecutive(toks: Column): Column = filter(
+    transform(sequence(lit(1), size(toks)),
+      i => when(i === 1, element_at(toks, i))
+        .when(element_at(toks, i) =!= element_at(toks, i - 1),
+          element_at(toks, i))),
+    x => x.isNotNull)
+
   def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
 
   /** BPE-ish pretokenizer count (GPT-2-family pattern, lookahead-free so

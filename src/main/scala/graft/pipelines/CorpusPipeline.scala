@@ -25,14 +25,18 @@ import org.apache.spark.sql.functions._
   *       keeper-only)
   *     → mixture rebalance (deterministic per-stratum hash thresholds)
   *
-  * Everything before the LSH band join is a single scan with no shuffle;
-  * the whole pipeline shuffles only at: exact-dedup groupBy, LSH band
-  * join, cluster contraction rounds, and the final per-stratum count
-  * broadcast. Deterministic end to end — same survivors on every run,
+  * With the optional stages off, everything before the LSH band join is
+  * a single scan with no shuffle; the pipeline shuffles only at:
+  * exact-dedup groupBy, LSH band join, cluster contraction rounds, and
+  * the final per-stratum count broadcast. Enabling boilerplate removal
+  * adds its segment-key window + per-doc rollup; decontamination adds
+  * the shingle probe's groupBy and the anti-join (probe side is a
+  * broadcast). Deterministic end to end — same survivors on every run,
   * every cluster size (content-hash thresholds, min-id keepers).
   *
   * Each stage is also independently exposed as a `SparkEntry` query with
-  * a DuckDB oracle (q60–q78); this composition is how they run together.
+  * a DuckDB oracle (q60–q99, see SURVEY §2.L); this composition is how
+  * they run together.
   */
 object CorpusPipeline {
 
@@ -82,46 +86,29 @@ object CorpusPipeline {
           regexp_replace(col(textCol), graft.queries.TextQueries.UrlRe, "<URL>"),
           graft.queries.TextQueries.EmailRe, "<EMAIL>"))
 
-    // 0b. token normalization (q98 shape): consecutive-duplicate
-    // collapse, per-row — bound token column, no generator involved
+    // 0b. token normalization (q98's collapseConsecutive kernel):
+    // per-row, bound token column, no generator involved
     val normalized =
       if (!cfg.normalizeTokens) scrubbed
       else scrubbed
         .withColumn("_ntk", TextFunctions.tokens(col("_text")))
-        .withColumn("_text", array_join(filter(
-          transform(sequence(lit(1), size(col("_ntk"))),
-            i => when(i === 1, element_at(col("_ntk"), i))
-              .when(element_at(col("_ntk"), i) =!= element_at(col("_ntk"), i - 1),
-                element_at(col("_ntk"), i))),
-          x => x.isNotNull), " "))
+        .withColumn("_text",
+          array_join(TextFunctions.collapseConsecutive(col("_ntk")), " "))
         .drop("_ntk")
 
-    // 0c. paragraph boilerplate removal (q96 shape): a fixed-size token
-    // segment appearing in >= 2 distinct docs is boilerplate — detected
-    // as min!=max doc id over ONE window on the segment key (COUNT
-    // DISTINCT is not window-able; min/max are), survivors reassembled
-    // in order. Only (id, stratum, text) survive this stage — the
-    // downstream annotate reads nothing else.
+    // 0c. paragraph boilerplate removal (the shared SegmentDedup
+    // operator — q96's one-window shape). Docs reduced to nothing are
+    // dropped HERE: tokens("") is [""] (size 1), so the minTokens gate
+    // alone would pass empty docs through at minTokens <= 1. Only
+    // (id, stratum, text) survive this stage — the downstream annotate
+    // reads nothing else.
     val deboiled =
       if (!cfg.dropBoilerplate) normalized
-      else {
-        val n = cfg.boilerplateSegTokens
-        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("_seg"))
-        normalized
-          .select(col(idCol), col(strataCol), col("_text"),
-            TextFunctions.tokens(col("_text")).as("_tk"))
-          .select(col(idCol), col(strataCol), posexplode(
-            transform(sequence(lit(0), floor((size(col("_tk")) - 1) / n).cast("int")),
-              i => array_join(slice(col("_tk"), i * n + 1, lit(n)), " "))))
-          .withColumnRenamed("pos", "_i").withColumnRenamed("col", "_seg")
-          .withColumn("_multi",
-            min(col(idCol)).over(w) =!= max(col(idCol)).over(w))
-          .groupBy(col(idCol))
-          .agg(max(col(strataCol)).as(strataCol),
-            coalesce(array_join(transform(array_sort(collect_list(
-              when(!col("_multi"), struct(col("_i"), col("_seg"))))),
-              x => x.getField("_seg")), " "), lit("")).as("_text"))
-      }
+      else graft.operators.SegmentDedup
+        .annotate(normalized, idCol, "_text", cfg.boilerplateSegTokens,
+          Seq(strataCol))
+        .where(col("text_clean") =!= "")
+        .select(col(idCol), col(strataCol), col("text_clean").as("_text"))
 
     // 1. annotate + quality/repetition gates (single scan, codegen'd
     // kernels; repetition stats per q82 — local term_counts, no shuffle)
@@ -164,14 +151,32 @@ object CorpusPipeline {
 
     // 1c. decontamination (q83 shape): eval-set shingle hashes are a
     // broadcast set; contaminated doc ids fall out of one equi-join +
-    // per-doc count — linear in corpus size, then an anti-join drops them
+    // per-doc count — linear in corpus size, then an anti-join drops
+    // them. The eval text goes through the SAME scrub/normalize
+    // transforms as the corpus did — otherwise a contaminated doc whose
+    // overlap spans a masked URL/email or a collapsed token run would
+    // hash differently on the two sides and silently survive.
     val decontaminated = evalTexts match {
       case None => classified
       case Some(ev) =>
         val k = cfg.deconShingleK
+        val evTextRaw = col(ev.columns.head)
+        val evScrubbed =
+          if (!cfg.scrubPii) evTextRaw
+          else regexp_replace(
+            regexp_replace(evTextRaw, graft.queries.TextQueries.UrlRe, "<URL>"),
+            graft.queries.TextQueries.EmailRe, "<EMAIL>")
+        val evText =
+          if (!cfg.normalizeTokens) evScrubbed
+          else array_join(TextFunctions.collapseConsecutive(
+            TextFunctions.tokens(evScrubbed)), " ")
         val evSh = ev.select(explode(MinHashDedup
-          .shingleHashesFromTokens(col(ev.columns.head), k)).as("_sh")).distinct()
-        val hits = classified
+          .shingleHashesFromTokens(evText, k)).as("_sh")).distinct()
+        // both the probe and the anti-join left consume `classified`;
+        // materialize it once or the whole upstream chain (scan, scrub,
+        // boilerplate window, annotate kernels, classifier) runs twice
+        val base = classified.localCheckpoint()
+        val hits = base
           .select(col("doc_id"),
             explode(MinHashDedup.shingleHashesFromTokens(col("text"), k)).as("_sh"))
           .join(broadcast(evSh), "_sh")
@@ -179,7 +184,7 @@ object CorpusPipeline {
           .agg(countDistinct(col("_sh")).as("_n_shared"))
           .where(col("_n_shared") >= cfg.deconMinShared)
           .select(col("doc_id"))
-        classified.join(hits, Seq("doc_id"), "left_anti")
+        base.join(hits, Seq("doc_id"), "left_anti")
     }
 
     // 2. exact dedup: normalized 3-token-prefix key, min-id survivor

@@ -144,42 +144,14 @@ object DedupQueries {
     }),
 
     // paragraph-level boilerplate REMOVAL (q86 only measures; this
-    // rewrites the corpus): fixed 8-token segments stand in for
-    // paragraphs (the synthetic text has no newlines); a segment seen in
-    // >= 2 distinct docs is boilerplate and is dropped, survivors
-    // reassemble in original order. The CCNet paragraph-dedup shape.
-    // At 100 TB: "appears in >= 2 distinct docs" is min(doc_id) !=
-    // max(doc_id) over a window on the segment key — ONE keyed shuffle,
-    // no distinct pre-pass, no join back (q86's lesson; COUNT DISTINCT
-    // is not window-able but min/max are), then one per-doc rollup.
-    // Never pairwise, output linear in corpus size. (Real corpora would
-    // window on a segment HASH to shrink shuffle bytes; the string key
-    // keeps the oracle exact here.)
-    "q96_dedup_paragraphs" -> ((s, dir) => {
-      // tokens bound to a column BEFORE the generator: slice inside the
-      // explode lambda would re-tokenize per segment otherwise (no CSE
-      // through generators)
-      val segs = t(s, dir, "documents")
-        .select(col("doc_id"), tokens(col("text")).as("tk"))
-        .select(col("doc_id"), posexplode(
-          transform(sequence(lit(0), floor((size(col("tk")) - 1) / 8).cast("int")),
-            i => array_join(slice(col("tk"), i * 8 + 1, lit(8)), " "))))
-        .toDF("doc_id", "seg_idx", "seg")
-      val w = Window.partitionBy(col("seg"))
-      segs
-        .withColumn("_multi",
-          min(col("doc_id")).over(w) =!= max(col("doc_id")).over(w))
-        .groupBy(col("doc_id"))
-        .agg(
-          count(lit(1)).as("n_segs"),
-          count(when(!col("_multi"), lit(1))).as("n_kept"),
-          // collect_list skips nulls -> kept segments only; array_sort on
-          // (seg_idx, seg) structs restores original order
-          coalesce(array_join(transform(array_sort(collect_list(
-            when(!col("_multi"), struct(col("seg_idx"), col("seg"))))),
-            x => x.getField("seg")), " "), lit("")).as("text_clean"))
-        .orderBy(col("doc_id"))
-    }),
+    // rewrites the corpus): 8-token segments stand in for paragraphs; a
+    // segment seen in >= 2 distinct docs is dropped, survivors
+    // reassemble in order. Scale reasoning and the one-window shape live
+    // on the shared operator (also the pipeline's 0c stage).
+    "q96_dedup_paragraphs" -> ((s, dir) =>
+      graft.operators.SegmentDedup
+        .annotate(t(s, dir, "documents"), "doc_id", "text", 8)
+        .orderBy(col("doc_id"))),
 
     // cross-source contamination matrix: 3-token-shingle Jaccard between
     // every source pair — "how much does dataset A duplicate dataset B"

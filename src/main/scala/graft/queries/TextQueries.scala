@@ -249,18 +249,11 @@ object TextQueries {
     // text normalization: collapse consecutive duplicate tokens (the
     // intra-doc repetition cleanup every web-corpus pipeline runs before
     // scoring; whitespace runs already collapse in tokenization). Pure
-    // per-row compute — no shuffle, scales linearly. The i=1 branch is a
-    // separate WHEN arm so toks[i-1] is never evaluated at i=1 (CaseWhen
-    // guarantees sequential condition evaluation; OR would too, but this
-    // does not rely on short-circuit codegen).
+    // per-row compute — no shuffle, scales linearly. Shared kernel:
+    // TextFunctions.collapseConsecutive (also the pipeline's 0b stage).
     "q98_text_normalize" -> ((s, dir) => {
       val toksC = tokens(col("text"))
-      val kept = filter(
-        transform(sequence(lit(1), size(toksC)),
-          i => when(i === 1, element_at(toksC, i))
-            .when(element_at(toksC, i) =!= element_at(toksC, i - 1),
-              element_at(toksC, i))),
-        x => x.isNotNull)
+      val kept = collapseConsecutive(toksC)
       t(s, dir, "documents")
         .select(col("doc_id"),
           size(toksC).cast("long").as("n_before"),

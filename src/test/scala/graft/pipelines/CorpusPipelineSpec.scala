@@ -56,7 +56,12 @@ class CorpusPipelineSpec extends SparkSpec {
       (1L, "data data data pipelines shuffle tokens across wide executor stages", "web"),
       // two docs sharing an 8-token boilerplate prefix segment
       (2L, s"$boiler columnar scans prune unread pages quickly", "web"),
-      (3L, s"$boiler watermark state bounds streaming aggregation memory", "web")
+      (3L, s"$boiler watermark state bounds streaming aggregation memory", "web"),
+      // pure-boilerplate docs: reduced to "" and must NOT reach the
+      // output even with minTokens=1 (tokens("") is [""], size 1 — the
+      // minTokens gate alone would let them through)
+      (4L, boiler, "web"),
+      (5L, boiler, "web")
     ).toDF("doc_id", "text", "source")
     val base = CorpusPipeline.Config(minTokens = 3, minQuality = 0.0,
       numHashes = 16, bands = 8)
@@ -68,7 +73,7 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(off(2L).startsWith("subscribe"), "boilerplate removal must default off")
 
     val on = CorpusPipeline.run(docs, "doc_id", "text", "source",
-        base.copy(normalizeTokens = true, dropBoilerplate = true))
+        base.copy(minTokens = 1, normalizeTokens = true, dropBoilerplate = true))
       .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     // the run collapsed to one token; the doc survives with shorter text
     assert(on(1L).startsWith("data pipelines"), s"run not collapsed: ${on(1L)}")
@@ -77,6 +82,8 @@ class CorpusPipelineSpec extends SparkSpec {
       s"boilerplate kept: ${on(2L)}")
     assert(!on(3L).contains("subscribe") && on(3L).contains("watermark"),
       s"boilerplate kept: ${on(3L)}")
+    // pure-boilerplate docs vanish entirely (empty-text backstop)
+    assert(!on.contains(4L) && !on.contains(5L), s"empty docs leaked: $on")
   }
 
   test("classifier gate and decontamination drop their targets; off by default") {
@@ -85,18 +92,26 @@ class CorpusPipelineSpec extends SparkSpec {
       (1L, "columnar storage engines favor late materialization strategies overall", "web"),
       (2L, "watermarks bound state retention in streaming aggregation pipelines always", "web"),
       // verbatim copy of an eval-set prompt inside a longer doc
-      (3L, "prefix words here the secret benchmark question text appears verbatim", "web")
+      (3L, "prefix words here the secret benchmark question text appears verbatim", "web"),
+      // contaminated overlap SPANNING a URL: the corpus side is
+      // PII-scrubbed before decon, so the eval side must be scrubbed
+      // identically or every URL-touching shingle hash diverges and the
+      // doc survives (all 3 shared shingles touch the URL here)
+      (4L, "prefix filler words key at http://leak.example/x is forty plus trailing tokens", "web")
     ).toDF("doc_id", "text", "source")
-    val evalSet = Seq("the secret benchmark question text appears verbatim").toDF("text")
+    val evalSet = Seq(
+      "the secret benchmark question text appears verbatim",
+      "key at http://leak.example/x is forty").toDF("text")
     val base = CorpusPipeline.Config(minTokens = 3, minQuality = 0.0,
       numHashes = 16, bands = 8)
 
     // defaults: both stages off, everything survives
     val all = CorpusPipeline.run(docs, "doc_id", "text", "source", base)
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(all == Set(1L, 2L, 3L))
+    assert(all == Set(1L, 2L, 3L, 4L))
 
-    // decontamination drops doc 3 only
+    // decontamination drops doc 3 (plain overlap) AND doc 4 (overlap
+    // spanning a scrubbed URL — pins eval-side scrub symmetry)
     val decon = CorpusPipeline.run(docs, "doc_id", "text", "source", base,
         evalTexts = Some(evalSet))
       .select("doc_id").collect().map(_.getLong(0)).toSet
@@ -110,7 +125,7 @@ class CorpusPipelineSpec extends SparkSpec {
     val pos = CorpusPipeline.run(docs, "doc_id", "text", "source",
         base.copy(classifierWeights = Some(Seq.fill(64)(1.0))))
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(pos == Set(1L, 2L, 3L))
+    assert(pos == Set(1L, 2L, 3L, 4L))
   }
 
   test("PII scrub masks text before it is kept; repetition gates drop degenerate docs") {
