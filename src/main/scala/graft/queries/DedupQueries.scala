@@ -182,9 +182,13 @@ object DedupQueries {
         .agg(count(lit(1)).as("n_shared"))
         .join(broadcast(sz.select(col("source").as("src1"), col("n").as("n1"))), "src1")
         .join(broadcast(sz.select(col("source").as("src2"), col("n").as("n2"))), "src2")
+        // integer-exact 6-dp rounding (see q68/q87): the union size can
+        // carry 2^7+, where an exact .5e-6 tie rounds differently across
+        // engines
         .select(col("src1"), col("src2"), col("n_shared"), col("n1"), col("n2"),
-          round(col("n_shared").cast("double") /
-            (col("n1") + col("n2") - col("n_shared")), 6).as("jaccard"))
+          (expr("(2 * n_shared * 1000000 + (n1 + n2 - n_shared)) div " +
+            "(2 * (n1 + n2 - n_shared))").cast("double") / 1000000.0)
+            .as("jaccard"))
         .orderBy(col("src1"), col("src2"))
     }),
 
@@ -317,7 +321,8 @@ object DedupQueries {
          |ov AS (SELECT a.source AS src1, b.source AS src2, COUNT(*) AS n_shared
          |       FROM sh a JOIN sh b USING (sh) WHERE a.source < b.source GROUP BY 1, 2)
          |SELECT src1, src2, n_shared, s1.n AS n1, s2.n AS n2,
-         |  round(CAST(n_shared AS DOUBLE) / (s1.n + s2.n - n_shared), 6) AS jaccard
+         |  CAST((2 * n_shared * 1000000 + (s1.n + s2.n - n_shared)) //
+         |       (2 * (s1.n + s2.n - n_shared)) AS DOUBLE) / 1000000.0 AS jaccard
          |FROM ov JOIN sz s1 ON s1.source = ov.src1 JOIN sz s2 ON s2.source = ov.src2
          |ORDER BY src1, src2""".stripMargin,
 

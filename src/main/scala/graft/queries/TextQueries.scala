@@ -64,7 +64,7 @@ object TextQueries {
       // corpus size stays IN the plan (broadcast 1-row agg) — a driver-side
       // docs.count() here would force a second full scan of documents.
       val nDocs = broadcast(t(s, dir, "documents")
-        .agg(count(lit(1)).cast("double").as("n_docs")))
+        .agg(count(lit(1)).as("n_docs")))
       val tf = docs.select(col("doc_id"), col("n_tok"),
           explode(call_function("term_counts", col("toks"))).as("tc"))
         .select(col("doc_id"), col("n_tok"),
@@ -75,8 +75,14 @@ object TextQueries {
         .orderBy(col("score").desc, col("term"))
       tf.withColumn("df_t", count(lit(1)).over(wTerm))
         .crossJoin(nDocs)
-        .withColumn("score", round(
-          col("cnt").cast("double") / col("n_tok") * col("n_docs") / col("df_t"), 6))
+        // 6-dp rounding in integer space (half up; all terms positive):
+        // the ratio-idf score is cnt*n_docs / (n_tok*df_t), whose
+        // denominator can carry 2^7+ — an exact .5e-6 tie rounds
+        // differently in Spark (HALF_UP) vs DuckDB. Headroom: the
+        // numerator stays < 2^63 until cnt*n_docs ~ 4.6e12.
+        .withColumn("score",
+          expr("(2 * cnt * n_docs * 1000000 + n_tok * df_t) div " +
+            "(2 * n_tok * df_t)").cast("double") / 1000000.0)
         .withColumn("rn", row_number().over(wDoc))
         .where(col("rn") === 1)
         .select(col("doc_id"), col("term"), col("score"))
@@ -149,9 +155,17 @@ object TextQueries {
           col("doc_id"),
           size(toks).as("n_tokens"),
           aggregate(weights, lit(0L), (acc, x) => acc + x).as("score_sum"))
-        .withColumn("score", round(
-          col("score_sum").cast("double") /
-            (lit(1000.0) * greatest(col("n_tokens"), lit(1))), 6))
+        // 6-dp rounding done in INTEGER space, half away from zero:
+        // round(double, 6) hits exact .5e-6 ties (score_sum/(1000*nt) is
+        // a small-denominator rational — e.g. 1043/16000 = 0.0651875)
+        // where Spark's HALF_UP and DuckDB's double rounding disagree;
+        // (2|num| + den) div (2 den) is tie-free and engine-exact, and
+        // dividing the rounded integer by 1e6 renders the same double in
+        // both engines
+        .withColumn("score",
+          (signum(col("score_sum")).cast("long") *
+            expr("(2 * abs(score_sum) * 1000000 + 1000 * greatest(n_tokens, 1)) div " +
+              "(2 * 1000 * greatest(n_tokens, 1))")).cast("double") / 1000000.0)
         .withColumn("keep", (col("score") > 0).cast("int"))
         .orderBy(col("doc_id"))
     }),
@@ -190,16 +204,19 @@ object TextQueries {
       val terms = t(s, dir, "documents")
         .select(explode(tokens(col("text"))).as("term"))
       val counts = terms.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-      val total = broadcast(counts.agg(sum(col("cnt")).cast("double").as("total")))
+      val total = broadcast(counts.agg(sum(col("cnt")).as("total")))
       val ord = Seq(col("cnt").desc, col("term"))
       val w = Window.orderBy(ord: _*)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       counts.orderBy(ord: _*).limit(VocabK)
         .crossJoin(total)
-        .select(
-          row_number().over(Window.orderBy(ord: _*)).as("rank"),
-          col("term"), col("cnt"),
-          round(sum(col("cnt")).over(w) / col("total"), 6).as("cum_frac"))
+        .withColumn("rank", row_number().over(Window.orderBy(ord: _*)))
+        .withColumn("cum", sum(col("cnt")).over(w))
+        // integer-exact 6-dp rounding (see q68/q87): cum/total can tie
+        // at .5e-6 where the engines' double rounding disagrees
+        .select(col("rank"), col("term"), col("cnt"),
+          (expr("(2 * cum * 1000000 + total) div (2 * total)")
+            .cast("double") / 1000000.0).as("cum_frac"))
         .orderBy(col("rank"))
     }),
 
@@ -315,7 +332,8 @@ object TextQueries {
          |dfreq AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY term),
          |n AS (SELECT COUNT(*) AS n_docs FROM documents)
          |SELECT doc_id, term,
-         |  round(CAST(cnt AS DOUBLE) / n_tok * CAST(n_docs AS DOUBLE) / df_t, 6) AS score
+         |  CAST((2 * cnt * n_docs * 1000000 + n_tok * df_t) //
+         |       (2 * n_tok * df_t) AS DOUBLE) / 1000000.0 AS score
          |FROM tf JOIN dfreq USING (term) CROSS JOIN n
          |QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) = 1
          |ORDER BY doc_id""".stripMargin,
@@ -355,8 +373,9 @@ object TextQueries {
          |      AS BIGINT) AS score_sum
          |  FROM d),
          |sc AS (SELECT doc_id, n_tokens, score_sum,
-         |    round(CAST(score_sum AS DOUBLE) /
-         |          (1000.0 * greatest(n_tokens, 1)), 6) AS score
+         |    CAST(CAST(sign(score_sum) AS BIGINT) *
+         |      ((2 * abs(score_sum) * 1000000 + 1000 * greatest(n_tokens, 1)) //
+         |       (2 * 1000 * greatest(n_tokens, 1))) AS DOUBLE) / 1000000.0 AS score
          |  FROM s)
          |SELECT doc_id, n_tokens, score_sum, score,
          |  CAST(score > 0 AS INT) AS keep
@@ -382,13 +401,16 @@ object TextQueries {
       s"""WITH terms AS (SELECT unnest(string_split_regex(trim(text), '\\s+'))
          |    AS term FROM documents),
          |c AS (SELECT term, COUNT(*) AS cnt FROM terms GROUP BY term),
-         |tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM c),
-         |top AS (SELECT term, cnt FROM c ORDER BY cnt DESC, term LIMIT $VocabK)
+         |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c),
+         |top AS (SELECT term, cnt FROM c ORDER BY cnt DESC, term LIMIT $VocabK),
+         |cum AS (SELECT term, cnt, total,
+         |    SUM(cnt) OVER (ORDER BY cnt DESC, term ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM top CROSS JOIN tot)
          |SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS INT) AS rank,
          |  term, cnt,
-         |  round(SUM(cnt) OVER (ORDER BY cnt DESC, term
-         |                       ROWS UNBOUNDED PRECEDING) / total, 6) AS cum_frac
-         |FROM top CROSS JOIN tot ORDER BY rank""".stripMargin,
+         |  CAST((2 * cum * 1000000 + total) // (2 * total) AS DOUBLE) / 1000000.0
+         |    AS cum_frac
+         |FROM cum ORDER BY rank""".stripMargin,
 
     "q97_text_lmscore" ->
       s"""WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+')

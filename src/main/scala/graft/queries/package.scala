@@ -10,7 +10,15 @@ import org.apache.spark.sql.functions._
   *  - double-typed SUMs go through DECIMAL(18,2) so both engines do
   *    exact, order-independent arithmetic, then cast to DOUBLE;
   *  - AVG is expressed as decimal-sum / count (both sides identical);
-  *  - column aliases match the oracle SQL exactly.
+  *  - column aliases match the oracle SQL exactly;
+  *  - `round(num/den, 6)` over an integer ratio is UNSAFE when the
+  *    denominator can carry 2^7 of powers of two: the ratio can land
+  *    exactly on .5e-6 (e.g. 1043/16000 = 0.0651875) where Spark's
+  *    HALF_UP and DuckDB's double rounding disagree. Round in integer
+  *    space instead — `(2*num*1000000 + den) div (2*den)` (half away
+  *    from zero; prepend sign(num) when num can be negative), then cast
+  *    to double / 1e6. Denominators <= ~60 (per-doc token counts) can't
+  *    tie and may keep plain round(). See q68/q87/q92/q99.
   */
 package object queries {
   type Q = (SparkSession, String) => DataFrame
