@@ -34,10 +34,12 @@ object TextQueries {
           qualityScore(col("text")).as("quality"))
         .orderBy(col("doc_id"))),
 
-    // language-ID (marker-profile argmax) vs the labeled lang column
+    // language-ID (marker-profile argmax) vs the labeled lang column;
+    // tokens bound once — the argmax references each count twice
     "q62_text_langid" -> ((s, dir) =>
       t(s, dir, "documents")
-        .select(col("lang"), langId(col("text")).as("lang_pred"))
+        .select(col("lang"), tokens(col("text")).as("tk"))
+        .select(col("lang"), langIdFromTokens(col("tk")).as("lang_pred"))
         .groupBy(col("lang"), col("lang_pred"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("lang_pred"))),
