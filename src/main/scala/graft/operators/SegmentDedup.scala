@@ -31,9 +31,20 @@ object SegmentDedup {
     * per document (they ride through the rollup as max()). Tokens are
     * bound to a column BEFORE the generator: slice inside the explode
     * lambda would re-tokenize per segment otherwise (no CSE through
-    * generators). */
+    * generators).
+    *
+    * `skewSafe`: the default window shape needs every copy of a segment
+    * in ONE task — a viral boilerplate segment (shared by millions of
+    * docs at corpus scale) makes a hot partition key that AQE cannot
+    * split a window over. skewSafe=true computes per-segment min/max
+    * via groupBy (min/max are algebraic, so map-side partial
+    * aggregation collapses the hot key BEFORE the shuffle) and
+    * equi-joins the flags back — one more shuffle, but the skewed probe
+    * side is a sort-merge join AQE's skew-join CAN split. Same output,
+    * proven by the parity property test. */
   def annotate(docs: DataFrame, idCol: String, textCol: String,
-      segTokens: Int, carryCols: Seq[String] = Nil): DataFrame = {
+      segTokens: Int, carryCols: Seq[String] = Nil,
+      skewSafe: Boolean = false): DataFrame = {
     val segs = docs
       .select((col(idCol) +: carryCols.map(col) :+
         TextFunctions.tokens(col(textCol)).as("_tk")): _*)
@@ -43,7 +54,6 @@ object SegmentDedup {
           i => array_join(slice(col("_tk"), i * segTokens + 1, lit(segTokens)), " "))
       )): _*)
       .withColumnRenamed("pos", "_i").withColumnRenamed("col", "_seg")
-    val w = Window.partitionBy(col("_seg"))
     val aggs = carryCols.map(c => max(col(c)).as(c)) ++ Seq(
       count(lit(1)).as("n_segs"),
       count(when(!col("_multi"), lit(1))).as("n_kept"),
@@ -52,9 +62,16 @@ object SegmentDedup {
       coalesce(array_join(transform(array_sort(collect_list(
         when(!col("_multi"), struct(col("_i"), col("_seg"))))),
         x => x.getField("_seg")), " "), lit("")).as("text_clean"))
-    segs
-      .withColumn("_multi", min(col(idCol)).over(w) =!= max(col(idCol)).over(w))
-      .groupBy(col(idCol))
-      .agg(aggs.head, aggs.tail: _*)
+    val flagged =
+      if (!skewSafe) {
+        val w = Window.partitionBy(col("_seg"))
+        segs.withColumn("_multi",
+          min(col(idCol)).over(w) =!= max(col(idCol)).over(w))
+      } else {
+        val bounds = segs.groupBy(col("_seg")).agg(
+          (min(col(idCol)) =!= max(col(idCol))).as("_multi"))
+        segs.join(bounds, "_seg")
+      }
+    flagged.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 }
