@@ -122,6 +122,28 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // leakage-free train/val/test split: assign the split per near-dup
+    // CLUSTER, not per document — a near-duplicate pair straddling
+    // train and eval leaks the eval answers into training (the
+    // published train-test-contamination failure of hash-per-doc
+    // splits). Every cluster member inherits the keeper's bucket from
+    // a deterministic integer hash, so the assignment is reproducible
+    // and no cluster is ever divided. 90/5/5 by construction in
+    // expectation; exactness of the CLUSTER property (not the ratios)
+    // is what the oracle pins via its recursive-closure clustering.
+    "q100_leakfree_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = graft.operators.MinHashDedup.candidatePairs(
+        docs, "doc_id", "text", shingleK = 2, numHashes = MinHashK, bands = Bands)
+      val bucket = pmod(col("cluster_id") * lit(2654435761L), lit(1000L))
+      graft.operators.DedupClusters.clusters(docs, "doc_id", pairs, "doc1", "doc2")
+        .select(col("doc_id"), col("cluster_id"),
+          when(bucket < 900, lit("train"))
+            .when(bucket < 950, lit("val"))
+            .otherwise(lit("test")).as("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // incremental near-dup: dedup a NEW batch (doc_id >= IncrSplit)
     // against the already-ingested history WITHOUT re-pairing history
     // against itself — the daily-increment shape where history is 100 TB
@@ -279,6 +301,27 @@ object DedupQueries {
          |  CAST(coalesce(c.component, d.doc_id) = d.doc_id AS INT) AS is_keeper
          |FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
          |ORDER BY doc_id""".stripMargin,
+
+    // same recursive closure as q75, then the split CASE on the
+    // component id — if any cluster straddled two splits, the
+    // per-doc rows here would differ
+    "q100_leakfree_split" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (SELECT doc1 AS s, doc2 AS d FROM pairs
+         |          UNION ALL SELECT doc2, doc1 FROM pairs),
+         |reach(n, r) AS (
+         |  SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+         |  UNION
+         |  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.n),
+         |comp AS (SELECT n AS node, MIN(r) AS component FROM reach GROUP BY n),
+         |cl AS (SELECT d.doc_id AS doc_id,
+         |         coalesce(c.component, d.doc_id) AS cluster_id
+         |       FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN (cluster_id * 2654435761) % 1000 < 900 THEN 'train'
+         |       WHEN (cluster_id * 2654435761) % 1000 < 950 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM cl ORDER BY doc_id""".stripMargin,
 
     // deliberately UNBLOCKED brute force: if the Spark-side band blocking
     // lost any hd<=6 pair, this oracle would catch it
