@@ -39,9 +39,13 @@ object SegmentDedup {
     * split a window over. skewSafe=true computes per-segment min/max
     * via groupBy (min/max are algebraic, so map-side partial
     * aggregation collapses the hot key BEFORE the shuffle) and
-    * equi-joins the flags back — one more shuffle, but the skewed probe
-    * side is a sort-merge join AQE's skew-join CAN split. Same output,
-    * proven by the parity property test. */
+    * equi-joins the flags back. Real cost: the flag build and the join
+    * probe are two consumers of the segs lineage, so the corpus is
+    * tokenized and exploded TWICE (persisting the exploded stream at
+    * 100 TB would cost more than the re-read — same call as q97's
+    * bigram probe) — in exchange the skewed probe is a sort-merge join
+    * AQE's skew-join CAN split, instead of one unsplittable hot window
+    * task. Same output, proven by the parity property test. */
   def annotate(docs: DataFrame, idCol: String, textCol: String,
       segTokens: Int, carryCols: Seq[String] = Nil,
       skewSafe: Boolean = false): DataFrame = {

@@ -135,7 +135,12 @@ object DedupQueries {
       val docs = t(s, dir, "documents")
       val pairs = graft.operators.MinHashDedup.candidatePairs(
         docs, "doc_id", "text", shingleK = 2, numHashes = MinHashK, bands = Bands)
-      val bucket = pmod(col("cluster_id") * lit(2654435761L), lit(1000L))
+      // cluster_id is bounded mod 1000003 BEFORE the Knuth multiply:
+      // the raw product wraps past cluster_id ~3.5e9 in Spark and
+      // errors in DuckDB — at billions of docs the engines would
+      // neither agree nor both complete
+      val bucket = pmod(
+        pmod(col("cluster_id"), lit(1000003L)) * lit(2654435761L), lit(1000L))
       graft.operators.DedupClusters.clusters(docs, "doc_id", pairs, "doc1", "doc2")
         .select(col("doc_id"), col("cluster_id"),
           when(bucket < 900, lit("train"))
@@ -204,13 +209,12 @@ object DedupQueries {
         .agg(count(lit(1)).as("n_shared"))
         .join(broadcast(sz.select(col("source").as("src1"), col("n").as("n1"))), "src1")
         .join(broadcast(sz.select(col("source").as("src2"), col("n").as("n2"))), "src2")
-        // integer-exact 6-dp rounding (see q68/q87): the union size can
-        // carry 2^7+, where an exact .5e-6 tie rounds differently across
-        // engines
+        // integer-exact 6-dp rounding (see round6): the union size can
+        // carry 2^7+, where an exact .5e-6 tie rounds differently
+        // across engines
         .select(col("src1"), col("src2"), col("n_shared"), col("n1"), col("n2"),
-          (expr("(2 * n_shared * 1000000 + (n1 + n2 - n_shared)) div " +
-            "(2 * (n1 + n2 - n_shared))").cast("double") / 1000000.0)
-            .as("jaccard"))
+          round6(col("n_shared"),
+            col("n1") + col("n2") - col("n_shared")).as("jaccard"))
         .orderBy(col("src1"), col("src2"))
     }),
 
@@ -318,8 +322,8 @@ object DedupQueries {
          |         coalesce(c.component, d.doc_id) AS cluster_id
          |       FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
          |SELECT doc_id, cluster_id,
-         |  CASE WHEN (cluster_id * 2654435761) % 1000 < 900 THEN 'train'
-         |       WHEN (cluster_id * 2654435761) % 1000 < 950 THEN 'val'
+         |  CASE WHEN ((cluster_id % 1000003) * 2654435761) % 1000 < 900 THEN 'train'
+         |       WHEN ((cluster_id % 1000003) * 2654435761) % 1000 < 950 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM cl ORDER BY doc_id""".stripMargin,
 
@@ -364,8 +368,7 @@ object DedupQueries {
          |ov AS (SELECT a.source AS src1, b.source AS src2, COUNT(*) AS n_shared
          |       FROM sh a JOIN sh b USING (sh) WHERE a.source < b.source GROUP BY 1, 2)
          |SELECT src1, src2, n_shared, s1.n AS n1, s2.n AS n2,
-         |  CAST((2 * n_shared * 1000000 + (s1.n + s2.n - n_shared)) //
-         |       (2 * (s1.n + s2.n - n_shared)) AS DOUBLE) / 1000000.0 AS jaccard
+         |  ${oRound6("n_shared", "s1.n + s2.n - n_shared")} AS jaccard
          |FROM ov JOIN sz s1 ON s1.source = ov.src1 JOIN sz s2 ON s2.source = ov.src2
          |ORDER BY src1, src2""".stripMargin,
 

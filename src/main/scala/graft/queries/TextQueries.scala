@@ -77,14 +77,12 @@ object TextQueries {
         .orderBy(col("score").desc, col("term"))
       tf.withColumn("df_t", count(lit(1)).over(wTerm))
         .crossJoin(nDocs)
-        // 6-dp rounding in integer space (half up; all terms positive):
-        // the ratio-idf score is cnt*n_docs / (n_tok*df_t), whose
-        // denominator can carry 2^7+ — an exact .5e-6 tie rounds
-        // differently in Spark (HALF_UP) vs DuckDB. Headroom: the
-        // numerator stays < 2^63 until cnt*n_docs ~ 4.6e12.
-        .withColumn("score",
-          expr("(2 * cnt * n_docs * 1000000 + n_tok * df_t) div " +
-            "(2 * n_tok * df_t)").cast("double") / 1000000.0)
+        // integer-exact 6-dp rounding (see the round6 scaladoc): the
+        // ratio-idf denominator n_tok*df_t can carry 2^7+, where an
+        // exact .5e-6 tie rounds differently in Spark vs DuckDB
+        .withColumn("score", round6(
+          col("cnt").cast("long") * col("n_docs"),
+          col("n_tok").cast("long") * col("df_t")))
         .withColumn("rn", row_number().over(wDoc))
         .where(col("rn") === 1)
         .select(col("doc_id"), col("term"), col("score"))
@@ -157,17 +155,13 @@ object TextQueries {
           col("doc_id"),
           size(toks).as("n_tokens"),
           aggregate(weights, lit(0L), (acc, x) => acc + x).as("score_sum"))
-        // 6-dp rounding done in INTEGER space, half away from zero:
-        // round(double, 6) hits exact .5e-6 ties (score_sum/(1000*nt) is
-        // a small-denominator rational — e.g. 1043/16000 = 0.0651875)
-        // where Spark's HALF_UP and DuckDB's double rounding disagree;
-        // (2|num| + den) div (2 den) is tie-free and engine-exact, and
-        // dividing the rounded integer by 1e6 renders the same double in
-        // both engines
-        .withColumn("score",
-          (signum(col("score_sum")).cast("long") *
-            expr("(2 * abs(score_sum) * 1000000 + 1000 * greatest(n_tokens, 1)) div " +
-              "(2 * 1000 * greatest(n_tokens, 1))")).cast("double") / 1000000.0)
+        // integer-exact 6-dp rounding, half away from zero: the score
+        // is a small-denominator rational (1043/16000 = 0.0651875 hit
+        // an exact .5e-6 tie at sf0.1) where the engines' double
+        // rounding disagrees. lit(1000L) keeps the denominator in
+        // 64-bit — an int 1000*n_tokens product would wrap first.
+        .withColumn("score", round6Signed(col("score_sum"),
+          lit(1000L) * greatest(col("n_tokens"), lit(1))))
         .withColumn("keep", (col("score") > 0).cast("int"))
         .orderBy(col("doc_id"))
     }),
@@ -214,11 +208,10 @@ object TextQueries {
         .crossJoin(total)
         .withColumn("rank", row_number().over(Window.orderBy(ord: _*)))
         .withColumn("cum", sum(col("cnt")).over(w))
-        // integer-exact 6-dp rounding (see q68/q87): cum/total can tie
+        // integer-exact 6-dp rounding (see round6): cum/total can tie
         // at .5e-6 where the engines' double rounding disagrees
         .select(col("rank"), col("term"), col("cnt"),
-          (expr("(2 * cum * 1000000 + total) div (2 * total)")
-            .cast("double") / 1000000.0).as("cum_frac"))
+          round6(col("cum"), col("total")).as("cum_frac"))
         .orderBy(col("rank"))
     }),
 
@@ -334,8 +327,7 @@ object TextQueries {
          |dfreq AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY term),
          |n AS (SELECT COUNT(*) AS n_docs FROM documents)
          |SELECT doc_id, term,
-         |  CAST((2 * cnt * n_docs * 1000000 + n_tok * df_t) //
-         |       (2 * n_tok * df_t) AS DOUBLE) / 1000000.0 AS score
+         |  ${oRound6("cnt * n_docs", "n_tok * df_t")} AS score
          |FROM tf JOIN dfreq USING (term) CROSS JOIN n
          |QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) = 1
          |ORDER BY doc_id""".stripMargin,
@@ -375,9 +367,7 @@ object TextQueries {
          |      AS BIGINT) AS score_sum
          |  FROM d),
          |sc AS (SELECT doc_id, n_tokens, score_sum,
-         |    CAST(CAST(sign(score_sum) AS BIGINT) *
-         |      ((2 * abs(score_sum) * 1000000 + 1000 * greatest(n_tokens, 1)) //
-         |       (2 * 1000 * greatest(n_tokens, 1))) AS DOUBLE) / 1000000.0 AS score
+         |    ${oRound6Signed("score_sum", "1000 * greatest(n_tokens, 1)")} AS score
          |  FROM s)
          |SELECT doc_id, n_tokens, score_sum, score,
          |  CAST(score > 0 AS INT) AS keep
@@ -410,8 +400,7 @@ object TextQueries {
          |  FROM top CROSS JOIN tot)
          |SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS INT) AS rank,
          |  term, cnt,
-         |  CAST((2 * cum * 1000000 + total) // (2 * total) AS DOUBLE) / 1000000.0
-         |    AS cum_frac
+         |  ${oRound6("cum", "total")} AS cum_frac
          |FROM cum ORDER BY rank""".stripMargin,
 
     "q97_text_lmscore" ->

@@ -45,6 +45,30 @@ package object queries {
   def dsumRev(price: Column, disc: Column): Column =
     sum(dec(price) * (lit(1).cast("decimal(18,2)") - dec(disc))).cast("double")
 
+  /** 6-dp HALF-UP rounding of a NON-NEGATIVE integer ratio num/den in
+    * pure 64-bit integer arithmetic: (num*2e6 + den) div (den*2), then
+    * the rounded integer renders as the same double in both engines.
+    * Operands are cast to long BEFORE the scaling multiply (a 32-bit
+    * product would wrap first — pass pre-multiplied terms as longs).
+    * Headroom: num < ~4.6e12. Spelled once here + [[oRound6]] so the
+    * Spark and oracle sides cannot drift. */
+  def round6(num: Column, den: Column): Column = {
+    val n = num.cast("long"); val d = den.cast("long")
+    call_function("div", n * lit(2000000L) + d, d * lit(2L))
+      .cast("double") / 1000000.0
+  }
+
+  /** [[round6]] for possibly-negative numerators: half AWAY FROM ZERO
+    * (what Spark's round/HALF_UP does), den still positive. */
+  def round6Signed(num: Column, den: Column): Column =
+    signum(num).cast("double") * round6(abs(num), den)
+
+  def oRound6(num: String, den: String): String =
+    s"CAST((($num) * 2000000 + ($den)) // (($den) * 2) AS DOUBLE) / 1000000.0"
+
+  def oRound6Signed(num: String, den: String): String =
+    s"(CAST(sign($num) AS DOUBLE) * ${oRound6(s"abs($num)", den)})"
+
   /** DuckDB-side spellings of the same. */
   def oSum(c: String): String = s"CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
   def oAvg(c: String): String = s"CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE) / COUNT($c)"
