@@ -52,6 +52,26 @@ object SampleQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // temperature mixture (alpha = 0.5 exponential smoothing, the
+    // multilingual-LM sampling scheme): keep-rate per stratum is
+    // sqrt(n_min/n_s), so kept shares go as sqrt(n_s) — halfway between
+    // natural (keep all) and q77's full equalization. No floating point
+    // anywhere: "bucket/1000 < sqrt(n_min/n_s)" squares into
+    // bucket^2 * n_s < n_min * 1e6, exact 64-bit integers on both
+    // engines (headroom: n_s < 9.2e12). Same scan → broadcast → filter
+    // shape as q77; the corpus never shuffles.
+    "q101_temperature_mix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cnts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_s"))
+      val mn = cnts.agg(min(col("n_s")).as("n_min"))
+      docs.join(broadcast(cnts), "lang")
+        .crossJoin(broadcast(mn))
+        .withColumn("_b", pmod(fp, lit(1000L)))
+        .where(col("_b") * col("_b") * col("n_s") < col("n_min") * lit(1000000L))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // token-length histogram (fixed-width buckets): the corpus-shape
     // report run before choosing sequence lengths. Linear scan, one
     // partial+final aggregate over ~tens of buckets.
@@ -103,6 +123,16 @@ object SampleQueries {
          |mn AS (SELECT MIN(cnt) AS min_cnt FROM cnts)
          |SELECT doc_id, lang FROM documents JOIN cnts USING (lang) CROSS JOIN mn
          |WHERE ($fpSql % 1000000) * cnt < min_cnt * 1000000
+         |ORDER BY doc_id""".stripMargin,
+
+    "q101_temperature_mix" ->
+      s"""WITH cnts AS (SELECT lang, COUNT(*) AS n_s FROM documents GROUP BY lang),
+         |mn AS (SELECT MIN(n_s) AS n_min FROM cnts),
+         |d AS (SELECT doc_id, documents.lang, n_s, n_min,
+         |    ($fpSql % 1000) AS b
+         |  FROM documents JOIN cnts USING (lang) CROSS JOIN mn)
+         |SELECT doc_id, lang FROM d
+         |WHERE b * b * n_s < n_min * 1000000
          |ORDER BY doc_id""".stripMargin,
 
     "q78_length_histogram" ->
