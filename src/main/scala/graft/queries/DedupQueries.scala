@@ -23,8 +23,6 @@ object DedupQueries {
   // 8-token passages: long enough that cross-doc repeats mean copied
   // spans (near-dup docs), short enough to fire on the synthetic corpus
   private val PassageK = 8
-  // q91: docs with id >= 80% of the sf0.01 corpus play the "new batch"
-  private val IncrSplit = 400L
 
   val queries: Map[String, Q] = Map(
     // exact dedup on a normalized key (first-3-token prefix): groups
@@ -117,8 +115,10 @@ object DedupQueries {
         .agg(
           count(lit(1)).as("n_shingles"),
           count(when(col("nd") >= 2, lit(1))).as("n_dup"))
-        .withColumn("dup_frac",
-          round(col("n_dup").cast("double") / col("n_shingles"), 6))
+        // integer-exact 6-dp rounding (see round6): n_shingles is a
+        // per-doc distinct-shingle count that can carry 2^7 (a ~135-token
+        // doc has 128 shingles), landing plain round() on a .5e-6 tie
+        .withColumn("dup_frac", round6(col("n_dup"), col("n_shingles")))
         .orderBy(col("doc_id"))
     }),
 
@@ -149,10 +149,10 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // incremental near-dup: dedup a NEW batch (doc_id >= IncrSplit)
+    // incremental near-dup: dedup a NEW batch (top 20% of doc_ids)
     // against the already-ingested history WITHOUT re-pairing history
     // against itself — the daily-increment shape where history is 100 TB
-    // and the increment is 0.1%. History signatures stream from their
+    // and the increment is small. History signatures stream from their
     // store (recomputed here; persisted in production), the band join's
     // probe side carries only the new batch. Result == the full-corpus
     // q66 pairs filtered to new doc2 (ids are append-only monotone).
@@ -163,9 +163,16 @@ object DedupQueries {
       // eager checkpoint jobs
       val sigs = graft.operators.MinHashDedup.signatures(
         docs, "doc_id", "text", shingleK = 2, numHashes = MinHashK)
+      // split DERIVED from the corpus (floor of 80% of max doc_id, exact
+      // integer arithmetic, same scalar in the oracle's subquery) so the
+      // history>>increment shape holds at every SF — a fixed constant
+      // left the batch empty at sf0.001 (vacuously green) and inverted
+      // the scenario above sf0.01. 1-row agg over the CHECKPOINTED
+      // signatures: metadata-sized, no second corpus scan.
+      val split = sigs.agg(max(col("doc_id")).cast("long")).head.getLong(0) * 8L / 10L
       graft.operators.MinHashDedup.incrementalPairsFromSignatures(
-          sigs.where(col("doc_id") < IncrSplit),
-          sigs.where(col("doc_id") >= IncrSplit),
+          sigs.where(col("doc_id") < split),
+          sigs.where(col("doc_id") >= split),
           "doc_id", numHashes = MinHashK, bands = Bands)
         .orderBy(col("doc1"), col("doc2"))
     }),
@@ -286,7 +293,8 @@ object DedupQueries {
     // restricted to new doc2 — the oracle IS that restriction
     "q91_dedup_incremental" ->
       (s"WITH $minhashPairsCtes\nSELECT doc1, doc2 FROM pairs " +
-        s"WHERE doc2 >= $IncrSplit ORDER BY doc1, doc2"),
+        "WHERE doc2 >= (SELECT MAX(doc_id) * 8 // 10 FROM documents) " +
+        "ORDER BY doc1, doc2"),
 
     // transitive closure via recursive CTE (unbounded reachability) — if
     // the Spark-side star contraction stopped short of the fixpoint, the
@@ -344,7 +352,7 @@ object DedupQueries {
          |f AS (SELECT doc_id, sh, COUNT(*) OVER (PARTITION BY sh) AS nd FROM sh)
          |SELECT doc_id, COUNT(*) AS n_shingles,
          |  CAST(COUNT(*) FILTER (WHERE nd >= 2) AS BIGINT) AS n_dup,
-         |  round(CAST(COUNT(*) FILTER (WHERE nd >= 2) AS DOUBLE) / COUNT(*), 6)
+         |  ${oRound6("COUNT(*) FILTER (WHERE nd >= 2)", "COUNT(*)")}
          |    AS dup_frac
          |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 

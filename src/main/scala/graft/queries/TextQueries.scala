@@ -253,8 +253,11 @@ object TextQueries {
       bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1")).crossJoin(v)
         .select(col("doc_id"), expr("(c2 + 1) * 1000000 div (c1 + v)").as("p"))
         .groupBy(col("doc_id"))
+        // integer-exact 6-dp rounding (see round6): n_bigrams is an
+        // unbounded per-doc count — at 2^7 of powers of two the plain
+        // round() lands on a .5e-6 tie that the engines break differently
         .agg(count(lit(1)).as("n_bigrams"),
-          round(sum(col("p")).cast("double") / count(lit(1)), 6).as("lm_score"))
+          round6(sum(col("p")), count(lit(1))).as("lm_score"))
         .orderBy(col("doc_id"))
     }),
 
@@ -414,7 +417,7 @@ object TextQueries {
          |sc AS (SELECT doc_id, (c2.c2 + 1) * 1000000 // (c1.c1 + v.v) AS p
          |       FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
          |SELECT doc_id, COUNT(*) AS n_bigrams,
-         |  round(CAST(SUM(p) AS DOUBLE) / COUNT(*), 6) AS lm_score
+         |  ${oRound6("SUM(p)", "COUNT(*)")} AS lm_score
          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q98_text_normalize" ->

@@ -135,7 +135,11 @@ object TimeseriesQueries {
       hourly
         .withColumn("trail_sum", sum(col("hv")).over(wTrail))
         .withColumn("trail_n", count(col("hv")).over(wTrail))
-        .where(col("trail_n") >= 12)
+        // a zero baseline (possible when value sums cancel or are 0)
+        // would divide by zero — Spark yields Infinity/NaN, DuckDB
+        // differs; such rows carry no meaningful ratio, drop them on
+        // BOTH sides identically
+        .where(col("trail_n") >= 12 && col("trail_sum") =!= 0)
         .select(col("event_type"), col("bucket_ts"),
           col("hv").cast("double").as("hour_value"),
           round((col("hv") * col("trail_n")).cast("double") /
@@ -229,7 +233,7 @@ object TimeseriesQueries {
          |    AS ratio_to_baseline,
          |  CAST(round(CAST(hv * trail_n AS DOUBLE) / CAST(trail_sum AS DOUBLE), 6)
          |    > 1.5 AS INT) AS is_anomaly
-         |FROM r WHERE trail_n >= 12
+         |FROM r WHERE trail_n >= 12 AND trail_sum <> 0
          |ORDER BY event_type, bucket_ts""".stripMargin
   )
 }
