@@ -86,4 +86,36 @@ object IvfPq {
       .where(col("rn") <= k)
       .select(col("query_id"), col("cand_id"), col("adc_dist"), col("rn"))
   }
+
+  /** Probe + ADC shortlist + exact re-rank (see [[PqIndex.searchRerank]]):
+    * the IVF probe bounds WHICH vectors are ADC-scanned; the re-rank
+    * reads full-precision vectors for only nQueries × shortlist rows —
+    * the ivf assignment table (which carries the vectors) is probed by
+    * an equi-join on the corpus id. Recall is bounded above by probe
+    * coverage: a true neighbor in an unprobed list is unrecoverable, by
+    * design. */
+  def searchRerank(model: Model, queries: DataFrame, qIdCol: String,
+      qVecCol: String, k: Int, nProbe: Int, shortlist: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val qRows = queries.select(col(qIdCol), col(qVecCol).cast("array<double>")).collect()
+    require(qRows.length <= 10000, "query batch too large for driver-side tables")
+    import spark.implicits._
+    val qv = qRows.toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .toDF("query_id", "qv")
+    val short = search(model, queries, qIdCol, qVecCol, k = shortlist,
+        nProbe = nProbe)
+      .select(col("query_id"), col("cand_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("l2_dist").asc, col("cand_id"))
+    model.ivf.assignments
+      .select(col(model.ivf.idCol).as("cand_id"),
+        col(model.ivf.vecCol).cast("array<double>").as("cv"))
+      .join(broadcast(short.join(qv, "query_id")), "cand_id")
+      .withColumn("l2_dist", round(aggregate(
+        zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x), 9))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("query_id"), col("cand_id"), col("l2_dist"), col("rn"))
+  }
 }

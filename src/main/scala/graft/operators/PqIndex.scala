@@ -103,4 +103,41 @@ object PqIndex {
       .where(col("rn") <= k)
       .select(col("query_id"), col("cand_id"), col("adc_dist"), col("rn"))
   }
+
+  /** Two-stage search (the production shape — Jégou et al. §IV-A
+    * "asymmetric distance with re-ranking"): ADC produces a shortlist of
+    * `shortlist` candidates per query from the code table alone, then
+    * ONLY those rows join back to the full-precision vectors for exact
+    * L2 re-ranking. At 100 TB the wide vector column is read for
+    * nQueries × shortlist rows instead of the whole corpus — the join
+    * is an equi-join on the corpus id, and the shortlist side is tiny
+    * (broadcast). Recall is set by `shortlist`, exactness of the final
+    * ordering by the re-rank; on the random synthetic fixture pure ADC
+    * recall@10 plateaus at ~0.42 (m=16) while shortlist=50 re-rank
+    * clears 0.9 (AnnRecallSpec pins both).
+    */
+  def searchRerank(model: Model, corpus: DataFrame, corpusIdCol: String,
+      corpusVecCol: String, queries: DataFrame, qIdCol: String,
+      qVecCol: String, k: Int, shortlist: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val qRows = queries.select(col(qIdCol), col(qVecCol).cast("array<double>")).collect()
+    require(qRows.length <= 10000, "query batch too large for driver-side tables")
+    import spark.implicits._
+    val qv = qRows.toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .toDF("query_id", "qv")
+    val short = search(model, queries, qIdCol, qVecCol, k = shortlist)
+      .select(col("query_id"), col("cand_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("l2_dist").asc, col("cand_id"))
+    corpus
+      .select(col(corpusIdCol).as("cand_id"),
+        col(corpusVecCol).cast("array<double>").as("cv"))
+      .join(broadcast(short.join(qv, "query_id")), "cand_id")
+      .withColumn("l2_dist", round(aggregate(
+        zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x), 9))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("query_id"), col("cand_id"), col("l2_dist"), col("rn"))
+  }
 }
