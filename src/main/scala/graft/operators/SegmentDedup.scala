@@ -36,16 +36,23 @@ object SegmentDedup {
     * `skewSafe`: the default window shape needs every copy of a segment
     * in ONE task — a viral boilerplate segment (shared by millions of
     * docs at corpus scale) makes a hot partition key that AQE cannot
-    * split a window over. skewSafe=true computes per-segment min/max
-    * via groupBy (min/max are algebraic, so map-side partial
-    * aggregation collapses the hot key BEFORE the shuffle) and
-    * equi-joins the flags back. Real cost: the flag build and the join
-    * probe are two consumers of the segs lineage, so the corpus is
-    * tokenized and exploded TWICE (persisting the exploded stream at
-    * 100 TB would cost more than the re-read — same call as q97's
-    * bigram probe) — in exchange the skewed probe is a sort-merge join
-    * AQE's skew-join CAN split, instead of one unsplittable hot window
-    * task. Same output, proven by the parity property test. */
+    * split a window over. A flags-join-back does NOT help either:
+    * OptimizeSkewedJoin only matches SMJ over two raw shuffle stages,
+    * and the aggregate under the flags side breaks the pattern (a
+    * post-shuffle-computed side cannot be re-read in slices), so the
+    * hot probe still lands on one task. skewSafe=true instead uses
+    * OWNER ATTRIBUTION, never joining on the segment key: a KEPT
+    * segment is by definition single-doc (min==max), so its instances
+    * can be reconstructed from min(struct(doc, positions)) inside the
+    * same algebraic groupBy(_seg) that computes the distinct-doc count
+    * — pre-aggregated per (segment, doc) first, so every shuffle
+    * carries map-side combine and the hot segment collapses BEFORE the
+    * wire. The only join merges per-doc totals with per-doc kept rows —
+    * keyed on the doc id, uniform by construction. Cost: the segs
+    * lineage is consumed twice (totals + owners; persisting the
+    * exploded stream at 100 TB would cost more than the re-read — same
+    * call as q97's bigram probe). Same output, proven by the parity
+    * property test. */
   def annotate(docs: DataFrame, idCol: String, textCol: String,
       segTokens: Int, carryCols: Seq[String] = Nil,
       skewSafe: Boolean = false): DataFrame = {
@@ -58,24 +65,47 @@ object SegmentDedup {
           i => array_join(slice(col("_tk"), i * segTokens + 1, lit(segTokens)), " "))
       )): _*)
       .withColumnRenamed("pos", "_i").withColumnRenamed("col", "_seg")
-    val aggs = carryCols.map(c => max(col(c)).as(c)) ++ Seq(
-      count(lit(1)).as("n_segs"),
-      count(when(!col("_multi"), lit(1))).as("n_kept"),
-      // collect_list skips nulls -> kept segments only; array_sort on
-      // (_i, _seg) structs restores original order
-      coalesce(array_join(transform(array_sort(collect_list(
-        when(!col("_multi"), struct(col("_i"), col("_seg"))))),
-        x => x.getField("_seg")), " "), lit("")).as("text_clean"))
-    val flagged =
-      if (!skewSafe) {
-        val w = Window.partitionBy(col("_seg"))
-        segs.withColumn("_multi",
+    if (!skewSafe) {
+      val w = Window.partitionBy(col("_seg"))
+      val aggs = carryCols.map(c => max(col(c)).as(c)) ++ Seq(
+        count(lit(1)).as("n_segs"),
+        count(when(!col("_multi"), lit(1))).as("n_kept"),
+        // collect_list skips nulls -> kept segments only; array_sort on
+        // (_i, _seg) structs restores original order
+        coalesce(array_join(transform(array_sort(collect_list(
+          when(!col("_multi"), struct(col("_i"), col("_seg"))))),
+          x => x.getField("_seg")), " "), lit("")).as("text_clean"))
+      segs.withColumn("_multi",
           min(col(idCol)).over(w) =!= max(col(idCol)).over(w))
-      } else {
-        val bounds = segs.groupBy(col("_seg")).agg(
-          (min(col(idCol)) =!= max(col(idCol))).as("_multi"))
-        segs.join(bounds, "_seg")
-      }
-    flagged.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+        .groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    } else {
+      // owner attribution (see scaladoc): pre-aggregate per (segment,
+      // doc) — the hot segment becomes many DISTINCT keys at this grain
+      // — then one algebraic rollup per segment both counts distinct
+      // docs and carries the would-be owner's instance positions
+      // (min over struct(doc, positions); doc ids are unique per group,
+      // so the comparison never reaches the array)
+      val byDoc = segs.groupBy(col("_seg"), col(idCol))
+        .agg(sort_array(collect_list(col("_i"))).as("_is"))
+      val perSeg = byDoc.groupBy(col("_seg"))
+        .agg(count(lit(1)).as("_nd"),
+          min(struct(col(idCol).as("_d"), col("_is"))).as("_own"))
+      val keptAgg = perSeg.where(col("_nd") === 1)
+        .select(col("_own._d").as(idCol), col("_seg"),
+          explode(col("_own._is")).as("_i"))
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("_n_kept"),
+          array_join(transform(array_sort(collect_list(
+            struct(col("_i"), col("_seg")))),
+            x => x.getField("_seg")), " ").as("_text_clean"))
+      val totalAggs = carryCols.map(c => max(col(c)).as(c)) :+
+        count(lit(1)).as("n_segs")
+      segs.groupBy(col(idCol)).agg(totalAggs.head, totalAggs.tail: _*)
+        .join(keptAgg, Seq(idCol), "left")
+        .select((col(idCol) +: carryCols.map(col)) ++ Seq(
+          col("n_segs"),
+          coalesce(col("_n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("_text_clean"), lit("")).as("text_clean")): _*)
+    }
   }
 }

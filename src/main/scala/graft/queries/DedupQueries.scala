@@ -1,7 +1,6 @@
 package graft.queries
 
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication family over `documents` — the operators a 100 TB
@@ -90,37 +89,20 @@ object DedupQueries {
     // duplicated-passage coverage: the MEASURE step of substring-level
     // dedup (Lee et al. 2021, "Deduplicating Training Data Makes LMs
     // Better") — per document, the fraction of its distinct k-token
-    // shingles that also occur in at least one OTHER document. One
-    // shuffle keys the distinct (doc, shingle-hash) stream on the hash
-    // (count-over-window — pairs are already distinct per doc, so the
-    // partition count IS the doc frequency), one more aggregates per
-    // doc: linear at 100 TB, no pairwise anything. Degenerate shingles
-    // shared by millions of docs make a hot window key — the same
-    // hot-bucket profile as LSH banding (cap/salt if it bites; the
-    // count is algebraic so a salted partial+final form is exact).
-    "q86_dedup_passages" -> ((s, dir) => {
-      graft.GraftFunctions.registerAll(s)
-      val w = Window.partitionBy(col("sh"))
-      t(s, dir, "documents")
-        // native single-pass shingle kernel (same as q66/q83 — the
-        // composed HOF form costs ~10× more per doc), spread to full
-        // parallelism first: hashing is CPU-bound and a few parquet
-        // splits would serialize it through a handful of tasks
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"),
-          explode(graft.operators.MinHashDedup
-            .shingleHashesFromTokens(col("text"), PassageK)).as("sh"))
-        .withColumn("nd", count(lit(1)).over(w))
-        .groupBy(col("doc_id"))
-        .agg(
-          count(lit(1)).as("n_shingles"),
-          count(when(col("nd") >= 2, lit(1))).as("n_dup"))
+    // shingles that also occur in at least one OTHER document. Shape and
+    // the skewSafe guard for viral-boilerplate shingles live on
+    // operators.PassageCoverage (one window shuffle here; the flag swaps
+    // in a groupBy + AQE-splittable join-back — SkewGuardSpec pins
+    // parity). Linear at 100 TB, no pairwise anything.
+    "q86_dedup_passages" -> ((s, dir) =>
+      graft.operators.PassageCoverage
+        .stats(t(s, dir, "documents"), "doc_id", "text", PassageK)
         // integer-exact 6-dp rounding (see round6): n_shingles is a
         // per-doc distinct-shingle count that can carry 2^7 (a ~135-token
         // doc has 128 shingles), landing plain round() on a .5e-6 tie
         .withColumn("dup_frac", round6(col("n_dup"), col("n_shingles")))
-        .orderBy(col("doc_id"))
-    }),
+        .select(col("doc_id"), col("n_shingles"), col("n_dup"), col("dup_frac"))
+        .orderBy(col("doc_id"))),
 
     // leakage-free train/val/test split: assign the split per near-dup
     // CLUSTER, not per document — a near-duplicate pair straddling
