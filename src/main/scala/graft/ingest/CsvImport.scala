@@ -108,13 +108,16 @@ object CsvImport {
     * dump never touches the driver; round-1 version collected the file).
     *
     * Shape: textFile → per-partition `LineProtocol.parseLine` into the
-    * fixed-schema [[LpParsed]] form → per-measurement pivot of the typed
-    * field maps into real columns → hour-partitioned writer. Field types
-    * follow the reference's first-non-null rule (earliest line decides);
-    * later values of a *different* type for the same key resolve to NULL
-    * (the single-node path would error — distributed import is lenient
-    * past bad values, like it is past bad lines). Parse errors are
-    * reported with exact line numbers, capped at [[MaxReportedErrors]].
+    * fixed-schema [[LpParsed]] form → ONE metadata aggregation across
+    * every measurement (tag keys + first-occurrence field types from a
+    * union of the map-key explodes) → per-measurement pivot + write,
+    * submitted from a bounded pool so a many-measurement payload
+    * overlaps its write jobs. Field types follow the reference's
+    * first-non-null rule (earliest line decides); later values of a
+    * *different* type for the same key resolve to NULL (the single-node
+    * path would error — distributed import is lenient past bad values,
+    * like it is past bad lines). Parse errors are reported with exact
+    * line numbers, capped at [[MaxReportedErrors]].
     */
   val MaxReportedErrors = 1000
 
@@ -155,26 +158,38 @@ object CsvImport {
       val good = parsed.filter($"error".isNull && $"measurement".isNotNull)
       val nPoints = good.count()
 
-      val measurements = good.select($"measurement").distinct()
-        .as[String].collect().sorted
-      measurements.foreach { m =>
-        val dfm = good.filter($"measurement" === m)
-        // metadata-sized aggregations: distinct tag keys; per field key the
-        // type of its earliest occurrence (reference first-non-null rule)
-        val tagKeys = dfm.select(F.explode(F.map_keys($"tags")).as("k"))
-          .distinct().as[String].collect().sorted
-        val fieldTypes = Seq("longs" -> "L", "doubles" -> "D",
-            "strings" -> "S", "bools" -> "B")
-          .map { case (c, t) =>
-            dfm.select($"lineNo", F.explode(F.map_keys(F.col(c))).as("k"))
-              .withColumn("t", F.lit(t))
-          }
-          .reduce(_ unionByName _)
-          .groupBy($"k")
-          .agg(F.min(F.struct($"lineNo", $"t")).as("first"))
-          .select($"k", $"first.t".as("t")).as[(String, String)]
-          .collect().sortBy(_._1)
+      // ONE metadata job for ALL measurements (r3 verdict #3: the old
+      // per-measurement cascade ran ~3 jobs × M measurements over the
+      // persisted parse): tag keys and first-occurrence field types
+      // (reference first-non-null rule) come from a single 5-way union +
+      // groupBy(measurement, key) — output is metadata-sized (one row
+      // per distinct key per measurement)
+      val keyRows = Seq("tags" -> "T", "longs" -> "L", "doubles" -> "D",
+          "strings" -> "S", "bools" -> "B")
+        .map { case (c, t) =>
+          good.select($"measurement", $"lineNo",
+              F.explode(F.map_keys(F.col(c))).as("k"))
+            .withColumn("t", F.lit(t))
+        }
+        .reduce(_ unionByName _)
+        .groupBy($"measurement", $"k")
+        .agg(
+          F.max(($"t" === "T").cast("int")).as("isTag"),
+          F.min(F.when($"t" =!= "T", F.struct($"lineNo", $"t"))).as("firstField"))
+        .select($"measurement", $"k", $"isTag", $"firstField.t".as("ft"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getInt(2),
+          Option(r.getString(3))))
 
+      val byMeasurement = keyRows.groupBy(_._1)
+      // independent table dirs + meta sidecars per measurement: submit
+      // the writes from a bounded pool so a many-measurement payload
+      // overlaps its write jobs instead of serializing their latencies
+      graft.jobs.BoundedParallel.run(byMeasurement.keys.toSeq.sorted) { m =>
+        val keys = byMeasurement(m)
+        val tagKeys = keys.filter(_._3 == 1).map(_._2).sorted
+        val fieldTypes = keys.collect { case (_, k, _, Some(t)) => (k, t) }
+          .sortBy(_._1)
         val cols =
           Seq(F.timestamp_micros($"timeMicros").as("time")) ++
           tagKeys.map(k => F.element_at($"tags", k).as(k)) ++
@@ -186,7 +201,8 @@ object CsvImport {
             F.element_at(F.col(src), k).as(k)
           }
         catalog.registerTags(db, m, tagKeys.toSeq)
-        HourPartitionedWriter.write(catalog, db, m, dfm.select(cols: _*),
+        HourPartitionedWriter.write(catalog, db, m,
+          good.filter($"measurement" === m).select(cols: _*),
           countRows = true)
       }
       (nPoints, errs)

@@ -93,6 +93,48 @@ class LpBulkImportSpec extends SparkSpec {
     assert(cat.table("default", "bf").count() == 200) // no rows lost
   }
 
+  test("100-measurement payload: metadata jobs independent of measurement count") {
+    val cat = newCatalog()
+    val m = 100
+    val lines = (0 until m).map { i =>
+      s"meas_$i,host=h$i v=${i}i,w=${i}.5 ${base + i}"
+    }.mkString("\n")
+    val dir = writeLp(lines)
+
+    // count Spark jobs over the whole import: the old per-measurement
+    // metadata cascade ran ~3 jobs per measurement (tag-key distinct,
+    // field-type agg, write) = 300+; the single-pass form runs a
+    // constant number of metadata jobs plus exactly one write job per
+    // measurement (writes are per-table by design — independent dirs)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val (n, errs) = try {
+      val r = CsvImport.lineProtocol(cat, "default", dir, "us")
+      // listener delivery is async: wait until the count stops moving
+      var last = -1
+      while (jobs.get() != last) { last = jobs.get(); Thread.sleep(300) }
+      r
+    } finally spark.sparkContext.removeSparkListener(listener)
+
+    assert(n == m.toLong && errs.isEmpty, s"n=$n errs=${errs.take(3)}")
+    // each write costs 2 jobs under AQE (shuffle-stage materialization +
+    // final write); the old cascade added ~3 more METADATA jobs per
+    // measurement on top (tag-key distinct, field-type agg) = 500+ here
+    assert(jobs.get() <= 2 * m + 15,
+      s"metadata jobs must be constant (~2 write jobs/measurement), got ${jobs.get()}")
+    // counts stay exact per measurement, schema pivot intact
+    val t37 = cat.table("default", "meas_37")
+    assert(t37.count() == 1)
+    assert(t37.head().getAs[Long]("v") == 37L)
+    assert(t37.head().getAs[Double]("w") == 37.5)
+    assert(cat.readMeta("default", "meas_37").tagColumns == Seq("host"))
+  }
+
   test("missing timestamp is stamped at ingest (executor-side now)") {
     val cat = newCatalog()
     val before = System.currentTimeMillis() * 1000L
