@@ -393,27 +393,23 @@ object Compaction {
     * their (small) Spark jobs run concurrently — Spark's scheduler
     * interleaves them; a serial loop would leave the cluster idle
     * between per-partition jobs. Manifest writes are serialized per
-    * table inside CompactionManifest. */
-  private[jobs] def inParallel[A, B](items: Seq[A], width: Int = 8)(f: A => B): Seq[B] = {
-    if (items.isEmpty) return Nil
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(width, items.length))
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    try Await.result(Future.sequence(items.map(a => Future(f(a)))), Duration.Inf)
-    finally pool.shutdown()
-  }
+    * table inside CompactionManifest. Delegates to [[BoundedParallel]]
+    * (shared with bulk import). */
+  private[jobs] def inParallel[A, B](items: Seq[A], width: Int = 8)(f: A => B): Seq[B] =
+    BoundedParallel.run(items, width)(f)
 
-  /** Compact every qualifying hour partition of a measurement. */
+  /** Compact every qualifying hour partition of a measurement.
+    * `parallelism` bounds the concurrent per-partition jobs (1 =
+    * serial; LifecycleSpec pins sublinear backlog wall-time vs it). */
   def runHourly(catalog: GraftCatalog, db: String, m: String,
       minFiles: Int = 2, minAgeHours: Int = 1,
-      nowMicros: () => Long = () => System.currentTimeMillis() * 1000L)
+      nowMicros: () => Long = () => System.currentTimeMillis() * 1000L,
+      parallelism: Int = 8)
       : Seq[Result] = {
     val cutoffHour = (nowMicros() / 1000000L / 3600L) - minAgeHours
     val due = catalog.listHourPartitions(db, m).filter(p =>
       partitionHourEpoch(p).exists(_ <= cutoffHour))
-    inParallel(due)(p => compactHour(catalog, db, m, p, minFiles))
+    inParallel(due, parallelism)(p => compactHour(catalog, db, m, p, minFiles))
   }
 
   /** Startup recovery (reference: internal/compaction/manifest.go +

@@ -35,8 +35,10 @@ object TargetedDelete {
       throw new IllegalStateException(
         s"delete would remove $totalMatches rows > cap $maxRows")
 
-    var deleted = 0L
-    affected.foreach { row =>
+    // per-file rewrites are independent (distinct target files, distinct
+    // tmp dirs): run them from a bounded pool — a wide delete touching
+    // hundreds of files pays one overlapped job latency, not the sum
+    val deleted = BoundedParallel.run(affected.toSeq) { row =>
       val uri = row.getAs[String]("_src")
       val nMatch = row.getAs[Long]("n_match")
       val nRows = row.getAs[Long]("n_rows")
@@ -61,8 +63,8 @@ object TargetedDelete {
               s"(rewritten rows preserved in $tmp)")
         fs.delete(tmp, true)
       }
-      deleted += nMatch
-    }
+      nMatch
+    }.sum
     Result(perFile.length, affected.count(r =>
       r.getAs[Long]("n_match") < r.getAs[Long]("n_rows")),
       deleted, perFile.map(_.getAs[Long]("n_rows")).sum - deleted)

@@ -176,6 +176,43 @@ class LifecycleSpec extends SparkSpec {
       (0 until 4).map(h => (base + h * H) / 1000L))
   }
 
+  test("50-partition backlog tick: parallel fan-out sublinear vs serial, manifest clean") {
+    // identical 50-hour backlogs in two catalogs, 2 files per hour
+    def backlog(): GraftCatalog = {
+      val cat = newCatalog()
+      (0 until 2).foreach { flush =>
+        lpIngest(cat, (0 until 50)
+          .map(h => s"bk,host=h$flush v=$flush.0 ${base + h * H + flush}")
+          .mkString("\n"))
+      }
+      assert(cat.listHourPartitions("default", "bk").length == 50)
+      cat
+    }
+    val now = () => base + 600L * H
+    def tick(cat: GraftCatalog, parallelism: Int): (Long, Seq[Compaction.Result]) = {
+      val t0 = System.nanoTime()
+      val res = Compaction.runHourly(cat, "default", "bk",
+        nowMicros = now, parallelism = parallelism)
+      ((System.nanoTime() - t0) / 1000000L, res)
+    }
+    val (serialMs, serialRes) = tick(backlog(), parallelism = 1)
+    val parCat = backlog()
+    val (parMs, parRes) = tick(parCat, parallelism = 8)
+    // both compact the whole backlog correctly
+    Seq(serialRes, parRes).foreach { rs =>
+      assert(rs.length == 50 && rs.forall(r =>
+        r.compacted && r.filesIn == 2 && r.rowsOut == 2), rs.take(2).toString)
+    }
+    // the fan-out must actually overlap job latencies (expected ~5x at
+    // width 8; 0.75 leaves wide margin for scheduler noise)
+    assert(parMs < (serialMs * 3) / 4,
+      s"parallel tick not sublinear: serial=${serialMs}ms parallel=${parMs}ms")
+    // concurrent per-partition swaps left a clean journal: recover finds
+    // no in-flight entries or stale tmp dirs, data intact
+    assert(Compaction.recover(parCat, "default", "bk").isEmpty)
+    assert(parCat.table("default", "bk").count() == 100)
+  }
+
   test("compaction repairs mixed-type time columns (string epoch file)") {
     val cat = newCatalog()
     import spark.implicits._
