@@ -109,6 +109,56 @@ object SampleQueries {
         .withRowNumber(docs, Seq(col("fp"), col("doc_id")), "pos")
         .select(col("pos"), col("doc_id"))
         .orderBy(col("pos"))
+    }),
+
+    // budgeted corpus selection: per source, take the highest-quality
+    // documents while the running token count stays within the source's
+    // token budget (40% of its total — data-derived, so the query
+    // exercises the same regime at every SF). The oracle spells the
+    // single-window form; the engine runs BudgetSelect's distributed
+    // per-group prefix sum (range partition + per-(partition, group)
+    // offsets), which never sorts a whole source in one task — with a
+    // handful of sources at 100 TB the window form is a few straggler
+    // tasks sorting terabytes each. Exact equality proves the offset
+    // arithmetic (the q84 ShardPack pattern, generalized to groups).
+    "q102_budget_select" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+      val budgets = d.groupBy(col("source"))
+        .agg(expr("(sum(n_tok) * 2) div 5").as("budget"))
+      graft.operators.BudgetSelect.distributedSelect(
+          d.join(broadcast(budgets), "source"),
+          groupCol = col("source"),
+          prefCols = Seq(col("quality") -> false),
+          keyName = "doc_id",
+          weightCol = col("n_tok"), budgetCol = col("budget"))
+        .select(col("source"), col("doc_id"), col("n_tok"),
+          col("quality"), col("sel_prior"))
+        .orderBy(col("source"), col("doc_id"))
+    }),
+
+    // per-source median-length filter: keep documents strictly longer
+    // (in tokens) than their source's median — the "drop the short half
+    // of every source" quality gate, with the cut derived per group
+    // rather than fixed. The per-source thresholds are a tiny exact
+    // percentile aggregate (one row per source; exact `percentile`
+    // holds a count-map per group, bounded by distinct token counts —
+    // at true corpus scale swap in approx_percentile) broadcast back
+    // onto the scan: the corpus itself never shuffles. Median of
+    // integers interpolates to an exact .0/.5 double identically in
+    // both engines, so the comparison cannot wobble.
+    "q103_quantile_filter" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+      val thr = d.groupBy(col("source"))
+        .agg(expr("percentile(n_tok, 0.5)").as("med_tok"))
+      d.join(broadcast(thr), "source")
+        .where(col("n_tok") > col("med_tok"))
+        .select(col("source"), col("doc_id"), col("n_tok"), col("med_tok"))
+        .orderBy(col("source"), col("doc_id"))
     })
   )
 
@@ -161,6 +211,34 @@ object SampleQueries {
          |    ${TextFunctions.charFingerprintSql("('epoch1:' || doc_id)")} AS fp
          |  FROM documents)
          |SELECT ROW_NUMBER() OVER (ORDER BY fp, doc_id) AS pos, doc_id
-         |FROM d ORDER BY pos""".stripMargin
+         |FROM d ORDER BY pos""".stripMargin,
+
+    "q102_budget_select" ->
+      s"""WITH d AS (SELECT source, doc_id,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok,
+         |    ${TextFunctions.qualityScoreSql("text")} AS quality
+         |  FROM documents),
+         |b AS (SELECT source, CAST((SUM(n_tok) * 2) // 5 AS BIGINT) AS budget
+         |  FROM d GROUP BY source),
+         |c AS (SELECT d.source, doc_id, n_tok, quality, budget,
+         |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY d.source
+         |      ORDER BY quality DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS sel_prior
+         |  FROM d JOIN b USING (source))
+         |SELECT source, doc_id, n_tok, quality, sel_prior FROM c
+         |WHERE sel_prior + n_tok <= budget
+         |ORDER BY source, doc_id""".stripMargin,
+
+    "q103_quantile_filter" ->
+      s"""WITH d AS (SELECT source, doc_id,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |thr AS (SELECT source, quantile_cont(n_tok, 0.5) AS med_tok
+         |  FROM d GROUP BY source)
+         |SELECT d.source, doc_id, n_tok, med_tok
+         |FROM d JOIN thr ON d.source = thr.source
+         |WHERE n_tok > med_tok
+         |ORDER BY d.source, doc_id""".stripMargin
   )
 }
