@@ -117,19 +117,27 @@ object MinHashDedup {
     emitPairs(banded, banded.where(col("_new")), idCol, numHashes, bands)
   }
 
+  /** One `(band, key)` struct per band: the LSH bucket keys for a
+    * signature. Shared by the batch banding below and the streaming
+    * near-dup filter ([[graft.streaming.StreamingNearDup]]) so both
+    * paths bucket identically. */
+  def bandStructs(sig: Column, numHashes: Int, bands: Int): Column = {
+    val rows = numHashes / bands
+    array((0 until bands).map(bnd =>
+      struct(lit(bnd).as("band"),
+        array_join(slice(sig, bnd * rows + 1, rows), ",").as("key"))): _*)
+  }
+
   /** One row per (doc, band) with the band's bucket key; when capped,
     * rows in over-sized buckets are dropped and each doc carries a
     * bitmask of which of ITS bands survived. Extra input columns (e.g.
     * an incremental `_new` tag) pass through. */
   private def bandedWithCap(sigs: DataFrame, idCol: String, numHashes: Int,
       bands: Int, maxBucketSize: Int): DataFrame = {
-    val rows = numHashes / bands
     val passThrough = sigs.columns.filter(c => c != idCol && c != "sig")
       .map(col).toSeq
-    val banded0 = sigs.select(Seq(col(idCol), col("sig"), explode(array(
-      (0 until bands).map(bnd =>
-        struct(lit(bnd).as("band"),
-          array_join(slice(col("sig"), bnd * rows + 1, rows), ",").as("key"))): _*)).as("b"))
+    val banded0 = sigs.select(Seq(col(idCol), col("sig"),
+      explode(bandStructs(col("sig"), numHashes, bands)).as("b"))
       ++ passThrough: _*)
       .withColumn("band", col("b.band")).withColumn("key", col("b.key"))
       .drop("b")
