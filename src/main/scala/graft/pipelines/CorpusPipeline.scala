@@ -63,7 +63,12 @@ object CorpusPipeline {
       numHashes: Int = 16,
       bands: Int = 4,
       maxBucketSize: Int = 0,
-      mixturePerMillion: Long = 1000000L) // 1e6 = keep all of smallest stratum
+      mixturePerMillion: Long = 1000000L, // 1e6 = keep all of smallest stratum
+      // final token recipe (q102 shape): per stratum, keep the
+      // highest-quality docs while the running token count stays within
+      // the budget; None = off. Runs last so the budget is spent on
+      // already-deduped, already-rebalanced survivors.
+      tokenBudgetPerStratum: Option[Long] = None)
 
   /** docs(idCol, textCol, strataCol) → kept rows with annotations:
     * (id, text, stratum, n_tokens, n_bpe, quality, top_token_frac,
@@ -213,11 +218,22 @@ object CorpusPipeline {
     // 4. mixture rebalance: downsample every stratum toward the smallest
     val cnts = nearSurvivors.groupBy(col("stratum")).agg(count(lit(1)).as("_cnt"))
     val mn = cnts.agg(min(col("_cnt")).as("_min_cnt"))
-    nearSurvivors
+    val rebalanced = nearSurvivors
       .join(broadcast(cnts), "stratum")
       .crossJoin(broadcast(mn))
       .where(pmod(TextFunctions.charFingerprint(col("text")), lit(1000000L)) * col("_cnt") <
         col("_min_cnt") * lit(cfg.mixturePerMillion))
       .drop("_cnt", "_min_cnt")
+
+    // 5. token recipe (optional): spend each stratum's token budget on
+    // its highest-quality survivors (BudgetSelect's distributed
+    // per-group prefix sum — never sorts a whole stratum in one task).
+    // Quality ties break on doc_id, so the cut is deterministic.
+    cfg.tokenBudgetPerStratum.fold(rebalanced) { budget =>
+      graft.operators.BudgetSelect.select(rebalanced, col("stratum"),
+          prefCols = Seq(col("quality") -> false), keyName = "doc_id",
+          weightCol = col("n_tokens"), budgetCol = lit(budget))
+        .drop("sel_prior")
+    }
   }
 }

@@ -122,10 +122,16 @@ object SampleQueries {
     // tasks sorting terabytes each. Exact equality proves the offset
     // arithmetic (the q84 ShardPack pattern, generalized to groups).
     "q102_budget_select" -> ((s, dir) => {
+      // the scored frame feeds three consumers (budget rollup, the
+      // narrow prefix-sum frame, the join-back) — materialize the
+      // narrow scores once so tokenize+quality runs one pass, not three
+      // (same call as MinHashDedup.signatures; at full corpus scale
+      // this frame is (source, id, 2 longs) — storage-persistable)
       val d = t(s, dir, "documents")
         .select(col("source"), col("doc_id"),
           TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"),
           TextFunctions.qualityScore(col("text")).as("quality"))
+        .localCheckpoint()
       val budgets = d.groupBy(col("source"))
         .agg(expr("(sum(n_tok) * 2) div 5").as("budget"))
       graft.operators.BudgetSelect.distributedSelect(

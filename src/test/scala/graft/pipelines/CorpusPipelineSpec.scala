@@ -144,4 +144,49 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(byId(1L).contains("<EMAIL>") && !byId(1L).contains("alice@"),
       s"PII not masked: ${byId(1L)}")
   }
+
+  test("token-budget stage spends each stratum's budget on quality order; off by default") {
+    import spark.implicits._
+    // two strata, no cross-doc shingles (all tokens doc-specific);
+    // every doc is 9 tokens, quality varies via the repeat count r:
+    // distinct/total = (9-r)/9, so quality order within a stratum is
+    // r=0 > r=1 > r=2 > r=3 (ties impossible)
+    val docs = (1 to 8).map { i =>
+      val stratum = if (i <= 4) "web" else "books"
+      val r = i % 4
+      val uniq = (0 until 8 - r).map(j => s"tok${i}_$j")
+      val pad = Seq.fill(r + 1)(s"pad$i")
+      (i.toLong, (uniq ++ pad).mkString(" "), stratum)
+    }.toDF("doc_id", "text", "source")
+    val base = CorpusPipeline.Config(minTokens = 3, minQuality = 0.0,
+      numHashes = 16, bands = 8)
+
+    // off by default: all 8 survive
+    val all = CorpusPipeline.run(docs, "doc_id", "text", "source", base)
+    assert(all.count() == 8)
+
+    // a 20-token budget keeps ~2 docs per stratum, highest quality first
+    val out = CorpusPipeline.run(docs, "doc_id", "text", "source",
+      base.copy(tokenBudgetPerStratum = Some(20L)))
+    val perStratum = out.groupBy("stratum")
+      .agg(org.apache.spark.sql.functions.sum("n_tokens").as("tok"),
+        org.apache.spark.sql.functions.count("*").as("n"))
+      .collect().map(r => r.getAs[String]("stratum") ->
+        (r.getAs[Long]("tok"), r.getAs[Long]("n"))).toMap
+    assert(perStratum.keySet == Set("web", "books"))
+    perStratum.foreach { case (s, (tok, n)) =>
+      assert(tok <= 20L, s"stratum $s over budget: $tok")
+      assert(n >= 1, s"stratum $s empty")
+    }
+    // greedy on quality: within each stratum the kept docs are the
+    // top-quality prefix of the survivors
+    val qs = all.select("stratum", "doc_id", "quality").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val keptIds = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    Seq("web", "books").foreach { s =>
+      val ranked = qs.filter(_._1 == s).sortBy(t => (-t._3, t._2)).map(_._2)
+      val keptInS = ranked.filter(keptIds.contains)
+      assert(ranked.startsWith(keptInS), s"not a quality prefix in $s")
+    }
+  }
 }
