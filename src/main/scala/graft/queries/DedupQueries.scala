@@ -227,8 +227,25 @@ object DedupQueries {
         .agg(countDistinct(col("sh")).as("n_shared"))
         .where(col("n_shared") >= 2)
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // exact duplicated-span REMOVAL (Lee et al. substring dedup): every
+    // 3-token span occurring >= 2 times in the corpus keeps only its
+    // first (doc, pos) occurrence; covered tokens are cut and documents
+    // reassemble. q86 measures this duplication; q104 removes it. The
+    // oracle spells the identical owner rule declaratively — exact
+    // text_clean equality pins the whole pipeline (positioned hashes,
+    // owner election, greedy cover, reassembly) bit-for-bit.
+    "q104_span_dedup" -> ((s, dir) =>
+      graft.operators.SpanDedup.clean(t(s, dir, "documents"),
+          "doc_id", "text", SpanK)
+        .orderBy(col("doc_id")))
   )
+
+  /** q104 span width (3: the synthetic corpus's short random texts only
+    * collide at small k — real pipelines run 50-token windows; the
+    * width is a parameter, not a semantic). */
+  private val SpanK = 3
 
   private val toks = "string_split_regex(trim(text), '\\s+')"
 
@@ -337,6 +354,33 @@ object DedupQueries {
          |  ${oRound6("COUNT(*) FILTER (WHERE nd >= 2)", "COUNT(*)")}
          |    AS dup_frac
          |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // identical owner rule spelled declaratively: positioned span
+    // hashes -> corpus frequency + min-(doc,pos) owner -> non-owner
+    // positions of duplicated spans -> greedy token cover -> reassembly
+    "q104_span_dedup" ->
+      s"""WITH d AS (SELECT doc_id, $toks AS toksl FROM documents),
+         |sh AS (SELECT doc_id, u.pos, u.h FROM d,
+         |  UNNEST(list_transform(generate_series(1, greatest(len(toksl) - ${SpanK - 1}, 0)), i ->
+         |    struct_pack(pos := i, h := ${tokenHashSql(
+                  s"array_to_string(list_slice(toksl, i, i + ${SpanK - 1}), ' ')")}))) AS t(u)),
+         |freq AS (SELECT h, COUNT(*) AS f,
+         |    MIN(struct_pack(doc := doc_id, p := pos)) AS owner
+         |  FROM sh GROUP BY h),
+         |dup AS (SELECT doc_id, list_sort(list(pos)) AS dup_starts
+         |  FROM sh JOIN freq USING (h)
+         |  WHERE f >= 2 AND NOT (owner.doc = sh.doc_id AND owner.p = sh.pos)
+         |  GROUP BY doc_id),
+         |clean AS (SELECT d.doc_id, len(toksl) AS n_tokens,
+         |    list_filter(list_transform(toksl, (t, i) -> struct_pack(t := t, i := i)),
+         |      x -> len(list_filter(COALESCE(dup_starts, []),
+         |        s -> s <= x.i AND x.i < s + $SpanK)) = 0) AS keptoks
+         |  FROM d LEFT JOIN dup ON d.doc_id = dup.doc_id)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(n_tokens - len(keptoks) AS BIGINT) AS n_removed,
+         |  COALESCE(array_to_string(list_transform(keptoks, x -> x.t), ' '), '')
+         |    AS text_clean
+         |FROM clean ORDER BY doc_id""".stripMargin,
 
     "q96_dedup_paragraphs" ->
       s"""WITH tok AS (SELECT doc_id, $toks AS toksl FROM documents),

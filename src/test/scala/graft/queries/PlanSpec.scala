@@ -246,4 +246,18 @@ class PlanSpec extends SparkSpec {
     assert(aggLine.nonEmpty, s"expected codegen'd HashAggregate:\n$plan")
     assert(plan.contains("time_bucket"), plan)
   }
+
+  test("span dedup never goes pairwise in documents") {
+    val plan = explained("q104_span_dedup")
+    // the span-hash stream aggregates (freq+owner) and joins back on the
+    // HASH — never doc×doc; removal positions roll up per doc and the
+    // reassembly join keys on doc_id. A cartesian or a doc-keyed
+    // self-join of the corpus is a regression.
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"span dedup must stay hash-keyed, never pairwise:\n$plan")
+    // join-backs are equi-joins; frequency aggregation is partial+final
+    assert(plan.contains("partial_"),
+      s"freq/owner aggregation must map-side combine:\n$plan")
+  }
 }
