@@ -23,17 +23,21 @@ import org.apache.spark.sql.functions._
   *  - documents shorter than k tokens pass through untouched.
   *
   * Scale shape: the positioned span-hash stream shuffles once on the
-  * hash (partial+final count and min-owner — map-side combine collapses
-  * hot hashes before the wire), joins back to the stream on the hash,
-  * and rolls removals up per doc; the reassembly is per-row HOF compute
-  * (no shuffle). Never pairwise in documents; output linear in corpus
-  * size. Caveat shared with PassageCoverage's default shape: the
-  * join-back keys on the span hash, so a degenerate viral span is a
-  * hot join key (the aggregated build side blocks AQE's skew split);
-  * its owner-attribution rework is the known fix if a corpus needs it.
-  * The tokenizer runs twice (span stream + reassembly) — at corpus
-  * scale re-reading beats persisting an exploded stream larger than
-  * the corpus (same call as PassageCoverage / q97).
+  * hash (partial+final count is unnecessary — just the algebraic
+  * min-owner, so map-side combine collapses hot hashes before the
+  * wire), and the non-owner test needs NO join back on the hash: a
+  * position holds exactly one span, so "this instance is not its
+  * span's owner" is a LEFT ANTI join of the positioned stream against
+  * the owner set, keyed on (doc, pos) — uniform by construction. A
+  * viral boilerplate span never becomes a hot join key (the skew
+  * problem PassageCoverage's skewSafe mode exists for does not arise
+  * here at all). An f==1 span's only instance IS its owner, so the
+  * f >= 2 condition is implied. Removals roll up per doc; the
+  * reassembly is per-row HOF compute (no shuffle). Never pairwise in
+  * documents; output linear in corpus size. The tokenizer runs twice
+  * (span stream + reassembly) — at corpus scale re-reading beats
+  * persisting an exploded stream larger than the corpus (same call as
+  * PassageCoverage / q97).
   */
 object SpanDedup {
 
@@ -51,12 +55,14 @@ object SpanDedup {
       .select(col(idCol).as("_id"), posexplode(transform(starts,
         i => TextFunctions.tokenHash(concat_ws(" ", slice(toks, i, lit(k)))))))
       .select(col("_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("h"))
-    val freq = sh.groupBy(col("h"))
-      .agg(count(lit(1)).as("f"),
-        min(struct(col("_id").as("doc"), col("pos").as("p"))).as("owner"))
-    val dup = sh.join(freq, "h")
-      .where(col("f") >= 2 &&
-        !(col("owner.doc") === col("_id") && col("owner.p") === col("pos")))
+    // one owner row per distinct span hash (algebraic min — map-side
+    // combine collapses hot hashes before the wire)
+    val owners = sh.groupBy(col("h"))
+      .agg(min(struct(col("_id").as("doc"), col("pos").as("p"))).as("o"))
+      .select(col("o.doc").as("_id"), col("o.p").as("pos"))
+    // non-owner instances: anti-join keyed on (doc, pos) — uniform by
+    // construction, never on the (possibly viral) span hash
+    val dup = sh.join(owners, Seq("_id", "pos"), "left_anti")
       .groupBy(col("_id"))
       .agg(sort_array(collect_list(col("pos"))).as("_dup_starts"))
     docs
