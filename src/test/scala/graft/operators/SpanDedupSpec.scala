@@ -51,4 +51,45 @@ class SpanDedupSpec extends SparkSpec {
     assert(out(10L) == ((0L, "a b c d e f")))
     assert(out(11L) == ((6L, "")))
   }
+
+  test("property: matches a brute-force reference on random small-alphabet corpora") {
+    import spark.implicits._
+    // small alphabet + short docs force heavy span collisions (the
+    // interesting regime: overlapping removals, within-doc repeats,
+    // cross-doc owner races decided by (doc, pos))
+    val rnd = new scala.util.Random(42)
+    val alphabet = Vector("a", "b", "c", "d")
+    for (trial <- 0 until 3) {
+      val k = 2 + trial % 2 // k = 2, 3, 2
+      val corpus = (0 until 30).map { i =>
+        val n = 1 + rnd.nextInt(12)
+        (i.toLong, Seq.fill(n)(alphabet(rnd.nextInt(alphabet.size))).mkString(" "))
+      }
+      // reference: literal spec semantics, no hashing
+      val toks = corpus.map { case (id, t) => id -> t.split("\\s+").toSeq }.toMap
+      val instances = toks.toSeq.flatMap { case (id, tk) =>
+        (0 to tk.length - k).map(p => (tk.slice(p, p + k).mkString(" "), id, p + 1))
+      }
+      val owner = instances.groupBy(_._1).map { case (s, inst) =>
+        s -> inst.map(t => (t._2, t._3)).min
+      }
+      val expected = corpus.map { case (id, _) =>
+        val tk = toks(id)
+        val dupStarts = (0 to tk.length - k).map(_ + 1).filter { p =>
+          owner(tk.slice(p - 1, p - 1 + k).mkString(" ")) != ((id, p))
+        }
+        val kept = tk.zipWithIndex.filterNot { case (_, i0) =>
+          dupStarts.exists(s => s <= i0 + 1 && i0 + 1 < s + k)
+        }.map(_._1)
+        id -> ((tk.length.toLong, (tk.length - kept.length).toLong,
+          kept.mkString(" ")))
+      }.toMap
+      val got = SpanDedup.clean(corpus.toDF("doc_id", "text"), "doc_id", "text", k)
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"),
+            r.getAs[String]("text_clean")))).toMap
+      assert(got == expected, s"trial $trial (k=$k) diverged")
+    }
+  }
 }
