@@ -54,7 +54,10 @@ object BudgetSelect {
     * running weight (`priorCol`) attached.
     *
     * @param df       input frame
-    * @param groupCol grouping column (budget scope)
+    * @param groupCol grouping column (budget scope); must be non-null —
+    *                 the distributed path re-attaches offsets via an
+    *                 equi-join on the group value, which never matches
+    *                 null (coalesce upstream if a null group is real)
     * @param prefCols preference order within the group as
     *                 (expression, ascending) pairs; (prefCols, key)
     *                 must totally order rows for determinism

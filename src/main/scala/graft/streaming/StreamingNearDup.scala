@@ -90,12 +90,14 @@ object StreamingNearDup {
               .filterNot(seen.contains)
             val out = Seq.newBuilder[Candidate]
             var members = seen
+            var nMembers = seen.size // List.size is O(n): count once
             fresh.foreach { id =>
-              if (members.length < maxBucketState) {
+              if (nMembers < maxBucketState) {
                 members.foreach { other =>
                   out += Candidate(math.min(id, other), math.max(id, other), band)
                 }
                 members = id :: members
+                nMembers += 1
               } // saturated bucket: stop pairing AND storing (hot-key guard)
             }
             state.update(BucketState(members))

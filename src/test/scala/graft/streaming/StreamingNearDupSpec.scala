@@ -58,6 +58,36 @@ class StreamingNearDupSpec extends SparkSpec {
     assert(got.contains((0L, 9L)), got)
   }
 
+  test("end-to-end on disk: landing dir -> file stream -> stateful LSH -> parquet sink") {
+    import org.apache.spark.sql.types._
+    val landing = tmpDir("ndup_landing")
+    val outDir = tmpDir("ndup_out")
+    val ckpt = tmpDir("ndup_ckpt")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(landing)
+    val q = StreamingNearDup.pairs(stream, "doc_id", "text",
+        shingleK = 2, numHashes = 16, bands = 8)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      import spark.implicits._
+      // batch 1: the original + unrelated docs land as one parquet drop
+      ((Seq(base) ++ unrelated).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) })
+        .toDF("doc_id", "text").write.mode("append").parquet(landing)
+      q.processAllAvailable()
+      // batch 2: the near-dup lands later — only bucket state can pair it
+      Seq((9L, nearDup)).toDF("doc_id", "text")
+        .write.mode("append").parquet(landing)
+      q.processAllAvailable()
+    } finally q.stop()
+    val pairs = spark.read.parquet(outDir).select("doc1", "doc2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 9L)), s"on-disk pairs: $pairs")
+  }
+
   test("saturated hot bucket stops pairing at the cap") {
     // 30 identical docs: every band's bucket saturates at cap 5 —
     // pairs are bounded by C(5,2) per band, and the streamed distinct
