@@ -44,26 +44,87 @@ object SpanDedup {
   /** Per-document (idCol, n_tokens, n_removed, text_clean). */
   def clean(docs: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
+    val sh = spanHashes(docs, idCol, textCol, k)
+    // one owner row per distinct span hash (algebraic min — map-side
+    // combine collapses hot hashes before the wire)
+    val owners = sh.groupBy(col("h"))
+      .agg(min(struct(col("_id").as("doc"), col("pos").as("p"))).as("o"))
+      .select(col("o.doc").as("_id"), col("o.p").as("pos"))
+    reassemble(docs, idCol, textCol, k, nonOwners(sh, owners))
+  }
+
+  /** Incremental form — the daily-increment contract (the q91 shape for
+    * spans): clean a NEW batch against the accumulated span-hash store
+    * without re-reading any history text. A new span whose hash exists
+    * in the store is cut (its owner lives in history — ids are
+    * append-only monotone, so every history instance precedes every new
+    * one); hashes first seen in this batch elect their owner within the
+    * batch exactly as [[clean]] does. Per-increment cost is O(new
+    * spans) + one hash-keyed semi/anti probe of the store — history is
+    * never re-paired against itself.
+    *
+    * Returns (cleaned new batch, this batch's first-seen hashes) — the
+    * caller appends the latter to the store; seeding an empty store
+    * makes the first increment identical to a full [[clean]] run
+    * (parity specced: history clean + incremental clean == full-corpus
+    * clean when new ids follow history ids).
+    *
+    * @param seenHashes single-column (`h`) store of every span hash in
+    *        history (first column is used, name-agnostic)
+    */
+  def cleanIncremental(newDocs: DataFrame, idCol: String, textCol: String,
+      k: Int, seenHashes: DataFrame): (DataFrame, DataFrame) = {
+    val spark = newDocs.sparkSession
+    // the positioned stream feeds three consumers (hits, batch owners,
+    // first-seen hashes) — materialize once, batch-sized
+    val sh = spanHashes(newDocs, idCol, textCol, k).localCheckpoint()
+    val seen = seenHashes.select(seenHashes.columns.head).toDF("h")
+    val hits = sh.join(seen, Seq("h"), "left_semi")
+    val misses = sh.join(seen, Seq("h"), "left_anti")
+    val owners = misses.groupBy(col("h"))
+      .agg(min(struct(col("_id").as("doc"), col("pos").as("p"))).as("o"))
+    val batchDups = nonOwners(misses,
+      owners.select(col("o.doc").as("_id"), col("o.p").as("pos")))
+    val dup = hits.select(col("_id"), col("pos"))
+      .unionByName(batchDups)
+    (reassemble(newDocs, idCol, textCol, k, dup), owners.select(col("h")))
+  }
+
+  /** Distinct span-hash store of a corpus slice — what an incremental
+    * deployment persists between batches and feeds to
+    * [[cleanIncremental]] (also how a store is bootstrapped from
+    * existing history). */
+  def hashStore(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    spanHashes(docs, idCol, textCol, k).select(col("h")).distinct()
+
+  /** Positioned span-hash stream: (_id, pos [1-based], h). */
+  private def spanHashes(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
     graft.GraftFunctions.registerAll(docs.sparkSession)
     val toks = TextFunctions.tokens(col(textCol))
     // positions are 1-based on both engines; Spark's sequence(1, 0)
     // DESCENDS instead of returning empty, so short docs need the guard
     val starts = when(size(toks) >= k, sequence(lit(1), size(toks) - (k - 1)))
       .otherwise(array().cast("array<int>"))
-    val sh = docs
+    docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("_id"), posexplode(transform(starts,
         i => TextFunctions.tokenHash(concat_ws(" ", slice(toks, i, lit(k)))))))
       .select(col("_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("h"))
-    // one owner row per distinct span hash (algebraic min — map-side
-    // combine collapses hot hashes before the wire)
-    val owners = sh.groupBy(col("h"))
-      .agg(min(struct(col("_id").as("doc"), col("pos").as("p"))).as("o"))
-      .select(col("o.doc").as("_id"), col("o.p").as("pos"))
-    // non-owner instances: anti-join keyed on (doc, pos) — uniform by
-    // construction, never on the (possibly viral) span hash
-    val dup = sh.join(owners, Seq("_id", "pos"), "left_anti")
-      .groupBy(col("_id"))
+  }
+
+  /** Non-owner instances of `stream`: anti-join keyed on (doc, pos) —
+    * uniform by construction, never on the (possibly viral) span hash. */
+  private def nonOwners(stream: DataFrame, owners: DataFrame): DataFrame =
+    stream.join(owners, Seq("_id", "pos"), "left_anti")
+      .select(col("_id"), col("pos"))
+
+  /** Cut every token covered by a removal-position span; reassemble. */
+  private def reassemble(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, removedPositions: DataFrame): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    val dup = removedPositions.groupBy(col("_id"))
       .agg(sort_array(collect_list(col("pos"))).as("_dup_starts"))
     docs
       .join(dup, docs(idCol) === dup("_id"), "left")

@@ -239,7 +239,27 @@ object DedupQueries {
     "q104_span_dedup" -> ((s, dir) =>
       graft.operators.SpanDedup.clean(t(s, dir, "documents"),
           "doc_id", "text", SpanK)
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // incremental span dedup — q104's daily-increment sibling (the q91
+    // contract for spans): the new batch cleans against the history
+    // HASH STORE only; history text is never re-read, history never
+    // re-paired. Split derived from the corpus like q91 (80% of max
+    // doc_id, exact integer arithmetic, same scalar in the oracle).
+    // The oracle is the FULL-corpus q104 rule restricted to new docs —
+    // exact equality proves the store probe + batch owner election
+    // compose to the global owner rule (ids are append-only monotone,
+    // so a history hash's owner always precedes every new instance).
+    "q105_span_dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val split = docs.agg(max(col("doc_id")).cast("long"))
+        .head.getLong(0) * 8L / 10L
+      val store = graft.operators.SpanDedup.hashStore(
+        docs.where(col("doc_id") < split), "doc_id", "text", SpanK)
+      graft.operators.SpanDedup.cleanIncremental(
+          docs.where(col("doc_id") >= split), "doc_id", "text", SpanK, store)
+        ._1.orderBy(col("doc_id"))
+    })
   )
 
   /** q104 span width (3: the synthetic corpus's short random texts only
@@ -381,6 +401,34 @@ object DedupQueries {
          |  COALESCE(array_to_string(list_transform(keptoks, x -> x.t), ' '), '')
          |    AS text_clean
          |FROM clean ORDER BY doc_id""".stripMargin,
+
+    // the full-corpus owner rule restricted to the new batch: exact
+    // equality proves the incremental store-probe composition
+    "q105_span_dedup_incremental" ->
+      s"""WITH d AS (SELECT doc_id, $toks AS toksl FROM documents),
+         |sh AS (SELECT doc_id, u.pos, u.h FROM d,
+         |  UNNEST(list_transform(generate_series(1, greatest(len(toksl) - ${SpanK - 1}, 0)), i ->
+         |    struct_pack(pos := i, h := ${tokenHashSql(
+                  s"array_to_string(list_slice(toksl, i, i + ${SpanK - 1}), ' ')")}))) AS t(u)),
+         |freq AS (SELECT h, COUNT(*) AS f,
+         |    MIN(struct_pack(doc := doc_id, p := pos)) AS owner
+         |  FROM sh GROUP BY h),
+         |dup AS (SELECT doc_id, list_sort(list(pos)) AS dup_starts
+         |  FROM sh JOIN freq USING (h)
+         |  WHERE f >= 2 AND NOT (owner.doc = sh.doc_id AND owner.p = sh.pos)
+         |  GROUP BY doc_id),
+         |clean AS (SELECT d.doc_id, len(toksl) AS n_tokens,
+         |    list_filter(list_transform(toksl, (t, i) -> struct_pack(t := t, i := i)),
+         |      x -> len(list_filter(COALESCE(dup_starts, []),
+         |        s -> s <= x.i AND x.i < s + $SpanK)) = 0) AS keptoks
+         |  FROM d LEFT JOIN dup ON d.doc_id = dup.doc_id)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(n_tokens - len(keptoks) AS BIGINT) AS n_removed,
+         |  COALESCE(array_to_string(list_transform(keptoks, x -> x.t), ' '), '')
+         |    AS text_clean
+         |FROM clean
+         |WHERE doc_id >= (SELECT (MAX(doc_id) * 8) // 10 FROM documents)
+         |ORDER BY doc_id""".stripMargin,
 
     "q96_dedup_paragraphs" ->
       s"""WITH tok AS (SELECT doc_id, $toks AS toksl FROM documents),

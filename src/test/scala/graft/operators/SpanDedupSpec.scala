@@ -52,6 +52,40 @@ class SpanDedupSpec extends SparkSpec {
     assert(out(11L) == ((6L, "")))
   }
 
+  test("incremental == full-corpus clean on the new batch; store grows by first-seen hashes") {
+    import spark.implicits._
+    // history (ids < 100) and a new batch (ids >= 100) with: a span
+    // copied from history (cut via the store), a new span duplicated
+    // WITHIN the batch (batch owner election), and unique text
+    val history = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "x y z w v u")).toDF("doc_id", "text")
+    val fresh = Seq(
+      (100L, "p q alpha beta gamma r"),    // history span at pos 3
+      (101L, "m n o new span here"),       // batch-owner of "new span here"
+      (102L, "k l new span here m")        // batch copy at pos 3
+    ).toDF("doc_id", "text")
+    val full = SpanDedup.clean(history.union(fresh), "doc_id", "text", 3)
+      .where(col("doc_id") >= 100L)
+    val store = SpanDedup.hashStore(history, "doc_id", "text", 3)
+    val (incr, firstSeen) = SpanDedup.cleanIncremental(
+      fresh, "doc_id", "text", 3, store)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_removed"), r.getAs[String]("text_clean"))).toSet
+    assert(rows(incr) == rows(full), s"incr=${rows(incr)} full=${rows(full)}")
+    // the cross-batch copy was cut via the store, the in-batch copy via
+    // batch owner election
+    val byId = rows(incr).map(t => t._1 -> t).toMap
+    assert(byId(100L)._4 == "p q r")
+    assert(byId(101L)._4 == "m n o new span here")
+    assert(byId(102L)._4 == "k l m")
+    // first-seen hashes = the batch's distinct hashes minus the store
+    val expectedNew = SpanDedup.hashStore(fresh, "doc_id", "text", 3)
+      .except(store).collect().map(_.getLong(0)).toSet
+    assert(firstSeen.collect().map(_.getLong(0)).toSet == expectedNew)
+  }
+
   test("property: matches a brute-force reference on random small-alphabet corpora") {
     import spark.implicits._
     // small alphabet + short docs force heavy span collisions (the
