@@ -70,17 +70,26 @@ object SpanDedup {
     * clean when new ids follow history ids).
     *
     * @param seenHashes single-column (`h`) store of every span hash in
-    *        history (first column is used, name-agnostic)
+    *        history, ONE ROW PER HASH ([[hashStore]] and the returned
+    *        first-seen set both guarantee this; a duplicated store row
+    *        would duplicate flagged instances). First column is used,
+    *        name-agnostic.
     */
   def cleanIncremental(newDocs: DataFrame, idCol: String, textCol: String,
       k: Int, seenHashes: DataFrame): (DataFrame, DataFrame) = {
-    val spark = newDocs.sparkSession
-    // the positioned stream feeds three consumers (hits, batch owners,
-    // first-seen hashes) — materialize once, batch-sized
-    val sh = spanHashes(newDocs, idCol, textCol, k).localCheckpoint()
+    // ONE store probe (the q91 tag-before-join shape): a semi + anti
+    // pair would re-probe the store per consumer — and the store is
+    // history-sized, the expensive side. The flagged stream is
+    // materialized once, batch-sized, and feeds all three consumers
+    // (hits, batch owners, first-seen hashes).
     val seen = seenHashes.select(seenHashes.columns.head).toDF("h")
-    val hits = sh.join(seen, Seq("h"), "left_semi")
-    val misses = sh.join(seen, Seq("h"), "left_anti")
+      .withColumn("_hit", lit(true))
+    val flagged = spanHashes(newDocs, idCol, textCol, k)
+      .join(seen, Seq("h"), "left")
+      .withColumn("_hit", coalesce(col("_hit"), lit(false)))
+      .localCheckpoint()
+    val hits = flagged.where(col("_hit"))
+    val misses = flagged.where(!col("_hit"))
     val owners = misses.groupBy(col("h"))
       .agg(min(struct(col("_id").as("doc"), col("pos").as("p"))).as("o"))
     val batchDups = nonOwners(misses,

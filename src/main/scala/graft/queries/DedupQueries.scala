@@ -151,7 +151,8 @@ object DedupQueries {
       // left the batch empty at sf0.001 (vacuously green) and inverted
       // the scenario above sf0.01. 1-row agg over the CHECKPOINTED
       // signatures: metadata-sized, no second corpus scan.
-      val split = sigs.agg(max(col("doc_id")).cast("long")).head.getLong(0) * 8L / 10L
+      val split = sigs.agg(coalesce(max(col("doc_id")).cast("long"), lit(0L)))
+        .head.getLong(0) * 8L / 10L
       graft.operators.MinHashDedup.incrementalPairsFromSignatures(
           sigs.where(col("doc_id") < split),
           sigs.where(col("doc_id") >= split),
@@ -252,7 +253,9 @@ object DedupQueries {
     // so a history hash's owner always precedes every new instance).
     "q105_span_dedup_incremental" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val split = docs.agg(max(col("doc_id")).cast("long"))
+      // coalesce(0): an empty table must yield an empty result, not an
+      // NPE on the null max (the oracle's >= NULL degrades to empty too)
+      val split = docs.agg(coalesce(max(col("doc_id")).cast("long"), lit(0L)))
         .head.getLong(0) * 8L / 10L
       val store = graft.operators.SpanDedup.hashStore(
         docs.where(col("doc_id") < split), "doc_id", "text", SpanK)

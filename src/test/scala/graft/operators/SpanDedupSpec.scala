@@ -84,6 +84,14 @@ class SpanDedupSpec extends SparkSpec {
     val expectedNew = SpanDedup.hashStore(fresh, "doc_id", "text", 3)
       .except(store).collect().map(_.getLong(0)).toSet
     assert(firstSeen.collect().map(_.getLong(0)).toSet == expectedNew)
+
+    // empty-store bootstrap: the first increment IS a full clean run
+    val emptyStore = store.where(lit(false))
+    val (boot, bootSeen) = SpanDedup.cleanIncremental(
+      fresh, "doc_id", "text", 3, emptyStore)
+    assert(rows(boot) == rows(SpanDedup.clean(fresh, "doc_id", "text", 3)))
+    assert(bootSeen.count() ==
+      SpanDedup.hashStore(fresh, "doc_id", "text", 3).count())
   }
 
   test("property: matches a brute-force reference on random small-alphabet corpora") {
