@@ -165,6 +165,36 @@ object SampleQueries {
         .where(col("n_tok") > col("med_tok"))
         .select(col("source"), col("doc_id"), col("n_tok"), col("med_tok"))
         .orderBy(col("source"), col("doc_id"))
+    }),
+
+    // per-source corpus report card — the dataset-summary artifact a
+    // curation run publishes: doc/token totals, exact mean quality
+    // (decimal(18,6) sum — quality carries 6 dp, the money-grade
+    // dec(18,2) helper would truncate it), median length, language
+    // breadth, exact-dup incidence. One scan feeds both aggregates
+    // (per-source stats + the fingerprint dup census); everything after
+    // is metadata-sized. dup_frac rounds integer-exactly (round6):
+    // per-source doc counts can carry 2^7 of powers of two.
+    "q106_corpus_report" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("source"), col("lang"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"),
+          TextFunctions.qualityScore(col("text")).as("q"), fp.as("fp"))
+        .localCheckpoint() // two consumers: stats + dup census
+      val dup = d.groupBy(col("source"), col("fp"))
+        .agg(count(lit(1)).as("c")).where(col("c") >= 2)
+        .groupBy(col("source")).agg(sum(col("c")).as("n_dup_docs"))
+      d.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          (sum(col("q").cast("decimal(18,6)")).cast("double") /
+            count(lit(1))).as("mean_quality"),
+          expr("percentile(n_tok, 0.5)").as("med_tok"),
+          countDistinct(col("lang")).as("n_langs"))
+        .join(broadcast(dup), Seq("source"), "left")
+        .withColumn("n_dup_docs", coalesce(col("n_dup_docs"), lit(0L)))
+        .withColumn("dup_frac", round6(col("n_dup_docs"), col("n_docs")))
+        .orderBy(col("source"))
     })
   )
 
@@ -245,6 +275,27 @@ object SampleQueries {
          |SELECT d.source, doc_id, n_tok, med_tok
          |FROM d JOIN thr ON d.source = thr.source
          |WHERE n_tok > med_tok
-         |ORDER BY d.source, doc_id""".stripMargin
+         |ORDER BY d.source, doc_id""".stripMargin,
+
+    "q106_corpus_report" ->
+      s"""WITH d AS (SELECT source, lang,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok,
+         |    ${TextFunctions.qualityScoreSql("text")} AS q,
+         |    $fpSql AS fp
+         |  FROM documents),
+         |dup AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_dup_docs
+         |  FROM (SELECT source, fp, COUNT(*) AS c FROM d GROUP BY 1, 2)
+         |  WHERE c >= 2 GROUP BY source),
+         |rep AS (SELECT source, COUNT(*) AS n_docs,
+         |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_quality,
+         |    quantile_cont(n_tok, 0.5) AS med_tok,
+         |    COUNT(DISTINCT lang) AS n_langs
+         |  FROM d GROUP BY source)
+         |SELECT r.source, n_docs, n_tokens, mean_quality, med_tok, n_langs,
+         |  COALESCE(n_dup_docs, 0) AS n_dup_docs,
+         |  ${oRound6("COALESCE(n_dup_docs, 0)", "n_docs")} AS dup_frac
+         |FROM rep r LEFT JOIN dup USING (source)
+         |ORDER BY r.source""".stripMargin
   )
 }
