@@ -262,8 +262,46 @@ object DedupQueries {
       graft.operators.SpanDedup.cleanIncremental(
           docs.where(col("doc_id") >= split), "doc_id", "text", SpanK, store)
         ._1.orderBy(col("doc_id"))
+    }),
+
+    // per-document novelty: the fraction of a doc's distinct shingles
+    // whose FIRST corpus occurrence (min doc_id) is this doc — the
+    // marginal-contribution curve behind "is more of this source still
+    // adding new content?" dataset-growth decisions. Shape: the novel
+    // count per doc is firsts.groupBy(first_doc) — the (sh, doc) pairs
+    // are NEVER joined back on the shingle, so a boilerplate shingle in
+    // every doc is absorbed map-side by the min/count partial aggs (no
+    // q86-style hot window partition; two keyed shuffles total).
+    "q109_shingle_novelty" -> ((s, dir) => {
+      graft.GraftFunctions.registerAll(s)
+      // repartition BEFORE the per-row shingling: the table arrives as
+      // few parquet splits and the hash work would run on as few cores
+      // (MinHashDedup.signatures records the same lesson); the native
+      // shingle_hashes combine is ~10x the char-rehashing spelling
+      val pairs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), explode(graft.operators.MinHashDedup
+          .shingleHashesFromTokens(col("text"), NoveltyK)).as("sh"))
+        .localCheckpoint() // two consumers; shingling is the wide scan
+      val firsts = pairs.groupBy("sh").agg(min("doc_id").as("first_doc"))
+      val novel = firsts.groupBy(col("first_doc").as("doc_id"))
+        .agg(count(lit(1)).as("n_novel"))
+      pairs.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+        .join(novel, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+          // integer-exact: per-doc distinct-shingle counts can carry 2^7
+          round6(coalesce(col("n_novel"), lit(0L)), col("n_shingles"))
+            .as("novel_frac"))
+        .orderBy(col("doc_id"))
     })
   )
+
+  /** q109 shingle width (3-gram, same granularity as the q99 source
+    * overlap matrix — fine enough to overlap across the synthetic
+    * corpus, coarse enough to mean copied phrasing). */
+  private val NoveltyK = 3
 
   /** q104 span width (3: the synthetic corpus's short random texts only
     * collide at small k — real pipelines run 50-token windows; the
@@ -466,6 +504,18 @@ object DedupQueries {
          |WHERE doc_id % 97 <> 0
          |GROUP BY doc_id HAVING COUNT(DISTINCT sh) >= 2
          |ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    "q109_shingle_novelty" ->
+      s"""WITH p AS (SELECT doc_id, unnest(${graft.operators.MinHashDedup
+             .shingleHashesFromTokensSql("text", NoveltyK)}) AS sh FROM documents),
+         |f AS (SELECT sh, MIN(doc_id) AS first_doc FROM p GROUP BY sh),
+         |nv AS (SELECT first_doc AS doc_id, COUNT(*) AS n_novel
+         |       FROM f GROUP BY first_doc),
+         |pd AS (SELECT doc_id, COUNT(*) AS n_shingles FROM p GROUP BY doc_id)
+         |SELECT pd.doc_id, n_shingles, COALESCE(n_novel, 0) AS n_novel,
+         |  ${oRound6("COALESCE(n_novel, 0)", "n_shingles")} AS novel_frac
+         |FROM pd LEFT JOIN nv ON pd.doc_id = nv.doc_id
+         |ORDER BY pd.doc_id""".stripMargin
   )
 }

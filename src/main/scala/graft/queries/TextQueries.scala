@@ -275,8 +275,96 @@ object TextQueries {
           size(kept).cast("long").as("n_after"),
           array_join(kept, " ").as("text_norm"))
         .orderBy(col("doc_id"))
+    }),
+
+    // corpus heavy hitters: EXACT tokens above a frequency threshold,
+    // found without a full-token shuffle — per-partition Misra-Gries
+    // proposes candidates (no false negatives for the threshold), an
+    // exact recount over a broadcast semi join disposes. The oracle is
+    // the naive GROUP BY HAVING; at 100 TB the MG path moves
+    // O(partitions x candidates) rows where the oracle's shape moves
+    // every token occurrence. See operators/HeavyHitters.scala.
+    "q107_heavy_hitters" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("item"))
+      graft.operators.HeavyHitters.exact(toks, "item", HhPpm)
+        .select(col("item").as("token"), col("cnt"),
+          // integer-exact: n_total carries arbitrary powers of two
+          round6(col("cnt"), col("n_total")).as("frac"))
+        .orderBy(col("token"))
+    }),
+
+    // Simpson diversity index per document: 1 - sum(c_i^2)/n^2 over
+    // token counts — the probability two random tokens differ. A proper
+    // diversity complement to q82's top-token/dup-bigram repetition
+    // stats; integer-exact (numerator n^2 - sum c_i^2 is a whole
+    // number), pure per-row compute, no shuffle before the sort.
+    "q108_token_diversity" -> ((s, dir) => {
+      graft.GraftFunctions.registerAll(s)
+      val toksC = tokens(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(toksC).cast("long").as("n_tokens"),
+          expr("aggregate(transform(term_counts(" +
+            "split(trim(text), '\\\\s+')), x -> CAST(x.cnt AS BIGINT) * x.cnt), " +
+            "CAST(0 AS BIGINT), (a, b) -> a + b)").as("sum_sq"))
+        .select(col("doc_id"), col("n_tokens"),
+          round6(col("n_tokens") * col("n_tokens") - col("sum_sq"),
+            col("n_tokens") * col("n_tokens")).as("simpson"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // pairwise total-variation distance between per-source unigram
+    // distributions — the "how different are my sources, really"
+    // input to mixture design (q77/q101). TV = ½·Σ|p_a − p_b| over the
+    // union vocab, computed ENTIRELY in integer space: the numerator is
+    // Σ_{t∈A∩B}|c_a·N_b − c_b·N_a| + 2·N_a·N_b − N_b·Σc_a − N_a·Σc_b
+    // (the union-only terms folded in via the totals), so there is no
+    // per-token double division to drift and no transcendental (a KL
+    // spelling would put ln() parity at the engines' libm mercy).
+    // Shape: one corpus-wide (source, token) count groupBy, then ALL
+    // joins are on the count table (vocab × sources rows — metadata-
+    // sized next to the corpus) — the token-keyed self-join is the 100
+    // TB path, pairwise only in #sources.
+    "q110_source_tv" -> ((s, dir) => {
+      val cnts = t(s, dir, "documents")
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+        .localCheckpoint() // consumed 3x; the corpus scan happens once
+      val totals = cnts.groupBy("source").agg(sum("c").as("n"))
+      val wt = cnts.join(broadcast(totals), "source")
+      val l = wt.select(col("tok"), col("source").as("src_a"),
+        col("c").as("ca"), col("n").as("na"))
+      val r = wt.select(col("tok"), col("source").as("src_b"),
+        col("c").as("cb"), col("n").as("nb"))
+      val sums = l.join(r, Seq("tok")).where(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(sum(abs(col("ca") * col("nb") - col("cb") * col("na"))).as("s_abs"),
+          sum(col("ca")).as("s_ca"), sum(col("cb")).as("s_cb"),
+          count(lit(1)).as("n_common"))
+      // disjoint-vocab pairs never meet in the self-join: seed from the
+      // (tiny) source cross product so they surface with tv = 1
+      val pairs = totals.select(col("source").as("src_a"), col("n").as("na"))
+        .crossJoin(totals.select(col("source").as("src_b"), col("n").as("nb")))
+        .where(col("src_a") < col("src_b"))
+      pairs.join(sums, Seq("src_a", "src_b"), "left")
+        .select(col("src_a"), col("src_b"),
+          coalesce(col("n_common"), lit(0L)).as("n_common"),
+          round6(
+            coalesce(col("s_abs"), lit(0L))
+              + lit(2L) * col("na") * col("nb")
+              - col("nb") * coalesce(col("s_ca"), lit(0L))
+              - col("na") * coalesce(col("s_cb"), lit(0L)),
+            lit(2L) * col("na") * col("nb")).as("tv"))
+        .orderBy(col("src_a"), col("src_b"))
     })
   )
+
+  // q107 heavy-hitter threshold: 1/30 of all token occurrences (ppm) —
+  // sits mid-distribution on the fixture (the 31-token vocab splits
+  // ~half above / half below at both sf0.01 and sf0.1), so the filter
+  // genuinely discriminates and the MG decrement path fires (k = 31)
+  private val HhPpm = 33333L
 
   // q92: vocabulary prefix size to report coverage for
   private val VocabK = 50
@@ -431,6 +519,54 @@ object TextQueries {
          |SELECT doc_id, CAST(len(toksl) AS BIGINT) AS n_before,
          |  CAST(len(kept) AS BIGINT) AS n_after,
          |  array_to_string(kept, ' ') AS text_norm
-         |FROM n ORDER BY doc_id""".stripMargin
+         |FROM n ORDER BY doc_id""".stripMargin,
+
+    "q107_heavy_hitters" ->
+      s"""WITH toks AS (SELECT unnest(string_split_regex(trim(text), '\\s+'))
+         |    AS token FROM documents),
+         |tot AS (SELECT COUNT(*) AS n FROM toks),
+         |cnts AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token)
+         |SELECT token, cnt, ${oRound6("cnt", "n")} AS frac
+         |FROM cnts, tot
+         |WHERE cnt * 1000000 >= $HhPpm * n
+         |ORDER BY token""".stripMargin,
+
+    "q108_token_diversity" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    string_split_regex(trim(text), '\\s+') AS toksl FROM documents),
+         |s AS (SELECT doc_id, CAST(len(toksl) AS BIGINT) AS n_tokens,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(list_distinct(toksl),
+         |        t -> CAST(len(list_filter(toksl, x -> x = t)) AS BIGINT)
+         |             * len(list_filter(toksl, x -> x = t)))),
+         |      (a, b) -> a + b) AS sum_sq
+         |  FROM d)
+         |SELECT doc_id, n_tokens,
+         |  ${oRound6("n_tokens * n_tokens - sum_sq", "n_tokens * n_tokens")}
+         |    AS simpson
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q110_source_tv" ->
+      s"""WITH toks AS (SELECT source, unnest(string_split_regex(trim(text),
+         |    '\\s+')) AS tok FROM documents),
+         |c AS (SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY source, tok),
+         |tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY source),
+         |wt AS (SELECT c.source, tok, c.c, tot.n FROM c JOIN tot USING (source)),
+         |s AS (SELECT a.source AS src_a, b.source AS src_b,
+         |        COUNT(*) AS n_common,
+         |        CAST(SUM(abs(a.c * b.n - b.c * a.n)) AS BIGINT) AS s_abs,
+         |        CAST(SUM(a.c) AS BIGINT) AS s_ca,
+         |        CAST(SUM(b.c) AS BIGINT) AS s_cb
+         |      FROM wt a JOIN wt b USING (tok) WHERE a.source < b.source
+         |      GROUP BY 1, 2),
+         |p AS (SELECT a.source AS src_a, a.n AS na, b.source AS src_b, b.n AS nb
+         |      FROM tot a, tot b WHERE a.source < b.source)
+         |SELECT src_a, src_b, COALESCE(n_common, 0) AS n_common,
+         |  ${oRound6(
+             "COALESCE(s_abs, 0) + 2 * na * nb" +
+               " - nb * COALESCE(s_ca, 0) - na * COALESCE(s_cb, 0)",
+             "2 * na * nb")} AS tv
+         |FROM p LEFT JOIN s USING (src_a, src_b)
+         |ORDER BY src_a, src_b""".stripMargin
   )
 }
