@@ -75,6 +75,33 @@ object VectorFunctions {
     bits.reduce(_ + _)
   }
 
+  /** Matrix-free Johnson–Lindenstrauss random projection: k dot
+    * products against the SAME deterministic pseudo-plane family the
+    * LSH buckets use (plane index range [offset, offset+k)), each
+    * rounded to 8 dp for engine parity. No projection matrix is stored
+    * or broadcast — weights derive from (plane, dim) arithmetic — so
+    * the operator is pure per-row compute at any corpus size: the
+    * standard cheap front-end to clustering/ANN when the raw dimension
+    * is the cost driver. */
+  def randProject(vec: Column, k: Int, offset: Int): Column =
+    transform(sequence(lit(offset), lit(offset + k - 1)), p => {
+      val proj = fold(zip_with(vec,
+        sequence(lit(0), size(vec) - 1),
+        (x, i) => x.cast("double") *
+          (((p.cast("long") * 1315423911L + i.cast("long") * 2654435761L) % 1000003L)
+            .cast("double") / 1000003.0 - 0.5)))
+      round(proj, 8)
+    })
+
+  /** DuckDB spelling of [[randProject]] — identical fold order. */
+  def randProjectSql(vec: String, k: Int, offset: Int): String =
+    s"list_transform(generate_series($offset, ${offset + k - 1}), " +
+      s"p -> round(list_reduce(list_prepend(0.0, " +
+      s"list_transform(generate_series(1, len($vec)), " +
+      s"i -> CAST($vec[i] AS DOUBLE) * " +
+      s"(CAST((CAST(p AS BIGINT) * 1315423911 + CAST(i - 1 AS BIGINT) * 2654435761) % 1000003 AS DOUBLE) " +
+      s"/ 1000003.0 - 0.5))), (x, y) -> x + y), 8))"
+
   def lshBucketBandSql(vec: String, planes: Int, offset: Int): String = {
     val bits = (0 until planes).map { p =>
       val plane = (offset + p).toLong

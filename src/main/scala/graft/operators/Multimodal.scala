@@ -10,10 +10,14 @@ import org.apache.spark.sql.types._
   * functions (the Scala analog of `mapInPandas` batch UDFs).
   *
   * The Spark-side plumbing — schema, batching, partition sizing — is
-  * real and tested; the media DECODE itself is a clearly-marked
-  * deterministic STUB (`decodeStub`): this container has no image/audio
-  * codecs, so the stub derives stable pseudo-metadata from the bytes.
-  * Swapping in a real codec touches only the two stub functions.
+  * real and tested. Decode is REAL for the image formats the JDK ships
+  * codecs for (PNG/JPEG/BMP/GIF/WBMP via `javax.imageio` — no external
+  * dependency): true width/height plus an 8-bin luminance histogram as
+  * the feature vector. Rows whose format is not a JDK-decodable image
+  * (audio, video, exotic codecs — absent from this container) fall back
+  * to the clearly-marked deterministic STUB (`decodeStub`), which
+  * derives stable pseudo-metadata from the bytes; swapping in ffmpeg
+  * bindings for those touches only the stub functions.
   *
   * Scale notes: media rows are large — the entry point re-partitions by
   * a target bytes-per-partition budget before mapping, so a 100 TB media
@@ -37,13 +41,60 @@ object Multimodal {
     StructField("checksum", LongType),
     StructField("features", ArrayType(FloatType))))
 
-  /** STUB decode — deterministic pseudo metadata/features from bytes.
-    * Replace with a real codec (javax.imageio / ffmpeg bindings) in a
-    * production deployment; everything downstream is shape-compatible. */
-  def decodeStub(bytes: Array[Byte]): (Int, Int, Long, Array[Float]) = {
+  /** Formats routed to the REAL `javax.imageio` decoder (lowercased
+    * `format` column values). Everything else uses the stub. */
+  val ImageFormats: Set[String] = Set("png", "jpg", "jpeg", "bmp", "gif", "wbmp")
+
+  /** REAL image decode via the JDK's bundled ImageIO codecs — no
+    * external library. Returns None when the bytes don't decode (then
+    * the caller falls back to the labeled stub, so a corrupt file
+    * degrades instead of failing the task). Features are an 8-bin
+    * luminance histogram (Rec.601 integer weights), normalized by the
+    * pixel count — deterministic for a given decoded raster. */
+  def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Long, Array[Float])] = {
+    if (bytes.isEmpty) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val hist = new Array[Float](8)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000
+            hist(lum >> 5) += 1f
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w.toLong * h).toFloat
+        var j = 0
+        while (j < 8) { hist(j) /= n; j += 1 }
+        Some((w, h, byteChecksum(bytes), hist))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Polynomial byte checksum — shared by both decode paths so the
+    * lineage column is comparable regardless of which decoder ran. */
+  def byteChecksum(bytes: Array[Byte]): Long = {
     var h = 0L
     var i = 0
     while (i < bytes.length) { h = (h * 31 + (bytes(i) & 0xff)) % 1000000007L; i += 1 }
+    h
+  }
+
+  /** STUB decode — deterministic pseudo metadata/features from bytes.
+    * Used for formats with no JDK codec (audio/video); replace with
+    * ffmpeg bindings in a production deployment — everything downstream
+    * is shape-compatible. */
+  def decodeStub(bytes: Array[Byte]): (Int, Int, Long, Array[Float]) = {
+    val h = byteChecksum(bytes)
     val w = 64 + (h % 1024).toInt            // pseudo width
     val ht = 64 + ((h / 1024) % 1024).toInt  // pseudo height
     val feats = new Array[Float](8)
@@ -91,7 +142,12 @@ object Multimodal {
           val id = r.getLong(0)
           val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
           val fmt = r.getString(2)
-          val (w, h, checksum, feats) = decodeStub(bytes)
+          // real JDK codec for image formats (corrupt bytes degrade to
+          // the stub instead of failing the task); stub for the rest
+          val (w, h, checksum, feats) =
+            (if (fmt != null && ImageFormats.contains(fmt.toLowerCase))
+               decodeImage(bytes) else None)
+              .getOrElse(decodeStub(bytes))
           Row(id, fmt, bytes.length.toLong, w, h, checksum, feats.toSeq)
         }
       }

@@ -18,6 +18,11 @@ object VectorQueries {
   private val NQueries = 3
   private val Planes = 8
 
+  // q111 JL projection: target dim + plane-family offset (disjoint
+  // from the q71 buckets' [0,8) and q69 bands' ranges)
+  private val ProjK = 8
+  private val ProjOffset = 512
+
   val queries: Map[String, Q] = Map(
     "q70_ann_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -168,6 +173,21 @@ object VectorQueries {
         .orderBy(col("query_id"), col("rn"))
     }),
 
+    // matrix-free JL random projection (64 -> 8 dims): the cheap
+    // front-end to clustering/ANN when raw dimension drives cost.
+    // Pure per-row compute — no stored matrix, no broadcast, no
+    // shuffle before the sort; weights derive from (plane, dim)
+    // integer arithmetic, the same family the LSH buckets use (plane
+    // range disjoint via ProjOffset). Exploded to scalar rows for
+    // engine-parity hashing (array columns don't sort portably).
+    "q111_embedding_project" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          posexplode(randProject(col("embedding"), ProjK, ProjOffset)))
+        .withColumnRenamed("pos", "dim")
+        .withColumnRenamed("col", "p")
+        .orderBy(col("vec_id"), col("dim"))),
+
     "q73_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val queriesDf = emb.where(col("vec_id") < NQueries)
@@ -182,6 +202,14 @@ object VectorQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q111_embedding_project" ->
+      s"""WITH e AS (SELECT vec_id, label,
+         |    ${randProjectSql("embedding", ProjK, ProjOffset)} AS pr
+         |  FROM embeddings),
+         |i AS (SELECT unnest(generate_series(1, $ProjK)) AS i)
+         |SELECT vec_id, label, CAST(i - 1 AS INT) AS dim, pr[i] AS p
+         |FROM e, i ORDER BY vec_id, dim""".stripMargin,
+
     "q70_ann_bruteforce" -> {
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
          |           WHERE vec_id < $NQueries),

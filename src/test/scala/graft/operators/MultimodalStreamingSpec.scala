@@ -38,6 +38,45 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_.getInt(1)).toSeq.take(4) == Seq(0, 1, 2, 3))
     assert(frames.forall(_.getAs[Array[Byte]](2).nonEmpty))
   }
+
+  /** Deterministic w×h PNG: left half black, right half white. */
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if (x < w / 2) 0x000000 else 0xffffff)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("image formats decode for REAL via the JDK codec (true dims + histogram)") {
+    val rows = Seq(
+      Row(0L, pngBytes(32, 16), "png"),
+      Row(1L, pngBytes(10, 10), "PNG"),       // format match is case-blind
+      Row(2L, Array[Byte](1, 2, 3), "png"),   // corrupt -> stub fallback
+      Row(3L, pngBytes(8, 8), "wav"))         // non-image -> stub
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), Multimodal.MediaSchema)
+    val got = Multimodal.extractFeatures(media).orderBy("media_id").collect()
+
+    // true dimensions from the decoded raster, not byte-derived pseudo
+    assert(got(0).getInt(3) == 32 && got(0).getInt(4) == 16)
+    assert(got(1).getInt(3) == 10 && got(1).getInt(4) == 10)
+    // half-black half-white: luminance mass sits in bins 0 and 7 only
+    val hist = got(0).getSeq[Float](6)
+    assert(math.abs(hist(0) - 0.5f) < 1e-6 && math.abs(hist(7) - 0.5f) < 1e-6,
+      s"expected 50/50 luminance split, got $hist")
+    assert((1 to 6).forall(b => hist(b) == 0f), s"mid bins must be empty: $hist")
+    // corrupt bytes and non-image formats take the stub path (pseudo
+    // dims are byte-derived, never the raster's)
+    val stubDims = Multimodal.decodeStub(Array[Byte](1, 2, 3))
+    assert(got(2).getInt(3) == stubDims._1 && got(2).getInt(4) == stubDims._2)
+    val wavStub = Multimodal.decodeStub(pngBytes(8, 8))
+    assert(got(3).getInt(3) == wavStub._1 && got(3).getInt(4) == wavStub._2)
+    // checksum lineage is decoder-independent (shared byteChecksum)
+    assert(got(0).getLong(5) == Multimodal.byteChecksum(pngBytes(32, 16)))
+  }
 }
 
 class IngestStreamSpec extends SparkSpec {

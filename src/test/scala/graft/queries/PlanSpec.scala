@@ -260,4 +260,57 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_"),
       s"freq/owner aggregation must map-side combine:\n$plan")
   }
+
+  test("heavy hitters recount semi-joins broadcast candidates (token stream never shuffled raw)") {
+    val plan = explained("q107_heavy_hitters")
+    // the exact recount must stream the token scan through a broadcast
+    // semi join — a sort-merge join (or no join at all: a plain global
+    // groupBy) would shuffle every token occurrence, the shape the MG
+    // candidate pass exists to avoid
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"candidates must broadcast into a semi join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"token stream must not shuffle into a join:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"recount must map-side combine:\n$plan")
+  }
+
+  test("shingle novelty never joins back on the shingle key") {
+    val plan = explained("q109_shingle_novelty")
+    // novel-per-doc comes from re-grouping the firsts table by its
+    // first_doc column; the doc join is on doc_id only. A join keyed on
+    // the shingle would hand a boilerplate shingle's group to one task.
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("partial_min"),
+      s"first-occurrence min must map-side combine (hot-shingle absorption):\n$plan")
+  }
+
+  test("source TV distance self-joins the count table, totals broadcast") {
+    val full = explained("q110_source_tv")
+    val plan = full.indexOf("Initial Plan") match {
+      case -1 => full
+      case i => full.substring(0, i)
+    }
+    // corpus appears only through the checkpointed (source, token) count
+    // table; totals attach by broadcast; the only non-broadcast join is
+    // the token-keyed count-table self-join
+    assert(count(plan, "Scan parquet") == 0,
+      s"corpus must be consumed via the materialized count table:\n$plan")
+    assert(count(plan, "BroadcastHashJoin") >= 2,
+      s"per-source totals must broadcast:\n$plan")
+    // partial_ markers live in the node-detail section (full dump only)
+    assert(full.contains("partial_sum"),
+      s"pair sums must map-side combine:\n$full")
+  }
+
+  test("JL projection is pure per-row compute (no data shuffle)") {
+    val plan = explained("q111_embedding_project")
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortMergeJoin") &&
+      !plan.contains("BroadcastHashJoin"),
+      s"projection must not aggregate or join:\n$plan")
+    assert(count(plan, "+- ShuffleQueryStage") <= 1,
+      s"only the output sort may shuffle:\n$plan")
+    assert(plan.contains("Generate"), s"expected posexplode Generate:\n$plan")
+  }
 }
