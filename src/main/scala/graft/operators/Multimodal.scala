@@ -10,14 +10,17 @@ import org.apache.spark.sql.types._
   * functions (the Scala analog of `mapInPandas` batch UDFs).
   *
   * The Spark-side plumbing — schema, batching, partition sizing — is
-  * real and tested. Decode is REAL for the image formats the JDK ships
-  * codecs for (PNG/JPEG/BMP/GIF/WBMP via `javax.imageio` — no external
-  * dependency): true width/height plus an 8-bin luminance histogram as
-  * the feature vector. Rows whose format is not a JDK-decodable image
-  * (audio, video, exotic codecs — absent from this container) fall back
-  * to the clearly-marked deterministic STUB (`decodeStub`), which
-  * derives stable pseudo-metadata from the bytes; swapping in ffmpeg
-  * bindings for those touches only the stub functions.
+  * real and tested. Decode is REAL wherever the JDK ships a codec — no
+  * external dependency:
+  *  - images (PNG/JPEG/BMP/GIF/WBMP via `javax.imageio`): true
+  *    width/height plus an 8-bin luminance histogram as features;
+  *  - PCM audio (WAV/AIFF/AU via `javax.sound.sampled`): sample rate +
+  *    channels plus 8 per-segment RMS amplitudes as features.
+  * Rows with any other format (video, compressed audio — no ffmpeg in
+  * this container), and corrupt bytes of a claimed format, fall back to
+  * the clearly-marked deterministic STUB (`decodeStub`), which derives
+  * stable pseudo-metadata from the bytes; swapping in real bindings for
+  * those touches only the stub functions.
   *
   * Scale notes: media rows are large — the entry point re-partitions by
   * a target bytes-per-partition budget before mapping, so a 100 TB media
@@ -77,6 +80,70 @@ object Multimodal {
         while (j < 8) { hist(j) /= n; j += 1 }
         Some((w, h, byteChecksum(bytes), hist))
       }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Formats routed to the REAL `javax.sound.sampled` decoder (JDK
+    * ships WAV/AIFF/AU parsers — PCM audio, no external codec). */
+  val AudioFormats: Set[String] = Set("wav", "wave", "aiff", "aif", "au")
+
+  /** REAL audio decode via the JDK's bundled sound API. Maps the clip
+    * into the shared feature schema: width = sample rate (Hz),
+    * height = channels, features = 8 per-segment RMS amplitudes
+    * (normalized to [0,1]) over the first `maxFrames` frames — the
+    * audio analog of the image luminance histogram. None when the
+    * bytes aren't a JDK-parseable audio container (caller falls back
+    * to the stub). */
+  def decodeAudio(bytes: Array[Byte],
+      maxFrames: Int = 1 << 20): Option[(Int, Int, Long, Array[Float])] = {
+    if (bytes.isEmpty) return None
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val bits = fmt.getSampleSizeInBits
+        if (bits != 16 && bits != 8) return None // PCM 8/16-bit only
+        val channels = fmt.getChannels
+        val frameBytes = fmt.getFrameSize
+        val nFrames = math.min(
+          if (in.getFrameLength >= 0) in.getFrameLength else maxFrames.toLong,
+          maxFrames.toLong).toInt
+        val buf = new Array[Byte](nFrames * frameBytes)
+        var off = 0
+        var read = 0
+        while (off < buf.length && read >= 0) {
+          read = in.read(buf, off, buf.length - off)
+          if (read > 0) off += read
+        }
+        val frames = off / frameBytes
+        if (frames == 0) return None
+        val feats = new Array[Float](8)
+        val segLen = math.max(1, frames / 8)
+        val bigEndian = fmt.isBigEndian
+        var seg = 0
+        while (seg < 8) {
+          val from = seg * segLen
+          val to = math.min(frames, from + segLen)
+          var sumSq = 0.0
+          var f = from
+          while (f < to) {
+            // first channel of each frame
+            val base = f * frameBytes
+            val s =
+              if (bits == 16) {
+                val (b0, b1) = (buf(base) & 0xff, buf(base + 1) & 0xff)
+                val raw = if (bigEndian) (b0 << 8) | b1 else (b1 << 8) | b0
+                (raw.toShort.toDouble) / 32768.0
+              } else (buf(base) & 0xff) / 255.0 * 2.0 - 1.0
+            sumSq += s * s
+            f += 1
+          }
+          feats(seg) = if (to > from) math.sqrt(sumSq / (to - from)).toFloat else 0f
+          seg += 1
+        }
+        Some(((fmt.getSampleRate + 0.5f).toInt, channels, byteChecksum(bytes), feats))
+      } finally in.close()
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
@@ -142,11 +209,14 @@ object Multimodal {
           val id = r.getLong(0)
           val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
           val fmt = r.getString(2)
-          // real JDK codec for image formats (corrupt bytes degrade to
-          // the stub instead of failing the task); stub for the rest
+          // real JDK codecs for image + PCM-audio formats (corrupt
+          // bytes degrade to the stub instead of failing the task);
+          // stub for the rest (video — no ffmpeg in this container)
+          val fmtL = if (fmt == null) "" else fmt.toLowerCase
           val (w, h, checksum, feats) =
-            (if (fmt != null && ImageFormats.contains(fmt.toLowerCase))
-               decodeImage(bytes) else None)
+            (if (ImageFormats.contains(fmtL)) decodeImage(bytes)
+             else if (AudioFormats.contains(fmtL)) decodeAudio(bytes)
+             else None)
               .getOrElse(decodeStub(bytes))
           Row(id, fmt, bytes.length.toLong, w, h, checksum, feats.toSeq)
         }

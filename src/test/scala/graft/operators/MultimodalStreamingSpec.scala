@@ -77,6 +77,40 @@ class MultimodalSpec extends SparkSpec {
     // checksum lineage is decoder-independent (shared byteChecksum)
     assert(got(0).getLong(5) == Multimodal.byteChecksum(pngBytes(32, 16)))
   }
+
+  /** 16-bit mono PCM WAV: `frames` samples from a generator. */
+  private def wavBytes(frames: Int, rate: Float)(sample: Int => Short): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val pcm = new Array[Byte](frames * 2)
+    for (i <- 0 until frames) {
+      val s = sample(i)
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("PCM WAV decodes for REAL via the JDK sound API (rate, channels, RMS)") {
+    // 1600 frames @8kHz: first half silence, second half full-scale
+    // square wave -> RMS segments 0..3 ~ 0, 4..7 ~ 1
+    val wav = wavBytes(1600, 8000f) { i =>
+      if (i < 800) 0 else if (i % 2 == 0) 32767 else -32768
+    }
+    val rows = Seq(Row(0L, wav, "wav"))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), Multimodal.MediaSchema)
+    val got = Multimodal.extractFeatures(media).collect()(0)
+    assert(got.getInt(3) == 8000, "width carries the sample rate")
+    assert(got.getInt(4) == 1, "height carries the channel count")
+    val rms = got.getSeq[Float](6)
+    assert((0 to 3).forall(s => rms(s) < 0.01f), s"leading silence: $rms")
+    assert((4 to 7).forall(s => rms(s) > 0.99f), s"trailing square wave: $rms")
+  }
 }
 
 class IngestStreamSpec extends SparkSpec {
