@@ -50,6 +50,14 @@ object GraftFunctions {
         foldableNum(exprs(1), "shingle_hashes", "n").intValue(),
         foldableNum(exprs(2), "shingle_hashes", "seed").longValue()),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "deflate_ratio", exprs => graft.functions.DeflateRatio(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "rand_project",
+      exprs => graft.functions.RandProject(exprs(0),
+        foldableNum(exprs(1), "rand_project", "k").intValue(),
+        foldableNum(exprs(2), "rand_project", "offset").intValue()),
+      "built-in")
     graft.plans.TimePartitionPruning.install(spark)
   }
 }

@@ -59,6 +59,11 @@ object TextFunctions {
     * aggregate/split form costs a closure call per character). */
   def charFingerprint(text: Column): Column = call_function("poly_hash", text)
 
+  /** Compression-ratio quality signal (see [[DeflateRatio]]): low =
+    * repetitive/boilerplate, ~1 = incompressible junk. No SQL oracle
+    * (DuckDB has no deflate) — property-specced instead. */
+  def compressionRatio(text: Column): Column = call_function("deflate_ratio", text)
+
   /** Same rolling hash, spelled for DuckDB. */
   def charFingerprintSql(col: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($col, ''), c -> CAST(ascii(c) AS BIGINT))), " +

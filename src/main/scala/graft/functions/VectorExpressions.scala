@@ -147,3 +147,66 @@ object HyperplaneBucket {
     bucket
   }
 }
+
+/** Native JL random projection — k dot products against the
+  * deterministic pseudo-plane family in ONE pass over the vector
+  * (the HOF spelling re-walks the vector per plane, interpreted per
+  * element). Same weight family as [[HyperplaneBucket]]; each
+  * projection rounds to 8 dp with Spark's HALF_UP semantics, exactly
+  * like `VectorFunctions.randProject` and its DuckDB twin.
+  */
+case class RandProject(child: Expression, k: Int, offset: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "rand_project"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"rand_project expects array<float|double>, got ${other.simpleString}")
+  }
+
+  private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any): Any =
+    RandProject.compute(v.asInstanceOf[ArrayData], k, offset, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.RandProject.compute($c, $k, $offset, $isFloat)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RandProject {
+  /** Shared by interpreted eval and codegen. */
+  def compute(arr: ArrayData, k: Int, offset: Int, isFloat: Boolean)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Any](k)
+    var p = 0
+    while (p < k) {
+      val plane = (offset + p).toLong
+      var proj = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        proj += x *
+          (((plane * 1315423911L + i.toLong * 2654435761L) % 1000003L)
+            .toDouble / 1000003.0 - 0.5)
+        i += 1
+      }
+      out(p) =
+        if (java.lang.Double.isNaN(proj) || java.lang.Double.isInfinite(proj)) proj
+        else java.math.BigDecimal.valueOf(proj)
+          .setScale(8, java.math.RoundingMode.HALF_UP).doubleValue()
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}

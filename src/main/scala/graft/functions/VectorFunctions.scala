@@ -82,8 +82,16 @@ object VectorFunctions {
     * or broadcast — weights derive from (plane, dim) arithmetic — so
     * the operator is pure per-row compute at any corpus size: the
     * standard cheap front-end to clustering/ANN when the raw dimension
-    * is the cost driver. */
+    * is the cost driver. Native one-pass expression
+    * ([[graft.functions.RandProject]]); the HOF spelling below is the
+    * parity/reference implementation (interpreted per element — fine
+    * for specs, not for a corpus scan). */
   def randProject(vec: Column, k: Int, offset: Int): Column =
+    call_function("rand_project", vec, lit(k), lit(offset))
+
+  /** HOF spelling of [[randProject]] — parity reference
+    * (VectorExpressionsSpec pins native == HOF). */
+  def randProjectHof(vec: Column, k: Int, offset: Int): Column =
     transform(sequence(lit(offset), lit(offset + k - 1)), p => {
       val proj = fold(zip_with(vec,
         sequence(lit(0), size(vec) - 1),

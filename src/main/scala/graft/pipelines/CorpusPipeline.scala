@@ -52,6 +52,10 @@ object CorpusPipeline {
       boilerplateSegTokens: Int = 8,
       maxTopTokenFrac: Double = 1.0, // repetition gates (1.0 = off)
       maxDupBigramFrac: Double = 1.0,
+      // compression-ratio band (deflate entropy proxy): below min =
+      // machine-repetitive, above max = binary-ish junk. (0, 2) = off.
+      minDeflateRatio: Double = 0.0,
+      maxDeflateRatio: Double = 2.0,
       // model-score gate (q87 shape): hashed-bucket weight table, keep
       // docs whose mean token weight exceeds the threshold; None = off.
       // A trained fasttext-style model exports exactly this array.
@@ -135,9 +139,18 @@ object CorpusPipeline {
           .otherwise(lit(1.0) - size(array_distinct(bigrams)).cast("double") /
             (size(toks) - 1))
           .as("dup_bigram_frac"))
-      .where(col("n_tokens") >= cfg.minTokens && col("quality") >= cfg.minQuality &&
-        col("top_token_frac") <= cfg.maxTopTokenFrac &&
-        col("dup_bigram_frac") <= cfg.maxDupBigramFrac)
+      .where {
+        val base = col("n_tokens") >= cfg.minTokens &&
+          col("quality") >= cfg.minQuality &&
+          col("top_token_frac") <= cfg.maxTopTokenFrac &&
+          col("dup_bigram_frac") <= cfg.maxDupBigramFrac
+        // deflate only when the band is active — the kernel is linear
+        // but not free, and the default config never pays it
+        if (cfg.minDeflateRatio > 0.0 || cfg.maxDeflateRatio < 2.0) {
+          val r = TextFunctions.compressionRatio(col("text"))
+          base && r >= cfg.minDeflateRatio && r <= cfg.maxDeflateRatio
+        } else base
+      }
 
     // 1b. model-score gate (q87 shape): mean hashed-bucket weight per
     // doc, per-row compute against a broadcast-literal weight table

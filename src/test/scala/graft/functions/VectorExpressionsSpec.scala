@@ -43,6 +43,22 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("native rand_project == HOF projection, element for element") {
+    import spark.implicits._
+    graft.GraftFunctions.registerAll(spark)
+    val rnd = new scala.util.Random(13)
+    val df = (0 until 300).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1))
+    }.toDF("id", "v")
+    for (offset <- Seq(0, 512); k <- Seq(4, 8)) {
+      val diff = df.select(
+          VectorFunctions.randProject(col("v"), k, offset).as("fast"),
+          VectorFunctions.randProjectHof(col("v"), k, offset).as("ref"))
+        .where(col("fast") =!= col("ref")).count()
+      assert(diff == 0, s"k=$k offset=$offset")
+    }
+  }
+
   test("native cosine handles unit and null cases") {
     import spark.implicits._
     graft.GraftFunctions.registerAll(spark)

@@ -145,6 +145,36 @@ class CorpusPipelineSpec extends SparkSpec {
       s"PII not masked: ${byId(1L)}")
   }
 
+  test("compression-ratio band drops repetitive and junk docs; off by default") {
+    import spark.implicits._
+    val machine = (1 to 80).map(_ => "buy now click here").mkString(" ")
+    // varied prose deflates mid-band (~0.6); alnum junk stays high (~0.78)
+    val prose = "columnar parquet storage enables efficient predicate " +
+      "pushdown while late materialization keeps wide scans cheap for " +
+      "analysts the planner reorders joins using statistics gathered from " +
+      "footer metadata and runtime sampling across many partitioned inputs " +
+      "adaptive execution splits skewed shuffle blocks so no single task " +
+      "drags the stage while broadcast thresholds bound memory use"
+    val rnd = new scala.util.Random(7)
+    val alnum = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+    val junk = "x " + (1 to 800).map(_ => alnum(rnd.nextInt(alnum.length)))
+      .grouped(100).map(_.mkString).mkString(" ")
+    val docs = Seq(
+      (1L, machine, "web"), // deflates to ~nothing
+      (2L, prose, "web"),
+      (3L, junk, "web")
+    ).toDF("doc_id", "text", "source")
+    val base = CorpusPipeline.Config(minTokens = 3, minQuality = 0.0,
+      numHashes = 16, bands = 8)
+    val off = CorpusPipeline.run(docs, "doc_id", "text", "source", base)
+    assert(off.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L), "band must be off by default")
+    val on = CorpusPipeline.run(docs, "doc_id", "text", "source",
+      base.copy(minDeflateRatio = 0.15, maxDeflateRatio = 0.72))
+    assert(on.select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L),
+      "band must cut both tails")
+  }
+
   test("token-budget stage spends each stratum's budget on quality order; off by default") {
     import spark.implicits._
     // two strata, no cross-doc shingles (all tokens doc-specific);
