@@ -51,6 +51,18 @@ object GraftFunctions {
         foldableNum(exprs(2), "shingle_hashes", "seed").longValue()),
       "built-in")
     reg.createOrReplaceTempFunction(
+      "shingle_hashes_pos",
+      exprs => graft.functions.ShingleHashes(exprs(0),
+        foldableNum(exprs(1), "shingle_hashes_pos", "n").intValue(),
+        foldableNum(exprs(2), "shingle_hashes_pos", "seed").longValue(),
+        dedupe = false),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "winnow_select",
+      exprs => graft.functions.WinnowSelect(exprs(0),
+        foldableNum(exprs(1), "winnow_select", "w").intValue()),
+      "built-in")
+    reg.createOrReplaceTempFunction(
       "deflate_ratio", exprs => graft.functions.DeflateRatio(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "rand_project",

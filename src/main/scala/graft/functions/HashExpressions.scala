@@ -61,11 +61,13 @@ object PolyHash {
   * coalesce in the composed/oracle form). A composed HOF version is
   * O(tokens²) per row because `element_at(tokenHashes, i+j)` re-derives
   * the whole hash array for every window. */
-case class ShingleHashes(child: Expression, k: Int, combine: Long)
+case class ShingleHashes(child: Expression, k: Int, combine: Long,
+    dedupe: Boolean = true)
     extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "shingle_hashes"
+  override def prettyName: String =
+    if (dedupe) "shingle_hashes" else "shingle_hashes_pos"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -74,19 +76,23 @@ case class ShingleHashes(child: Expression, k: Int, combine: Long)
   }
 
   override def nullSafeEval(v: Any): Any =
-    ShingleHashes.compute(v.asInstanceOf[ArrayData], k, combine)
+    ShingleHashes.compute(v.asInstanceOf[ArrayData], k, combine, dedupe)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.ShingleHashes.compute($c, $k, ${combine}L)")
+      s"graft.functions.ShingleHashes.compute($c, $k, ${combine}L, $dedupe)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
 object ShingleHashes {
-  /** Shared by interpreted eval and codegen. */
-  def compute(arr: ArrayData, k: Int, combine: Long): GenericArrayData = {
+  /** Shared by interpreted eval and codegen. `dedupe=false` keeps one
+    * hash per window POSITION in order (duplicates included) — the form
+    * positional consumers (winnowing) need; `dedupe=true` is the
+    * set-semantics form MinHash/containment consume. */
+  def compute(arr: ArrayData, k: Int, combine: Long,
+      dedupe: Boolean = true): GenericArrayData = {
     val n = arr.numElements()
     val hashes = new Array[Long](n)
     var i = 0
@@ -95,7 +101,7 @@ object ShingleHashes {
       i += 1
     }
     val windows = math.max(n - k + 1, 1)
-    val seen = new java.util.LinkedHashSet[java.lang.Long](windows * 2)
+    val raw = new Array[Long](windows)
     i = 0
     while (i < windows) {
       var acc = 0L
@@ -105,7 +111,79 @@ object ShingleHashes {
         acc = (acc * combine + h) % PolyHash.Prime
         j += 1
       }
-      seen.add(acc)
+      raw(i) = acc
+      i += 1
+    }
+    if (!dedupe) return new GenericArrayData(raw)
+    val seen = new java.util.LinkedHashSet[java.lang.Long](windows * 2)
+    i = 0
+    while (i < windows) { seen.add(raw(i)); i += 1 }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken 2003 —
+  * the MOSS local fingerprinting algorithm): over a positional hash
+  * array, take the minimum of every w-length sliding window and return
+  * the DISTINCT selected values in first-occurrence order. Guarantee:
+  * any two documents sharing a token run long enough to span one full
+  * window (w + shingleK - 1 tokens) share at least one fingerprint,
+  * while only ~2/(w+1) of all shingle hashes are kept.
+  *
+  * Monotone-deque sliding minimum — O(n) per row regardless of w; the
+  * composed HOF spelling (array_min over per-window slices) is O(n·w)
+  * with a slice allocation per window. Reference has no analog
+  * (SURVEY §2.L14 family).
+  */
+case class WinnowSelect(child: Expression, w: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_select"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) =>
+      if (w >= 1) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure("winnow_select: w must be >= 1")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"winnow_select expects array<bigint>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    WinnowSelect.compute(v.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WinnowSelect.compute($c, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WinnowSelect {
+  /** Shared by interpreted eval and codegen. Windows shorter than w
+    * (n < w) collapse to one whole-array window, matching
+    * generate_series(1, greatest(n - w + 1, 1)) + clamped slice in the
+    * oracle spelling. */
+  def compute(arr: ArrayData, w: Int): GenericArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(Array.emptyLongArray)
+    val h = new Array[Long](n)
+    var i = 0
+    while (i < n) { h(i) = arr.getLong(i); i += 1 }
+    val windows = math.max(n - w + 1, 1)
+    // monotone deque of indices; head = index of current window minimum
+    val dq = new Array[Int](n)
+    var head = 0; var tail = 0 // [head, tail)
+    val seen = new java.util.LinkedHashSet[java.lang.Long](windows * 2)
+    i = 0
+    while (i < n) {
+      while (tail > head && h(dq(tail - 1)) >= h(i)) tail -= 1
+      dq(tail) = i; tail += 1
+      if (dq(head) <= i - w) head += 1
+      if (i >= w - 1 || i == n - 1) seen.add(h(dq(head)))
       i += 1
     }
     val out = new Array[Long](seen.size())

@@ -32,14 +32,23 @@ object MinHashDedup {
     call_function("shingle_hashes", TextFunctions.tokens(text), lit(k), lit(Combine))
 
   /** DuckDB spelling of the same (for oracles). */
-  def shingleHashesFromTokensSql(col: String, k: Int): String = {
+  def shingleHashesFromTokensSql(col: String, k: Int): String =
+    s"(SELECT list_distinct(ph) FROM (SELECT ${shingleHashesPosFromTokensSql(col, k)} AS ph))"
+
+  /** Positional variant: one hash per shingle POSITION, in order,
+    * duplicates kept — what winnowing consumes. */
+  def shingleHashesPosFromTokens(text: Column, k: Int): Column =
+    call_function("shingle_hashes_pos", TextFunctions.tokens(text), lit(k), lit(Combine))
+
+  /** DuckDB spelling of [[shingleHashesPosFromTokens]]. */
+  def shingleHashesPosFromTokensSql(col: String, k: Int): String = {
     val toks = s"string_split_regex(trim($col), '\\s+')"
     val th = s"list_transform($toks, t -> ${TextFunctions.tokenHashSql("t")})"
     val comb = (0 until k).foldLeft("CAST(0 AS BIGINT)") { (acc, j) =>
       s"(($acc) * $Combine + coalesce(th[i + $j], 0)) % $Prime"
     }
-    s"(SELECT list_distinct(list_transform(generate_series(1, greatest(len(th) - ${k - 1}, 1)), " +
-      s"i -> $comb)) FROM (SELECT $th AS th))"
+    s"(SELECT list_transform(generate_series(1, greatest(len(th) - ${k - 1}, 1)), " +
+      s"i -> $comb) FROM (SELECT $th AS th))"
   }
 
   /** (doc_id, sig) signatures, materialized (lineage-truncated) so

@@ -295,6 +295,50 @@ object DedupQueries {
           round6(coalesce(col("n_novel"), lit(0L)), col("n_shingles"))
             .as("novel_frac"))
         .orderBy(col("doc_id"))
+    }),
+
+    // winnowing fingerprints (MOSS): per-window minimum selection keeps
+    // ~2/(w+1) of the shingle hashes yet guarantees any shared run of
+    // >= w+k-1 tokens shares a fingerprint. Native O(n) deque kernel per
+    // row; the cross-doc share stats are the inverted-index shape over
+    // the SELECTED subset only (operators.Winnowing scaladoc).
+    "q112_winnow_fingerprint" -> ((s, dir) =>
+      graft.operators.Winnowing.stats(
+          t(s, dir, "documents"), "doc_id", "text", WinnowK, WinnowW)
+        .orderBy(col("doc_id"))),
+
+    // containment (subset-duplicate) detection: |A ∩ B| / min(|A|,|B|)
+    // over distinct shingle sets — fires at 1.0 when one doc's content
+    // is fully covered by another, the case symmetric Jaccard dilutes.
+    // Inverted-index self-join on the shingle hash (uncapped here; the
+    // operator's maxDocFreq guards degenerate boilerplate keys at scale)
+    "q113_dedup_containment" -> ((s, dir) =>
+      graft.operators.ContainmentDedup.pairs(
+          t(s, dir, "documents"), "doc_id", "text",
+          shingleK = 2, minContainment = ContainMin)
+        .orderBy(col("doc1"), col("doc2"))),
+
+    // edit-distance-verified near-dup: the VERIFY stage after LSH —
+    // MinHash banding proposes candidates (same params as q66), then
+    // relative Levenshtein distance confirms or rejects each pair.
+    // The quadratic-cost distance runs ONLY on candidate pairs (bounded
+    // by collision rate), never corpus-wide; texts join to the pair list
+    // through broadcast hash joins (pairs << corpus at any scale).
+    "q114_dedup_editverify" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = graft.operators.MinHashDedup.candidatePairs(
+        docs, "doc_id", "text", shingleK = 2, numHashes = MinHashK, bands = Bands)
+      val a = docs.select(col("doc_id").as("doc1"), col("text").as("t1"))
+      val b = docs.select(col("doc_id").as("doc2"), col("text").as("t2"))
+      pairs.hint("broadcast").join(a, Seq("doc1")).hint("broadcast").join(b, Seq("doc2"))
+        .withColumn("dist", levenshtein(col("t1"), col("t2")))
+        // den = max(len) <= ~600 chars on this corpus but unbounded in
+        // general: integer-exact rounding, same rule as q97/q86
+        .withColumn("rel_dist",
+          round6(col("dist"), greatest(length(col("t1")), length(col("t2")))))
+        .where(col("rel_dist") <= EditRelMax)
+        .select(col("doc1"), col("doc2"), col("dist"), col("rel_dist"))
+        .orderBy(col("doc1"), col("doc2"))
     })
   )
 
@@ -307,6 +351,21 @@ object DedupQueries {
     * collide at small k — real pipelines run 50-token windows; the
     * width is a parameter, not a semantic). */
   private val SpanK = 3
+
+  /** q112 winnowing: 3-token shingles, window 4 → any shared 6-token run
+    * guarantees a shared fingerprint at ~40% selection density. */
+  private val WinnowK = 3
+  private val WinnowW = 4
+
+  /** q113: 2-token shingles (q66's granularity); 0.8 = "at least 80% of
+    * the smaller doc's shingles occur in the other" — the
+    * subset-duplicate band. */
+  private val ContainMin = 0.8
+
+  /** q114: confirm a candidate pair when edits cover at most 60% of the
+    * longer text — loose enough to keep the LSH-found rewrites, tight
+    * enough to reject coincidental band collisions. */
+  private val EditRelMax = 0.6
 
   private val toks = "string_split_regex(trim(text), '\\s+')"
 
@@ -516,6 +575,49 @@ object DedupQueries {
          |SELECT pd.doc_id, n_shingles, COALESCE(n_novel, 0) AS n_novel,
          |  ${oRound6("COALESCE(n_novel, 0)", "n_shingles")} AS novel_frac
          |FROM pd LEFT JOIN nv ON pd.doc_id = nv.doc_id
-         |ORDER BY pd.doc_id""".stripMargin
+         |ORDER BY pd.doc_id""".stripMargin,
+
+    // winnowing spelled literally: per-window list_min over slices of
+    // the positional hash list, then distinct — the O(n·w) reference
+    // form the native deque kernel must equal
+    "q112_winnow_fingerprint" ->
+      s"""WITH ph AS (SELECT doc_id, ${graft.operators.MinHashDedup
+             .shingleHashesPosFromTokensSql("text", WinnowK)} AS ph FROM documents),
+         |fp AS (SELECT doc_id, len(ph) AS n_shingles,
+         |  list_distinct(list_transform(
+         |    generate_series(1, greatest(len(ph) - ${WinnowW - 1}, 1)),
+         |    j -> list_min(list_slice(ph, j, j + ${WinnowW - 1})))) AS fps FROM ph),
+         |ex AS (SELECT doc_id, n_shingles, len(fps) AS n_fp, unnest(fps) AS fp FROM fp),
+         |cnt AS (SELECT fp, COUNT(*) AS n_docs FROM ex GROUP BY fp)
+         |SELECT ex.doc_id AS doc_id, any_value(ex.n_shingles) AS n_shingles,
+         |  any_value(ex.n_fp) AS n_fp,
+         |  CAST(COUNT(*) FILTER (WHERE cnt.n_docs >= 2) AS BIGINT) AS n_shared_fp
+         |FROM ex JOIN cnt USING (fp)
+         |GROUP BY ex.doc_id ORDER BY doc_id""".stripMargin,
+
+    // uncapped inverted-index containment join — the exact semantics the
+    // operator's maxDocFreq=0 path must reproduce
+    "q113_dedup_containment" ->
+      s"""WITH hs AS (SELECT doc_id, ${graft.operators.MinHashDedup
+             .shingleHashesFromTokensSql("text", 2)} AS hs FROM documents),
+         |ex AS (SELECT doc_id, len(hs) AS n, unnest(hs) AS sh FROM hs)
+         |SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS n_common,
+         |  ${oRound6("COUNT(*)", "least(a.n, b.n)")} AS containment
+         |FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |GROUP BY a.doc_id, b.doc_id, a.n, b.n
+         |HAVING ${oRound6("COUNT(*)", "least(a.n, b.n)")} >= $ContainMin
+         |ORDER BY doc1, doc2""".stripMargin,
+
+    // LSH candidates (q66's CTE chain) verified by relative Levenshtein
+    "q114_dedup_editverify" ->
+      s"""WITH $minhashPairsCtes
+         |SELECT p.doc1, p.doc2, levenshtein(a.text, b.text) AS dist,
+         |  ${oRound6("levenshtein(a.text, b.text)",
+                      "greatest(length(a.text), length(b.text))")} AS rel_dist
+         |FROM pairs p JOIN documents a ON a.doc_id = p.doc1
+         |  JOIN documents b ON b.doc_id = p.doc2
+         |WHERE ${oRound6("levenshtein(a.text, b.text)",
+                      "greatest(length(a.text), length(b.text))")} <= $EditRelMax
+         |ORDER BY doc1, doc2""".stripMargin
   )
 }

@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins containment semantics (subset duplicates score 1.0 where Jaccard
+  * dilutes), the maxDocFreq hot-key guard (parity when cold; bounded
+  * evidence loss when hot), and layout determinism. */
+class ContainmentDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("planted subset doc scores containment 1.0 where Jaccard dilutes") {
+    val core = (0 until 12).map(i => s"core$i").mkString(" ")
+    val extra = (0 until 60).map(i => s"extra$i").mkString(" ")
+    val docs = Seq(
+      (1L, core),                 // the subset
+      (2L, s"$core $extra"),      // superset: core plus 5x more content
+      (3L, (0 until 40).map(i => s"other$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = ContainmentDedup.pairs(docs, "doc_id", "text",
+      shingleK = 2, minContainment = 0.9).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(r.getDouble(3) == 1.0, s"containment ${r.getDouble(3)}")
+    // symmetric Jaccard on the same pair is ~ |A|/|B| — far below 0.9:
+    // the case this operator exists for
+    val inter = r.getLong(2).toDouble
+    val jaccard = inter / (11 + 71 - inter)
+    assert(jaccard < 0.2, s"jaccard $jaccard should dilute")
+  }
+
+  test("maxDocFreq cap: parity when no key is hot; hot key drops only its own evidence") {
+    val rnd = new scala.util.Random(31)
+    val base = (0 until 30).map { i =>
+      (i.toLong, (0 until 20).map(_ => s"t${i}_${rnd.nextInt(500)}").mkString(" "))
+    }
+    // two true near-dups sharing many doc-specific shingles...
+    val dup = (100L, base.head._2 + " tail100")
+    // ...and a boilerplate sentence present in EVERY doc (the hot key)
+    val boiler = "click here to subscribe now"
+    val docs = (base :+ dup).map { case (id, t) => (id, s"$t $boiler") }
+      .toDF("doc_id", "text")
+    val uncapped = ContainmentDedup.pairs(docs, "doc_id", "text", 2, 0.5)
+      .orderBy("doc1", "doc2").collect().toSeq
+    val capHigh = ContainmentDedup.pairs(docs, "doc_id", "text", 2, 0.5,
+      maxDocFreq = 1000).orderBy("doc1", "doc2").collect().toSeq
+    assert(uncapped == capHigh, "a cap above every doc-frequency must be a no-op")
+    // cap at 5: the every-doc boilerplate shingles stop generating pairs,
+    // but the true near-dup pair (evidence: ~19 doc-specific shingles)
+    // must survive with its containment intact
+    val capped = ContainmentDedup.pairs(docs, "doc_id", "text", 2, 0.5,
+      maxDocFreq = 5).collect()
+    val kept = capped.filter(r => r.getLong(0) == 0L && r.getLong(1) == 100L)
+    assert(kept.length == 1, "true near-dup must survive the cap")
+    // capped shingles leave the denominator but exit the intersection,
+    // so containment dips slightly below the uncapped value — bounded by
+    // the boilerplate's shingle count, not by corpus size
+    assert(kept.head.getDouble(3) >= 0.75)
+  }
+
+  test("deterministic across partition layouts") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def run(parts: Int) =
+      ContainmentDedup.pairs(docs.repartition(parts), "doc_id", "text", 2, 0.8)
+        .orderBy("doc1", "doc2").collect().toSeq
+    assert(run(1) == run(6))
+  }
+}
