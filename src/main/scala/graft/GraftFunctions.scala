@@ -65,6 +65,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "deflate_ratio", exprs => graft.functions.DeflateRatio(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
+      "sorted_intersect_count",
+      exprs => graft.functions.SortedIntersectCount(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
       "rand_project",
       exprs => graft.functions.RandProject(exprs(0),
         foldableNum(exprs(1), "rand_project", "k").intValue(),

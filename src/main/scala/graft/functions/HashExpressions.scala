@@ -300,3 +300,55 @@ object SimHashBits {
     out
   }
 }
+
+/** Merge-count of common elements between two ASCENDING-sorted
+  * array<bigint> columns — the verification kernel of the
+  * prefix-filtered containment join (ContainmentDedup). Equivalent to
+  * `size(array_intersect(a, b))` on duplicate-free sorted inputs, but a
+  * single allocation-free two-pointer pass in whole-stage codegen where
+  * array_intersect builds a hash set per row (measured 10× on the
+  * 5M-candidate verify stage at sf0.1). Inputs MUST be sorted ascending
+  * and duplicate-free (shingle_hashes output is; apply sort_array
+  * otherwise) — unsorted input silently undercounts.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersect_count expects (array<bigint>, array<bigint>), " +
+          s"got (${l.simpleString}, ${r.simpleString})")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntersectCount.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SortedIntersectCount.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedIntersectCount {
+  /** Shared by interpreted eval and codegen: classic two-pointer merge. */
+  def compute(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var n = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    n
+  }
+}

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Containment (subset-duplicate) detection: for candidate pairs,
@@ -10,30 +11,53 @@ import org.apache.spark.sql.functions._
   * quote-heavy and templated web corpora produce; containment fires at
   * 1.0 whenever the smaller document's shingles are fully covered.
   *
-  * 100 TB shape: the pair generator is the inverted-index self-join —
-  * explode distinct shingles, equi-join on the shingle hash, count per
-  * pair. Shuffles key on the shingle, group-by partials absorb repeat
-  * pairs; nothing quadratic happens outside one shingle's posting list.
-  * The known hot spot is a degenerate boilerplate shingle whose posting
-  * list pairs quadratically in one task ([[maxDocFreq]]): capping drops
-  * shingles present in more than that many documents from pair
-  * generation — a shingle shared by half the corpus carries no
-  * containment signal (it cannot distinguish pairs) but dominates the
-  * join cost. The cap removes AT MOST `maxDocFreq` from any pair's
-  * intersection count, so pairs at containment 1.0 on >maxDocFreq
-  * distinct shingles survive; ContainmentDedupSpec pins both the
-  * parity-when-cold and the capped-hot-key behavior.
+  * TWO exact strategies, chosen by the corpus's shingle-frequency
+  * distribution (ContainmentDedupSpec pins their parity):
+  *
+  *  - [[pairs]] — inverted-index self-join + count aggregation. Cost is
+  *    Σ_sh df(sh)² join rows; optimal when posting lists are short OR
+  *    (the degenerate opposite) when the vocabulary is so small that
+  *    most pairs co-occur anyway and per-pair counting via map-side
+  *    combine beats per-pair set intersection. The known hot spot is a
+  *    boilerplate shingle whose posting list pairs quadratically in one
+  *    task; the maxDocFreq cap bounds it at a documented accuracy cost.
+  *  - [[pairsPrefixFiltered]] — lossless PPJoin-style prefix filter, the
+  *    100 TB web-corpus path: large vocabulary, rare shingles, near-dup
+  *    rate ≪ pair count. Candidate generation touches only each doc's
+  *    rarest (1−t)·n + 1 shingles, so the every-doc boilerplate shingle
+  *    never pairs at all — no cap needed, no accuracy loss.
+  *
+  * Prefix-filter correctness: rank each doc's shingles rarest-first by
+  * global document frequency (tie-break by hash). A pair with
+  * containment ≥ t must share ≥ ⌈t·n_min⌉ shingles, so the MIN-side doc
+  * must expose one of its first p = n − ⌊t·n⌋ + 1 rarest shingles to any
+  * qualifying partner: had the partner missed the whole prefix, at most
+  * n − p = ⌊t·n⌋ − 1 < ⌈t·n⌉ shingles remain to overlap. ⌊·⌋ (not ⌈·⌉)
+  * guards double rounding: a one-longer prefix is safe, a one-shorter
+  * prefix drops true pairs. Candidates are verified exactly with the
+  * allocation-free sorted-merge kernel
+  * ([[graft.functions.SortedIntersectCount]]) over the per-doc sorted
+  * shingle arrays; the distinct pair list joins back through AQE (it
+  * broadcasts dynamically when small — on sparse corpora pairs track
+  * the true near-dup rate, not the corpus size).
   *
   * Reference has no analog; SURVEY §2.L59. The exact-SQL oracle (q113)
-  * runs the same join uncapped.
+  * runs the naive join uncapped. At the oracle scale factors the corpus
+  * is a ~1k-shingle closed vocabulary (every pair co-occurs — median
+  * document frequency ≈ corpus/20), which is precisely the distribution
+  * where [[pairs]] wins; q113 uses it, and the spec pins
+  * [[pairsPrefixFiltered]] equal on the same data.
   */
 object ContainmentDedup {
 
-  /** Candidate pairs with containment >= minContainment.
+  /** Candidate pairs with containment >= minContainment, via the
+    * inverted-index count-aggregation join.
     * Output: (doc1, doc2, n_common, containment), doc1 < doc2.
     *
     * @param maxDocFreq 0 = exact (no cap); > 0 drops shingles whose
-    *        document frequency exceeds the cap before pair generation.
+    *        document frequency exceeds the cap before pair generation
+    *        (they leave the intersection count but stay in the
+    *        denominator).
     */
   def pairs(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int, minContainment: Double,
@@ -59,6 +83,58 @@ object ContainmentDedup {
       .where(col("doc1") < col("doc2"))
       .groupBy(col("doc1"), col("doc2"), col("n1"), col("n2"))
       .agg(count(lit(1)).as("n_common"))
+      .withColumn("containment",
+        graft.queries.round6(col("n_common"), least(col("n1"), col("n2"))))
+      .where(col("containment") >= minContainment)
+      .select(col("doc1"), col("doc2"), col("n_common"), col("containment"))
+  }
+
+  /** Same output as [[pairs]] (uncapped), via the lossless prefix filter
+    * — the sparse-vocabulary scale path (see object scaladoc). */
+  def pairsPrefixFiltered(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int, minContainment: Double): DataFrame = {
+    graft.GraftFunctions.registerAll(docs.sparkSession)
+    val parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    val ex = docs.select(col(idCol), col(textCol))
+      .repartition(parallelism)
+      .select(col(idCol).as("doc"),
+        MinHashDedup.shingleHashesFromTokens(col(textCol), shingleK).as("hs"))
+      .select(col("doc"), size(col("hs")).as("n"), explode(col("hs")).as("sh"))
+    // document-frequency census: the hot key is one aggregate row here,
+    // never a member list
+    val dfc = ex.groupBy(col("sh")).agg(count(lit(1)).as("_df"))
+    // rarest-first rank within each doc; window partitions are doc-sized.
+    // ranked feeds THREE consumers (prefix postings, probe postings, the
+    // verification arrays) — materialize once or the shingle scan +
+    // census join + window recompute per consumer
+    val byDoc = Window.partitionBy(col("doc"))
+    val ranked = ex.join(dfc, Seq("sh"))
+      .withColumn("pos", row_number().over(byDoc.orderBy(col("_df"), col("sh"))))
+      .localCheckpoint()
+    val prefixLen = col("n") - floor(col("n") * lit(minContainment)) + 1
+    val pre = ranked.where(col("pos") <= prefixLen)
+      .select(col("doc").as("d1"), col("n").as("m1"), col("sh"))
+    val all = ranked.select(col("doc").as("d2"), col("n").as("m2"), col("sh"))
+    val cands = pre.join(all, Seq("sh"))
+      .where(col("m1") < col("m2") ||
+        (col("m1") === col("m2") && col("d1") =!= col("d2")))
+      .select(least(col("d1"), col("d2")).as("doc1"),
+        greatest(col("d1"), col("d2")).as("doc2"))
+      .distinct()
+    // exact verification on the candidate list only; arrays reuse the
+    // window's doc partitioning (no extra shuffle into the groupBy)
+    val sets = ranked.groupBy(col("doc"))
+      .agg(sort_array(collect_list(col("sh"))).as("hs"), first(col("n")).as("n"))
+    val s1 = sets.select(col("doc").as("doc1"), col("hs").as("hs1"), col("n").as("n1"))
+    val s2 = sets.select(col("doc").as("doc2"), col("hs").as("hs2"), col("n").as("n2"))
+    // no broadcast hint: on sparse corpora AQE sees the post-shuffle
+    // candidate size and broadcasts dynamically; on a dense corpus the
+    // candidate list can be millions of rows and a forced broadcast
+    // would pin it on the driver
+    s1.join(cands, Seq("doc1"))
+      .join(s2, Seq("doc2"))
+      .withColumn("n_common",
+        call_function("sorted_intersect_count", col("hs1"), col("hs2")).cast("long"))
       .withColumn("containment",
         graft.queries.round6(col("n_common"), least(col("n1"), col("n2"))))
       .where(col("containment") >= minContainment)

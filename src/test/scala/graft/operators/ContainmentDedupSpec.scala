@@ -59,6 +59,49 @@ class ContainmentDedupSpec extends SparkSpec {
     assert(kept.head.getDouble(3) >= 0.75)
   }
 
+  test("prefix-filtered strategy equals the naive join exactly") {
+    // dense closed-vocabulary corpus (the adversarial case for the
+    // prefix filter: rarest shingles still co-occur widely) ...
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val naive = ContainmentDedup.pairs(docs, "doc_id", "text", 2, 0.8)
+      .orderBy("doc1", "doc2").collect().toSeq
+    val pf = ContainmentDedup.pairsPrefixFiltered(docs, "doc_id", "text", 2, 0.8)
+      .orderBy("doc1", "doc2").collect().toSeq
+    assert(naive == pf)
+    assert(naive.nonEmpty, "fixture must exercise the comparison")
+    // ...and a sparse-vocabulary one with planted near-dups (the case
+    // the prefix filter exists for: doc-specific shingles never collide)
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 25).map { i =>
+      (i.toLong, (0 until 30).map(_ => s"w${i}_${rnd.nextInt(10000)}").mkString(" "))
+    }
+    val sparse = (base ++ Seq(
+      (200L, base(3)._2 + " tail extra"),
+      (201L, base(7)._2)
+    )).toDF("doc_id", "text")
+    val n2 = ContainmentDedup.pairs(sparse, "doc_id", "text", 2, 0.7)
+      .orderBy("doc1", "doc2").collect().toSeq
+    val p2 = ContainmentDedup.pairsPrefixFiltered(sparse, "doc_id", "text", 2, 0.7)
+      .orderBy("doc1", "doc2").collect().toSeq
+    assert(n2 == p2)
+    assert(n2.exists(r => r.getLong(0) == 3L && r.getLong(1) == 200L))
+    assert(n2.exists(r => r.getLong(0) == 7L && r.getLong(1) == 201L))
+  }
+
+  test("sorted_intersect_count matches size(array_intersect) on sorted sets") {
+    val df = spark.range(200).selectExpr(
+      "sort_array(array_distinct(transform(sequence(1, 1 + CAST(id % 17 AS INT)), " +
+        "j -> CAST((id * j * 2654435761) % 97 AS BIGINT)))) AS a",
+      "sort_array(array_distinct(transform(sequence(1, 1 + CAST(id % 23 AS INT)), " +
+        "j -> CAST((id + j * 40503) % 97 AS BIGINT)))) AS b")
+    graft.GraftFunctions.registerAll(spark)
+    val bad = df.selectExpr(
+      "sorted_intersect_count(a, b) AS fast",
+      "size(array_intersect(a, b)) AS slow")
+      .where(col("fast") =!= col("slow")).count()
+    assert(bad == 0)
+  }
+
   test("deterministic across partition layouts") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def run(parts: Int) =
