@@ -68,6 +68,14 @@ object GraftFunctions {
       "sorted_intersect_count",
       exprs => graft.functions.SortedIntersectCount(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
+      "bloom_might_contain",
+      exprs => graft.functions.BloomMightContain(exprs(0), {
+        require(exprs(1).foldable,
+          "bloom_might_contain: filter bytes must be a literal")
+        exprs(1).eval().asInstanceOf[Array[Byte]]
+      }),
+      "built-in")
+    reg.createOrReplaceTempFunction(
       "rand_project",
       exprs => graft.functions.RandProject(exprs(0),
         foldableNum(exprs(1), "rand_project", "k").intValue(),

@@ -352,3 +352,43 @@ object SortedIntersectCount {
     n
   }
 }
+
+/** Membership probe of a bigint column against a pre-built Spark
+  * [[org.apache.spark.util.sketch.BloomFilter]], carried as serialized
+  * bytes (a foldable binary literal through the SQL registration; see
+  * GraftFunctions). The filter deserializes ONCE per executor
+  * (@transient lazy) and the probe participates in whole-stage codegen —
+  * the map-side prefilter of the cross-corpus dedup path
+  * (operators.BloomDedup): "definitely new" rows never reach a join.
+  * May return true for absent values (the filter's fpp); never false
+  * for present ones — callers must treat `true` as "verify exactly".
+  */
+case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
+    extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bloom_might_contain expects bigint, got ${other.simpleString}")
+  }
+
+  @transient private lazy val filter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bloomBytes))
+
+  def probe(v: Long): Boolean = filter.mightContainLong(v)
+
+  override def nullSafeEval(v: Any): Any = probe(v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomProbe", this,
+      classOf[BloomMightContain].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.probe($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -339,6 +339,22 @@ object DedupQueries {
         .where(col("rel_dist") <= EditRelMax)
         .select(col("doc1"), col("doc2"), col("dist"), col("rel_dist"))
         .orderBy(col("doc1"), col("doc2"))
+    }),
+
+    // bloom-prefiltered cross-corpus exact dedup: which docs of the new
+    // batch (top 20% of ids, the q91 split) are genuinely NEW against
+    // history, by content fingerprint. Bloom misses short-circuit
+    // map-side (no false negatives); only hits reach the exact
+    // anti-join. Results are exact — the oracle is the plain NOT IN.
+    "q115_dedup_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val split = docs.agg(coalesce(max(col("doc_id")).cast("long"), lit(0L)))
+        .head.getLong(0) * 8L / 10L
+      graft.operators.BloomDedup.newDocs(
+          docs.where(col("doc_id") < split),
+          docs.where(col("doc_id") >= split),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -618,6 +634,20 @@ object DedupQueries {
          |  JOIN documents b ON b.doc_id = p.doc2
          |WHERE ${oRound6("levenshtein(a.text, b.text)",
                       "greatest(length(a.text), length(b.text))")} <= $EditRelMax
-         |ORDER BY doc1, doc2""".stripMargin
+         |ORDER BY doc1, doc2""".stripMargin,
+
+    // the prefilter-free spelling: plain fingerprint anti-join on the
+    // q91 corpus-derived split
+    "q115_dedup_bloom" ->
+      s"""WITH s AS (SELECT MAX(doc_id) * 8 // 10 AS v FROM documents),
+         |hist AS (SELECT DISTINCT ${graft.functions.TextFunctions
+             .charFingerprintSql("text")} AS fp
+         |         FROM documents WHERE doc_id < (SELECT v FROM s))
+         |SELECT doc_id, ${graft.functions.TextFunctions
+             .charFingerprintSql("text")} AS fp
+         |FROM documents
+         |WHERE doc_id >= (SELECT v FROM s)
+         |  AND fp NOT IN (SELECT fp FROM hist)
+         |ORDER BY doc_id""".stripMargin
   )
 }
