@@ -313,4 +313,44 @@ class PlanSpec extends SparkSpec {
       s"only the output sort may shuffle:\n$plan")
     assert(plan.contains("Generate"), s"expected posexplode Generate:\n$plan")
   }
+
+  test("winnowing share stats shuffle only the selected fingerprint subset") {
+    val plan = explained("q112_winnow_fingerprint")
+    // no pairwise anything: fingerprint census is a groupBy + equi-join,
+    // never a doc×doc product
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the winnow selection runs inside codegen before any exchange
+    assert(plan.contains("winnow_select") || plan.contains("WinnowSelect"),
+      s"native winnow kernel expected in plan:\n$plan")
+  }
+
+  test("edit-verified dedup computes Levenshtein above the spread exchange") {
+    val df = SparkEntry.queries("q114_dedup_editverify")(spark, dir)
+    df.collect()
+    val full = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the checkpoint barrier makes the verify stage's input an RDD scan:
+    // levenshtein must appear ABOVE it (in the final stage), never below
+    // a broadcast join (which would mean pushdown dragged it into the
+    // corpus scan's partitions again)
+    val firstRdd = full.indexOf("Scan ExistingRDD")
+    val lev = full.indexOf("levenshtein")
+    assert(firstRdd >= 0, s"expected checkpoint barrier in plan:\n$full")
+    assert(lev >= 0 && !full.substring(0, firstRdd).contains("BroadcastHashJoin"),
+      s"levenshtein stage must sit above the checkpointed candidates:\n$full")
+  }
+
+  test("bloom dedup: misses short-circuit with zero joins; one anti-join total") {
+    val plan = explained("q115_dedup_bloom")
+    assert(plan.contains("bloom_might_contain"),
+      s"native bloom probe expected in plan:\n$plan")
+    // the only join in the whole query is the exact LeftAnti on the hit
+    // subset; the miss branch of the union reaches the output join-free
+    assert(plan.contains("Join type: LeftAnti"),
+      s"expected the rescue anti-join:\n$plan")
+    assert(!plan.contains("Join type: Inner") &&
+      !plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      s"no other join may appear:\n$plan")
+    assert(plan.contains("Union"), s"miss/rescue union expected:\n$plan")
+  }
 }
