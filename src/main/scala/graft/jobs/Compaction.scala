@@ -109,7 +109,7 @@ object Compaction {
     footerColumnRanges(conf, files, Seq(column))(column)
 
   def compactHour(catalog: GraftCatalog, db: String, m: String,
-      partDir: Path, minFiles: Int = 2): Result = {
+      partDir: Path, minFiles: Int = 2, maxFilesPerBatch: Int = 0): Result = {
     val spark = catalog.spark
     val fs = partDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = fs.listStatus(partDir)
@@ -144,41 +144,64 @@ object Compaction {
           .where(col("_rn") === 1).drop("_rn")
       } else repaired
     val sortCols = (meta.sortKeys.filter(deduped.columns.contains) :+ "time").map(col)
-    val out = deduped.drop("_src").orderBy(sortCols: _*).coalesce(1)
+    // maxFilesPerBatch mirrors the reference's compaction.max_files_per_batch
+    // (tier.go:22-40) but inverts WHERE it applies: the reference batches
+    // the INPUT because DuckDB's read_parquet crashes on thousands of
+    // files in one call; Spark reads any file count in one distributed
+    // job, so dedup stays GLOBAL (the reference's batch-scoped dedup
+    // cannot merge duplicates straddling two batches) and the knob
+    // bounds only the OUTPUT: ceil(inputs / N) range-partitioned files —
+    // the same "smaller, independently-transferable outputs" contract,
+    // each covering a disjoint sort-key range. 0 = one output file.
+    val numOut = if (maxFilesPerBatch <= 0) 1
+      else math.ceil(files.length.toDouble / maxFilesPerBatch).toInt
+    val out =
+      if (numOut <= 1) deduped.drop("_src").orderBy(sortCols: _*).coalesce(1)
+      else deduped.drop("_src")
+        .repartitionByRange(numOut, sortCols: _*)
+        .sortWithinPartitions(sortCols: _*)
 
     // crash-safe swap, journaled in the per-table manifest (protocol in
-    // CompactionManifest's scaladoc): record inputs + planned output,
-    // write tmp, rename IN, delete sources, clear the entry. Any crash
-    // point is repaired deterministically by recover(). Output uses the
-    // recency-ordered name scheme: it must sort OLDER than any flush
-    // that lands after this compaction.
+    // CompactionManifest's scaladoc): write tmp, record inputs + the
+    // ACTUAL tmp outputs, rename IN, delete sources, clear the entry.
+    // Any crash point is repaired deterministically by recover(): a
+    // crash before begin() leaves only untracked tmp garbage (removed
+    // on the next pass). The entry must list actual — not planned —
+    // outputs: a range partition can come up empty, and a planned-but-
+    // never-created output would make recovery roll back a committed
+    // swap. Output uses the recency-ordered name scheme: it must sort
+    // OLDER than any flush that lands after this compaction.
     val tmp = new Path(partDir.getParent, s"_compact_tmp_${partDir.getName}")
     fs.delete(tmp, true)
     val compactUs = System.currentTimeMillis() * 1000L
-    val finalName = graft.ingest.HourPartitionedWriter.flushFileName(m, compactUs, 0)
     val tablePath = catalog.tablePath(db, m)
     val conf = spark.sparkContext.hadoopConfiguration
-    CompactionManifest.begin(tablePath, conf, CompactionManifest.Entry(
-      id = s"hourly:$partDir:$compactUs", tier = "hourly",
-      partition = partDir.toString, tmpDir = tmp.toString,
-      inputs = files.map(_.toString).toSeq,
-      outputs = Seq(new Path(partDir, finalName).toString)))
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     out.write.mode("overwrite").option("compression", "zstd")
       .options(graft.ingest.HourPartitionedWriter.bloomOptions(
         meta.tagColumns.filter(deduped.columns.contains)))
       .parquet(tmp.toString)
-    val rowsOut = footerRowCount(spark.sparkContext.hadoopConfiguration,
-      fs.listStatus(tmp).filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-        .map(_.getPath).toSeq)
     val newFiles = fs.listStatus(tmp)
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet")).map(_.getPath)
-    require(newFiles.length == 1, s"coalesce(1) produced ${newFiles.length} files")
-    // failing loudly (not proceeding to delete inputs) keeps the manifest
-    // entry in-flight, so recovery rolls the partial swap back
-    if (!fs.rename(newFiles.head, new Path(partDir, finalName)))
-      throw new java.io.IOException(
-        s"compaction swap rename failed: ${newFiles.head} -> $partDir/$finalName")
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath).sortBy(_.getName)
+    require(newFiles.nonEmpty && newFiles.length <= numOut,
+      s"write produced ${newFiles.length} files, expected 1..$numOut")
+    val rowsOut = footerRowCount(conf, newFiles.toSeq)
+    // part-file lexical order == range order; seq preserves it in the name
+    val finalNames = newFiles.indices.map(i =>
+      graft.ingest.HourPartitionedWriter.flushFileName(m, compactUs, i))
+    CompactionManifest.begin(tablePath, conf, CompactionManifest.Entry(
+      id = s"hourly:$partDir:$compactUs", tier = "hourly",
+      partition = partDir.toString, tmpDir = tmp.toString,
+      inputs = files.map(_.toString).toSeq,
+      outputs = finalNames.map(n => new Path(partDir, n).toString)))
+    newFiles.zip(finalNames).foreach { case (src, name) =>
+      // failing loudly (not proceeding to delete inputs) keeps the
+      // manifest entry in-flight, so recovery rolls the partial swap back
+      if (!fs.rename(src, new Path(partDir, name)))
+        throw new java.io.IOException(
+          s"compaction swap rename failed: $src -> $partDir/$name")
+    }
     files.foreach(fs.delete(_, false))
     fs.delete(tmp, true)
     CompactionManifest.complete(tablePath, conf, s"hourly:$partDir:$compactUs")
@@ -404,12 +427,13 @@ object Compaction {
   def runHourly(catalog: GraftCatalog, db: String, m: String,
       minFiles: Int = 2, minAgeHours: Int = 1,
       nowMicros: () => Long = () => System.currentTimeMillis() * 1000L,
-      parallelism: Int = 8)
+      parallelism: Int = 8, maxFilesPerBatch: Int = 0)
       : Seq[Result] = {
     val cutoffHour = (nowMicros() / 1000000L / 3600L) - minAgeHours
     val due = catalog.listHourPartitions(db, m).filter(p =>
       partitionHourEpoch(p).exists(_ <= cutoffHour))
-    inParallel(due, parallelism)(p => compactHour(catalog, db, m, p, minFiles))
+    inParallel(due, parallelism)(p =>
+      compactHour(catalog, db, m, p, minFiles, maxFilesPerBatch))
   }
 
   /** Startup recovery (reference: internal/compaction/manifest.go +
