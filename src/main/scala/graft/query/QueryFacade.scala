@@ -24,7 +24,19 @@ final class QueryFacade(spark: SparkSession) {
   graft.GraftFunctions.registerAll(spark)
 
   private val seq = new AtomicLong(0)
-  private val active = TrieMap.empty[Long, String] // id -> job group
+  // id -> (job group, sql, start ns)
+  private val active = TrieMap.empty[Long, (String, String, Long)]
+
+  /** Slow-query WARN threshold in ms; 0 = disabled (the reference's
+    * `query.slow_query_threshold_ms`, internal/api/query.go:623,853-868:
+    * WARN log with sql + execution time + row count, plus a counter).
+    * Completed queries above it land in a bounded recent-slow ring for
+    * the ops surface. */
+  @volatile var slowQueryThresholdMs: Long = 0L
+
+  private val slowTotal = new AtomicLong(0)
+  private val recentSlow =
+    new java.util.concurrent.ConcurrentLinkedDeque[QueryFacade.SlowQuery]()
 
   def sql(q: String): DataFrame = spark.sql(q)
 
@@ -45,23 +57,48 @@ final class QueryFacade(spark: SparkSession) {
   def submit(q: String): (Long, DataFrame) = {
     val id = seq.incrementAndGet()
     val group = s"graft-query-$id"
-    active.put(id, group)
+    active.put(id, (group, q, System.nanoTime()))
     spark.sparkContext.setJobGroup(group, q, interruptOnCancel = true)
     (id, spark.sql(q))
   }
 
   def cancel(id: Long): Boolean =
     active.remove(id) match {
-      case Some(group) => spark.sparkContext.cancelJobGroup(group); true
+      case Some((group, _, _)) => spark.sparkContext.cancelJobGroup(group); true
       case None => false
     }
 
-  def complete(id: Long): Unit = {
-    active.remove(id)
+  /** Mark a submitted query finished; `rows` (when the caller knows it)
+    * lands in the slow-query record like the reference's handler logs. */
+  def complete(id: Long, rows: Long = -1L): Unit = {
+    active.remove(id).foreach { case (_, sql, t0) =>
+      val ms = (System.nanoTime() - t0) / 1e6
+      val thr = slowQueryThresholdMs
+      if (thr > 0 && ms >= thr) {
+        slowTotal.incrementAndGet()
+        recentSlow.addLast(QueryFacade.SlowQuery(sql, ms, rows,
+          System.currentTimeMillis()))
+        while (recentSlow.size() > QueryFacade.SlowRingCap) recentSlow.pollFirst()
+        org.slf4j.LoggerFactory.getLogger(classOf[QueryFacade])
+          .warn(f"slow query (${ms}%.1f ms >= $thr ms, rows=$rows): $sql")
+      }
+    }
     spark.sparkContext.clearJobGroup()
   }
 
-  def activeQueries: Map[Long, String] = active.toMap
+  /** Total queries that crossed the slow threshold (the counter metric). */
+  def slowQueryCount: Long = slowTotal.get()
+
+  /** Most recent slow queries, oldest first (bounded ring). */
+  def slowQueries: Seq[QueryFacade.SlowQuery] = {
+    val it = recentSlow.iterator()
+    val b = Seq.newBuilder[QueryFacade.SlowQuery]
+    while (it.hasNext) b += it.next()
+    b.result()
+  }
+
+  def activeQueries: Map[Long, String] =
+    active.map { case (id, (group, _, _)) => id -> group }.toMap
 
   /** Row-count estimate with the reference's warning ladder. */
   def estimate(q: String): (Long, String) = {
@@ -222,6 +259,13 @@ final class QueryFacade(spark: SparkSession) {
 
 /** Serializable JSON scalar encoding (shared by driver + executors). */
 object QueryFacade {
+
+  /** One slow-query record: the reference logs sql, execution time and
+    * row count (rows = -1 when the caller never counted them). */
+  final case class SlowQuery(sql: String, ms: Double, rows: Long, atMillis: Long)
+
+  /** Bounded recent-slow ring size. */
+  private[query] val SlowRingCap = 128
 
   /** Per-partition UTF-8 JSON row runs: each element is one partition's
     * `[v,…],[v,…]` bytes (comma-joined rows, no outer brackets) plus its

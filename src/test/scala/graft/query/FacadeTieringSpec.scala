@@ -108,6 +108,30 @@ class QueryFacadeSpec extends SparkSpec {
     assert(f.cancel(id))
     assert(!f.cancel(id)) // already gone
   }
+
+  test("slow-query ledger: threshold gates, ring records sql+ms+rows, count grows") {
+    val f = facade
+    // disabled (default 0): nothing records
+    val (id0, df0) = f.submit("SELECT 1 AS a")
+    df0.collect()
+    f.complete(id0, rows = 1)
+    assert(f.slowQueryCount == 0 && f.slowQueries.isEmpty)
+    // 1ns-equivalent threshold: any completed query is slow
+    f.slowQueryThresholdMs = 1
+    val (id1, df1) = f.submit("SELECT COUNT(*) AS n FROM range(1000000)")
+    val n = df1.head.getLong(0)
+    f.complete(id1, rows = 1)
+    assert(n == 1000000L)
+    assert(f.slowQueryCount == 1)
+    val sq = f.slowQueries.last
+    assert(sq.sql.contains("range(1000000)") && sq.ms >= 1 && sq.rows == 1)
+    // a fast completion under a high threshold does not record
+    f.slowQueryThresholdMs = 60000
+    val (id2, _) = f.submit("SELECT 2")
+    f.complete(id2)
+    assert(f.slowQueryCount == 1)
+    f.slowQueryThresholdMs = 0
+  }
 }
 
 class MsgPackEncoderSpec extends SparkSpec {
