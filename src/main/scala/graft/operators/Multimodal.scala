@@ -15,12 +15,17 @@ import org.apache.spark.sql.types._
   *  - images (PNG/JPEG/BMP/GIF/WBMP via `javax.imageio`): true
   *    width/height plus an 8-bin luminance histogram as features;
   *  - PCM audio (WAV/AIFF/AU via `javax.sound.sampled`): sample rate +
-  *    channels plus 8 per-segment RMS amplitudes as features.
-  * Rows with any other format (video, compressed audio — no ffmpeg in
-  * this container), and corrupt bytes of a claimed format, fall back to
-  * the clearly-marked deterministic STUB (`decodeStub`), which derives
-  * stable pseudo-metadata from the bytes; swapping in real bindings for
-  * those touches only the stub functions.
+  *    channels plus 8 per-segment RMS amplitudes as features;
+  *  - MJPEG video in AVI (RIFF container parsed directly, frames are
+  *    plain JPEGs ImageIO decodes): header dimensions plus an 8-point
+  *    temporal brightness profile; frame sampling emits REAL JPEG
+  *    payloads.
+  * Rows with any other format (mp4/mkv, compressed audio — those codecs
+  * are not in the JDK and ffmpeg is not in this container), and corrupt
+  * bytes of a claimed format, fall back to the clearly-marked
+  * deterministic STUB (`decodeStub`), which derives stable
+  * pseudo-metadata from the bytes; swapping in real bindings for those
+  * touches only the stub functions.
   *
   * Scale notes: media rows are large — the entry point re-partitions by
   * a target bytes-per-partition budget before mapping, so a 100 TB media
@@ -147,6 +152,94 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** Formats routed to the REAL RIFF/AVI parser. */
+  val VideoFormats: Set[String] = Set("avi")
+
+  /** REAL video decode for MJPEG-in-AVI — the one mainstream video
+    * container that needs no external codec: AVI is a RIFF file whose
+    * 'movi' list carries one complete JPEG per '..dc'/'..db' chunk, and
+    * the JDK's ImageIO already decodes JPEG. Parses the container
+    * directly (little-endian RIFF chunks, even-padded): dimensions from
+    * the 'avih' main header, features = mean luminance of up to 8
+    * evenly-sampled decoded frames — a real temporal brightness profile
+    * (padded by repeating the last frame when the clip is shorter).
+    * Returns None on anything malformed (then the caller stubs), and on
+    * non-MJPEG payloads (frames that are not JPEG fail ImageIO — no
+    * false features from compressed codecs). Other containers (mp4/mkv)
+    * still stub: their codecs are not in the JDK. */
+  def decodeAviMjpeg(bytes: Array[Byte]): Option[(Int, Int, Long, Array[Float])] =
+    parseAvi(bytes).flatMap { case (w, h, frames) =>
+      if (frames.isEmpty) None
+      else {
+        val n = math.min(8, frames.length)
+        val sampled = (0 until 8).map { j =>
+          frames(math.min(frames.length - 1, j * frames.length / math.max(1, n)))
+        }
+        val lums = sampled.map { fb =>
+          decodeImage(fb).map { case (_, _, _, hist) =>
+            // mean luminance bucket from the 8-bin histogram: weighted
+            // bin centers, already normalized by pixel count
+            var s = 0f; var b = 0
+            while (b < hist.length) { s += hist(b) * ((b + 0.5f) / hist.length); b += 1 }
+            s
+          }
+        }
+        if (lums.exists(_.isEmpty)) None
+        else Some((w, h, byteChecksum(bytes), lums.map(_.get).toArray))
+      }
+    }
+
+  /** RIFF/AVI container walk: returns (width, height, frame chunks) for
+    * an 'AVI ' RIFF, None on malformed structure. Frame chunks are the
+    * raw '..dc'/'..db' payloads in stream order. */
+  private[operators] def parseAvi(bytes: Array[Byte])
+      : Option[(Int, Int, Vector[Array[Byte]])] = {
+    def u32(at: Int): Long =
+      if (at + 4 > bytes.length) -1L
+      else (bytes(at) & 0xffL) | ((bytes(at + 1) & 0xffL) << 8) |
+        ((bytes(at + 2) & 0xffL) << 16) | ((bytes(at + 3) & 0xffL) << 24)
+    def fourcc(at: Int): String =
+      if (at + 4 > bytes.length) ""
+      else new String(bytes, at, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (bytes.length < 24 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+    var width = 0; var height = 0
+    val frames = Vector.newBuilder[Array[Byte]]
+    // walk chunks recursively; LIST payloads start with a 4-byte subtype
+    def walk(from: Int, until: Int): Boolean = {
+      var at = from
+      while (at + 8 <= until) {
+        val id = fourcc(at)
+        val sz = u32(at + 4)
+        if (sz < 0 || at + 8 + sz > until) return false
+        val body = at + 8
+        id match {
+          case "LIST" => if (!walk(body + 4, body + sz.toInt)) return false
+          case "avih" =>
+            if (sz < 40) return false
+            width = u32(body + 32).toInt
+            height = u32(body + 36).toInt
+          case _ if id.length == 4 && (id.endsWith("dc") || id.endsWith("db")) =>
+            frames += java.util.Arrays.copyOfRange(bytes, body, body + sz.toInt)
+          case _ => ()
+        }
+        at = body + sz.toInt + (sz.toInt & 1) // chunks pad to even sizes
+      }
+      true
+    }
+    if (!walk(12, math.min(bytes.length, 8 + u32(4).toInt))) None
+    else if (width <= 0 || height <= 0) None
+    else Some((width, height, frames.result()))
+  }
+
+  /** Real frame extraction for MJPEG AVIs: `n` evenly-spaced actual
+    * JPEG frame payloads. None when the container doesn't parse. */
+  def frameSampleAvi(bytes: Array[Byte], n: Int): Option[Seq[Array[Byte]]] =
+    parseAvi(bytes).flatMap { case (_, _, frames) =>
+      if (frames.isEmpty) None
+      else Some((0 until n).map(i =>
+        frames(math.min(frames.length - 1, i * frames.length / math.max(1, n)))))
+    }
+
   /** Polynomial byte checksum — shared by both decode paths so the
     * lineage column is comparable regardless of which decoder ran. */
   def byteChecksum(bytes: Array[Byte]): Long = {
@@ -209,13 +302,14 @@ object Multimodal {
           val id = r.getLong(0)
           val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
           val fmt = r.getString(2)
-          // real JDK codecs for image + PCM-audio formats (corrupt
-          // bytes degrade to the stub instead of failing the task);
-          // stub for the rest (video — no ffmpeg in this container)
+          // real JDK codecs for image + PCM-audio + MJPEG-AVI formats
+          // (corrupt bytes degrade to the stub instead of failing the
+          // task); stub for the rest (mp4/mkv — codecs not in the JDK)
           val fmtL = if (fmt == null) "" else fmt.toLowerCase
           val (w, h, checksum, feats) =
             (if (ImageFormats.contains(fmtL)) decodeImage(bytes)
              else if (AudioFormats.contains(fmtL)) decodeAudio(bytes)
+             else if (VideoFormats.contains(fmtL)) decodeAviMjpeg(bytes)
              else None)
               .getOrElse(decodeStub(bytes))
           Row(id, fmt, bytes.length.toLong, w, h, checksum, feats.toSeq)
@@ -224,20 +318,25 @@ object Multimodal {
     }(enc)
   }
 
-  /** Frame-sampling pipeline: one row per sampled frame. */
+  /** Frame-sampling pipeline: one row per sampled frame. MJPEG-AVI rows
+    * emit REAL evenly-spaced JPEG frame payloads (each independently
+    * decodable downstream); other formats emit the labeled stub slices. */
   def sampleFrames(media: DataFrame, framesPerItem: Int): DataFrame = {
     val schema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("frame_idx", IntegerType, nullable = false),
       StructField("frame_bytes", BinaryType)))
     val enc = RowEncoder.encoderFor(schema)
-    media.select("media_id", "bytes").mapPartitions { it =>
+    media.select("media_id", "bytes", "format").mapPartitions { it =>
       it.flatMap { r =>
         val id = r.getLong(0)
         val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
-        frameSampleStub(bytes, framesPerItem).zipWithIndex.map { case (b, i) =>
-          Row(id, i, b)
-        }
+        val fmtL = Option(r.getString(2)).map(_.toLowerCase).getOrElse("")
+        val frames =
+          (if (VideoFormats.contains(fmtL)) frameSampleAvi(bytes, framesPerItem)
+           else None)
+            .getOrElse(frameSampleStub(bytes, framesPerItem))
+        frames.zipWithIndex.map { case (b, i) => Row(id, i, b) }
       }
     }(enc)
   }

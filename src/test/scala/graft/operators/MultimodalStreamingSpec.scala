@@ -95,6 +95,88 @@ class MultimodalSpec extends SparkSpec {
     out.toByteArray
   }
 
+  /** Minimal MJPEG-in-AVI encoder for the fixture: RIFF('AVI ') with an
+    * hdrl LIST carrying avih (frame count + dims) and a movi LIST with
+    * one '00dc' JPEG chunk per frame — the structure decodeAviMjpeg
+    * parses. Frames are solid-gray JPEGs of increasing brightness. */
+  private def aviBytes(w: Int, h: Int, nFrames: Int): Array[Byte] = {
+    def jpeg(level: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (level << 16) | (level << 8) | level
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    val bb = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Array[Byte] =
+      Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write(id.getBytes("US-ASCII")); o.write(le32(body.length)); o.write(body)
+      if (body.length % 2 == 1) o.write(0) // even padding
+      o.toByteArray
+    }
+    def list(subtype: String, bodies: Array[Byte]*): Array[Byte] = {
+      val inner = new java.io.ByteArrayOutputStream()
+      inner.write(subtype.getBytes("US-ASCII")); bodies.foreach(inner.write)
+      chunk("LIST", inner.toByteArray)
+    }
+    val avih = new Array[Byte](56)
+    System.arraycopy(le32(nFrames), 0, avih, 16, 4) // dwTotalFrames
+    System.arraycopy(le32(w), 0, avih, 32, 4)       // dwWidth
+    System.arraycopy(le32(h), 0, avih, 36, 4)       // dwHeight
+    val frames = (0 until nFrames).map(i => chunk("00dc", jpeg(i * 255 / math.max(1, nFrames - 1))))
+    val payload = new java.io.ByteArrayOutputStream()
+    payload.write("AVI ".getBytes("US-ASCII"))
+    payload.write(list("hdrl", chunk("avih", avih)))
+    payload.write(list("movi", frames: _*))
+    val p = payload.toByteArray
+    bb.write("RIFF".getBytes("US-ASCII")); bb.write(le32(p.length)); bb.write(p)
+    bb.toByteArray
+  }
+
+  test("MJPEG AVI decodes for REAL (header dims + temporal brightness profile)") {
+    val avi = aviBytes(24, 12, nFrames = 10)
+    val rows = Seq(
+      Row(0L, avi, "avi"),
+      Row(1L, avi.take(20), "avi"),                 // truncated -> stub
+      Row(2L, Array[Byte](1, 2, 3, 4), "avi"))      // garbage -> stub
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), Multimodal.MediaSchema)
+    val got = Multimodal.extractFeatures(media).orderBy("media_id").collect()
+    val real = got(0)
+    assert(real.getInt(3) == 24 && real.getInt(4) == 12,
+      s"dims from avih: ${real.mkString(",")}")
+    val profile = real.getSeq[Float](6)
+    assert(profile.length == 8)
+    // frames brighten monotonically 0 -> 255: the temporal profile must
+    // increase and span most of the luminance range
+    assert(profile.zip(profile.tail).forall { case (a, b) => a <= b }, profile)
+    assert(profile.last - profile.head > 0.5f, profile)
+    // malformed rows fell back to the stub's pseudo-dims (not the avih)
+    assert(got(1).getInt(3) != 24 || got(1).getInt(4) != 12)
+  }
+
+  test("AVI frame sampling emits real JPEG payloads, evenly spaced") {
+    val avi = aviBytes(16, 16, nFrames = 9)
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(0L, avi, "avi")), 1),
+      Multimodal.MediaSchema)
+    val frames = Multimodal.sampleFrames(media, framesPerItem = 3)
+      .orderBy("frame_idx").collect()
+    assert(frames.length == 3)
+    frames.foreach { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](2)))
+      assert(img != null && img.getWidth == 16 && img.getHeight == 16)
+    }
+    // evenly spaced across a brightening clip: each sampled frame is a
+    // distinct payload
+    assert(frames.map(_.getAs[Array[Byte]](2).toSeq).distinct.length == 3)
+  }
+
   test("PCM WAV decodes for REAL via the JDK sound API (rate, channels, RMS)") {
     // 1600 frames @8kHz: first half silence, second half full-scale
     // square wave -> RMS segments 0..3 ~ 0, 4..7 ~ 1
