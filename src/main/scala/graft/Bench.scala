@@ -27,19 +27,32 @@ object Bench {
     // dominate the measurement
     val iters = math.max(1,
       sys.env.get("SPARK_GRAFT_BENCH_ITERS").flatMap(_.toIntOption).getOrElse(2))
+    // (name, seconds, errored). An exception is NOT a timing: r4's loader
+    // break made every query throw in ~0.5 s and the old swallow-and-time
+    // produced a plausible-looking (and entirely fictional) bench JSON.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      var err: Option[String] = None
       val dt = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() }
+        catch { case e: Throwable => err = Some(e.getMessage) }
         (System.nanoTime() - t0) / 1e9
       }.min
-      System.err.println(f"[bench] $name%-24s $dt%8.2f s")
-      name -> dt
+      err match {
+        case Some(m) => System.err.println(s"[bench] $name ERROR: $m")
+        case None    => System.err.println(f"[bench] $name%-24s $dt%8.2f s")
+      }
+      (name, dt, err.isDefined)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, v, e) =>
+      "\"" + k + "\":" + (if (e) "\"error\"" else v.toString)
+    }.mkString("{", ",", "}")
+    val ok = results.filterNot(_._3)
+    val errors = results.count(_._3)
+    val total = ok.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$errors,"queries":$qs,"sf":"$sfDir"}""")
+    if (errors > 0)
+      System.err.println(s"[bench] $errors/${results.size} queries ERRORED — total covers ${ok.size} only")
     spark.stop()
   }
 }

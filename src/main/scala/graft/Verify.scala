@@ -21,7 +21,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.filter(kv => only(kv._1)).foreach { case (name, fn) =>
+    var failed = List.empty[String]
+    val selected = SparkEntry.queries.filter(kv => only(kv._1))
+    selected.foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
         // queries that build a GraftCatalog flip the session to
@@ -32,6 +34,7 @@ object Verify {
         spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
+        failed ::= name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -51,5 +54,13 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // Fail LOUDLY: r4's round-zeroing loader break produced 113 stderr
+    // lines and rc=0, which looked like success to the driver. Any failed
+    // query now makes the run unmistakably red.
+    if (failed.nonEmpty) {
+      System.err.println(
+        s"[verify] FAILED ${failed.size}/${selected.size}: ${failed.sorted.mkString(", ")}")
+      sys.exit(1)
+    } else System.err.println(s"[verify] OK ${selected.size}/${selected.size}")
   }
 }
