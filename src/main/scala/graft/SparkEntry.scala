@@ -20,7 +20,7 @@ object SparkEntry {
     AggQueries.queries ++ JoinQueries.queries ++ WindowQueries.queries ++
       SortSetQueries.queries ++ FunctionQueries.queries ++ SqlQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++ VectorQueries.queries ++
-      VectorQueries.rowsOnlyQueries ++
+      VectorQueries.rowsOnlyQueries ++ VectorQueries.exactTwinQueries ++
       MiscQueries.queries ++ ExtraQueries.queries ++ ReshapeQueries.queries ++
       SampleQueries.queries ++ TimeseriesQueries.queries
 

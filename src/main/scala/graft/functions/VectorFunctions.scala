@@ -42,6 +42,16 @@ object VectorFunctions {
     s"sqrt(list_reduce(list_prepend(0.0, list_transform($a, " +
       s"v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (x, y) -> x + y))"
 
+  /** Squared-L2 distance, rounded to 9 dp — mirrors the re-rank kernel in
+    * [[graft.operators.PqIndex.searchRerank]] (`zip_with` diff² folded
+    * left-to-right from 0.0) term-for-term so the two engines agree
+    * bit-for-bit. */
+  def l2Sql(a: String, b: String): String = {
+    val d = s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))"
+    s"round(list_reduce(list_prepend(0.0, list_transform(generate_series(1, len($a)), " +
+      s"i -> $d * $d)), (x, y) -> x + y), 9)"
+  }
+
   def cosineSql(a: String, b: String): String =
     s"round(${dotSql(a, b)} / (${norm2Sql(a)} * ${norm2Sql(b)}), 8)"
 

@@ -201,6 +201,83 @@ object VectorQueries {
     })
   )
 
+  // Exactness twins for the three ANN indexes (oracle-checked, unlike the
+  // production-parameter rows-only variants above): IVF probed at EVERY
+  // list and PQ/IVF-PQ re-ranked over an un-truncating shortlist are
+  // provably exact (AnnRecallSpec hard-asserts full-probe == brute
+  // force), so the same brute-force top-k SQL the engine-agnostic oracle
+  // can express covers the whole index path — build, probe/ADC join,
+  // shortlist window, re-rank — end to end. Production parameters (the
+  // approximate regime the oracle can't express) stay pinned by recall
+  // curves in AnnRecallSpec.
+  private val FullShortlist = 1 << 20
+
+  val exactTwinQueries: Map[String, Q] = Map(
+    "q73b_ann_ivf_exact" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queriesDf = emb.where(col("vec_id") < NQueries)
+        .select(col("vec_id"), col("embedding"))
+      val model = ivfCache.getOrElseUpdate(dir,
+        graft.operators.IvfIndex.build(
+          emb.where(col("vec_id") >= NQueries), "vec_id", "embedding", nLists = 8))
+      graft.operators.IvfIndex.search(model, queriesDf, "vec_id", "embedding",
+          k = TopK, nProbe = 8)
+        .orderBy(col("query_id"), col("rn"))
+    }),
+
+    "q74b_ann_pq_exact" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.where(col("vec_id") >= NQueries)
+      val queriesDf = emb.where(col("vec_id") < NQueries)
+        .select(col("vec_id"), col("embedding"))
+      val model = pqCache.getOrElseUpdate(dir,
+        graft.operators.PqIndex.build(corpus, "vec_id", "embedding",
+          dim = 64, m = 8, ksub = 16))
+      graft.operators.PqIndex.searchRerank(model, corpus, "vec_id", "embedding",
+          queriesDf, "vec_id", "embedding", k = TopK, shortlist = FullShortlist)
+        .orderBy(col("query_id"), col("rn"))
+    }),
+
+    "q79b_ann_ivfpq_exact" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queriesDf = emb.where(col("vec_id") < NQueries)
+        .select(col("vec_id"), col("embedding"))
+      val model = ivfPqCache.getOrElseUpdate(dir,
+        graft.operators.IvfPq.build(
+          emb.where(col("vec_id") >= NQueries), "vec_id", "embedding",
+          dim = 64, nLists = 8, m = 8, ksub = 16))
+      graft.operators.IvfPq.searchRerank(model, queriesDf, "vec_id", "embedding",
+          k = TopK, nProbe = 8, shortlist = FullShortlist)
+        .orderBy(col("query_id"), col("rn"))
+    })
+  )
+
+  private lazy val bruteCosSql =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+       |           WHERE vec_id < $NQueries),
+       |c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings
+       |      WHERE vec_id >= $NQueries),
+       |scored AS (SELECT query_id, cand_id, ${cosineSql("qv", "cv")} AS cos
+       |           FROM c CROSS JOIN q)
+       |SELECT query_id, rn, cand_id, cos FROM (
+       |  SELECT query_id, cand_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rn
+       |  FROM scored)
+       |WHERE rn <= $TopK ORDER BY query_id, rn""".stripMargin
+
+  private lazy val bruteL2Sql =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+       |           WHERE vec_id < $NQueries),
+       |c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings
+       |      WHERE vec_id >= $NQueries),
+       |scored AS (SELECT query_id, cand_id, ${l2Sql("qv", "cv")} AS l2_dist
+       |           FROM c CROSS JOIN q)
+       |SELECT query_id, cand_id, l2_dist, rn FROM (
+       |  SELECT query_id, cand_id, l2_dist,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY l2_dist ASC, cand_id) AS rn
+       |  FROM scored)
+       |WHERE rn <= $TopK ORDER BY query_id, rn""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q111_embedding_project" ->
       s"""WITH e AS (SELECT vec_id, label,
@@ -210,19 +287,13 @@ object VectorQueries {
          |SELECT vec_id, label, CAST(i - 1 AS INT) AS dim, pr[i] AS p
          |FROM e, i ORDER BY vec_id, dim""".stripMargin,
 
-    "q70_ann_bruteforce" -> {
-      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-         |           WHERE vec_id < $NQueries),
-         |c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings
-         |      WHERE vec_id >= $NQueries),
-         |scored AS (SELECT query_id, cand_id, ${cosineSql("qv", "cv")} AS cos
-         |           FROM c CROSS JOIN q)
-         |SELECT query_id, rn, cand_id, cos FROM (
-         |  SELECT query_id, cand_id, cos,
-         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rn
-         |  FROM scored)
-         |WHERE rn <= $TopK ORDER BY query_id, rn""".stripMargin
-    },
+    "q70_ann_bruteforce" -> bruteCosSql,
+    // IVF probed at every list == exact brute force (AnnRecallSpec).
+    "q73b_ann_ivf_exact" -> bruteCosSql,
+    // PQ / IVF-PQ with an un-truncating re-rank shortlist == exact
+    // brute-force L2 (re-rank metric).
+    "q74b_ann_pq_exact" -> bruteL2Sql,
+    "q79b_ann_ivfpq_exact" -> bruteL2Sql,
 
     "q71_ann_lsh" -> {
       s"""WITH e AS (SELECT vec_id, embedding,
