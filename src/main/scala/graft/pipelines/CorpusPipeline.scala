@@ -53,9 +53,15 @@ object CorpusPipeline {
       maxTopTokenFrac: Double = 1.0, // repetition gates (1.0 = off)
       maxDupBigramFrac: Double = 1.0,
       // compression-ratio band (deflate entropy proxy): below min =
-      // machine-repetitive, above max = binary-ish junk. (0, 2) = off.
-      minDeflateRatio: Double = 0.0,
-      maxDeflateRatio: Double = 2.0,
+      // machine-repetitive, above max = binary-ish junk. ON by default —
+      // (0.10, 1.10) grounded in the measured corpus distribution (prose
+      // 0.40–0.85 p1–p99 at sf0.01; SCALE.md round-5 note). Set (0, 2)
+      // to disable. Docs shorter than `deflateMinBytes` skip the band:
+      // deflate's fixed header dominates short strings (a 50-byte prose
+      // doc already deflates >1.0), so the signal only exists at length.
+      minDeflateRatio: Double = 0.10,
+      maxDeflateRatio: Double = 1.10,
+      deflateMinBytes: Int = 200,
       // model-score gate (q87 shape): hashed-bucket weight table, keep
       // docs whose mean token weight exceeds the threshold; None = off.
       // A trained fasttext-style model exports exactly this array.
@@ -144,11 +150,14 @@ object CorpusPipeline {
           col("quality") >= cfg.minQuality &&
           col("top_token_frac") <= cfg.maxTopTokenFrac &&
           col("dup_bigram_frac") <= cfg.maxDupBigramFrac
-        // deflate only when the band is active — the kernel is linear
-        // but not free, and the default config never pays it
+        // deflate only when the band is active (set (0, 2) to disable);
+        // short docs skip it — below `deflateMinBytes` the fixed deflate
+        // header swamps the entropy signal. The length test short-circuits
+        // before the kernel runs, so a short-doc-heavy corpus pays ~nothing.
         if (cfg.minDeflateRatio > 0.0 || cfg.maxDeflateRatio < 2.0) {
           val r = TextFunctions.compressionRatio(col("text"))
-          base && r >= cfg.minDeflateRatio && r <= cfg.maxDeflateRatio
+          base && (octet_length(col("text")) < cfg.deflateMinBytes ||
+            (r >= cfg.minDeflateRatio && r <= cfg.maxDeflateRatio))
         } else base
       }
 

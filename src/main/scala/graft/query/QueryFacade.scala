@@ -31,7 +31,13 @@ final class QueryFacade(spark: SparkSession) {
     * `query.slow_query_threshold_ms`, internal/api/query.go:623,853-868:
     * WARN log with sql + execution time + row count, plus a counter).
     * Completed queries above it land in a bounded recent-slow ring for
-    * the ops surface. */
+    * the ops surface.
+    *
+    * DEFAULT = 0, deliberately: parity with the reference's shipped
+    * default (config.go:1467 `SetDefault(..., 0)`); its example config
+    * suggests 1000 ms when enabled (arc.toml:117) — exposed here as
+    * [[QueryFacade.RecommendedSlowQueryThresholdMs]]. Decision recorded
+    * in SCALE.md (round 5). */
   @volatile var slowQueryThresholdMs: Long = 0L
 
   private val slowTotal = new AtomicLong(0)
@@ -266,6 +272,10 @@ object QueryFacade {
 
   /** Bounded recent-slow ring size. */
   private[query] val SlowRingCap = 128
+
+  /** The production threshold the reference's example config recommends
+    * when enabling slow-query logging (arc.toml:117: `1000`). */
+  val RecommendedSlowQueryThresholdMs = 1000L
 
   /** Per-partition UTF-8 JSON row runs: each element is one partition's
     * `[v,…],[v,…]` bytes (comma-joined rows, no outer brackets) plus its

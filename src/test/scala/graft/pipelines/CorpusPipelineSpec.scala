@@ -145,7 +145,7 @@ class CorpusPipelineSpec extends SparkSpec {
       s"PII not masked: ${byId(1L)}")
   }
 
-  test("compression-ratio band drops repetitive and junk docs; off by default") {
+  test("compression-ratio band is ON by default: kills machine text, spares short docs") {
     import spark.implicits._
     val machine = (1 to 80).map(_ => "buy now click here").mkString(" ")
     // varied prose deflates mid-band (~0.6); alnum junk stays high (~0.78)
@@ -159,20 +159,32 @@ class CorpusPipelineSpec extends SparkSpec {
     val alnum = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
     val junk = "x " + (1 to 800).map(_ => alnum(rnd.nextInt(alnum.length)))
       .grouped(100).map(_.mkString).mkString(" ")
+    // short prose (<200 bytes) deflates >1.0 from header overhead alone —
+    // the length floor must exempt it or the default band silently eats
+    // every short document
+    val short = "tiny prose survives the band gate"
     val docs = Seq(
-      (1L, machine, "web"), // deflates to ~nothing
+      (1L, machine, "web"), // deflates to ~nothing → below default min 0.10
       (2L, prose, "web"),
-      (3L, junk, "web")
+      (3L, junk, "web"),    // ~0.78: inside the default band, junky but kept
+      (4L, short, "web")
     ).toDF("doc_id", "text", "source")
     val base = CorpusPipeline.Config(minTokens = 3, minQuality = 0.0,
       numHashes = 16, bands = 8)
-    val off = CorpusPipeline.run(docs, "doc_id", "text", "source", base)
-    assert(off.select("doc_id").collect().map(_.getLong(0)).toSet ==
-      Set(1L, 2L, 3L), "band must be off by default")
+    // DEFAULT config: band active at (0.10, 1.10) with the 200-byte floor
+    val dflt = CorpusPipeline.run(docs, "doc_id", "text", "source", base)
+    assert(dflt.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(2L, 3L, 4L), "default band must drop machine text and spare short docs")
+    // tightened band cuts both tails
     val on = CorpusPipeline.run(docs, "doc_id", "text", "source",
       base.copy(minDeflateRatio = 0.15, maxDeflateRatio = 0.72))
-    assert(on.select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L),
+    assert(on.select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L, 4L),
       "band must cut both tails")
+    // explicit off: everything passes
+    val off = CorpusPipeline.run(docs, "doc_id", "text", "source",
+      base.copy(minDeflateRatio = 0.0, maxDeflateRatio = 2.0))
+    assert(off.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L, 4L), "(0,2) must disable the band")
   }
 
   test("token-budget stage spends each stratum's budget on quality order; off by default") {

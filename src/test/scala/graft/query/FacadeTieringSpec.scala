@@ -116,6 +116,10 @@ class QueryFacadeSpec extends SparkSpec {
     df0.collect()
     f.complete(id0, rows = 1)
     assert(f.slowQueryCount == 0 && f.slowQueries.isEmpty)
+    // default-off is reference parity (config.go:1467); the documented
+    // enable path is the recommended constant from its example config
+    assert(f.slowQueryThresholdMs == 0L)
+    assert(QueryFacade.RecommendedSlowQueryThresholdMs == 1000L)
     // 1ns-equivalent threshold: any completed query is slow
     f.slowQueryThresholdMs = 1
     val (id1, df1) = f.submit("SELECT COUNT(*) AS n FROM range(1000000)")
