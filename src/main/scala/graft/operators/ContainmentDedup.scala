@@ -89,6 +89,83 @@ object ContainmentDedup {
       .select(col("doc1"), col("doc2"), col("n_common"), col("containment"))
   }
 
+  /** Cost estimates for the two strategies, from the shingle
+    * document-frequency census alone (no pair generation):
+    *
+    *  - `naiveJoinRows` = Σ_sh df(sh)² — the exact inverted-index join
+    *    cardinality [[pairs]] would produce (uncapped).
+    *  - `prefixJoinRows` — upper-bound proxy for [[pairsPrefixFiltered]]'s
+    *    candidate join: prefix postings total (1−t)·P + D and concentrate
+    *    on the globally rarest shingles, so cumulate the df-histogram
+    *    ascending until that mass is covered and sum df² over it. A
+    *    prefix shingle pairs with at most its full posting list, so the
+    *    true candidate count is ≤ this.
+    *
+    * The census is one groupBy(sh) over the postings; the histogram is
+    * log2-bucketed (≤64 rows to the driver) so no vocab-sized sort or
+    * single-partition window exists on the path — scale-safe at any
+    * vocabulary size. */
+  final case class StrategyEstimate(
+      docs: Long, postings: Long, naiveJoinRows: Double, prefixJoinRows: Double) {
+    /** Prefix wins when BOTH hold (calibrated on the measured
+      * dense/sparse fixtures, SCALE.md round 5):
+      *
+      *  - ratio: its candidate bound undercuts the naive join by 4× —
+      *    dense corpus → ratio ≈ 1 (naive), sparse web-shape →
+      *    ratio ≪ 0.1 (prefix);
+      *  - magnitude: the naive join is big enough (>1e8 rows) that join
+      *    cardinality, not stage count, is the cost. Measured at sf0.1:
+      *    with naive at 6e6–7e7 rows, naive wins wall-clock on BOTH
+      *    fixtures (2.4 s vs 6.1 s dense, 1.5 s vs 2.4 s sparse) because
+      *    the prefix path's fixed overhead — census join, rarest-first
+      *    rank window, per-pair verify, ~4 extra stages — dominates at
+      *    small volume. Below the floor a mis-pick costs seconds; above
+      *    it, picking naive on a sparse corpus costs quadratically. */
+    def usePrefix: Boolean =
+      naiveJoinRows > 1e8 && prefixJoinRows < 0.25 * naiveJoinRows
+  }
+
+  def estimate(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int, minContainment: Double): StrategyEstimate = {
+    graft.GraftFunctions.registerAll(docs.sparkSession)
+    val sets = docs.select(col(idCol),
+        MinHashDedup.shingleHashesFromTokens(col(textCol), shingleK).as("hs"))
+      .select(col(idCol), explode(col("hs")).as("sh"))
+    val census = sets.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    // log2 histogram: tiny driver result regardless of vocabulary size
+    val hist = census
+      .groupBy(floor(log2(col("df"))).as("b"))
+      // df² summed in double: Σ df² over a billion-doc vocabulary
+      // overflows long, and the estimate only needs magnitude
+      .agg(sum(col("df")).as("p"),
+        sum(col("df").cast("double") * col("df")).as("j"))
+      .orderBy(col("b"))
+      .collect()
+    val nDocs = docs.select(col(idCol)).distinct().count()
+    val postings = hist.map(_.getAs[Long]("p")).sum
+    val naive = hist.map(_.getAs[Double]("j")).sum
+    val prefixMass = (1.0 - minContainment) * postings + nDocs
+    var acc = 0.0
+    var pre = 0.0
+    hist.foreach { r =>
+      if (acc < prefixMass) { acc += r.getAs[Long]("p"); pre += r.getAs[Double]("j") }
+    }
+    StrategyEstimate(nDocs, postings, naive, pre)
+  }
+
+  /** Data-driven containment join: run the census-based [[estimate]] and
+    * dispatch to whichever exact strategy it predicts cheaper (both
+    * produce identical output — ContainmentDedupSpec pins parity on
+    * dense AND sparse fixtures). The census costs one extra
+    * aggregation over the postings — at 100 TB that is noise next to a
+    * mis-chosen join strategy, and the same census is the first stage of
+    * the prefix path anyway. */
+  def pairsAuto(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int, minContainment: Double): DataFrame =
+    if (estimate(docs, idCol, textCol, shingleK, minContainment).usePrefix)
+      pairsPrefixFiltered(docs, idCol, textCol, shingleK, minContainment)
+    else pairs(docs, idCol, textCol, shingleK, minContainment)
+
   /** Same output as [[pairs]] (uncapped), via the lossless prefix filter
     * — the sparse-vocabulary scale path (see object scaladoc). */
   def pairsPrefixFiltered(docs: DataFrame, idCol: String, textCol: String,

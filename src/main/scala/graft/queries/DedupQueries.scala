@@ -312,8 +312,13 @@ object DedupQueries {
     // is fully covered by another, the case symmetric Jaccard dilutes.
     // Inverted-index self-join on the shingle hash (uncapped here; the
     // operator's maxDocFreq guards degenerate boilerplate keys at scale)
+    // pairsAuto: the census-based chooser (SCALE.md round-5 study) —
+    // on this closed-vocabulary corpus it measures ratio≈1 and picks
+    // the naive count-agg join, the measured winner at oracle scale;
+    // the same call flips to the prefix filter on sparse web corpora
+    // above the join-volume floor.
     "q113_dedup_containment" -> ((s, dir) =>
-      graft.operators.ContainmentDedup.pairs(
+      graft.operators.ContainmentDedup.pairsAuto(
           t(s, dir, "documents"), "doc_id", "text",
           shingleK = 2, minContainment = ContainMin)
         .orderBy(col("doc1"), col("doc2"))),

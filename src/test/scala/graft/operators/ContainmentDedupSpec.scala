@@ -88,6 +88,47 @@ class ContainmentDedupSpec extends SparkSpec {
     assert(n2.exists(r => r.getLong(0) == 7L && r.getLong(1) == 201L))
   }
 
+  test("census estimate picks naive on dense vocab, prefix on sparse; pairsAuto parity") {
+    // dense closed vocabulary: prefixes prune nothing, naive must win
+    val dense = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val denseEst = ContainmentDedup.estimate(dense, "doc_id", "text", 2, 0.8)
+    assert(!denseEst.usePrefix,
+      s"dense corpus must choose naive: $denseEst")
+    // sparse Zipfian corpus with planted superset twins (the profiler's
+    // generated fixture, small): the rare tail dominates, so the
+    // cardinality RATIO signals prefix...
+    val sparse = graft.examples.ProfileQ113.sparseCorpus(spark, 1500L, 100000L)
+      .localCheckpoint()
+    val sparseEst = ContainmentDedup.estimate(sparse, "doc_id", "text", 2, 0.8)
+    assert(sparseEst.prefixJoinRows < 0.25 * sparseEst.naiveJoinRows,
+      s"sparse corpus must show the prefix cardinality win: $sparseEst")
+    // ...but at this volume the magnitude floor holds it on naive (the
+    // measured small-scale winner; SCALE.md round 5) — the same shape
+    // above 1e8 naive join rows flips to prefix
+    assert(!sparseEst.usePrefix, s"below the floor: $sparseEst")
+    val atScale = sparseEst.copy(
+      naiveJoinRows = sparseEst.naiveJoinRows * 1e3,
+      prefixJoinRows = sparseEst.prefixJoinRows * 1e3)
+    assert(atScale.usePrefix, s"same ratio above the floor must flip: $atScale")
+    assert(!denseEst.copy(naiveJoinRows = denseEst.naiveJoinRows * 1e3,
+      prefixJoinRows = denseEst.prefixJoinRows * 1e3).usePrefix,
+      "dense ratio must stay naive at any scale")
+    // the dispatcher's output is identical to the naive reference on both
+    val autoDense = ContainmentDedup.pairsAuto(dense, "doc_id", "text", 2, 0.8)
+      .orderBy("doc1", "doc2").collect().toSeq
+    assert(autoDense == ContainmentDedup.pairs(dense, "doc_id", "text", 2, 0.8)
+      .orderBy("doc1", "doc2").collect().toSeq)
+    val autoSparse = ContainmentDedup.pairsAuto(sparse, "doc_id", "text", 2, 0.8)
+      .orderBy("doc1", "doc2").collect().toSeq
+    assert(autoSparse == ContainmentDedup.pairs(sparse, "doc_id", "text", 2, 0.8)
+      .orderBy("doc1", "doc2").collect().toSeq)
+    // every planted twin (doc+header) is found at containment 1.0
+    val twins = autoSparse.filter(_.getDouble(3) == 1.0)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((0L until 1500L by 100L).forall(d => twins.contains((d, d + 1500L))),
+      s"planted twins missing: $twins")
+  }
+
   test("sorted_intersect_count matches size(array_intersect) on sorted sets") {
     val df = spark.range(200).selectExpr(
       "sort_array(array_distinct(transform(sequence(1, 1 + CAST(id % 17 AS INT)), " +
