@@ -22,12 +22,14 @@ object SparkEntry {
       TextQueries.queries ++ DedupQueries.queries ++ VectorQueries.queries ++
       VectorQueries.rowsOnlyQueries ++ VectorQueries.exactTwinQueries ++
       MiscQueries.queries ++ ExtraQueries.queries ++ ReshapeQueries.queries ++
-      SampleQueries.queries ++ TimeseriesQueries.queries
+      SampleQueries.queries ++ TimeseriesQueries.queries ++
+      RetrievalQueries.queries
 
   def oracleSql: Map[String, String] =
     AggQueries.oracles ++ JoinQueries.oracles ++ WindowQueries.oracles ++
       SortSetQueries.oracles ++ FunctionQueries.oracles ++ SqlQueries.oracles ++
       TextQueries.oracles ++ DedupQueries.oracles ++ VectorQueries.oracles ++
       MiscQueries.oracles ++ ExtraQueries.oracles ++ ReshapeQueries.oracles ++
-      SampleQueries.oracles ++ TimeseriesQueries.oracles
+      SampleQueries.oracles ++ TimeseriesQueries.oracles ++
+      RetrievalQueries.oracles
 }

@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** BM25 ranked retrieval over a document corpus (Robertson & Zaragoza,
+  * "The Probabilistic Relevance Framework: BM25 and Beyond", FnTIR 2009)
+  * — the lexical-retrieval operator every training-data pipeline uses for
+  * quality probes, retrieval-augmented filtering, and contamination
+  * checks against evaluation queries.
+  *
+  * Scale shape (the 100 TB path): the corpus is tokenized ONCE; tokens
+  * are filtered to the query vocabulary MAP-SIDE (a `filter` HOF inside
+  * the projection, before the generator), so the only shuffled stream is
+  * O(matching term occurrences), not the corpus. Per-term document
+  * frequencies aggregate from the (doc, term) frame (already tiny) and
+  * broadcast back; corpus stats (N, total length) are a 1-row broadcast.
+  * Top-k is a TakeOrdered, never a global sort materialization.
+  *
+  * Two scorers, same plan shape:
+  *  - [[topK]]: textbook BM25 (double, log idf) — the production scorer.
+  *  - [[topKRational]]: a log-free rational surrogate in pure int64
+  *    arithmetic so a DuckDB oracle matches bit-for-bit (q116). The idf
+  *    factor is the idf *argument* (N-df+0.5)/(df+0.5) (monotone with
+  *    ln of itself), cleared of halves by doubling; the tf saturation
+  *    uses k1=1.2, b=0.75 multiplied out to integers:
+  *      tf·2.2 / (tf + 1.2·(0.25 + 0.75·dl/avgdl))
+  *        = 22·tf·T / (10·tf·T + 3·T + 9·dl·N)      with avgdl = T/N.
+  *    Headroom (int64-exact): 22·tf·T·1e6 < 2^63 ⇒ T·tf < 4.2e11, and
+  *    idf6·tfp6 < 2^63 ⇒ N/df < 4.2e6 — fine to ~billions of tokens;
+  *    beyond that use [[topK]] (doubles don't overflow, ranking only).
+  */
+object Bm25 {
+
+  /** Shared candidate stats: (doc_id, dl, term, tf) for query terms plus
+    * broadcast df-per-term and corpus (n_docs, total_len). */
+  private def candidates(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String]): (DataFrame, DataFrame, DataFrame) = {
+    val termArr = array(terms.map(lit): _*)
+    val tk = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+        // query-vocab filter BEFORE the generator: the exploded stream
+        // carries only matching occurrences
+        filter(col("tk"), t => array_contains(termArr, t)).as("qtk"))
+    val stats = tk.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
+    val tf = tk.select(col("doc_id"), col("dl"), explode(col("qtk")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    (tf, dfs, stats)
+  }
+
+  /** Textbook BM25 top-k: (doc_id, score, n_terms), score descending,
+    * doc_id tie-break. */
+  def topK(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val (tf, dfs, stats) = candidates(docs, idCol, textCol, terms)
+    tf.join(broadcast(dfs), "term").crossJoin(broadcast(stats))
+      .withColumn("idf", log(
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("tfn", col("tf") * (lit(k1) + 1) /
+        (col("tf") + lit(k1) * (lit(1 - b) +
+          lit(b) * col("dl") * col("n_docs") / col("total_len"))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("idf") * col("tfn")).as("score"), count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Oracle-parity rational BM25 top-k (see scaladoc): pure int64 until
+    * one final cast, so ordering and values match DuckDB exactly. */
+  def topKRational(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    val (tf, dfs, stats) = candidates(docs, idCol, textCol, terms)
+    tf.join(broadcast(dfs), "term").crossJoin(broadcast(stats))
+      .withColumn("idf6",
+        expr("(2 * n_docs - 2 * df + 1) * 1000000 div (2 * df + 1)"))
+      .withColumn("tfp6",
+        expr("22 * tf * total_len * 1000000 div " +
+          "(10 * tf * total_len + 3 * total_len + 9 * dl * n_docs)"))
+      .withColumn("sc", expr("idf6 * tfp6 div 1000000"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("sc")).as("sc_sum"), count(lit(1)).as("n_terms"))
+      .orderBy(col("sc_sum").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"),
+        (col("sc_sum").cast("double") / 1000000.0).as("score"),
+        col("n_terms"))
+  }
+}

@@ -1,0 +1,121 @@
+package graft.queries
+
+import graft.functions.TextFunctions.tokens
+import org.apache.spark.sql.functions._
+
+/** Retrieval + data-selection operators over `documents`:
+  *  - q116: BM25 ranked retrieval (operators/Bm25.scala) — rational
+  *    int64 scorer so the DuckDB oracle matches exactly; the production
+  *    double scorer shares the plan (Bm25Spec pins their agreement).
+  *  - q117: DSIR-shaped importance weighting (Xie et al., "Data
+  *    Selection for Language Models via Importance Resampling", NeurIPS
+  *    2023): rank corpus documents by how much more likely their tokens
+  *    are under a TARGET distribution than under the corpus as a whole.
+  *    The published method sums log-likelihood ratios of hashed n-grams;
+  *    this engine's oracle-exact variant averages the add-1-smoothed
+  *    per-token likelihood RATIO in scaled int64 (log-free, so both
+  *    engines agree bit-for-bit; monotone per token with the LLR).
+  *
+  * Scale shape: both are two-scan operators (model/stats build + scoring
+  * probe), the established q97 pattern — at 100 TB re-scanning beats
+  * persisting a token stream larger than the source. The unigram model
+  * is vocab-sized (token-keyed aggregate), its normalizers are a 1-row
+  * broadcast rollup, and scoring joins the compressed (doc, token,
+  * count) frame against the model — never the raw occurrence stream.
+  * Int64 headroom: (c_t+1)·(C+V)·1e6 < 2^63 ⇒ target·corpus token
+  * product < 9.2e12 — fine to ~billions of tokens; beyond that the
+  * log-space double path is the production scorer (same plan).
+  */
+object RetrievalQueries {
+
+  private val Bm25Terms = Seq("vector", "merge", "customer", "spark")
+  private val Bm25K = 20
+  private val DsirTarget = "src1"
+  private val DsirTopN = 50
+
+  val queries: Map[String, Q] = Map(
+    "q116_bm25_topk" -> ((s, dir) =>
+      graft.operators.Bm25.topKRational(
+        t(s, dir, "documents"), "doc_id", "text", Bm25Terms, Bm25K)),
+
+    "q117_dsir_weight" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), (col("source") === DsirTarget).as("is_t"),
+          explode(tokens(col("text"))).as("w"))
+      // vocab-sized unigram model: corpus count + target count per token;
+      // normalizers (T, C, V) roll up FROM the model, broadcast as 1 row
+      val model = toks.groupBy(col("w"))
+        .agg(count(lit(1)).as("c_c"),
+          sum(when(col("is_t"), 1L).otherwise(0L)).as("c_t"))
+        .localCheckpoint()
+      val norms = broadcast(model.agg(
+        sum(col("c_c")).as("big_c"), sum(col("c_t")).as("big_t"),
+        count(lit(1)).as("v")))
+      val ratios = model.crossJoin(norms)
+        .select(col("w"), expr(
+          "(c_t + 1) * (big_c + v) * 1000000 div ((c_c + 1) * (big_t + v))")
+          .as("r6"))
+      // scoring probe: compressed (doc, token, count) frame vs the model
+      val perDoc = toks.groupBy(col("doc_id"), col("w"))
+        .agg(count(lit(1)).as("cnt"))
+      val scored = perDoc.join(ratios, "w")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt") * col("r6")).as("s"), sum(col("cnt")).as("n"))
+        .select(col("doc_id"), expr("s div n").as("imp6"))
+        .orderBy(col("imp6").desc, col("doc_id"))
+        .limit(DsirTopN)
+      // source label joined onto the 50 selected rows only
+      scored.join(t(s, dir, "documents").select(col("doc_id"), col("source")),
+          "doc_id")
+        .select(col("doc_id"), col("source"),
+          (col("imp6").cast("double") / 1000000.0).as("importance"))
+        .orderBy(col("importance").desc, col("doc_id"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q116_bm25_topk" -> {
+      val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH d AS (SELECT doc_id,
+         |    string_split_regex(trim(text), '\\s+') AS tk FROM documents),
+         |dl AS (SELECT doc_id, len(tk) AS dl, tk FROM d),
+         |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len FROM dl),
+         |tf AS (SELECT doc_id, dl, t AS term, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, dl, unnest(tk) AS t FROM dl)
+         |  WHERE t IN ($termList) GROUP BY doc_id, dl, t),
+         |dfs AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         |sc AS (SELECT doc_id,
+         |    ((2 * n_docs - 2 * df + 1) * 1000000 // (2 * df + 1))
+         |      * (22 * tf * total_len * 1000000 //
+         |         (10 * tf * total_len + 3 * total_len + 9 * dl * n_docs))
+         |      // 1000000 AS sc
+         |  FROM tf JOIN dfs USING (term) CROSS JOIN stats)
+         |SELECT doc_id, CAST(sc_sum AS DOUBLE) / 1000000.0 AS score, n_terms
+         |FROM (SELECT doc_id, SUM(sc) AS sc_sum, COUNT(*) AS n_terms
+         |      FROM sc GROUP BY doc_id)
+         |ORDER BY sc_sum DESC, doc_id LIMIT $Bm25K""".stripMargin
+    },
+
+    "q117_dsir_weight" ->
+      s"""WITH tok AS (SELECT doc_id, source = '$DsirTarget' AS is_t,
+         |    unnest(string_split_regex(trim(text), '\\s+')) AS w
+         |  FROM documents),
+         |model AS (SELECT w, COUNT(*) AS c_c,
+         |    SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS c_t
+         |  FROM tok GROUP BY w),
+         |norms AS (SELECT SUM(c_c) AS big_c, SUM(c_t) AS big_t,
+         |    COUNT(*) AS v FROM model),
+         |ratios AS (SELECT w,
+         |    (c_t + 1) * (big_c + v) * 1000000 // ((c_c + 1) * (big_t + v))
+         |      AS r6 FROM model CROSS JOIN norms),
+         |perdoc AS (SELECT doc_id, w, COUNT(*) AS cnt FROM tok GROUP BY doc_id, w),
+         |scored AS (SELECT doc_id,
+         |    SUM(cnt * r6) // SUM(cnt) AS imp6
+         |  FROM perdoc JOIN ratios USING (w) GROUP BY doc_id
+         |  ORDER BY imp6 DESC, doc_id LIMIT $DsirTopN)
+         |SELECT s.doc_id, d.source,
+         |  CAST(imp6 AS DOUBLE) / 1000000.0 AS importance
+         |FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+         |ORDER BY importance DESC, s.doc_id""".stripMargin
+  )
+}

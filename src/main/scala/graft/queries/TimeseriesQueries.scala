@@ -147,6 +147,67 @@ object TimeseriesQueries {
         .withColumn("is_anomaly",
           (col("ratio_to_baseline") > 1.5).cast("int"))
         .orderBy(col("event_type"), col("bucket_ts"))
+    }),
+
+    // M4 downsampling (Jugel et al., "M4: A Visualization-Oriented Time
+    // Series Data Aggregation", VLDB 2014): per (series, bucket) keep
+    // min/max/first/last — the error-free envelope for line rendering.
+    // ONE shuffle with full map-side partials: first/last ride min_by/
+    // max_by over a (ts, event_id) struct key instead of a per-series
+    // window sort, so the 100 TB shape is a plain hash aggregate. All
+    // four stats are SELECTIONS (no arithmetic), so doubles compare
+    // exactly and the oracle (window spelling — DuckDB 1.0's arg_min
+    // lacks composite keys) matches bit-for-bit.
+    "q118_m4_downsample" -> ((s, dir) => {
+      graft.GraftFunctions.registerAll(s)
+      t(s, dir, "events")
+        .groupBy(col("event_type"),
+          graft.functions.TimeBucket.time_bucket(
+            expr("INTERVAL '15' MINUTE"), col("ts")).as("bucket"))
+        .agg(min(col("value")).as("min_v"), max(col("value")).as("max_v"),
+          min_by(col("value"), struct(col("ts"), col("event_id"))).as("first_v"),
+          max_by(col("value"), struct(col("ts"), col("event_id"))).as("last_v"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"), col("bucket"))
+    }),
+
+    // LTTB downsampling — shape-preserving complement to q118's M4.
+    // Rows-only: the largest-triangle chain is sequential per series, so
+    // no SQL twin exists (LttbSpec pins endpoint/count/subset/order
+    // invariants and planted-spike retention). See operators/Lttb.scala
+    // for the O(n/B)-memory streaming shape.
+    "q119_lttb_downsample" -> ((s, dir) =>
+      graft.operators.Lttb.downsample(
+          t(s, dir, "events"), "event_type", "ts", "event_id", "value",
+          buckets = 40)
+        .orderBy(col("event_type"), col("ts"), col("event_id"))),
+
+    // Counter rate (the PromQL increase()/rate() shape Arc's monitoring
+    // users run constantly): per-series non-negative deltas with counter
+    // RESETS (delta < 0 ⇒ the counter restarted; the post-reset value is
+    // the increase), summed per hour bucket of the later sample. All
+    // arithmetic in DECIMAL(18,2) (events.value is generated at 2 dp) so
+    // both engines are exact and order-independent. One per-series window
+    // + one hash aggregate. The fixture's series key (event_type) is
+    // low-cardinality; in a real deployment the key is the full tag-set
+    // series id (high cardinality), which is what the shape assumes —
+    // skew on a hot series is bounded by that series' sample count.
+    "q120_counter_rate" -> ((s, dir) => {
+      graft.GraftFunctions.registerAll(s)
+      val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("event_type"), col("ts"), col("event_id"), dec(col("value")).as("v"))
+        .withColumn("prev", lag(col("v"), 1).over(w))
+        .withColumn("inc",
+          when(col("prev").isNull, lit(0).cast("decimal(18,2)"))
+            .when(col("v") >= col("prev"), col("v") - col("prev"))
+            .otherwise(col("v")))
+        .groupBy(col("event_type"),
+          graft.functions.TimeBucket.time_bucket(
+            expr("INTERVAL '1' HOUR"), col("ts")).as("bucket"))
+        .agg(sum(col("inc")).cast("double").as("increase"),
+          count(lit(1)).as("n_samples"))
+        .orderBy(col("event_type"), col("bucket"))
     })
   )
 
@@ -234,6 +295,38 @@ object TimeseriesQueries {
          |  CAST(round(CAST(hv * trail_n AS DOUBLE) / CAST(trail_sum AS DOUBLE), 6)
          |    > 1.5 AS INT) AS is_anomaly
          |FROM r WHERE trail_n >= 12 AND trail_sum <> 0
-         |ORDER BY event_type, bucket_ts""".stripMargin
+         |ORDER BY event_type, bucket_ts""".stripMargin,
+
+    // window spelling of first/last (DuckDB 1.0 arg_min has no composite
+    // tie-break key); selections only, so doubles match exactly
+    "q118_m4_downsample" ->
+      """WITH b AS (SELECT event_type,
+        |    make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 900000000)
+        |      * 900000000) AS bucket,
+        |    CAST(ts AS TIMESTAMP) AS ts, event_id, value FROM events),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY event_type, bucket
+        |      ORDER BY ts, event_id) AS ra,
+        |    row_number() OVER (PARTITION BY event_type, bucket
+        |      ORDER BY ts DESC, event_id DESC) AS rd
+        |  FROM b)
+        |SELECT event_type, bucket, MIN(value) AS min_v, MAX(value) AS max_v,
+        |  MAX(CASE WHEN ra = 1 THEN value END) AS first_v,
+        |  MAX(CASE WHEN rd = 1 THEN value END) AS last_v, COUNT(*) AS n
+        |FROM r GROUP BY event_type, bucket
+        |ORDER BY event_type, bucket""".stripMargin,
+
+    "q120_counter_rate" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |    CAST(value AS DECIMAL(18,2)) AS v FROM events),
+        |l AS (SELECT *, LAG(v) OVER (PARTITION BY event_type
+        |    ORDER BY ts, event_id) AS prev FROM d),
+        |i AS (SELECT event_type,
+        |    make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS bucket,
+        |    CASE WHEN prev IS NULL THEN CAST(0 AS DECIMAL(18,2))
+        |         WHEN v >= prev THEN v - prev ELSE v END AS inc FROM l)
+        |SELECT event_type, bucket, CAST(SUM(inc) AS DOUBLE) AS increase,
+        |  COUNT(*) AS n_samples FROM i GROUP BY event_type, bucket
+        |ORDER BY event_type, bucket""".stripMargin
   )
 }

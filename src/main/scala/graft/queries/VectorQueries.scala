@@ -99,6 +99,25 @@ object VectorQueries {
         .where(col("cos") >= DedupTau)
         .select(col("v1"), col("v2"), col("cos"))
         .orderBy(col("v1"), col("v2"))
+    }),
+
+    // ORACLE TWIN of q89's SemDeDup: the IDENTICAL prune kernel
+    // (SemanticDedup.verdictsFromAssignments — greedy-by-id, drop on ANY
+    // close lower-id cluster-mate) over DETERMINISTIC random-hyperplane
+    // buckets instead of k-means lists. k-means has no DuckDB twin, but
+    // the kernel does — so this pins the dedup semantics end-to-end in
+    // SQL while q89 exercises the learned-cluster production path. Same
+    // one-equi-join-per-cluster 100 TB shape; plane family offset 1024
+    // keeps the buckets independent of q71/q69/q111's.
+    "q89b_semantic_dedup_exact" -> ((s, dir) => {
+      val assignments = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          lshBucketBand(col("embedding"), SemExactPlanes, SemExactOffset)
+            .as("list_id"))
+      graft.operators.SemanticDedup
+        .verdictsFromAssignments(assignments, "vec_id", "embedding",
+          threshold = SemDedupTau)
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -106,6 +125,8 @@ object VectorQueries {
   private val DedupPlanes = 8 // 256 buckets/band: candidate volume ~ n²/256 per band
   private val DedupTau = 0.35
   private val SemDedupTau = 0.35 // same radius as the LSH banded path (q69)
+  private val SemExactPlanes = 5 // 32 deterministic buckets for q89b
+  private val SemExactOffset = 1024 // plane family disjoint from q69/q71/q111
 
   /** IVF ANN as a rows-only query (no SQL-expressible oracle — k-means
     * has no DuckDB twin; IvfIndexSpec covers recall/exactness within
@@ -294,6 +315,22 @@ object VectorQueries {
     // brute-force L2 (re-rank metric).
     "q74b_ann_pq_exact" -> bruteL2Sql,
     "q79b_ann_ivfpq_exact" -> bruteL2Sql,
+
+    // same greedy-by-id prune rule as the Spark kernel: dup_of = min
+    // lower-id cluster-mate within the cosine radius, kept iff none
+    "q89b_semantic_dedup_exact" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |    ${lshBucketBandSql("embedding", SemExactPlanes, SemExactOffset)} AS list_id
+         |  FROM embeddings),
+         |d AS (SELECT a.vec_id AS id_a, MIN(b.vec_id) AS dup_of
+         |  FROM e a JOIN e b
+         |    ON a.list_id = b.list_id AND b.vec_id < a.vec_id
+         |  WHERE ${cosineSql("a.embedding", "b.embedding")} >= $SemDedupTau
+         |  GROUP BY a.vec_id)
+         |SELECT e.vec_id, e.list_id AS cluster_id, d.dup_of,
+         |  CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END AS is_kept
+         |FROM e LEFT JOIN d ON e.vec_id = d.id_a
+         |ORDER BY e.vec_id""".stripMargin,
 
     "q71_ann_lsh" -> {
       s"""WITH e AS (SELECT vec_id, embedding,
