@@ -42,6 +42,13 @@ object Bench {
         case Some(m) => System.err.println(s"[bench] $name ERROR: $m")
         case None    => System.err.println(f"[bench] $name%-24s $dt%8.2f s")
       }
+      // drop this query's localCheckpoint blocks: across 120+ queries
+      // they otherwise accumulate in the 8g heap until a multi-second
+      // GC lands inside some later query's timing (observed: a 0.8 s
+      // query reading 11.5 s). A real deployment doesn't share one
+      // driver across the whole suite; steady-state memory per query is
+      // what the timing should see.
+      ModelCheckpoint.sweep(spark)
       (name, dt, err.isDefined)
     }
     val qs = results.map { case (k, v, e) =>

@@ -76,6 +76,13 @@ object GraftFunctions {
       }),
       "built-in")
     reg.createOrReplaceTempFunction(
+      "bpe_encode",
+      exprs => graft.operators.BpeEncode(exprs(0), {
+        require(exprs(1).foldable, "bpe_encode: merge table must be a literal")
+        graft.operators.Bpe.parseMerges(exprs(1).eval().toString)
+      }),
+      "built-in")
+    reg.createOrReplaceTempFunction(
       "rand_project",
       exprs => graft.functions.RandProject(exprs(0),
         foldableNum(exprs(1), "rand_project", "k").intValue(),

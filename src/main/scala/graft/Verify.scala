@@ -37,6 +37,9 @@ object Verify {
         failed ::= name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // free this query's localCheckpoint blocks (see Bench: they pile
+      // up across the whole suite in one driver otherwise)
+      ModelCheckpoint.sweep(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

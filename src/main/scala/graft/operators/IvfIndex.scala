@@ -41,9 +41,11 @@ object IvfIndex {
     val km = new KMeans().setK(nLists).setSeed(seed)
       .setFeaturesCol("_v").setPredictionCol("list_id")
     val model = km.fit(withVec)
-    val assignments = model.transform(withVec)
-      .select(col(idCol), col(vecCol), col("list_id"))
-      .localCheckpoint() // the index is reused across queries
+    val assignments = graft.ModelCheckpoint.pin(
+      model.transform(withVec)
+        .select(col(idCol), col(vecCol), col("list_id")))
+    // pinned checkpoint: the index is reused across queries and must
+    // survive the harnesses' per-query block sweeps
     Model(model.clusterCenters.map(_.toArray), assignments, idCol, vecCol)
   }
 

@@ -30,9 +30,8 @@ object IvfPq {
       dim: Int, nLists: Int, m: Int, ksub: Int, seed: Long = 42L): Model = {
     val ivf = IvfIndex.build(corpus, idCol, vecCol, nLists, seed)
     val pq = PqIndex.build(corpus, idCol, vecCol, dim, m, ksub, seed)
-    val index = pq.codes
-      .join(ivf.assignments.select(col(idCol), col("list_id")), idCol)
-      .localCheckpoint()
+    val index = graft.ModelCheckpoint.pin(pq.codes
+      .join(ivf.assignments.select(col(idCol), col("list_id")), idCol))
     Model(ivf, pq, index)
   }
 

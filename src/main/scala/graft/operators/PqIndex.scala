@@ -58,8 +58,10 @@ object PqIndex {
       codebooks(s) = model.clusterCenters.map(_.toArray)
       df = model.transform(df)
     }
-    val codes = df.select(col(idCol) +: (0 until m).map(s => col(s"code_$s")): _*)
-      .localCheckpoint() // the code table IS the index; reused across queries
+    val codes = graft.ModelCheckpoint.pin(
+      df.select(col(idCol) +: (0 until m).map(s => col(s"code_$s")): _*))
+    // pinned checkpoint: the code table IS the index; reused across
+    // queries, survives harness sweeps
     Model(m, subDim, codebooks, codes)
   }
 

@@ -357,8 +357,31 @@ object TextQueries {
               - col("na") * coalesce(col("s_cb"), lit(0L)),
             lit(2L) * col("na") * col("nb")).as("tv"))
         .orderBy(col("src_a"), col("src_b"))
+    }),
+
+    // real BPE token counts (rows-only: the merge loop is sequential —
+    // BpeSpec pins the textbook merge sequence, greedy encoding,
+    // losslessness, and count monotonicity). The merge table is learned
+    // ONCE per dataset from the word-frequency census (one corpus
+    // aggregation, driver state capped at maxWords) and cached like the
+    // ANN indexes; encoding is a codegen'd per-row kernel — this is the
+    // subword sibling of q60's whitespace counts, feeding the same
+    // token-budget operators (q84/q102) with tokenizer-true numbers.
+    "q121_bpe_tokens" -> ((s, dir) => {
+      graft.GraftFunctions.registerAll(s)
+      val docs = t(s, dir, "documents")
+      val model = bpeCache.getOrElseUpdate(dir,
+        graft.operators.Bpe.learn(docs, "text", numMerges = 200))
+      docs.select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_words"),
+        graft.operators.Bpe.countExpr(col("text"), model).cast("long")
+          .as("n_pieces"))
+        .orderBy(col("doc_id"))
     })
   )
+
+  private val bpeCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.operators.Bpe.Model]
 
   // q107 heavy-hitter threshold: 1/30 of all token occurrences (ppm) —
   // sits mid-distribution on the fixture (the 31-token vocab splits

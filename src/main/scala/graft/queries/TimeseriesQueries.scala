@@ -208,7 +208,39 @@ object TimeseriesQueries {
         .agg(sum(col("inc")).cast("double").as("increase"),
           count(lit(1)).as("n_samples"))
         .orderBy(col("event_type"), col("bucket"))
-    })
+    }),
+
+    // hopping (sliding) windows: hourly aggregates advancing every 15
+    // minutes — each event lands in 4 overlapping windows. Spark's
+    // native sliding `window()` generates the replicas inside the
+    // aggregate (one shuffle; map-side partials over 4× the rows, which
+    // is the inherent cost of overlap). The oracle spells the identical
+    // replication as a cross join with the 4 window offsets.
+    "q122_hopping_window" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"), window(col("ts"), "1 hour", "15 minutes"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(col("event_type"), col("window.start").as("ws"),
+          col("n"), col("sum_value"))
+        .orderBy(col("event_type"), col("ws"))),
+
+    // exact per-bucket quantiles by SELECTION (nearest-rank p50/p95 on
+    // the sorted bucket), so doubles match the oracle bit-for-bit —
+    // the exact complement of q34's sketches. Rank indexes in pure
+    // integer math ((n*95+99) div 100): a double 0.95*n flips ceil() at
+    // representation boundaries. The bucket materializes per group
+    // (sort_array over collect_list) — bounded by samples-per-(series,
+    // day), the natural bound of time-bucketed telemetry; unbounded
+    // groups take the q34 sketch path instead.
+    "q123_bucket_quantiles" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(sort_array(collect_list(col("value"))).as("vs"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"), col("day"), col("n"),
+          element_at(col("vs"), expr("cast((n + 1) div 2 as int)")).as("p50"),
+          element_at(col("vs"), expr("cast((n * 95 + 99) div 100 as int)")).as("p95"))
+        .orderBy(col("event_type"), col("day")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -327,6 +359,26 @@ object TimeseriesQueries {
         |         WHEN v >= prev THEN v - prev ELSE v END AS inc FROM l)
         |SELECT event_type, bucket, CAST(SUM(inc) AS DOUBLE) AS increase,
         |  COUNT(*) AS n_samples FROM i GROUP BY event_type, bucket
-        |ORDER BY event_type, bucket""".stripMargin
+        |ORDER BY event_type, bucket""".stripMargin,
+
+    "q122_hopping_window" ->
+      s"""WITH k AS (SELECT unnest(generate_series(0, 3)) AS k),
+         |e AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
+         |  FROM events)
+         |SELECT event_type,
+         |  make_timestamp(((us // 900000000) - k) * 900000000) AS ws,
+         |  COUNT(*) AS n, ${oSum("value")} AS sum_value
+         |FROM e CROSS JOIN k
+         |GROUP BY event_type, ws ORDER BY event_type, ws""".stripMargin,
+
+    "q123_bucket_quantiles" ->
+      """WITH b AS (SELECT event_type,
+        |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+        |    list_sort(list(value)) AS vs, COUNT(*) AS n
+        |  FROM events GROUP BY event_type, day)
+        |SELECT event_type, day, n,
+        |  vs[CAST((n + 1) // 2 AS INT)] AS p50,
+        |  vs[CAST((n * 95 + 99) // 100 AS INT)] AS p95
+        |FROM b ORDER BY event_type, day""".stripMargin
   )
 }
