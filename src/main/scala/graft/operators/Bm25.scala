@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** BM25 ranked retrieval over a document corpus (Robertson & Zaragoza,
@@ -74,13 +74,25 @@ object Bm25 {
   def topKRational(docs: DataFrame, idCol: String, textCol: String,
       terms: Seq[String], k: Int): DataFrame = {
     val (tf, dfs, stats) = candidates(docs, idCol, textCol, terms)
+    import graft.queries.mulGuard
+    val div = (a: Column, b: Column) => call_function("div", a, b)
+    // every product that can exceed int64 goes through mulGuard — a wrap
+    // would otherwise be a silent ranking corruption (DuckDB widens to
+    // HUGEINT, Spark wraps). The denominators are bounded by the guarded
+    // numerators (coefficients 10/3/9 vs the numerator's 22e6), so they
+    // need no guard of their own.
     tf.join(broadcast(dfs), "term").crossJoin(broadcast(stats))
-      .withColumn("idf6",
-        expr("(2 * n_docs - 2 * df + 1) * 1000000 div (2 * df + 1)"))
-      .withColumn("tfp6",
-        expr("22 * tf * total_len * 1000000 div " +
-          "(10 * tf * total_len + 3 * total_len + 9 * dl * n_docs)"))
-      .withColumn("sc", expr("idf6 * tfp6 div 1000000"))
+      .withColumn("idf6", div(
+        mulGuard(lit(2L) * col("n_docs") - lit(2L) * col("df") + 1L,
+          lit(1000000L), "bm25 idf"),
+        lit(2L) * col("df") + 1L))
+      .withColumn("tfp6", div(
+        mulGuard(mulGuard(col("tf"), col("total_len"), "bm25 tf*T"),
+          lit(22000000L), "bm25 tf-part"),
+        lit(10L) * col("tf") * col("total_len") + lit(3L) * col("total_len")
+          + lit(9L) * col("dl") * col("n_docs")))
+      .withColumn("sc",
+        div(mulGuard(col("idf6"), col("tfp6"), "bm25 score"), lit(1000000L)))
       .groupBy(col("doc_id"))
       .agg(sum(col("sc")).as("sc_sum"), count(lit(1)).as("n_terms"))
       .orderBy(col("sc_sum").desc, col("doc_id"))

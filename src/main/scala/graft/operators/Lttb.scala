@@ -38,14 +38,7 @@ object Lttb {
       idCol: String, valCol: String, buckets: Int): DataFrame = {
     require(buckets >= 3, s"LTTB needs >= 3 buckets, got $buckets")
     val spark = df.sparkSession
-    val pts = df.select(col(keyCol).cast("string").as("_k"),
-      unix_micros(col(tsCol)).as("_x"),
-      col(idCol).cast("long").as("_id"),
-      col(valCol).cast("double").as("_y"))
-    val counts = pts.groupBy(col("_k")).agg(count(lit(1)).as("_n"))
-    val sorted = pts.join(broadcast(counts), "_k")
-      .repartition(col("_k"))
-      .sortWithinPartitions(col("_k"), col("_x"), col("_id"))
+    val sorted = sortedInput(df, keyCol, tsCol, idCol, valCol)
     val outSchema = StructType(Seq(
       StructField("_k", StringType), StructField("_x", LongType),
       StructField("_id", LongType), StructField("_y", DoubleType)))
@@ -67,6 +60,22 @@ object Lttb {
       outSchema)
     selected.select(col("_k").as(keyCol), timestamp_micros(col("_x")).as(tsCol),
       col("_id").as(idCol), col("_y").as(valCol))
+  }
+
+  /** Pre-kernel distributed shape (exposed for the plan pin): series
+    * counts broadcast-joined, one hash repartition on the series key,
+    * in-partition (key, ts, id) sort. The kernel consumes this via
+    * toRdd, so the OUTER query's explain cannot see it. */
+  private[graft] def sortedInput(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valCol: String): DataFrame = {
+    val pts = df.select(col(keyCol).cast("string").as("_k"),
+      unix_micros(col(tsCol)).as("_x"),
+      col(idCol).cast("long").as("_id"),
+      col(valCol).cast("double").as("_y"))
+    val counts = pts.groupBy(col("_k")).agg(count(lit(1)).as("_n"))
+    pts.join(broadcast(counts), "_k")
+      .repartition(col("_k"))
+      .sortWithinPartitions(col("_k"), col("_x"), col("_id"))
   }
 
   private[operators] final case class Pt(k: String, x: Long, id: Long, n: Long, y: Double)

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.functions.TextFunctions.tokens
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Retrieval + data-selection operators over `documents`:
@@ -51,16 +52,22 @@ object RetrievalQueries {
       val norms = broadcast(model.agg(
         sum(col("c_c")).as("big_c"), sum(col("c_t")).as("big_t"),
         count(lit(1)).as("v")))
+      val div = (a: Column, b: Column) => call_function("div", a, b)
+      // overflow-guarded products (see mulGuard: silent int64 wrap would
+      // quietly corrupt the ranking where DuckDB's HUGEINT widens)
       val ratios = model.crossJoin(norms)
-        .select(col("w"), expr(
-          "(c_t + 1) * (big_c + v) * 1000000 div ((c_c + 1) * (big_t + v))")
-          .as("r6"))
+        .select(col("w"), div(
+          mulGuard(mulGuard(col("c_t") + 1L, col("big_c") + col("v"),
+            "dsir target mass"), lit(1000000L), "dsir ratio"),
+          mulGuard(col("c_c") + 1L, col("big_t") + col("v"),
+            "dsir corpus mass")).as("r6"))
       // scoring probe: compressed (doc, token, count) frame vs the model
       val perDoc = toks.groupBy(col("doc_id"), col("w"))
         .agg(count(lit(1)).as("cnt"))
       val scored = perDoc.join(ratios, "w")
         .groupBy(col("doc_id"))
-        .agg(sum(col("cnt") * col("r6")).as("s"), sum(col("cnt")).as("n"))
+        .agg(sum(mulGuard(col("cnt"), col("r6"), "dsir doc score")).as("s"),
+          sum(col("cnt")).as("n"))
         .select(col("doc_id"), expr("s div n").as("imp6"))
         .orderBy(col("imp6").desc, col("doc_id"))
         .limit(DsirTopN)

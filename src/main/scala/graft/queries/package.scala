@@ -63,6 +63,24 @@ package object queries {
   def round6Signed(num: Column, den: Column): Column =
     signum(num).cast("double") * round6(abs(num), den)
 
+  /** Overflow-guarded int64 product: the rational oracle-parity scorers
+    * (q116/q117) are exact only while their integer products fit int64 —
+    * DuckDB widens to HUGEINT where Spark's BIGINT silently wraps, so a
+    * wrap would surface as a quiet oracle mismatch (or worse, a quietly
+    * wrong ranking in production). This makes the headroom bound a LOUD
+    * per-row error at negligible cost (two codegen'd ops, no extra job).
+    * Operands may be any int64 (guard uses |a| > Max/|b|). */
+  def mulGuard(a: Column, b: Column, what: String): Column = {
+    val wraps = b =!= 0L &&
+      abs(a) > lit(Long.MaxValue) / abs(b)
+    when(wraps, raise_error(concat(
+      lit(s"int64 overflow in $what: "), a.cast("string"), lit(" * "),
+      b.cast("string"),
+      lit(" — corpus exceeds the rational scorer's headroom; use the double-scorer path")))
+      .cast("long"))
+      .otherwise(a * b)
+  }
+
   def oRound6(num: String, den: String): String =
     s"CAST((($num) * 2000000 + ($den)) // (($den) * 2) AS DOUBLE) / 1000000.0"
 

@@ -43,4 +43,16 @@ class Bm25Spec extends SparkSpec {
   test("k bounds the result") {
     assert(Bm25.topKRational(corpus, "doc_id", "text", terms, 2).count() == 2)
   }
+
+  test("mulGuard passes in-range products and raises loudly on int64 wrap") {
+    import graft.queries.mulGuard
+    val df = Seq((3L, 4L), (Long.MaxValue / 2, 3L)).toDF("a", "b")
+    val ok = df.where(col("a") === 3L)
+      .select(mulGuard(col("a"), col("b"), "spec")).as[Long].collect()
+    assert(ok.toSeq == Seq(12L))
+    val e = intercept[Exception] {
+      df.select(mulGuard(col("a"), col("b"), "spec")).collect()
+    }
+    assert(e.getMessage.contains("int64 overflow in spec"), e.getMessage)
+  }
 }

@@ -353,4 +353,60 @@ class PlanSpec extends SparkSpec {
       s"no other join may appear:\n$plan")
     assert(plan.contains("Union"), s"miss/rescue union expected:\n$plan")
   }
+
+  test("bm25 ends in TakeOrdered; stats broadcast; no cartesian product") {
+    val plan = explained("q116_bm25_topk")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must not globally sort:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // df census joins broadcast; the 1-row stats ride a broadcast
+    // nested-loop (the accepted broadcast-scalar crossJoin shape)
+    assert(count(plan, "BroadcastHashJoin") >= 1, plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"bm25's joins are candidate-sized, none may sort-merge:\n$plan")
+  }
+
+  test("m4 downsampling is one hash aggregate (no window sort)") {
+    val plan = explained("q118_m4_downsample")
+    assert(!plan.contains("Window"),
+      s"first/last must ride min_by/max_by, not a window sort:\n$plan")
+    assert(plan.contains("partial_"),
+      s"expected map-side partial aggregation:\n$plan")
+    // one shuffle for the aggregate + one for the output sort
+    assert(count(plan, "+- ShuffleQueryStage") <= 2,
+      s"m4 should be a single data shuffle:\n$plan")
+  }
+
+  test("counter rate: one per-series window + one bucket aggregate") {
+    val plan = explained("q120_counter_rate")
+    assert(plan.contains("Window"), plan)
+    // window exchange + aggregate exchange + output sort
+    assert(count(plan, "+- ShuffleQueryStage") <= 3,
+      s"counter rate should shuffle thrice at most:\n$plan")
+    assert(plan.contains("partial_"), s"bucket agg must partial:\n$plan")
+  }
+
+  test("exact bucket quantiles aggregate once, no window, no join") {
+    val plan = explained("q123_bucket_quantiles")
+    assert(!plan.contains("Window") && !plan.contains("Join"), plan)
+    assert(count(plan, "+- ShuffleQueryStage") <= 2,
+      s"quantiles = one agg shuffle + output sort:\n$plan")
+  }
+
+  test("lttb co-locates each series with exactly one repartition") {
+    // the kernel consumes its input via toRdd, so pin the PRE-kernel
+    // frame's plan (the outer explain only shows a Scan ExistingRDD)
+    val ev = graft.queries.t(spark, dir, "events")
+    val df = graft.operators.Lttb.sortedInput(ev, "event_type", "ts",
+      "event_id", "value")
+    df.collect()
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("hashpartitioning(_k"),
+      s"series must be co-located by key:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"series counts must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      s"no sort-merge/cartesian in the series co-location:\n$plan")
+  }
 }
