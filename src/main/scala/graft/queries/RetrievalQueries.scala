@@ -1,7 +1,9 @@
 package graft.queries
 
 import graft.functions.TextFunctions.tokens
+import graft.functions.VectorFunctions.{cosine, cosineSql}
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Retrieval + data-selection operators over `documents`:
@@ -33,6 +35,15 @@ object RetrievalQueries {
   private val Bm25K = 20
   private val DsirTarget = "src1"
   private val DsirTopN = 50
+
+  // q124 RRF fusion: arm depth, the standard k=60 damping, fused top-k,
+  // and the dense arm's query vector id. Contributions are the pure-
+  // integer 1e9 div (60 + rank), so fusion is oracle-exact by
+  // construction (no float division anywhere).
+  private val RrfN = 30
+  private val RrfK = 60
+  private val RrfTopK = 20
+  private val RrfQueryVec = 0
 
   val queries: Map[String, Q] = Map(
     "q116_bm25_topk" -> ((s, dir) =>
@@ -77,31 +88,92 @@ object RetrievalQueries {
         .select(col("doc_id"), col("source"),
           (col("imp6").cast("double") / 1000000.0).as("importance"))
         .orderBy(col("importance").desc, col("doc_id"))
+    }),
+
+    // Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009) of
+    // a lexical arm (rational BM25 over `documents`) and a dense arm
+    // (embedding cosine over `embeddings`, vec_id ≡ doc_id for the docs
+    // that carry vectors) — the standard hybrid-retrieval combiner.
+    // Scale shape: each arm ends in a TakeOrdered top-N (never a global
+    // sort); rank assignment and the fusion join run on the two N-row
+    // frames, so fusion cost is O(N) regardless of corpus size. The RRF
+    // contribution is floor(1e9/(60+rank)) in pure int64 — order-
+    // independent integer sums, bit-exact vs the oracle.
+    "q124_rrf_fusion" -> ((s, dir) => {
+      val div = (a: Column, b: Column) => call_function("div", a, b)
+      val lex = graft.operators.Bm25.topKRational(
+          t(s, dir, "documents"), "doc_id", "text", Bm25Terms, RrfN)
+        .select(col("doc_id"), row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))).as("r_lex"))
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.where(col("vec_id") === RrfQueryVec)
+        .select(col("embedding").as("qv"))
+      val den = emb.where(col("vec_id") =!= RrfQueryVec)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id").as("doc_id"),
+          cosine(col("qv"), col("embedding")).as("cos"))
+        .orderBy(col("cos").desc, col("doc_id")).limit(RrfN)
+        .select(col("doc_id"), row_number().over(
+          Window.orderBy(col("cos").desc, col("doc_id"))).as("r_den"))
+      lex.join(den, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          col("r_lex").cast("long").as("r_lex"),
+          col("r_den").cast("long").as("r_den"),
+          (coalesce(div(lit(1000000000L), lit(RrfK.toLong) + col("r_lex")), lit(0L)) +
+           coalesce(div(lit(1000000000L), lit(RrfK.toLong) + col("r_den")), lit(0L)))
+            .as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(RrfTopK)
     })
   )
 
+  /** Shared DuckDB CTE chain for the rational BM25 scorer (per-doc
+    * integer sc_sum in CTE `agg`) — the q116 oracle selects scores from
+    * it, the q124 oracle ranks it for the lexical fusion arm. */
+  private def bm25CteSql: String = {
+    val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH d AS (SELECT doc_id,
+       |    string_split_regex(trim(text), '\\s+') AS tk FROM documents),
+       |dl AS (SELECT doc_id, len(tk) AS dl, tk FROM d),
+       |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len FROM dl),
+       |tf AS (SELECT doc_id, dl, t AS term, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(tk) AS t FROM dl)
+       |  WHERE t IN ($termList) GROUP BY doc_id, dl, t),
+       |dfs AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |sc AS (SELECT doc_id,
+       |    ((2 * n_docs - 2 * df + 1) * 1000000 // (2 * df + 1))
+       |      * (22 * tf * total_len * 1000000 //
+       |         (10 * tf * total_len + 3 * total_len + 9 * dl * n_docs))
+       |      // 1000000 AS sc
+       |  FROM tf JOIN dfs USING (term) CROSS JOIN stats),
+       |agg AS (SELECT doc_id, SUM(sc) AS sc_sum, COUNT(*) AS n_terms
+       |        FROM sc GROUP BY doc_id)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
-    "q116_bm25_topk" -> {
-      val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
-      s"""WITH d AS (SELECT doc_id,
-         |    string_split_regex(trim(text), '\\s+') AS tk FROM documents),
-         |dl AS (SELECT doc_id, len(tk) AS dl, tk FROM d),
-         |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len FROM dl),
-         |tf AS (SELECT doc_id, dl, t AS term, COUNT(*) AS tf
-         |  FROM (SELECT doc_id, dl, unnest(tk) AS t FROM dl)
-         |  WHERE t IN ($termList) GROUP BY doc_id, dl, t),
-         |dfs AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
-         |sc AS (SELECT doc_id,
-         |    ((2 * n_docs - 2 * df + 1) * 1000000 // (2 * df + 1))
-         |      * (22 * tf * total_len * 1000000 //
-         |         (10 * tf * total_len + 3 * total_len + 9 * dl * n_docs))
-         |      // 1000000 AS sc
-         |  FROM tf JOIN dfs USING (term) CROSS JOIN stats)
+    "q116_bm25_topk" ->
+      s"""$bm25CteSql
          |SELECT doc_id, CAST(sc_sum AS DOUBLE) / 1000000.0 AS score, n_terms
-         |FROM (SELECT doc_id, SUM(sc) AS sc_sum, COUNT(*) AS n_terms
-         |      FROM sc GROUP BY doc_id)
-         |ORDER BY sc_sum DESC, doc_id LIMIT $Bm25K""".stripMargin
-    },
+         |FROM agg ORDER BY sc_sum DESC, doc_id LIMIT $Bm25K""".stripMargin,
+
+    "q124_rrf_fusion" ->
+      s"""$bm25CteSql,
+         |lexr AS (SELECT doc_id,
+         |    ROW_NUMBER() OVER (ORDER BY sc_sum DESC, doc_id) AS r_lex
+         |  FROM (SELECT * FROM agg ORDER BY sc_sum DESC, doc_id LIMIT $RrfN)),
+         |q AS (SELECT embedding AS qv FROM embeddings
+         |      WHERE vec_id = $RrfQueryVec),
+         |densc AS (SELECT vec_id AS doc_id,
+         |    ${cosineSql("qv", "embedding")} AS cos
+         |  FROM embeddings CROSS JOIN q WHERE vec_id <> $RrfQueryVec),
+         |denr AS (SELECT doc_id,
+         |    ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS r_den
+         |  FROM (SELECT * FROM densc ORDER BY cos DESC, doc_id LIMIT $RrfN))
+         |SELECT COALESCE(l.doc_id, dn.doc_id) AS doc_id, r_lex, r_den,
+         |  COALESCE(1000000000 // ($RrfK + r_lex), 0) +
+         |  COALESCE(1000000000 // ($RrfK + r_den), 0) AS rrf
+         |FROM lexr l FULL OUTER JOIN denr dn ON l.doc_id = dn.doc_id
+         |ORDER BY rrf DESC, doc_id LIMIT $RrfTopK""".stripMargin,
 
     "q117_dsir_weight" ->
       s"""WITH tok AS (SELECT doc_id, source = '$DsirTarget' AS is_t,

@@ -240,7 +240,86 @@ object TimeseriesQueries {
         .select(col("event_type"), col("day"), col("n"),
           element_at(col("vs"), expr("cast((n + 1) div 2 as int)")).as("p50"),
           element_at(col("vs"), expr("cast((n * 95 + 99) div 100 as int)")).as("p95"))
-        .orderBy(col("event_type"), col("day")))
+        .orderBy(col("event_type"), col("day"))),
+
+    // gapfill by LINEAR INTERPOLATION (q27 is the LOCF sibling): hourly
+    // integer-cent means on a per-type spine; missing buckets fill with
+    //   (pv·(nt−t) + nv·(t−pt)) div (nt−pt)
+    // in pure int64 (cents × epoch seconds), so both engines agree
+    // bit-for-bit — a double lerp would tie-break differently. The spine
+    // is bounded by each type's own min/max DATA bucket, so every
+    // interpolated row has both neighbors by construction. Scale: grid is
+    // (series × buckets) — tiny next to events — and the fill is one
+    // ordered window per series key.
+    "q125_gapfill_interp" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_type"),
+        date_trunc("hour", col("ts")).as("bucket_ts"),
+        (dec(col("value")) * 100).cast("long").as("cents"))
+      val hourly = ev.groupBy(col("event_type"), col("bucket_ts"))
+        .agg(expr("sum(cents) div count(1)").as("v"))
+      val spine = hourly.groupBy(col("event_type"))
+        .agg(min(col("bucket_ts")).as("mn"), max(col("bucket_ts")).as("mx"))
+        .select(col("event_type"),
+          explode(sequence(col("mn"), col("mx"), expr("interval 1 hour")))
+            .as("bucket_ts"))
+      val wPrev = Window.partitionBy(col("event_type")).orderBy(col("bucket_ts"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy(col("event_type")).orderBy(col("bucket_ts"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      spine.join(hourly, Seq("event_type", "bucket_ts"), "left")
+        .withColumn("t", unix_timestamp(col("bucket_ts")))
+        .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+        .withColumn("pt", last(when(col("v").isNotNull, col("t")),
+          ignoreNulls = true).over(wPrev))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+        .withColumn("nt", first(when(col("v").isNotNull, col("t")),
+          ignoreNulls = true).over(wNext))
+        .select(col("event_type"), col("bucket_ts"),
+          (coalesce(col("v"),
+            expr("(pv * (nt - t) + nv * (t - pt)) div (nt - pt)"))
+            .cast("double") / 100.0).as("v_filled"),
+          when(col("v").isNotNull, lit("actual")).otherwise(lit("interp"))
+            .as("src"))
+        .orderBy(col("event_type"), col("bucket_ts"))
+    }),
+
+    // burst windows × foreign events: find each type's bursty hours
+    // (count > 1.5× its own mean hourly count, in exact integer cross-
+    // multiplication), merge consecutive hours into intervals (gaps-and-
+    // islands), then count OTHER types' activity inside each interval
+    // via the binned containment join — the no-equi-key interval join
+    // spelled as an equi-join on hour bins (operators/IntervalJoin).
+    // The oracle spells the naive BETWEEN join; the bin path must agree
+    // exactly (each pair meets in exactly one bin).
+    "q126_interval_join_binned" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_type"), col("ts"),
+        date_trunc("hour", col("ts")).as("h"),
+        (dec(col("value")) * 100).cast("long").as("cents"))
+      val hourly = ev.groupBy(col("event_type"), col("h"))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = hourly.groupBy(col("event_type"))
+        .agg(sum(col("cnt")).as("total"), count(lit(1)).as("n_hours"))
+      val bursts = hourly.join(broadcast(tot), "event_type")
+        .where(col("cnt") * col("n_hours") * 2 > col("total") * 3)
+      val wIsl = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      val intervals = bursts
+        .withColumn("isl",
+          expr("unix_timestamp(h) div 3600") - row_number().over(wIsl))
+        .groupBy(col("event_type").as("burst_type"), col("isl"))
+        .agg(min(col("h")).as("w_start"),
+          (max(col("h")) + expr("interval 1 hour")).as("w_end"),
+          count(lit(1)).as("n_hours"))
+        .drop("isl")
+      val pts = ev.select(col("event_type").as("pt_type"), col("ts"),
+        col("cents"))
+      graft.operators.IntervalJoin
+        .binnedContainment(intervals, "w_start", "w_end", pts, "ts", 3600L)
+        .where(col("pt_type") =!= col("burst_type"))
+        .groupBy(col("burst_type"), col("w_start"), col("n_hours"))
+        .agg(count(lit(1)).as("n_other"),
+          (sum(col("cents")).cast("double") / 100.0).as("sum_value"))
+        .orderBy(col("burst_type"), col("w_start"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -379,6 +458,64 @@ object TimeseriesQueries {
         |SELECT event_type, day, n,
         |  vs[CAST((n + 1) // 2 AS INT)] AS p50,
         |  vs[CAST((n * 95 + 99) // 100 AS INT)] AS p95
-        |FROM b ORDER BY event_type, day""".stripMargin
+        |FROM b ORDER BY event_type, day""".stripMargin,
+
+    "q125_gapfill_interp" ->
+      """WITH ev AS (SELECT event_type,
+        |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket_ts,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |hourly AS (SELECT event_type, bucket_ts, SUM(cents) // COUNT(*) AS v
+        |  FROM ev GROUP BY event_type, bucket_ts),
+        |spine AS (SELECT event_type,
+        |    unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket_ts
+        |  FROM (SELECT event_type, MIN(bucket_ts) AS mn, MAX(bucket_ts) AS mx
+        |        FROM hourly GROUP BY event_type)),
+        |j AS (SELECT s.event_type, s.bucket_ts, h.v,
+        |    epoch_us(s.bucket_ts) // 1000000 AS t
+        |  FROM spine s LEFT JOIN hourly h
+        |    ON s.event_type = h.event_type AND s.bucket_ts = h.bucket_ts),
+        |w AS (SELECT event_type, bucket_ts, v, t,
+        |    LAST_VALUE(v IGNORE NULLS) OVER pw AS pv,
+        |    LAST_VALUE(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+        |      OVER pw AS pt,
+        |    FIRST_VALUE(v IGNORE NULLS) OVER nw AS nv,
+        |    FIRST_VALUE(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+        |      OVER nw AS nt
+        |  FROM j
+        |  WINDOW pw AS (PARTITION BY event_type ORDER BY bucket_ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    nw AS (PARTITION BY event_type ORDER BY bucket_ts
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, bucket_ts,
+        |  CAST(COALESCE(v, (pv * (nt - t) + nv * (t - pt)) // (nt - pt))
+        |    AS DOUBLE) / 100.0 AS v_filled,
+        |  CASE WHEN v IS NOT NULL THEN 'actual' ELSE 'interp' END AS src
+        |FROM w ORDER BY event_type, bucket_ts""".stripMargin,
+
+    "q126_interval_join_binned" ->
+      """WITH ev AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts,
+        |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |hourly AS (SELECT event_type, h, COUNT(*) AS cnt FROM ev GROUP BY 1, 2),
+        |tot AS (SELECT event_type, SUM(cnt) AS total, COUNT(*) AS n_hours
+        |  FROM hourly GROUP BY 1),
+        |bursts AS (SELECT h.event_type, h.h
+        |  FROM hourly h JOIN tot t USING (event_type)
+        |  WHERE h.cnt * t.n_hours * 2 > t.total * 3),
+        |isl AS (SELECT event_type, h,
+        |    epoch_us(h) // 3600000000 -
+        |      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS g
+        |  FROM bursts),
+        |iv AS (SELECT event_type AS burst_type, MIN(h) AS w_start,
+        |    MAX(h) + INTERVAL 1 HOUR AS w_end, COUNT(*) AS n_hours
+        |  FROM isl GROUP BY event_type, g)
+        |SELECT burst_type, w_start, n_hours, COUNT(*) AS n_other,
+        |  CAST(SUM(e.cents) AS DOUBLE) / 100.0 AS sum_value
+        |FROM iv JOIN ev e ON e.ts >= iv.w_start AND e.ts < iv.w_end
+        |  AND e.event_type <> iv.burst_type
+        |GROUP BY burst_type, w_start, n_hours
+        |ORDER BY burst_type, w_start""".stripMargin
   )
 }

@@ -409,4 +409,30 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
       s"no sort-merge/cartesian in the series co-location:\n$plan")
   }
+
+  test("rrf fusion: both arms TakeOrdered; fusion joins rank frames only") {
+    val plan = explained("q124_rrf_fusion")
+    // lexical + dense arm top-N, plus the fused top-k = 3 TakeOrdereds
+    assert(count(plan, "TakeOrderedAndProject") >= 3,
+      s"every top-N must be a TakeOrdered, not a global sort:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("interp gapfill windows on the series key; grid joins without cartesian") {
+    val plan = explained("q125_gapfill_interp")
+    assert(plan.contains("windowspecdefinition(event_type"),
+      s"fill windows must partition by the series key:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan)
+  }
+
+  test("binned interval join is an equi join (no nested loop on the range)") {
+    val plan = explained("q126_interval_join_binned")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"the range predicate must ride the bin equi-key:\n$plan")
+    // residual containment predicate must survive as a join/filter
+    assert(plan.contains(">= w_start") || plan.contains("(ts"),
+      s"residual [lo,hi) predicate must be applied:\n$plan")
+  }
 }
