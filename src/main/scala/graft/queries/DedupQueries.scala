@@ -378,6 +378,21 @@ object DedupQueries {
           docs.where(col("doc_id") >= split),
           "doc_id", "text")
         .orderBy(col("doc_id"))
+    }),
+
+    // sorted-neighborhood (merge/purge) near-dup: the skew-proof third
+    // blocking family — candidates are O(w·n) no matter how degenerate
+    // the key distribution, at the cost of sort-adjacency recall
+    // (operators/SortedNeighborhood scaladoc). Key = lang + the doc's
+    // first two tokens; exact Jaccard verify, q65's threshold.
+    "q127_dedup_sortneighbor" -> ((s, dir) => {
+      val key = concat_ws("|", col("lang"),
+        array_join(slice(graft.functions.TextFunctions.tokens(col("text")),
+          1, 2), " "))
+      graft.operators.SortedNeighborhood.pairs(
+          t(s, dir, "documents"), "doc_id", "text",
+          key, w = SnmW, minJaccard = 0.5)
+        .orderBy(col("doc1"), col("doc2"))
     })
   )
 
@@ -407,6 +422,10 @@ object DedupQueries {
   private val EditRelMax = 0.6
 
   private val toks = "string_split_regex(trim(text), '\\s+')"
+
+  // q127 sorted-neighborhood window width (the classic small constant;
+  // multi-pass over several keys is the recall lever, not a bigger w)
+  private val SnmW = 4
 
   /** Shared CTE chain ending in `pairs(doc1, doc2)` — the MinHash LSH
     * candidate pairs, spelled once for q66 (direct) and q75 (cluster
@@ -671,6 +690,21 @@ object DedupQueries {
          |FROM documents
          |WHERE doc_id >= (SELECT v FROM s)
          |  AND fp NOT IN (SELECT fp FROM hist)
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    "q127_dedup_sortneighbor" ->
+      s"""WITH d AS (SELECT doc_id, lang, $toks AS tk0 FROM documents),
+         |k AS (SELECT doc_id, list_distinct(tk0) AS tk,
+         |    lang || '|' || array_to_string(tk0[1:2], ' ') AS key FROM d),
+         |r AS (SELECT doc_id, tk,
+         |    ROW_NUMBER() OVER (ORDER BY key, doc_id) AS rn FROM k),
+         |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |    len(list_intersect(a.tk, b.tk)) AS i,
+         |    len(list_distinct(list_concat(a.tk, b.tk))) AS u
+         |  FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + $SnmW)
+         |SELECT LEAST(d1, d2) AS doc1, GREATEST(d1, d2) AS doc2,
+         |  ${oRound6("i", "u")} AS jaccard
+         |FROM p WHERE ${oRound6("i", "u")} >= 0.5
+         |ORDER BY doc1, doc2""".stripMargin
   )
 }

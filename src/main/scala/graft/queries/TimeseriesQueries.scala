@@ -319,6 +319,39 @@ object TimeseriesQueries {
         .agg(count(lit(1)).as("n_other"),
           (sum(col("cents")).cast("double") / 100.0).as("sum_value"))
         .orderBy(col("burst_type"), col("w_start"))
+    }),
+
+    // robust per-series outlier gate: median/MAD instead of q95's
+    // mean/stddev (a single extreme value inflates stddev and hides
+    // its siblings; the median absolute deviation doesn't budge).
+    // Exact nearest-rank medians on integer cents (q123's selection
+    // idiom), outlier test |v − med| > 3·MAD in pure int64. Group
+    // buckets are per-series sample sets — the q123-documented bound;
+    // unbounded series take the q34 sketch path instead.
+    "q128_robust_outliers" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_type"),
+        (dec(col("value")) * 100).cast("long").as("c"))
+      val med = ev.groupBy(col("event_type"))
+        .agg(sort_array(collect_list(col("c"))).as("vs"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"), col("n"),
+          element_at(col("vs"), expr("cast((n + 1) div 2 as int)")).as("med"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("ad", abs(col("c") - col("med")))
+      val mad = dev.groupBy(col("event_type"))
+        .agg(sort_array(collect_list(col("ad"))).as("ds"),
+          count(lit(1)).as("n2"))
+        .select(col("event_type"),
+          element_at(col("ds"), expr("cast((n2 + 1) div 2 as int)")).as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"), col("n"), col("med"), col("mad"))
+        .agg(sum(when(col("ad") > lit(3L) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+        .select(col("event_type"), col("n"),
+          (col("med").cast("double") / 100.0).as("median"),
+          (col("mad").cast("double") / 100.0).as("mad"),
+          col("n_outliers"), round6(col("n_outliers"), col("n")).as("out_rate"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -516,6 +549,27 @@ object TimeseriesQueries {
         |FROM iv JOIN ev e ON e.ts >= iv.w_start AND e.ts < iv.w_end
         |  AND e.event_type <> iv.burst_type
         |GROUP BY burst_type, w_start, n_hours
-        |ORDER BY burst_type, w_start""".stripMargin
+        |ORDER BY burst_type, w_start""".stripMargin,
+
+    "q128_robust_outliers" ->
+      s"""WITH ev AS (SELECT event_type,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+         |  FROM events),
+         |med AS (SELECT event_type, COUNT(*) AS n,
+         |    (list_sort(list(c)))[CAST((COUNT(*) + 1) // 2 AS INT)] AS med
+         |  FROM ev GROUP BY event_type),
+         |dev AS (SELECT e.event_type, n, med, abs(c - med) AS ad
+         |  FROM ev e JOIN med USING (event_type)),
+         |mad AS (SELECT event_type,
+         |    (list_sort(list(ad)))[CAST((COUNT(*) + 1) // 2 AS INT)] AS mad
+         |  FROM dev GROUP BY event_type)
+         |SELECT event_type, n, CAST(med AS DOUBLE) / 100.0 AS median,
+         |  CAST(mad AS DOUBLE) / 100.0 AS mad,
+         |  SUM(CASE WHEN ad > 3 * mad THEN 1 ELSE 0 END) AS n_outliers,
+         |  ${oRound6("SUM(CASE WHEN ad > 3 * mad THEN 1 ELSE 0 END)", "n")}
+         |    AS out_rate
+         |FROM dev JOIN mad USING (event_type)
+         |GROUP BY event_type, n, med, mad
+         |ORDER BY event_type""".stripMargin
   )
 }
