@@ -352,6 +352,59 @@ object TimeseriesQueries {
           (col("mad").cast("double") / 100.0).as("mad"),
           col("n_outliers"), round6(col("n_outliers"), col("n")).as("out_rate"))
         .orderBy(col("event_type"))
+    }),
+
+    // time-weighted average per (series, day) — the irregular-sampling
+    // average every time-series engine ships (TimescaleDB time_weight,
+    // InfluxDB integral): each value weighted by how long it held
+    // (LOCF until the next sample), over the observed span. Pure int64:
+    // cents × MILLIsecond gaps (num ≤ max_cents·86.4e6 ≈ 4.2e12), then
+    // 2-dp half-up rounding in cents-domain via the ×200 integer scale
+    // (≤ 8.5e14 — round6's ×2e6 would overflow on these numerators,
+    // which is exactly why this op rounds at 2 dp). One per-series
+    // window + one aggregate. Tie order is pinned by (t, event_id) in
+    // BOTH engines — with equal timestamps the value-to-gap pairing
+    // would otherwise be nondeterministic.
+    "q129_time_weighted_avg" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_type"),
+        date_trunc("day", col("ts")).as("day"),
+        expr("unix_micros(ts) div 1000").as("t"),
+        (dec(col("value")) * 100).cast("long").as("c"), col("event_id"))
+      val w = Window.partitionBy(col("event_type"), col("day"))
+        .orderBy(col("t"), col("event_id"))
+      e.withColumn("nt", lead(col("t"), 1).over(w))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(when(col("nt").isNull, 0L)
+            .otherwise(col("c") * (col("nt") - col("t")))).as("num"),
+          (max(col("t")) - min(col("t"))).as("den"),
+          min(col("c")).as("c0"), count(lit(1)).as("n_samples"))
+        .select(col("event_type"), col("day"), col("n_samples"),
+          when(col("den") > 0L,
+            expr("(num * 200 + den) div (den * 2)").cast("double") / 10000.0)
+            .otherwise(col("c0").cast("double") / 100.0).as("twa"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
+    // heartbeat gap detection (dead-man monitoring): per series, flag
+    // inter-event silences longer than 3× the series' own mean gap.
+    // The test cross-multiplies in int64 — gap·(n−1) > 3·span — so no
+    // division touches the predicate; mean-gap stats broadcast back.
+    "q130_heartbeat_gaps" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_type"), col("ts"),
+        unix_micros(col("ts")).as("t"), col("event_id"))
+      val stats = e.groupBy(col("event_type"))
+        .agg((max(col("t")) - min(col("t"))).as("span"),
+          (count(lit(1)) - 1L).as("n1"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("t"), col("event_id"))
+      e.withColumn("nt", lead(col("t"), 1).over(w))
+        .withColumn("gap_end", lead(col("ts"), 1).over(w))
+        .where(col("nt").isNotNull)
+        .join(broadcast(stats), "event_type")
+        .where((col("nt") - col("t")) * col("n1") > lit(3L) * col("span"))
+        .select(col("event_type"), col("ts").as("gap_start"), col("gap_end"),
+          (col("nt") - col("t")).as("gap_us"))
+        .orderBy(col("event_type"), col("gap_start"))
     })
   )
 
@@ -570,6 +623,39 @@ object TimeseriesQueries {
          |    AS out_rate
          |FROM dev JOIN mad USING (event_type)
          |GROUP BY event_type, n, med, mad
-         |ORDER BY event_type""".stripMargin
+         |ORDER BY event_type""".stripMargin,
+
+    "q129_time_weighted_avg" ->
+      """WITH e AS (SELECT event_type,
+        |    date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS t,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+        |    event_id FROM events),
+        |g AS (SELECT event_type, day, c, t,
+        |    LEAD(t) OVER (PARTITION BY event_type, day
+        |                  ORDER BY t, event_id) AS nt FROM e),
+        |a AS (SELECT event_type, day,
+        |    SUM(CASE WHEN nt IS NULL THEN 0 ELSE c * (nt - t) END) AS num,
+        |    MAX(t) - MIN(t) AS den, MIN(c) AS c0,
+        |    COUNT(*) AS n_samples
+        |  FROM g GROUP BY event_type, day)
+        |SELECT event_type, day, n_samples,
+        |  CASE WHEN den > 0
+        |    THEN CAST((num * 200 + den) // (den * 2) AS DOUBLE) / 10000.0
+        |    ELSE CAST(c0 AS DOUBLE) / 100.0 END AS twa
+        |FROM a ORDER BY event_type, day""".stripMargin,
+
+    "q130_heartbeat_gaps" ->
+      """WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_id FROM events),
+        |st AS (SELECT event_type, MAX(t) - MIN(t) AS span,
+        |    COUNT(*) - 1 AS n1 FROM e GROUP BY event_type),
+        |g AS (SELECT event_type, ts, t,
+        |    LEAD(t) OVER w AS nt, LEAD(ts) OVER w AS gap_end
+        |  FROM e WINDOW w AS (PARTITION BY event_type ORDER BY t, event_id))
+        |SELECT g.event_type, ts AS gap_start, gap_end, nt - t AS gap_us
+        |FROM g JOIN st ON g.event_type = st.event_type
+        |WHERE nt IS NOT NULL AND (nt - t) * n1 > 3 * span
+        |ORDER BY g.event_type, gap_start""".stripMargin
   )
 }
