@@ -21,6 +21,11 @@ object SampleQueries {
   private def fp = TextFunctions.charFingerprint(col("text"))
   private def fpSql = TextFunctions.charFingerprintSql("text")
 
+  // q131 exact-k stratum size; q132 pair support floor + result depth
+  private val ExactK = 20
+  private val MinSupport = 5
+  private val LiftTopK = 50
+
   val queries: Map[String, Q] = Map(
     // stratified sample: per-language keep-rates (downsample the dominant
     // language, keep half of the rest) — the "rebalance before training"
@@ -195,6 +200,63 @@ object SampleQueries {
         .withColumn("n_dup_docs", coalesce(col("n_dup_docs"), lit(0L)))
         .withColumn("dup_frac", round6(col("n_dup_docs"), col("n_docs")))
         .orderBy(col("source"))
+    }),
+
+    // EXACT-k per-stratum sample (q76's rate-based sibling): precisely k
+    // docs per language, chosen by content-hash order — the
+    // deterministic equivalent of per-stratum reservoir sampling
+    // (Vitter's algorithm R keeps a uniform k; hash order makes the
+    // same k reproducible across runs/engines/cluster sizes). Selection
+    // rides TopKPerGroup's bounded map-side heaps — a 1e9-row stratum
+    // contributes partitions·k rows to the shuffle, never the stratum.
+    "q131_sample_exact_k" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        fp.as("fp"), (-fp).as("neg_fp"))
+      graft.operators.TopKPerGroup
+        .topK(d, Seq("lang"), "neg_fp", Seq("doc_id"), ExactK)
+        .select(col("lang"), col("rn").cast("long").as("rn"),
+          col("doc_id"), col("fp"))
+        .orderBy(col("lang"), col("rn"))
+    }),
+
+    // token co-occurrence lift mining (PMI's rational twin, log-free and
+    // int64-exact like q117's DSIR ratio): lift(a,b) =
+    // P(a,b)/(P(a)P(b)) = c_ab·N / (c_a·c_b) over doc-level
+    // co-occurrence. Pairs are generated MAP-SIDE from each doc's
+    // sorted distinct-token array (a nested-transform HOF — no
+    // self-join, so the token stream is never shuffled raw; the pair
+    // stream partial-aggregates straight into (a,b) counts). Doc
+    // frequencies are a vocab-sized broadcast. The oracle spells the
+    // naive self-join.
+    "q132_cooccurrence_lift" -> ((s, dir) => {
+      val div = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+        call_function("div", a, b)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          sort_array(array_distinct(TextFunctions.tokens(col("text"))))
+            .as("tk"))
+        .localCheckpoint() // two consumers: pair stream + doc freq
+      val pairs = docs.select(explode(expr(
+        """flatten(transform(tk, (x, i) ->
+          |  transform(slice(tk, i + 2, size(tk)), y -> struct(x AS a, y AS b))))"""
+          .stripMargin)).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+      val cab = pairs.groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("c_ab"))
+        .where(col("c_ab") >= MinSupport)
+      val dfreq = docs.select(explode(col("tk")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val n = broadcast(docs.agg(count(lit(1)).as("n_docs")))
+      cab.join(broadcast(dfreq.toDF("a", "c_a")), "a")
+        .join(broadcast(dfreq.toDF("b", "c_b")), "b")
+        .crossJoin(n)
+        .select(col("a"), col("b"), col("c_ab"),
+          (div(mulGuard(mulGuard(col("c_ab"), col("n_docs"), "lift num"),
+            lit(1000000L), "lift scale"),
+            mulGuard(col("c_a"), col("c_b"), "lift den"))
+            .cast("double") / 1000000.0).as("lift"))
+        .orderBy(col("lift").desc, col("a"), col("b"))
+        .limit(LiftTopK)
     })
   )
 
@@ -296,6 +358,33 @@ object SampleQueries {
          |  COALESCE(n_dup_docs, 0) AS n_dup_docs,
          |  ${oRound6("COALESCE(n_dup_docs, 0)", "n_docs")} AS dup_frac
          |FROM rep r LEFT JOIN dup USING (source)
-         |ORDER BY r.source""".stripMargin
+         |ORDER BY r.source""".stripMargin,
+
+    "q131_sample_exact_k" ->
+      s"""WITH d AS (SELECT doc_id, lang, $fpSql AS fp FROM documents),
+         |r AS (SELECT lang, doc_id, fp,
+         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY fp, doc_id)
+         |      AS rn FROM d)
+         |SELECT lang, rn, doc_id, fp FROM r WHERE rn <= $ExactK
+         |ORDER BY lang, rn""".stripMargin,
+
+    "q132_cooccurrence_lift" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    list_sort(list_distinct(string_split_regex(trim(text), '\\s+')))
+         |      AS tk FROM documents),
+         |t AS (SELECT doc_id, unnest(tk) AS w FROM d),
+         |cw AS (SELECT w, COUNT(*) AS c FROM t GROUP BY w),
+         |n AS (SELECT COUNT(*) AS n_docs FROM d),
+         |p AS (SELECT x.w AS a, y.w AS b
+         |  FROM t x JOIN t y ON x.doc_id = y.doc_id AND x.w < y.w),
+         |cab AS (SELECT a, b, COUNT(*) AS c_ab FROM p GROUP BY a, b
+         |        HAVING COUNT(*) >= $MinSupport)
+         |SELECT a, b, c_ab,
+         |  CAST(c_ab * n_docs * 1000000 // (ca.c * cb.c) AS DOUBLE)
+         |    / 1000000.0 AS lift
+         |FROM cab JOIN cw ca ON cab.a = ca.w JOIN cw cb ON cab.b = cb.w
+         |CROSS JOIN n
+         |ORDER BY c_ab * n_docs * 1000000 // (ca.c * cb.c) DESC, a, b
+         |LIMIT $LiftTopK""".stripMargin
   )
 }
