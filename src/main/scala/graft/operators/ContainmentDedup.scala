@@ -59,16 +59,29 @@ object ContainmentDedup {
     *        (they leave the intersection count but stay in the
     *        denominator).
     */
-  def pairs(docs: DataFrame, idCol: String, textCol: String,
-      shingleK: Int, minContainment: Double,
-      maxDocFreq: Int = 0): DataFrame = {
+  /** Exploded shingle postings (idCol, n_sh, sh) — the shared first stage
+    * of every strategy AND the census. [[pairsAuto]] materializes this
+    * once so the tokenize+hash pass is paid a single time however many
+    * consumers follow. */
+  private def shingleSets(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int): DataFrame = {
     graft.GraftFunctions.registerAll(docs.sparkSession)
     val parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    val sets = docs.select(col(idCol), col(textCol))
+    docs.select(col(idCol), col(textCol))
       .repartition(parallelism)
       .select(col(idCol),
         MinHashDedup.shingleHashesFromTokens(col(textCol), shingleK).as("hs"))
       .select(col(idCol), size(col("hs")).as("n_sh"), explode(col("hs")).as("sh"))
+  }
+
+  def pairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int, minContainment: Double,
+      maxDocFreq: Int = 0): DataFrame =
+    pairsFromSets(shingleSets(docs, idCol, textCol, shingleK),
+      idCol, minContainment, maxDocFreq)
+
+  private def pairsFromSets(sets: DataFrame, idCol: String,
+      minContainment: Double, maxDocFreq: Int): DataFrame = {
     val posting =
       if (maxDocFreq <= 0) sets
       else {
@@ -126,11 +139,12 @@ object ContainmentDedup {
   }
 
   def estimate(docs: DataFrame, idCol: String, textCol: String,
-      shingleK: Int, minContainment: Double): StrategyEstimate = {
-    graft.GraftFunctions.registerAll(docs.sparkSession)
-    val sets = docs.select(col(idCol),
-        MinHashDedup.shingleHashesFromTokens(col(textCol), shingleK).as("hs"))
-      .select(col(idCol), explode(col("hs")).as("sh"))
+      shingleK: Int, minContainment: Double): StrategyEstimate =
+    estimateFromSets(shingleSets(docs, idCol, textCol, shingleK),
+      idCol, minContainment)
+
+  private def estimateFromSets(sets: DataFrame, idCol: String,
+      minContainment: Double): StrategyEstimate = {
     val census = sets.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     // log2 histogram: tiny driver result regardless of vocabulary size
     val hist = census
@@ -141,7 +155,7 @@ object ContainmentDedup {
         sum(col("df").cast("double") * col("df")).as("j"))
       .orderBy(col("b"))
       .collect()
-    val nDocs = docs.select(col(idCol)).distinct().count()
+    val nDocs = sets.select(col(idCol)).distinct().count()
     val postings = hist.map(_.getAs[Long]("p")).sum
     val naive = hist.map(_.getAs[Double]("j")).sum
     val prefixMass = (1.0 - minContainment) * postings + nDocs
@@ -156,27 +170,29 @@ object ContainmentDedup {
   /** Data-driven containment join: run the census-based [[estimate]] and
     * dispatch to whichever exact strategy it predicts cheaper (both
     * produce identical output — ContainmentDedupSpec pins parity on
-    * dense AND sparse fixtures). The census costs one extra
-    * aggregation over the postings — at 100 TB that is noise next to a
-    * mis-chosen join strategy, and the same census is the first stage of
-    * the prefix path anyway. */
+    * dense AND sparse fixtures). The tokenize+shingle pass — the
+    * dominant CPU cost at any scale — runs ONCE: the postings frame is
+    * materialized (localCheckpoint) and shared by the census and the
+    * chosen join, so the chooser's only marginal cost is the census
+    * aggregation itself. */
   def pairsAuto(docs: DataFrame, idCol: String, textCol: String,
-      shingleK: Int, minContainment: Double): DataFrame =
-    if (estimate(docs, idCol, textCol, shingleK, minContainment).usePrefix)
-      pairsPrefixFiltered(docs, idCol, textCol, shingleK, minContainment)
-    else pairs(docs, idCol, textCol, shingleK, minContainment)
+      shingleK: Int, minContainment: Double): DataFrame = {
+    val sets = shingleSets(docs, idCol, textCol, shingleK).localCheckpoint()
+    if (estimateFromSets(sets, idCol, minContainment).usePrefix)
+      prefixFromSets(sets, idCol, minContainment)
+    else pairsFromSets(sets, idCol, minContainment, maxDocFreq = 0)
+  }
 
   /** Same output as [[pairs]] (uncapped), via the lossless prefix filter
     * — the sparse-vocabulary scale path (see object scaladoc). */
   def pairsPrefixFiltered(docs: DataFrame, idCol: String, textCol: String,
-      shingleK: Int, minContainment: Double): DataFrame = {
-    graft.GraftFunctions.registerAll(docs.sparkSession)
-    val parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    val ex = docs.select(col(idCol), col(textCol))
-      .repartition(parallelism)
-      .select(col(idCol).as("doc"),
-        MinHashDedup.shingleHashesFromTokens(col(textCol), shingleK).as("hs"))
-      .select(col("doc"), size(col("hs")).as("n"), explode(col("hs")).as("sh"))
+      shingleK: Int, minContainment: Double): DataFrame =
+    prefixFromSets(shingleSets(docs, idCol, textCol, shingleK),
+      idCol, minContainment)
+
+  private def prefixFromSets(setsIn: DataFrame, idCol: String,
+      minContainment: Double): DataFrame = {
+    val ex = setsIn.select(col(idCol).as("doc"), col("n_sh").as("n"), col("sh"))
     // document-frequency census: the hot key is one aggregate row here,
     // never a member list
     val dfc = ex.groupBy(col("sh")).agg(count(lit(1)).as("_df"))
