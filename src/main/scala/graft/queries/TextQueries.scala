@@ -377,6 +377,70 @@ object TextQueries {
         graft.operators.Bpe.countExpr(col("text"), model).cast("long")
           .as("n_pieces"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Heaps-law vocabulary growth curve: cumulative distinct-token
+    // count as the corpus is consumed in 20 equal doc_id slices — the
+    // "is more data still adding vocabulary?" diagnostic for corpus
+    // collection. O(n) formulation: each token contributes exactly to
+    // the slice where it FIRST appears (min-bucket aggregate), so the
+    // curve is two linear aggregations + a 20-row cumulative window —
+    // never a per-slice distinct count (20 distinct scans) and never a
+    // re-scan per checkpoint.
+    "q138_vocab_growth" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val mx = docs.agg(max(col("doc_id")).as("mx"))
+      val d = docs.crossJoin(broadcast(mx))
+        .select(col("doc_id"), col("text"),
+          expr(s"doc_id div ((mx div $VocabSlices) + 1)").as("bucket"))
+      val newPerB = d
+        .select(col("bucket"), explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(min(col("bucket")).as("fb"))
+        .groupBy(col("fb")).agg(count(lit(1)).as("new_tokens"))
+      val docB = d.groupBy(col("bucket")).agg(count(lit(1)).as("n_docs"))
+      // 20-row frame: the global-order window is metadata-sized
+      val w = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docB.join(newPerB, col("bucket") === col("fb"), "left")
+        .select(col("bucket"), col("n_docs"),
+          coalesce(col("new_tokens"), lit(0L)).as("new_tokens"))
+        .withColumn("n_docs_cum", sum(col("n_docs")).over(w))
+        .withColumn("vocab_cum", sum(col("new_tokens")).over(w))
+        .select(col("bucket"), col("n_docs_cum"), col("new_tokens"),
+          col("vocab_cum"))
+        .orderBy(col("bucket"))
+    }),
+
+    // characteristic terms per source: top-5 tokens by exact integer
+    // lift — rate-in-source / rate-in-corpus = c_st·tot / (tot_s·c_t)
+    // — the "what makes this source different" report (log-free
+    // pointwise-MI twin of q132's pair lift). Support floor ≥5 keeps
+    // hapax noise out; ranking key is the ROUNDED integer score so ties
+    // are deterministic in both engines (then token asc). Selection
+    // rides TopKPerGroup's bounded map-side heaps; the vocab-sized
+    // token-total frame joins by key (no broadcast of the vocabulary).
+    "q139_characteristic_terms" -> ((s, dir) => {
+      val st = t(s, dir, "documents")
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c_st"))
+        .localCheckpoint() // feeds the three totals + the scored frame
+      val srcTot = st.groupBy(col("source")).agg(sum(col("c_st")).as("tot_s"))
+      val tokTot = st.groupBy(col("tok")).agg(sum(col("c_st")).as("c_t"))
+      val grand = st.agg(sum(col("c_st")).as("tot"))
+      val scored = st.where(col("c_st") >= MinTermSupport)
+        .join(broadcast(srcTot), "source")
+        .join(tokTot, "tok")
+        .crossJoin(broadcast(grand))
+        .withColumn("num", mulGuard(col("c_st"), col("tot"), "term lift num"))
+        .withColumn("den", mulGuard(col("tot_s"), col("c_t"), "term lift den"))
+        .withColumn("sc_i",
+          expr("(num * 2000000 + den) div (den * 2)"))
+        .select(col("source"), col("tok"), col("sc_i"))
+      graft.operators.TopKPerGroup
+        .topK(scored, Seq("source"), "sc_i", Seq("tok"), TermTopK)
+        .select(col("source"), col("rn").cast("long").as("rn"), col("tok"),
+          (col("sc_i").cast("double") / 1000000.0).as("lift"))
+        .orderBy(col("source"), col("rn"))
     })
   )
 
@@ -388,6 +452,9 @@ object TextQueries {
   // ~half above / half below at both sf0.01 and sf0.1), so the filter
   // genuinely discriminates and the MG decrement path fires (k = 31)
   private val HhPpm = 33333L
+  private val VocabSlices = 20 // q138 curve resolution
+  private val MinTermSupport = 5 // q139 hapax floor
+  private val TermTopK = 5 // q139 terms per source
 
   // q92: vocabulary prefix size to report coverage for
   private val VocabK = 50
@@ -590,6 +657,46 @@ object TextQueries {
                " - nb * COALESCE(s_ca, 0) - na * COALESCE(s_cb, 0)",
              "2 * na * nb")} AS tv
          |FROM p LEFT JOIN s USING (src_a, src_b)
-         |ORDER BY src_a, src_b""".stripMargin
+         |ORDER BY src_a, src_b""".stripMargin,
+
+    "q138_vocab_growth" ->
+      s"""WITH m AS (SELECT MAX(doc_id) AS mx FROM documents),
+         |d AS (SELECT doc_id, text,
+         |    doc_id // ((mx // $VocabSlices) + 1) AS bucket
+         |  FROM documents, m),
+         |fb AS (SELECT tok, MIN(bucket) AS fb FROM
+         |    (SELECT bucket, unnest(string_split_regex(trim(text), '\\s+'))
+         |       AS tok FROM d)
+         |  GROUP BY tok),
+         |nb AS (SELECT fb AS bucket, COUNT(*) AS new_tokens FROM fb GROUP BY fb),
+         |db AS (SELECT bucket, COUNT(*) AS n_docs FROM d GROUP BY bucket)
+         |SELECT db.bucket,
+         |  SUM(n_docs) OVER (ORDER BY db.bucket
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_docs_cum,
+         |  COALESCE(new_tokens, 0) AS new_tokens,
+         |  SUM(COALESCE(new_tokens, 0)) OVER (ORDER BY db.bucket
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vocab_cum
+         |FROM db LEFT JOIN nb ON db.bucket = nb.bucket
+         |ORDER BY db.bucket""".stripMargin,
+
+    "q139_characteristic_terms" ->
+      s"""WITH tk AS (SELECT source,
+         |    unnest(string_split_regex(trim(text), '\\s+')) AS tok
+         |  FROM documents),
+         |st AS (SELECT source, tok, COUNT(*) AS c_st FROM tk GROUP BY 1, 2),
+         |s AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS tot_s
+         |  FROM st GROUP BY 1),
+         |g AS (SELECT tok, CAST(SUM(c_st) AS BIGINT) AS c_t FROM st GROUP BY 1),
+         |n AS (SELECT CAST(SUM(c_st) AS BIGINT) AS tot FROM st),
+         |sc AS (SELECT st.source, st.tok,
+         |    CAST((st.c_st * tot * 2000000 + (tot_s * c_t))
+         |      // ((tot_s * c_t) * 2) AS BIGINT) AS sc_i
+         |  FROM st JOIN s USING (source) JOIN g USING (tok) CROSS JOIN n
+         |  WHERE c_st >= $MinTermSupport),
+         |r AS (SELECT source, tok, sc_i,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY sc_i DESC, tok) AS rn FROM sc)
+         |SELECT source, rn, tok, CAST(sc_i AS DOUBLE) / 1000000.0 AS lift
+         |FROM r WHERE rn <= $TermTopK ORDER BY source, rn""".stripMargin
   )
 }

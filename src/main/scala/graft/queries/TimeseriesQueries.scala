@@ -17,6 +17,7 @@ import org.apache.spark.sql.functions._
 object TimeseriesQueries {
 
   private val SessionGapUs = 1800000000L // 30 min
+  private val EwmaW = 16 // q133 window: 2^-16 decay is below output resolution
 
   val queries: Map[String, Q] = Map(
     // sessionize: a session breaks after a 30-min silence; one row per
@@ -405,6 +406,164 @@ object TimeseriesQueries {
         .select(col("event_type"), col("ts").as("gap_start"), col("gap_end"),
           (col("nt") - col("t")).as("gap_us"))
         .orderBy(col("event_type"), col("gap_start"))
+    }),
+
+    // EWMA smoothing of the hourly peak — exponential decay with α = 1/2
+    // so every weight is a POWER OF TWO and the whole smoother is exact
+    // int64 rational arithmetic (a float-α EWMA is recursive and its
+    // rounding order diverges between engines). Windowed to the last
+    // W=16 hours: 2^-16 ≈ 1.5e-5 is below the 4-dp output resolution,
+    // so the truncation is invisible, and the bounded frame keeps the
+    // per-row weight sum in int64 (peak_cents · 2^16 ≈ 3e9 here;
+    // mulGuard-free headroom to peak ~ 4.6e13 cents). One hourly
+    // pre-aggregation (events collapse ~1e4:1) + one per-series window
+    // — the raw stream is never window-sorted.
+    "q133_ewma_smooth" -> ((s, dir) => {
+      val hourly = t(s, dir, "events")
+        .select(col("event_type"), date_trunc("hour", col("ts")).as("bucket_ts"),
+          (dec(col("value")) * 100).cast("long").as("c"))
+        .groupBy(col("event_type"), col("bucket_ts"))
+        .agg(max(col("c")).as("peak"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("bucket_ts"))
+        .rowsBetween(-(EwmaW - 1), Window.currentRow)
+      hourly
+        .withColumn("vs", collect_list(col("peak")).over(w))
+        // element i (0-based, oldest first) carries weight 2^i — the
+        // most recent sample gets 2^(m-1); normalizer 2^m − 1
+        .withColumn("num", expr(
+          """aggregate(transform(vs, (x, i) -> x * shiftleft(CAST(1 AS BIGINT), i)),
+            |CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin))
+        .withColumn("den", expr("shiftleft(CAST(1 AS BIGINT), size(vs)) - 1"))
+        .select(col("event_type"), col("bucket_ts"),
+          (col("peak").cast("double") / 100.0).as("peak_v"),
+          // 2-dp half-up in cents domain (q129's ×200 scale), → dollars
+          expr("(num * 200 + den) div (den * 2)").cast("double")
+            .divide(10000.0).as("ewma"))
+        .orderBy(col("event_type"), col("bucket_ts"))
+    }),
+
+    // co-movement correlation matrix: Pearson r between the hourly
+    // count series of every event-type pair, on the zero-filled common
+    // hour grid. EXACT despite the double output: all five moment sums
+    // are int64 (mulGuarded), and the final r = cov/√(vx·vy) is three
+    // IEEE ops (multiply, sqrt, divide — all correctly rounded), so
+    // both engines produce bit-identical doubles with no rounding
+    // fudge. Scale: the grid is (types × hours) — events pre-aggregate
+    // ~1e4:1 before the pair join, and the pair count is #types², not
+    // rows².
+    "q134_lag_correlation" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), date_trunc("hour", col("ts")).as("bucket_ts"))
+      val hourly = ev.groupBy(col("event_type"), col("bucket_ts"))
+        .agg(count(lit(1)).as("n"))
+      val bounds = ev.agg(min(col("bucket_ts")).as("mn"), max(col("bucket_ts")).as("mx"))
+      val grid = ev.select(col("event_type")).distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"),
+          explode(sequence(col("mn"), col("mx"), expr("interval 1 hour"))).as("bucket_ts"))
+      val c = grid.join(hourly, Seq("event_type", "bucket_ts"), "left")
+        .select(col("event_type"), col("bucket_ts"),
+          coalesce(col("n"), lit(0L)).as("cnt"))
+      val a = c.select(col("event_type").as("ta"), col("bucket_ts"), col("cnt").as("x"))
+      val b = c.select(col("event_type").as("tb"), col("bucket_ts"), col("cnt").as("y"))
+      val p = a.join(b, Seq("bucket_ts")).where(col("ta") < col("tb"))
+        .groupBy(col("ta"), col("tb"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+      val vx = mulGuard(col("n"), col("sxx"), "corr vx") -
+        mulGuard(col("sx"), col("sx"), "corr sx2")
+      val vy = mulGuard(col("n"), col("syy"), "corr vy") -
+        mulGuard(col("sy"), col("sy"), "corr sy2")
+      val cov = mulGuard(col("n"), col("sxy"), "corr cov") -
+        mulGuard(col("sx"), col("sy"), "corr sxsy")
+      p.select(col("ta"), col("tb"), col("n"),
+          when(vx === 0L || vy === 0L, lit(null).cast("double"))
+            .otherwise(cov.cast("double") / sqrt(vx.cast("double") * vy.cast("double")))
+            .as("r"))
+        .orderBy(col("ta"), col("tb"))
+    }),
+
+    // seasonal (hour-of-week) baseline anomalies: each populated hour
+    // compared against the mean count its weekly slot has shown across
+    // the whole span (zero-filled grid, so quiet weeks count). The
+    // predicate 3·cnt·n_slots > 4·slot_sum (cnt above 4/3 of the slot
+    // mean — non-degenerate at every SF; a 2× bar flags nothing at
+    // sf0.1's density) is int64 cross-multiplied — no division; the ≥3
+    // floor keeps one-off blips out. Complements q95
+    // (trailing-24h baseline): this one catches "busy for a Tuesday
+    // 3am", which a trailing window normalizes away.
+    "q135_seasonal_baseline" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), date_trunc("hour", col("ts")).as("bucket_ts"))
+      val hourly = ev.groupBy(col("event_type"), col("bucket_ts"))
+        .agg(count(lit(1)).as("n"))
+      val bounds = ev.agg(min(col("bucket_ts")).as("mn"), max(col("bucket_ts")).as("mx"))
+      val grid = ev.select(col("event_type")).distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"),
+          explode(sequence(col("mn"), col("mx"), expr("interval 1 hour"))).as("bucket_ts"))
+      val slots = grid.join(hourly, Seq("event_type", "bucket_ts"), "left")
+        .select(col("event_type"), col("bucket_ts"),
+          coalesce(col("n"), lit(0L)).as("cnt"),
+          ((dayofweek(col("bucket_ts")) - 1) * 24 + hour(col("bucket_ts"))).as("how"))
+      val base = slots.groupBy(col("event_type"), col("how"))
+        .agg(sum(col("cnt")).as("slot_sum"), count(lit(1)).as("n_slots"))
+      slots.join(broadcast(base), Seq("event_type", "how"))
+        .where(col("cnt") >= 3L &&
+          lit(3L) * mulGuard(col("cnt"), col("n_slots"), "seasonal") >
+            lit(4L) * col("slot_sum"))
+        .select(col("event_type"), col("bucket_ts"), col("cnt"),
+          round6(col("slot_sum"), col("n_slots")).as("baseline"))
+        .orderBy(col("event_type"), col("bucket_ts"))
+    }),
+
+    // Markov transition matrix over per-user event sequences: counts
+    // and row-normalized probabilities for (event_type → next_type).
+    // One user-keyed window (full parallelism across ~1e6+ users), then
+    // a 25-row aggregate; probability is the exact integer round6
+    // rational. The per-from-type total rides a window over the TINY
+    // aggregated frame, not the event stream.
+    "q136_event_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .where(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n_trans"))
+        .withColumn("n_from",
+          sum(col("n_trans")).over(Window.partitionBy(col("event_type"))))
+        .select(col("event_type"), col("next_type"), col("n_trans"),
+          round6(col("n_trans"), col("n_from")).as("p_trans"))
+        .orderBy(col("event_type"), col("next_type"))
+    }),
+
+    // SCD2-style state intervals: collapse each user's consecutive
+    // equal event_types into validity windows [valid_from, valid_to)
+    // chained so each interval ends where the next begins (open-ended
+    // current state = null valid_to) — the standard
+    // snapshot-to-dimension build. Gaps-and-islands: change flag → run
+    // number (running sum) → one aggregate; everything inside a single
+    // user-keyed partition, two window passes, no self-join.
+    "q137_state_intervals" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("chg",
+          when(lag(col("event_type"), 1).over(w).isNull ||
+            lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
+            .otherwise(0L))
+        .withColumn("run_no", sum(col("chg")).over(wRun))
+        .groupBy(col("user_id"), col("run_no"))
+        .agg(min(col("event_type")).as("state"),
+          min(col("ts")).as("valid_from"), count(lit(1)).as("n_events"))
+        .withColumn("valid_to", lead(col("valid_from"), 1)
+          .over(Window.partitionBy(col("user_id")).orderBy(col("run_no"))))
+        .select(col("user_id"), col("run_no"), col("state"),
+          col("valid_from"), col("valid_to"), col("n_events"))
+        .orderBy(col("user_id"), col("run_no"))
     })
   )
 
@@ -656,6 +815,106 @@ object TimeseriesQueries {
         |SELECT g.event_type, ts AS gap_start, gap_end, nt - t AS gap_us
         |FROM g JOIN st ON g.event_type = st.event_type
         |WHERE nt IS NOT NULL AND (nt - t) * n1 > 3 * span
-        |ORDER BY g.event_type, gap_start""".stripMargin
+        |ORDER BY g.event_type, gap_start""".stripMargin,
+
+    "q133_ewma_smooth" ->
+      s"""WITH h AS (SELECT event_type,
+         |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket_ts,
+         |    MAX(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS peak
+         |  FROM events GROUP BY 1, 2),
+         |l AS (SELECT event_type, bucket_ts, peak,
+         |    list(peak) OVER (PARTITION BY event_type ORDER BY bucket_ts
+         |      ROWS BETWEEN ${EwmaW - 1} PRECEDING AND CURRENT ROW) AS vs
+         |  FROM h),
+         |r AS (SELECT event_type, bucket_ts, peak,
+         |    CAST(list_sum(list_transform(vs,
+         |      (x, i) -> x * (CAST(1 AS BIGINT) << (i - 1)))) AS BIGINT) AS num,
+         |    (CAST(1 AS BIGINT) << len(vs)) - 1 AS den
+         |  FROM l)
+         |SELECT event_type, bucket_ts, CAST(peak AS DOUBLE) / 100.0 AS peak_v,
+         |  CAST((num * 200 + den) // (den * 2) AS DOUBLE) / 10000.0 AS ewma
+         |FROM r ORDER BY event_type, bucket_ts""".stripMargin,
+
+    "q134_lag_correlation" ->
+      """WITH ev AS (SELECT event_type,
+        |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket_ts FROM events),
+        |b AS (SELECT MIN(bucket_ts) mn, MAX(bucket_ts) mx FROM ev),
+        |g AS (SELECT t.event_type, h.bucket_ts
+        |  FROM (SELECT DISTINCT event_type FROM ev) t
+        |  CROSS JOIN (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR))
+        |              AS bucket_ts FROM b) h),
+        |c AS (SELECT g.event_type, g.bucket_ts, CAST(COALESCE(n, 0) AS BIGINT) AS cnt
+        |  FROM g LEFT JOIN (SELECT event_type, bucket_ts, COUNT(*) n
+        |                    FROM ev GROUP BY 1, 2) e
+        |    ON g.event_type = e.event_type AND g.bucket_ts = e.bucket_ts),
+        |p AS (SELECT a.event_type ta, b2.event_type tb, COUNT(*) AS n,
+        |    CAST(SUM(a.cnt) AS BIGINT) sx, CAST(SUM(b2.cnt) AS BIGINT) sy,
+        |    CAST(SUM(a.cnt * b2.cnt) AS BIGINT) sxy,
+        |    CAST(SUM(a.cnt * a.cnt) AS BIGINT) sxx,
+        |    CAST(SUM(b2.cnt * b2.cnt) AS BIGINT) syy
+        |  FROM c a JOIN c b2 ON a.bucket_ts = b2.bucket_ts
+        |    AND a.event_type < b2.event_type
+        |  GROUP BY 1, 2)
+        |SELECT ta, tb, n,
+        |  CASE WHEN (n*sxx - sx*sx) = 0 OR (n*syy - sy*sy) = 0 THEN NULL
+        |    ELSE CAST(n*sxy - sx*sy AS DOUBLE) /
+        |      sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE))
+        |    END AS r
+        |FROM p ORDER BY ta, tb""".stripMargin,
+
+    "q135_seasonal_baseline" ->
+      s"""WITH ev AS (SELECT event_type,
+         |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket_ts FROM events),
+         |b AS (SELECT MIN(bucket_ts) mn, MAX(bucket_ts) mx FROM ev),
+         |g AS (SELECT t.event_type, h.bucket_ts
+         |  FROM (SELECT DISTINCT event_type FROM ev) t
+         |  CROSS JOIN (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR))
+         |              AS bucket_ts FROM b) h),
+         |s AS (SELECT g.event_type, g.bucket_ts, CAST(COALESCE(n, 0) AS BIGINT) AS cnt,
+         |    dayofweek(g.bucket_ts) * 24 + hour(g.bucket_ts) AS how
+         |  FROM g LEFT JOIN (SELECT event_type, bucket_ts, COUNT(*) n
+         |                    FROM ev GROUP BY 1, 2) e
+         |    ON g.event_type = e.event_type AND g.bucket_ts = e.bucket_ts),
+         |base AS (SELECT event_type, how, SUM(cnt) AS slot_sum,
+         |    COUNT(*) AS n_slots FROM s GROUP BY 1, 2)
+         |SELECT s.event_type, s.bucket_ts, s.cnt,
+         |  ${oRound6("slot_sum", "n_slots")} AS baseline
+         |FROM s JOIN base ON s.event_type = base.event_type AND s.how = base.how
+         |WHERE s.cnt >= 3 AND 3 * s.cnt * n_slots > 4 * slot_sum
+         |ORDER BY s.event_type, s.bucket_ts""".stripMargin,
+
+    "q136_event_transitions" ->
+      s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+         |    event_type FROM events),
+         |tr AS (SELECT event_type,
+         |    LEAD(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS next_type FROM e),
+         |c AS (SELECT event_type, next_type, COUNT(*) AS n_trans FROM tr
+         |  WHERE next_type IS NOT NULL GROUP BY 1, 2)
+         |SELECT event_type, next_type, n_trans,
+         |  ${oRound6("n_trans",
+        "SUM(n_trans) OVER (PARTITION BY event_type)")} AS p_trans
+         |FROM c ORDER BY event_type, next_type""".stripMargin,
+
+    "q137_state_intervals" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |    event_type FROM events),
+        |f AS (SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN LAG(event_type) OVER w IS NULL
+        |           OR LAG(event_type) OVER w <> event_type
+        |      THEN 1 ELSE 0 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |r AS (SELECT user_id, ts, event_type,
+        |    CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS run_no
+        |  FROM f),
+        |runs AS (SELECT user_id, run_no, MIN(event_type) AS state,
+        |    MIN(ts) AS valid_from, COUNT(*) AS n_events
+        |  FROM r GROUP BY user_id, run_no)
+        |SELECT user_id, run_no, state, valid_from,
+        |  LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY run_no)
+        |    AS valid_to, n_events
+        |FROM runs ORDER BY user_id, run_no""".stripMargin
   )
 }

@@ -435,4 +435,63 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains(">= w_start") || plan.contains("(ts"),
       s"residual [lo,hi) predicate must be applied:\n$plan")
   }
+
+  test("ewma smoother windows the HOURLY aggregate, not the raw stream") {
+    val plan = explained("q133_ewma_smooth")
+    assert(plan.contains("partial_max"),
+      s"hourly peak must partial-aggregate map-side:\n$plan")
+    assert(plan.contains("windowspecdefinition(event_type"),
+      s"smoothing window must partition by the series key:\n$plan")
+    // agg exchange + window exchange + output sort, nothing more — the
+    // raw event stream is never window-sorted
+    assert(count(plan, "+- ShuffleQueryStage") <= 3, plan)
+  }
+
+  test("correlation matrix pairs the hourly aggregate (events never self-join)") {
+    val plan = explained("q134_lag_correlation")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("partial_count"),
+      s"hourly counts must partial-aggregate before the pair join:\n$plan")
+    // the pair join keys on bucket_ts over the types×hours frame
+    assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin"),
+      s"pair generation must be a keyed equi-join:\n$plan")
+  }
+
+  test("transition matrix: one user-keyed window, totals ride the 25-row frame") {
+    val plan = explained("q136_event_transitions")
+    assert(plan.contains("windowspecdefinition(user_id"),
+      s"sequence window must partition by user:\n$plan")
+    assert(!plan.contains("Join"),
+      s"row normalization must not join back on the event stream:\n$plan")
+  }
+
+  test("state intervals collapse runs inside the user partition (no self-join)") {
+    val plan = explained("q137_state_intervals")
+    assert(plan.contains("windowspecdefinition(user_id"), plan)
+    assert(!plan.contains("Join"),
+      s"gaps-and-islands must stay window-only:\n$plan")
+    // lag/run window + (user,run) agg + chaining window + output sort
+    assert(count(plan, "+- ShuffleQueryStage") <= 4, plan)
+  }
+
+  test("vocab growth never re-scans per slice (min-bucket formulation)") {
+    val plan = explained("q138_vocab_growth")
+    assert(plan.contains("partial_min"),
+      s"first-appearance slice must be a min aggregate:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // node headers "(n) Scan parquet" count each scan once: the bounds
+    // probe + the token explode + the per-slice doc count = 3, never a
+    // scan per slice
+    assert(count(plan, ") Scan parquet") <= 4,
+      s"min-bucket formulation scans the table O(1) times, not per slice:\n$plan")
+  }
+
+  test("characteristic terms heap-select per source; vocab totals join by key") {
+    val plan = explained("q139_characteristic_terms")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // phase-2 ranking window runs on the heap-reduced frame, so the
+    // only row_number window sits above a MapPartitions, not the corpus
+    assert(plan.contains("MapPartitions"),
+      s"selection must ride TopKPerGroup's bounded heaps:\n$plan")
+  }
 }
