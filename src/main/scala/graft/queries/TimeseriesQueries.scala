@@ -18,6 +18,7 @@ object TimeseriesQueries {
 
   private val SessionGapUs = 1800000000L // 30 min
   private val EwmaW = 16 // q133 window: 2^-16 decay is below output resolution
+  private val TrigramTopK = 20 // q142 result depth
 
   val queries: Map[String, Q] = Map(
     // sessionize: a session breaks after a 30-min silence; one row per
@@ -564,6 +565,88 @@ object TimeseriesQueries {
         .select(col("user_id"), col("run_no"), col("state"),
           col("valid_from"), col("valid_to"), col("n_events"))
         .orderBy(col("user_id"), col("run_no"))
+    }),
+
+    // per-(series, day) OLS trend slope — EXACT rational arithmetic:
+    // x = minutes into the day (integer), y = cents, slope =
+    // (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) in cents/minute rounded via the
+    // signed integer round6. Minute-grained x keeps the numerator
+    // inside round6's ~4.6e12 headroom (second-grained would overflow
+    // the ×2e6 rounding scale — same lesson as q129); every product is
+    // mulGuarded so a 100 TB day that outgrows int64 fails loudly. The
+    // trend label is a division-free cross-multiplied threshold. One
+    // shuffle (the day aggregate); the moment sums are map-side
+    // partials.
+    "q140_trend_slope" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_type"),
+        date_trunc("day", col("ts")).as("day"),
+        expr("(unix_micros(ts) - unix_micros(date_trunc('day', ts))) div 60000000")
+          .as("x"),
+        (dec(col("value")) * 100).cast("long").as("y"))
+      val m = e.groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+        .where(col("n") >= 3L)
+      val a = mulGuard(col("n"), col("sxy"), "slope cov") -
+        mulGuard(col("sx"), col("sy"), "slope sxsy")
+      val b = mulGuard(col("n"), col("sxx"), "slope var") -
+        mulGuard(col("sx"), col("sx"), "slope sx2")
+      m.where(b > 0L)
+        .select(col("event_type"), col("day"), col("n"),
+          round6Signed(a, b).as("slope_cpm"),
+          // |slope| > 0.5 cents/min ⟺ 2|A| > B
+          when(lit(2L) * abs(a) <= b, "flat")
+            .when(a > 0L, "rising").otherwise("falling").as("trend"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
+    // winsorized robust mean: clamp each series' values at its own
+    // exact nearest-rank P05/P95 (integer index — no float percentile
+    // ambiguity), then the clamped mean as an exact rational. The
+    // quantile pass rides q128's sorted-list selection (bounded
+    // per-group lists; unbounded series belong on the q34 sketch
+    // path); the clamp pass re-joins through a broadcast. Reports how
+    // much mass the tails carried — the "is the mean trustworthy"
+    // one-liner.
+    "q141_winsorize" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_type"),
+        (dec(col("value")) * 100).cast("long").as("c"))
+      val qs = ev.groupBy(col("event_type"))
+        .agg(sort_array(collect_list(col("c"))).as("vs"), count(lit(1)).as("n"))
+        .select(col("event_type"), col("n"),
+          element_at(col("vs"), expr("cast((n + 19) div 20 as int)")).as("lo"),
+          element_at(col("vs"), expr("cast((19 * n + 19) div 20 as int)")).as("hi"))
+      ev.join(broadcast(qs), "event_type")
+        .groupBy(col("event_type"), col("n"), col("lo"), col("hi"))
+        .agg(sum(when(col("c") < col("lo"), 1L).otherwise(0L)).as("n_lo"),
+          sum(when(col("c") > col("hi"), 1L).otherwise(0L)).as("n_hi"),
+          sum(greatest(col("lo"), least(col("hi"), col("c")))).as("wsum"))
+        .select(col("event_type"), col("n"),
+          (col("lo").cast("double") / 100.0).as("p05"),
+          (col("hi").cast("double") / 100.0).as("p95"),
+          col("n_lo"), col("n_hi"),
+          // winsorized mean in dollars at 4 dp: cents ratio × 100
+          expr("(wsum * 200 + n) div (n * 2)").cast("double")
+            .divide(10000.0).as("wmean"))
+        .orderBy(col("event_type"))
+    }),
+
+    // top event-type trigrams ("paths"): the sequence-mining sibling of
+    // q136's pair transitions — per-user ordered 3-grams, counted and
+    // ranked. Two leads inside ONE user-keyed window (no self-joins,
+    // no sequence explosion), then a T³-row aggregate and a top-k that
+    // compiles to TakeOrdered.
+    "q142_trigram_paths" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("e2", lead(col("event_type"), 1).over(w))
+        .withColumn("e3", lead(col("event_type"), 2).over(w))
+        .where(col("e3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n_paths"))
+        .orderBy(col("n_paths").desc, col("path"))
+        .limit(TrigramTopK)
     })
   )
 
@@ -915,6 +998,55 @@ object TimeseriesQueries {
         |SELECT user_id, run_no, state, valid_from,
         |  LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY run_no)
         |    AS valid_to, n_events
-        |FROM runs ORDER BY user_id, run_no""".stripMargin
+        |FROM runs ORDER BY user_id, run_no""".stripMargin,
+
+    "q140_trend_slope" ->
+      s"""WITH e AS (SELECT event_type,
+         |    date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+         |    (epoch_us(CAST(ts AS TIMESTAMP)) -
+         |     epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP)))) // 60000000
+         |      AS x,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+         |  FROM events),
+         |m AS (SELECT event_type, day, COUNT(*) AS n,
+         |    CAST(SUM(x) AS BIGINT) sx, CAST(SUM(y) AS BIGINT) sy,
+         |    CAST(SUM(x*y) AS BIGINT) sxy, CAST(SUM(x*x) AS BIGINT) sxx
+         |  FROM e GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+         |SELECT event_type, day, n,
+         |  ${oRound6Signed("n*sxy - sx*sy", "n*sxx - sx*sx")} AS slope_cpm,
+         |  CASE WHEN 2 * abs(n*sxy - sx*sy) <= (n*sxx - sx*sx) THEN 'flat'
+         |       WHEN n*sxy - sx*sy > 0 THEN 'rising'
+         |       ELSE 'falling' END AS trend
+         |FROM m WHERE n*sxx - sx*sx > 0
+         |ORDER BY event_type, day""".stripMargin,
+
+    "q141_winsorize" ->
+      """WITH ev AS (SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events),
+        |q AS (SELECT event_type, COUNT(*) AS n,
+        |    (list_sort(list(c)))[CAST((COUNT(*) + 19) // 20 AS INT)] AS lo,
+        |    (list_sort(list(c)))[CAST((19 * COUNT(*) + 19) // 20 AS INT)] AS hi
+        |  FROM ev GROUP BY event_type)
+        |SELECT ev.event_type, n,
+        |  CAST(lo AS DOUBLE) / 100.0 AS p05, CAST(hi AS DOUBLE) / 100.0 AS p95,
+        |  SUM(CASE WHEN c < lo THEN 1 ELSE 0 END) AS n_lo,
+        |  SUM(CASE WHEN c > hi THEN 1 ELSE 0 END) AS n_hi,
+        |  CAST((CAST(SUM(GREATEST(lo, LEAST(hi, c))) AS BIGINT) * 200 + n)
+        |    // (n * 2) AS DOUBLE) / 10000.0 AS wmean
+        |FROM ev JOIN q ON ev.event_type = q.event_type
+        |GROUP BY ev.event_type, n, lo, hi
+        |ORDER BY ev.event_type""".stripMargin,
+
+    "q142_trigram_paths" ->
+      s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+         |    event_type FROM events),
+         |g AS (SELECT event_type,
+         |    LEAD(event_type, 1) OVER w AS e2, LEAD(event_type, 2) OVER w AS e3
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         |SELECT event_type || '>' || e2 || '>' || e3 AS path,
+         |  COUNT(*) AS n_paths
+         |FROM g WHERE e3 IS NOT NULL
+         |GROUP BY 1 ORDER BY n_paths DESC, path LIMIT $TrigramTopK""".stripMargin
   )
 }

@@ -23,6 +23,9 @@ object VectorQueries {
   private val ProjK = 8
   private val ProjOffset = 512
 
+  // q143 fixed-point quantization scale (2^24: full float32 mantissa)
+  private val QScale = 16777216.0
+
   val queries: Map[String, Q] = Map(
     "q70_ann_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -219,6 +222,44 @@ object VectorQueries {
       graft.operators.IvfIndex.search(model, queriesDf, "vec_id", "embedding",
           k = TopK, nProbe = 2)
         .orderBy(col("query_id"), col("rn"))
+    }),
+
+    // per-label centroid drift: cosine of each label's mean vector to
+    // the corpus mean — the "is this slice embedding-shifted" monitor
+    // (a drifting source/label is the canary for distribution shift in
+    // training data). EXACT despite float inputs: components quantize
+    // to 2^-24 fixed point (floor of an exactly-representable double —
+    // both engines agree bit-for-bit), per-dim sums are decimal/
+    // hugeint, and cos = dot/√(n2a·n2g) needs only mean RATIOS, so the
+    // 1/n factors cancel and no division happens before the final
+    // three IEEE ops. Scale: one explode + two (label,dim)-keyed
+    // aggregations; the centroid frame is labels×dims rows — the
+    // corpus never self-joins. Sums hold to ~1e12 rows/label at this
+    // magnitude; beyond that the decimal(38) products degrade loudly
+    // (null), not silently.
+    "q143_centroid_drift" -> ((s, dir) => {
+      val qv = t(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")))
+        .select(col("label"), col("pos").as("dim"),
+          floor(col("col").cast("double") * QScale).cast("decimal(38,0)").as("q"))
+      val byLabel = qv.groupBy(col("label"), col("dim"))
+        .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+        .localCheckpoint() // labels×dims rows feed TWO consumers — one
+      // corpus scan total, not one per consumer
+      val global = byLabel.groupBy(col("dim"))
+        .agg(sum(col("s")).as("g"))
+      byLabel.join(global, "dim")
+        .groupBy(col("label"))
+        .agg(max(col("n")).as("n_vecs"),
+          sum(col("s") * col("g")).as("dot"),
+          sum(col("s") * col("s")).as("n2l"),
+          sum(col("g") * col("g")).as("n2g"))
+        .select(col("label"), col("n_vecs"),
+          when(col("n2l") === 0 || col("n2g") === 0, lit(null).cast("double"))
+            .otherwise(col("dot").cast("double") /
+              sqrt(col("n2l").cast("double") * col("n2g").cast("double")))
+            .as("cos_to_global"))
+        .orderBy(col("label"))
     })
   )
 
@@ -300,6 +341,24 @@ object VectorQueries {
        |WHERE rn <= $TopK ORDER BY query_id, rn""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q143_centroid_drift" ->
+      s"""WITH e AS (SELECT label, generate_subscripts(embedding, 1) AS i,
+         |    unnest(embedding) AS v FROM embeddings),
+         |qz AS (SELECT label, i - 1 AS dim,
+         |    CAST(FLOOR(CAST(v AS DOUBLE) * $QScale) AS HUGEINT) AS q FROM e),
+         |bl AS (SELECT label, dim, SUM(q) AS s, COUNT(*) AS n
+         |  FROM qz GROUP BY 1, 2),
+         |g AS (SELECT dim, SUM(s) AS gs FROM bl GROUP BY 1),
+         |a AS (SELECT label, MAX(n) AS n_vecs, SUM(s * gs) AS dot,
+         |    SUM(s * s) AS n2l, SUM(gs * gs) AS n2g
+         |  FROM bl JOIN g USING (dim) GROUP BY label)
+         |SELECT label, n_vecs,
+         |  CASE WHEN n2l = 0 OR n2g = 0 THEN NULL
+         |    ELSE CAST(dot AS DOUBLE) /
+         |      sqrt(CAST(n2l AS DOUBLE) * CAST(n2g AS DOUBLE)) END
+         |    AS cos_to_global
+         |FROM a ORDER BY label""".stripMargin,
+
     "q111_embedding_project" ->
       s"""WITH e AS (SELECT vec_id, label,
          |    ${randProjectSql("embedding", ProjK, ProjOffset)} AS pr

@@ -494,4 +494,38 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("MapPartitions"),
       s"selection must ride TopKPerGroup's bounded heaps:\n$plan")
   }
+
+  test("trend slope is one partial+final moment aggregate (no window)") {
+    val plan = explained("q140_trend_slope")
+    assert(!plan.contains("Window") && !plan.contains("Join"), plan)
+    assert(plan.contains("partial_"),
+      s"moment sums must partial-aggregate map-side:\n$plan")
+    assert(count(plan, "+- ShuffleQueryStage") <= 2,
+      s"one agg shuffle + output sort:\n$plan")
+  }
+
+  test("winsorize joins per-group bounds through a broadcast") {
+    val plan = explained("q141_winsorize")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the tiny per-group quantile frame must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      plan)
+  }
+
+  test("trigram paths: one user window, then TakeOrdered (no global sort)") {
+    val plan = explained("q142_trigram_paths")
+    assert(plan.contains("windowspecdefinition(user_id"), plan)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k paths must not globally sort:\n$plan")
+  }
+
+  test("centroid drift aggregates per (label,dim); corpus never self-joins") {
+    val plan = explained("q143_centroid_drift")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("partial_sum"),
+      s"per-dim sums must partial-aggregate:\n$plan")
+    // the only join runs on the labels×dims centroid frame
+    assert(count(plan, ") Scan parquet") <= 1,
+      s"one embedding scan feeds everything:\n$plan")
+  }
 }
