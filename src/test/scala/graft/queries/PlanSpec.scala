@@ -519,6 +519,13 @@ class PlanSpec extends SparkSpec {
       s"top-k paths must not globally sort:\n$plan")
   }
 
+  test("cusum chart is one series aggregate + a per-row fold (no join/window)") {
+    val plan = explained("q144_cusum_alerts")
+    assert(!plan.contains("Window") && !plan.contains("Join"), plan)
+    assert(count(plan, "+- ShuffleQueryStage") <= 2,
+      s"one series-agg shuffle + output sort:\n$plan")
+  }
+
   test("centroid drift aggregates per (label,dim); corpus never self-joins") {
     val plan = explained("q143_centroid_drift")
     assert(!plan.contains("CartesianProduct"), plan)
