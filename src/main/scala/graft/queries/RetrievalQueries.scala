@@ -124,6 +124,41 @@ object RetrievalQueries {
             .as("rrf"))
         .orderBy(col("rrf").desc, col("doc_id"))
         .limit(RrfTopK)
+    }),
+
+    // exact phrase search over a positional inverted index — the
+    // scalable alternative to LIKE '%w1 w2 w3%' (which scans and
+    // regex-walks every byte of every document). The probe touches
+    // ONLY the phrase tokens' posting lists: each list is filtered out
+    // of the postings frame first (three tiny frames on a web-scale
+    // corpus), then adjacency is two equi-joins on (doc, pos) with the
+    // position offset folded into the join key. The demo phrase is the
+    // corpus's own most-frequent trigram (window census — one doc-keyed
+    // shuffle), which keeps the query self-contained and non-degenerate
+    // at every SF. Postings materialize once for census + 3 probes.
+    "q145_phrase_search" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(tokens(col("text"))))
+        .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("tok"))
+        .localCheckpoint()
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val top = toks
+        .withColumn("t2", lead(col("tok"), 1).over(w))
+        .withColumn("t3", lead(col("tok"), 2).over(w))
+        .where(col("t3").isNotNull)
+        .select(concat_ws(" ", col("tok"), col("t2"), col("t3")).as("phrase"))
+        .groupBy(col("phrase")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("phrase")).limit(1)
+        .select(col("phrase"), split(col("phrase"), " ").as("ws"))
+      def plist(i: Int) = toks.crossJoin(broadcast(top))
+        .where(col("tok") === element_at(col("ws"), i))
+      plist(1).select(col("doc_id"), col("pos"), col("phrase"))
+        .join(plist(2).select(col("doc_id"), (col("pos") - 1).as("pos")),
+          Seq("doc_id", "pos"))
+        .join(plist(3).select(col("doc_id"), (col("pos") - 2).as("pos")),
+          Seq("doc_id", "pos"))
+        .select(col("doc_id"), col("pos"), col("phrase"))
+        .orderBy(col("doc_id"), col("pos"))
     })
   )
 
@@ -151,6 +186,25 @@ object RetrievalQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q145_phrase_search" ->
+      """WITH tk AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS tok,
+        |    generate_subscripts(string_split_regex(trim(text), '\s+'), 1)
+        |      AS pos
+        |  FROM documents),
+        |tri AS (SELECT tok || ' ' || LEAD(tok, 1) OVER w || ' ' ||
+        |      LEAD(tok, 2) OVER w AS phrase
+        |  FROM tk WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |top AS (SELECT phrase FROM tri WHERE phrase IS NOT NULL
+        |  GROUP BY phrase ORDER BY COUNT(*) DESC, phrase LIMIT 1),
+        |ws AS (SELECT phrase, string_split(phrase, ' ') AS w FROM top),
+        |p1 AS (SELECT doc_id, pos, phrase FROM tk, ws WHERE tok = w[1]),
+        |p2 AS (SELECT doc_id, pos - 1 AS pos FROM tk, ws WHERE tok = w[2]),
+        |p3 AS (SELECT doc_id, pos - 2 AS pos FROM tk, ws WHERE tok = w[3])
+        |SELECT doc_id, pos, phrase
+        |FROM p1 JOIN p2 USING (doc_id, pos) JOIN p3 USING (doc_id, pos)
+        |ORDER BY doc_id, pos""".stripMargin,
+
     "q116_bm25_topk" ->
       s"""$bm25CteSql
          |SELECT doc_id, CAST(sc_sum AS DOUBLE) / 1000000.0 AS score, n_terms
