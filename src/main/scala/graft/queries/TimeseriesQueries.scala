@@ -695,6 +695,55 @@ object TimeseriesQueries {
           (col("h").cast("double") / 100.0).as("threshold"),
           col("f.nh").as("n_alarms_hi"), col("f.nl").as("n_alarms_lo"))
         .orderBy(col("event_type"))
+    }),
+
+    // sliding-window EXACT distinct: per (type, hour), how many
+    // distinct users were active in the trailing 24 h — the classic
+    // "rolling DAU" that naive engines recompute per hour (24× the
+    // work) or approximate with sketches. O(n) shape: a user's
+    // presence hours merge into covered intervals ([p, p+23] unions —
+    // consecutive presences ≤24 h apart chain into one island), each
+    // island emits two boundary deltas (+1 at start, −1 past end), and
+    // one prefix sum over the per-type hourly deltas yields every
+    // hour's exact count. Shuffles: presence distinct, the per-user
+    // island window, the per-type delta aggregate — all linear; the
+    // user×hour cross product never materializes. The oracle spells
+    // the naive 24-hour range join.
+    "q146_sliding_distinct" -> ((s, dir) => {
+      val W = 24L
+      val pres = t(s, dir, "events")
+        .select(col("event_type"), col("user_id"),
+          expr("unix_micros(ts) div 3600000000").as("h"))
+        .distinct()
+      val wU = Window.partitionBy(col("event_type"), col("user_id"))
+        .orderBy(col("h"))
+      val wRun = wU.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val islands = pres
+        .withColumn("prev", lag(col("h"), 1).over(wU))
+        .withColumn("brk",
+          when(col("prev").isNull || col("h") - col("prev") > W, 1L)
+            .otherwise(0L))
+        .withColumn("isl", sum(col("brk")).over(wRun))
+        .groupBy(col("event_type"), col("user_id"), col("isl"))
+        .agg(min(col("h")).as("h0"), (max(col("h")) + W - 1L).as("h1"))
+      val deltas = islands.select(col("event_type"),
+          explode(array(struct(col("h0").as("h"), lit(1L).as("d")),
+            struct((col("h1") + 1L).as("h"), lit(-1L).as("d")))).as("b"))
+        .select(col("event_type"), col("b.h").as("h"), col("b.d").as("d"))
+        .groupBy(col("event_type"), col("h")).agg(sum(col("d")).as("d"))
+      val bounds = pres.agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
+      val grid = pres.select(col("event_type")).distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"),
+          explode(sequence(col("mn"), col("mx"))).as("h"))
+      val wCum = Window.partitionBy(col("event_type")).orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(deltas, Seq("event_type", "h"), "left")
+        .withColumn("active_24h", sum(coalesce(col("d"), lit(0L))).over(wCum))
+        .select(col("event_type"),
+          timestamp_micros(col("h") * 3600000000L).as("bucket_ts"),
+          col("active_24h"))
+        .orderBy(col("event_type"), col("bucket_ts"))
     })
   )
 
@@ -1131,6 +1180,23 @@ object TimeseriesQueries {
         |         THEN (a % 1048576) + 1
         |         ELSE GREATEST(CAST(0 AS BIGINT), (a // 1048576) + (med - x))
         |              * 1048576 + (a % 1048576) END) % 1048576 AS n_alarms_lo
-        |FROM m2 ORDER BY event_type""".stripMargin
+        |FROM m2 ORDER BY event_type""".stripMargin,
+
+    // the naive spelling: recount the trailing 24 hours at every grid
+    // hour (a 24× recompute the engine-side boundary-delta formulation
+    // avoids)
+    "q146_sliding_distinct" ->
+      """WITH pres AS (SELECT DISTINCT event_type, user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h FROM events),
+        |b AS (SELECT MIN(h) mn, MAX(h) mx FROM pres),
+        |grid AS (SELECT t.event_type, g.h
+        |  FROM (SELECT DISTINCT event_type FROM pres) t
+        |  CROSS JOIN (SELECT unnest(generate_series(mn, mx)) AS h FROM b) g)
+        |SELECT g.event_type, make_timestamp(g.h * 3600000000) AS bucket_ts,
+        |  COUNT(DISTINCT p.user_id) AS active_24h
+        |FROM grid g LEFT JOIN pres p
+        |  ON p.event_type = g.event_type AND p.h BETWEEN g.h - 23 AND g.h
+        |GROUP BY g.event_type, g.h
+        |ORDER BY g.event_type, bucket_ts""".stripMargin
   )
 }

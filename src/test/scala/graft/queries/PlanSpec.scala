@@ -519,6 +519,31 @@ class PlanSpec extends SparkSpec {
       s"top-k paths must not globally sort:\n$plan")
   }
 
+  test("phrase search probes posting lists (filter below the adjacency joins)") {
+    val plan = explained("q145_phrase_search")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the probe filters postings to the phrase tokens BEFORE joining:
+    // the (doc,pos) adjacency joins must be equi-joins, and the token
+    // equality predicate must sit in a Filter below them, not a join
+    // condition over raw postings
+    assert(plan.contains("windowspecdefinition(doc_id"),
+      s"trigram census rides a doc-keyed window:\n$plan")
+    assert(count(plan, "BroadcastNestedLoopJoin") <= 3,
+      s"only the 1-row phrase frame may nested-loop:\n$plan")
+  }
+
+  test("sliding distinct never materializes the user-hour cross product") {
+    val plan = explained("q146_sliding_distinct")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the engine-side formulation has NO range join: the only joins are
+    // the grid's equi-join on (type, hour) and the 1-row bounds cross
+    assert(!plan.contains("h#") || !plan.contains(">= (h#"),
+      s"no 24-hour range join on the engine side:\n$plan")
+    assert(plan.linesIterator.exists(l =>
+      l.contains("windowspecdefinition(event_type") && l.contains("user_id")),
+      s"island merge rides the per-user window:\n$plan")
+  }
+
   test("cusum chart is one series aggregate + a per-row fold (no join/window)") {
     val plan = explained("q144_cusum_alerts")
     assert(!plan.contains("Window") && !plan.contains("Join"), plan)
