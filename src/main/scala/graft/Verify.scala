@@ -12,7 +12,10 @@ object Verify {
       case Some(f) => val pats = f.split(','); n => pats.exists(n.contains)
       case None => _ => true
     }
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default to all cores (the documented local[32] target); the env
+    // var remains the local-iteration override
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.max(4, Runtime.getRuntime.availableProcessors).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -744,6 +744,50 @@ object TimeseriesQueries {
           timestamp_micros(col("h") * 3600000000L).as("bucket_ts"),
           col("active_24h"))
         .orderBy(col("event_type"), col("bucket_ts"))
+    }),
+
+    // funnel latency quartiles: for users who advanced a stage, the
+    // exact nearest-rank P25/P50/P75 of the conversion delay — q93's
+    // per-user fold (same semantics: earliest strictly-later event)
+    // composed with the exact integer quantile idiom. Latencies land
+    // in whole seconds (µs div 1e6) so both engines select identical
+    // ranks; per-stage lists are user-bounded (one delay per
+    // converting user) — sketch path applies beyond memory, as with
+    // q128.
+    "q147_funnel_latency" -> ((s, dir) => {
+      val nullTs = lit(null).cast("timestamp")
+      val folded = aggregate(
+        col("evs"),
+        struct(nullTs.as("t1"), nullTs.as("t2"), nullTs.as("t3")),
+        (acc, e) => struct(
+          when(acc("t1").isNull && e("et") === "view", e("ts"))
+            .otherwise(acc("t1")).as("t1"),
+          when(acc("t2").isNull && acc("t1").isNotNull &&
+              e("et") === "click" && e("ts") > acc("t1"), e("ts"))
+            .otherwise(acc("t2")).as("t2"),
+          when(acc("t3").isNull && acc("t2").isNotNull &&
+              e("et") === "purchase" && e("ts") > acc("t2"), e("ts"))
+            .otherwise(acc("t3")).as("t3")))
+      val f = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(
+          struct(col("ts"), col("event_type").as("et")))).as("evs"))
+        .withColumn("f", folded)
+        .select(col("f.t1").as("t1"), col("f.t2").as("t2"), col("f.t3").as("t3"))
+      val stages = f.where(col("t2").isNotNull)
+        .select(lit("view>click").as("stage"),
+          expr("(unix_micros(t2) - unix_micros(t1)) div 1000000").as("lat_s"))
+        .unionAll(f.where(col("t3").isNotNull)
+          .select(lit("click>purchase").as("stage"),
+            expr("(unix_micros(t3) - unix_micros(t2)) div 1000000").as("lat_s")))
+      stages.groupBy(col("stage"))
+        .agg(sort_array(collect_list(col("lat_s"))).as("vs"),
+          count(lit(1)).as("n"))
+        .select(col("stage"), col("n"),
+          element_at(col("vs"), expr("cast((n + 3) div 4 as int)")).as("p25_s"),
+          element_at(col("vs"), expr("cast((n + 1) div 2 as int)")).as("p50_s"),
+          element_at(col("vs"), expr("cast((3 * n + 3) div 4 as int)")).as("p75_s"))
+        .orderBy(col("stage"))
     })
   )
 
@@ -1197,6 +1241,29 @@ object TimeseriesQueries {
         |FROM grid g LEFT JOIN pres p
         |  ON p.event_type = g.event_type AND p.h BETWEEN g.h - 23 AND g.h
         |GROUP BY g.event_type, g.h
-        |ORDER BY g.event_type, bucket_ts""".stripMargin
+        |ORDER BY g.event_type, bucket_ts""".stripMargin,
+
+    // q93's join-chain funnel + exact nearest-rank quartile selection
+    "q147_funnel_latency" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        |  FROM events),
+        |s1 AS (SELECT user_id, MIN(ts) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id),
+        |l AS (SELECT 'view>click' AS stage,
+        |    (epoch_us(t2) - epoch_us(t1)) // 1000000 AS lat_s
+        |  FROM s2 JOIN s1 USING (user_id)
+        |  UNION ALL
+        |  SELECT 'click>purchase' AS stage,
+        |    (epoch_us(t3) - epoch_us(t2)) // 1000000 AS lat_s
+        |  FROM s3 JOIN s2 USING (user_id))
+        |SELECT stage, COUNT(*) AS n,
+        |  (list_sort(list(lat_s)))[CAST((COUNT(*) + 3) // 4 AS INT)] AS p25_s,
+        |  (list_sort(list(lat_s)))[CAST((COUNT(*) + 1) // 2 AS INT)] AS p50_s,
+        |  (list_sort(list(lat_s)))[CAST((3 * COUNT(*) + 3) // 4 AS INT)] AS p75_s
+        |FROM l GROUP BY stage ORDER BY stage""".stripMargin
   )
 }

@@ -519,6 +519,13 @@ class PlanSpec extends SparkSpec {
       s"top-k paths must not globally sort:\n$plan")
   }
 
+  test("funnel latency folds per user then aggregates 2 stages (no join chain)") {
+    val plan = explained("q147_funnel_latency")
+    assert(!plan.contains("Join"),
+      s"latencies come from q93's fold, not a join chain:\n$plan")
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("phrase search probes posting lists (filter below the adjacency joins)") {
     val plan = explained("q145_phrase_search")
     assert(!plan.contains("CartesianProduct"), plan)
