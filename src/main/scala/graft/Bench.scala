@@ -18,7 +18,8 @@ object Bench {
     // materialization) here so their timed numbers are steady-state reads
     spark.range(1000000).selectExpr("sum(id)").collect()
     Seq("q01_agg_groupby", "q90_engine_roundtrip", "q19_join_bucketed",
-        "q73_ann_ivf", "q74_ann_pq", "q79_ann_ivfpq")
+        "q73_ann_ivf", "q74_ann_pq", "q79_ann_ivfpq",
+        "q105_span_dedup_incremental", "q121_bpe_tokens")
       .foreach { q =>
         try SparkEntry.queries(q)(spark, sfDir).count()
         catch { case _: Throwable => }
