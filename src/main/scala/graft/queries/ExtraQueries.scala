@@ -77,6 +77,39 @@ object ExtraQueries {
       inter.unionByName(exc)
         .select(col("tag"), col("k"), col("n"))
         .orderBy(col("tag"), col("k"))
+    }),
+
+    // data-quality column profile — the "what's actually in this
+    // table" report every ingestion pipeline runs before training on a
+    // new source: per column, nulls, blank strings, distinct count,
+    // value-length bounds. ONE scan: Spark plans the multi-distinct
+    // aggregate through a single Expand (no per-column passes), and
+    // the 5-metric×5-column row pivots to long form with stack() —
+    // driver-side nothing. String lengths measure the CAST text (cast
+    // of int64 is digit-identical in both engines).
+    "q148_data_profile" -> ((s, dir) => {
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      val d = t(s, dir, "documents")
+      val aggs = cols.flatMap { c =>
+        val sc = col(c).cast("string")
+        Seq(count(col(c)).as(s"cnt_$c"),
+          countDistinct(col(c)).as(s"dist_$c"),
+          sum(when(trim(sc) === "", 1L).otherwise(0L)).as(s"emp_$c"),
+          min(length(sc)).as(s"minl_$c"),
+          max(length(sc)).as(s"maxl_$c"))
+      }
+      val row = d.agg(count(lit(1)).as("n_rows"), aggs: _*)
+      val stackArgs = cols.map(c =>
+        s"'$c', cnt_$c, dist_$c, emp_$c, minl_$c, maxl_$c").mkString(", ")
+      row.select(col("n_rows"), expr(
+          s"stack(${cols.length}, $stackArgs) AS " +
+            "(col_name, n_present, n_distinct, n_blank, min_len, max_len)"))
+        .select(col("col_name"), col("n_rows"),
+          (col("n_rows") - col("n_present")).as("n_null"),
+          col("n_distinct"), col("n_blank"),
+          col("min_len").cast("long").as("min_len"),
+          col("max_len").cast("long").as("max_len"))
+        .orderBy(col("col_name"))
     })
   )
 
@@ -124,6 +157,21 @@ object ExtraQueries {
         |UNION ALL
         |SELECT 'except_all' AS tag, k, COUNT(*) AS n
         |FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b) GROUP BY k
-        |ORDER BY tag, k""".stripMargin
+        |ORDER BY tag, k""".stripMargin,
+
+    "q148_data_profile" -> {
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      val arms = cols.map { c =>
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+           |  COUNT(*) - COUNT($c) AS n_null,
+           |  COUNT(DISTINCT $c) AS n_distinct,
+           |  CAST(SUM(CASE WHEN trim(CAST($c AS VARCHAR)) = '' THEN 1
+           |           ELSE 0 END) AS BIGINT) AS n_blank,
+           |  CAST(MIN(length(CAST($c AS VARCHAR))) AS BIGINT) AS min_len,
+           |  CAST(MAX(length(CAST($c AS VARCHAR))) AS BIGINT) AS max_len
+           |FROM documents""".stripMargin
+      }
+      arms.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    }
   )
 }
