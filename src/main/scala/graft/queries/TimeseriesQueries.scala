@@ -788,6 +788,42 @@ object TimeseriesQueries {
           element_at(col("vs"), expr("cast((n + 1) div 2 as int)")).as("p50_s"),
           element_at(col("vs"), expr("cast((3 * n + 3) div 4 as int)")).as("p75_s"))
         .orderBy(col("stage"))
+    }),
+
+    // value-distribution drift over time: per series, total-variation
+    // distance between the $50-bin value histograms of the first and
+    // second halves of the span — the "has this metric's shape
+    // changed" monitor (the log-free exact sibling of PSI, which needs
+    // transcendentals both engines round differently). q110's integer
+    // trick: TV = Σ|c1·n2 − c2·n1| / (2·n1·n2) keeps every numerator
+    // in int64 (mulGuarded), one division at the end. Two keyed
+    // aggregates over the event stream; histograms are (series × bins)
+    // rows.
+    "q149_value_drift" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .crossJoin(broadcast(t(s, dir, "events")
+          .agg(min(unix_micros(col("ts"))).as("t0"),
+            max(unix_micros(col("ts"))).as("t1"))))
+        .select(col("event_type"),
+          expr("cast(cast(value as decimal(18,2)) * 100 as bigint) div 5000")
+            .as("bin"),
+          when(unix_micros(col("ts")) * 2 < col("t0") + col("t1"), 1L)
+            .otherwise(2L).as("half"))
+      val h = ev.groupBy(col("event_type"), col("bin"))
+        .agg(sum(when(col("half") === 1L, 1L).otherwise(0L)).as("c1"),
+          sum(when(col("half") === 2L, 1L).otherwise(0L)).as("c2"))
+      val tot = ev.groupBy(col("event_type"))
+        .agg(sum(when(col("half") === 1L, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("half") === 2L, 1L).otherwise(0L)).as("n2"))
+      h.join(broadcast(tot), "event_type")
+        .groupBy(col("event_type"), col("n1"), col("n2"))
+        .agg(sum(abs(mulGuard(col("c1"), col("n2"), "drift c1n2") -
+          mulGuard(col("c2"), col("n1"), "drift c2n1"))).as("num"))
+        .where(col("n1") > 0L && col("n2") > 0L)
+        .select(col("event_type"), col("n1"), col("n2"),
+          round6(col("num"),
+            lit(2L) * mulGuard(col("n1"), col("n2"), "drift den")).as("tv"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -1264,6 +1300,30 @@ object TimeseriesQueries {
         |  (list_sort(list(lat_s)))[CAST((COUNT(*) + 3) // 4 AS INT)] AS p25_s,
         |  (list_sort(list(lat_s)))[CAST((COUNT(*) + 1) // 2 AS INT)] AS p50_s,
         |  (list_sort(list(lat_s)))[CAST((3 * COUNT(*) + 3) // 4 AS INT)] AS p75_s
-        |FROM l GROUP BY stage ORDER BY stage""".stripMargin
+        |FROM l GROUP BY stage ORDER BY stage""".stripMargin,
+
+    "q149_value_drift" ->
+      s"""WITH b AS (SELECT MIN(epoch_us(CAST(ts AS TIMESTAMP))) t0,
+         |    MAX(epoch_us(CAST(ts AS TIMESTAMP))) t1 FROM events),
+         |ev AS (SELECT event_type,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 5000 AS bin,
+         |    CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) * 2 < t0 + t1
+         |      THEN 1 ELSE 2 END AS half
+         |  FROM events, b),
+         |h AS (SELECT event_type, bin,
+         |    CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         |    CAST(SUM(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+         |  FROM ev GROUP BY 1, 2),
+         |tt AS (SELECT event_type,
+         |    CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |    CAST(SUM(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+         |  FROM ev GROUP BY 1)
+         |SELECT h.event_type, n1, n2,
+         |  ${oRound6("CAST(SUM(abs(c1 * n2 - c2 * n1)) AS BIGINT)",
+        "2 * n1 * n2")} AS tv
+         |FROM h JOIN tt ON h.event_type = tt.event_type
+         |WHERE n1 > 0 AND n2 > 0
+         |GROUP BY h.event_type, n1, n2
+         |ORDER BY h.event_type""".stripMargin
   )
 }
