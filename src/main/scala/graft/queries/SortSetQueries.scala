@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SURVEY §2.F (sorts/limits/top-k) + §2.G (set operations) + §2.B
@@ -54,7 +55,47 @@ object SortSetQueries {
           count(col("maybe")).as("n_nonnull"),
           sum((col("maybe") <=> lit(null)).cast("long")).as("n_nullsafe_null"),
           dsum(col("l_quantity")).as("sum_qty"))
-        .orderBy(asc_nulls_first("maybe")))
+        .orderBy(asc_nulls_first("maybe"))),
+
+    // TOP k WITH TIES (ANSI FETCH FIRST k ROWS WITH TIES): rank() ≤ k
+    // keeps every row tying the kth value — the semantics LIMIT
+    // silently breaks when the cutoff lands mid-tie. Integer cents make
+    // the tie predicate exact; per-group ranking keeps the window
+    // partitioned (never a global sort of the stream).
+    "q150_topk_ties" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("c").desc)
+      t(s, dir, "events")
+        .select(col("event_type"),
+          (dec(col("value")) * 100).cast("long").as("c"))
+        .withColumn("rk", rank().over(w))
+        .where(col("rk") <= 5)
+        .groupBy(col("event_type"), col("rk"), col("c"))
+        .agg(count(lit(1)).as("n_tied"))
+        .select(col("event_type"), col("rk").cast("long").as("rk"),
+          (col("c").cast("double") / 100.0).as("value"), col("n_tied"))
+        .orderBy(col("event_type"), col("rk"), col("value"))
+    }),
+
+    // cumulative adopters curve: distinct users ever seen, per day —
+    // q138's min-first-occurrence idiom on the time axis (one pass;
+    // never a per-day distinct recount). Grid left-join keeps quiet
+    // days on the curve.
+    "q151_adopters_curve" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      val firsts = ev.groupBy(col("user_id")).agg(min(col("day")).as("d0"))
+        .groupBy(col("d0")).agg(count(lit(1)).as("new_users"))
+      val bounds = ev.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      val grid = bounds.select(
+        explode(sequence(col("mn"), col("mx"), expr("interval 1 day"))).as("day"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(firsts, col("day") === col("d0"), "left")
+        .select(col("day"), coalesce(col("new_users"), lit(0L)).as("new_users"))
+        .withColumn("total_users", sum(col("new_users")).over(w))
+        .orderBy(col("day"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -88,6 +129,34 @@ object SortSetQueries {
          |  CAST(SUM(CAST(NULLIF(l_returnflag, 'A') IS NOT DISTINCT FROM NULL AS BIGINT))
          |    AS BIGINT) AS n_nullsafe_null,
          |  ${oSum("l_quantity")} AS sum_qty
-         |FROM lineitem GROUP BY maybe ORDER BY maybe ASC NULLS FIRST""".stripMargin
+         |FROM lineitem GROUP BY maybe ORDER BY maybe ASC NULLS FIRST""".stripMargin,
+
+    "q150_topk_ties" ->
+      """WITH c AS (SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events),
+        |r AS (SELECT event_type, c,
+        |    RANK() OVER (PARTITION BY event_type ORDER BY c DESC) AS rk
+        |  FROM c)
+        |SELECT event_type, rk, CAST(c AS DOUBLE) / 100.0 AS value,
+        |  COUNT(*) AS n_tied
+        |FROM r WHERE rk <= 5
+        |GROUP BY event_type, rk, c
+        |ORDER BY event_type, rk, value""".stripMargin,
+
+    "q151_adopters_curve" ->
+      """WITH ev AS (SELECT user_id,
+        |    date_trunc('day', CAST(ts AS TIMESTAMP)) AS day FROM events),
+        |f AS (SELECT d0, COUNT(*) AS new_users FROM
+        |    (SELECT user_id, MIN(day) AS d0 FROM ev GROUP BY user_id)
+        |  GROUP BY d0),
+        |b AS (SELECT MIN(day) mn, MAX(day) mx FROM ev),
+        |g AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day
+        |  FROM b)
+        |SELECT g.day, COALESCE(new_users, 0) AS new_users,
+        |  SUM(COALESCE(new_users, 0)) OVER (ORDER BY g.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS total_users
+        |FROM g LEFT JOIN f ON g.day = f.d0
+        |ORDER BY g.day""".stripMargin
   )
 }
