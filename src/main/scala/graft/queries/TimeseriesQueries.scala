@@ -824,6 +824,43 @@ object TimeseriesQueries {
           round6(col("num"),
             lit(2L) * mulGuard(col("n1"), col("n2"), "drift den")).as("tv"))
         .orderBy(col("event_type"))
+    }),
+
+    // churn / reactivation ledger: per day, users RETURNING after a
+    // dormancy-length silence and users GOING dormant that day (their
+    // next event is beyond the dormancy horizon, or never —
+    // right-censored: the span's last horizon can't prove churn and is
+    // excluded from churn counting, the standard survival-analysis
+    // guard). Horizon = 2 days, calibrated non-degenerate at every SF
+    // (this generator's users never sleep 14 days; max observed gap is
+    // 3/4/6 days at sf0.001/0.01/0.1). One user-keyed
+    // window (lag + lead), integer day arithmetic, then a day-grid
+    // aggregate; no self-joins, no per-day recount.
+    "q152_churn_ledger" -> ((s, dir) => {
+      val DormantDays = 2L
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"),
+          datediff(date_trunc("day", col("ts")),
+            lit("1970-01-01").cast("date")).cast("long").as("d"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      val marked = ev
+        .withColumn("prev_d", lag(col("d"), 1).over(w))
+        .withColumn("next_d", lead(col("d"), 1).over(w))
+        .crossJoin(broadcast(ev.agg(max(col("d")).as("dmax"))))
+        .select(col("d"),
+          when(col("prev_d").isNotNull &&
+            col("d") - col("prev_d") >= DormantDays, 1L).otherwise(0L)
+            .as("react"),
+          when(col("d") <= col("dmax") - DormantDays &&
+            (col("next_d").isNull || col("next_d") - col("d") > DormantDays),
+            1L).otherwise(0L).as("churn"))
+      marked.groupBy(col("d"))
+        .agg(sum(col("react")).as("n_reactivated"),
+          sum(col("churn")).as("n_churned"))
+        .where(col("n_reactivated") > 0L || col("n_churned") > 0L)
+        .select(timestamp_micros(col("d") * 86400000000L).as("day"),
+          col("n_reactivated"), col("n_churned"))
+        .orderBy(col("day"))
     })
   )
 
@@ -1324,6 +1361,26 @@ object TimeseriesQueries {
          |FROM h JOIN tt ON h.event_type = tt.event_type
          |WHERE n1 > 0 AND n2 > 0
          |GROUP BY h.event_type, n1, n2
-         |ORDER BY h.event_type""".stripMargin
+         |ORDER BY h.event_type""".stripMargin,
+
+    "q152_churn_ledger" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    date_diff('day', DATE '1970-01-01',
+        |      date_trunc('day', CAST(ts AS TIMESTAMP))) AS d
+        |  FROM events),
+        |mx AS (SELECT MAX(d) AS dmax FROM ev),
+        |m AS (SELECT d,
+        |    CASE WHEN LAG(d) OVER w IS NOT NULL AND d - LAG(d) OVER w >= 2
+        |      THEN 1 ELSE 0 END AS react,
+        |    CASE WHEN d <= dmax - 2 AND
+        |        (LEAD(d) OVER w IS NULL OR LEAD(d) OVER w - d > 2)
+        |      THEN 1 ELSE 0 END AS churn
+        |  FROM ev, mx WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+        |SELECT make_timestamp(d * 86400000000) AS day,
+        |  CAST(SUM(react) AS BIGINT) AS n_reactivated,
+        |  CAST(SUM(churn) AS BIGINT) AS n_churned
+        |FROM m GROUP BY d
+        |HAVING SUM(react) > 0 OR SUM(churn) > 0
+        |ORDER BY day""".stripMargin
   )
 }
