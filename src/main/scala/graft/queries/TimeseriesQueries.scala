@@ -861,6 +861,44 @@ object TimeseriesQueries {
         .select(timestamp_micros(col("d") * 86400000000L).as("day"),
           col("n_reactivated"), col("n_churned"))
         .orderBy(col("day"))
+    }),
+
+    // last-touch purchase attribution: each purchase credited to the
+    // FIRST event type (the "channel") of its enclosing session — the
+    // marketing report built by composing two existing operators on
+    // DERIVED frames: q26's sessionization (session bounds + entry
+    // channel via min_by on the (ts, event_id) key — no window sort)
+    // and the as-of backward join (purchase matched to the latest
+    // session_start at or before it, per user). Revenue sums ride the
+    // exact decimal path. Session frames are events-compressed, so the
+    // as-of union-window runs on a small frame.
+    "q153_attribution" -> ((s, dir) => {
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ev = t(s, dir, "events")
+      val sessions = ev
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(wOrd))
+        .withColumn("new_s",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > SessionGapUs, 1).otherwise(0))
+        .withColumn("session_no", sum(col("new_s")).over(wRun))
+        .groupBy(col("user_id"), col("session_no"))
+        // the as-of contract shares one time-column name across sides:
+        // the session's match key IS its start
+        .agg(min(col("ts")).as("ts"),
+          min_by(col("event_type"), struct(col("ts"), col("event_id")))
+            .as("channel"))
+        .drop("session_no")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          (dec(col("value")) * 100).cast("long").as("cents"))
+      graft.operators.AsOfJoin.asof(purchases, sessions, Seq("user_id"),
+          "ts", Map("channel" -> "channel"))
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_purchases"),
+          (sum(col("cents")).cast("double") / 100.0).as("revenue"))
+        .orderBy(col("channel"))
     })
   )
 
@@ -1381,6 +1419,40 @@ object TimeseriesQueries {
         |  CAST(SUM(churn) AS BIGINT) AS n_churned
         |FROM m GROUP BY d
         |HAVING SUM(react) > 0 OR SUM(churn) > 0
-        |ORDER BY day""".stripMargin
+        |ORDER BY day""".stripMargin,
+
+    // q26's sessionize chain + entry-channel row_number + a correlated
+    // latest-session-at-or-before subquery (the as-of's naive spelling)
+    "q153_attribution" ->
+      s"""WITH d AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+         |    event_type,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) -
+         |      LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+         |        (PARTITION BY user_id
+         |         ORDER BY CAST(ts AS TIMESTAMP), event_id) AS gap_us
+         |  FROM events),
+         |s AS (SELECT user_id, ts, event_id, event_type,
+         |    CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > $SessionGapUs
+         |                  THEN 1 ELSE 0 END) OVER
+         |      (PARTITION BY user_id ORDER BY ts, event_id
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS session_no
+         |  FROM d),
+         |sess AS (SELECT user_id, ts AS session_start, event_type AS channel
+         |  FROM (SELECT user_id, session_no, ts, event_type,
+         |          ROW_NUMBER() OVER (PARTITION BY user_id, session_no
+         |            ORDER BY ts, event_id) AS rn FROM s)
+         |  WHERE rn = 1),
+         |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         |  FROM events WHERE event_type = 'purchase'),
+         |a AS (SELECT p.cents,
+         |    (SELECT channel FROM sess
+         |     WHERE sess.user_id = p.user_id AND sess.session_start <= p.ts
+         |     ORDER BY sess.session_start DESC LIMIT 1) AS channel
+         |  FROM p)
+         |SELECT channel, COUNT(*) AS n_purchases,
+         |  CAST(SUM(cents) AS DOUBLE) / 100.0 AS revenue
+         |FROM a GROUP BY channel ORDER BY channel""".stripMargin
   )
 }
