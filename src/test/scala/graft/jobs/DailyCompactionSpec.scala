@@ -223,7 +223,11 @@ class DailyCompactionSpec extends SparkSpec {
       intervalMillis = 100L, nowMicros = () => now)
     sched.start()
     sched.start() // idempotent
-    val deadline = System.currentTimeMillis() + 15000
+    // generous: under full-suite parallelism on a loaded box the first
+    // background tick's Spark job can take tens of seconds (observed
+    // flake at 15 s with external load avg ~4); the poll exits the
+    // moment compaction lands, so a healthy run never waits this long
+    val deadline = System.currentTimeMillis() + 60000
     def oneFile = {
       val parts = cat.listHourPartitions("default", "m")
       parts.nonEmpty && {
