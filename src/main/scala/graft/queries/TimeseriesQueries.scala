@@ -899,6 +899,31 @@ object TimeseriesQueries {
         .agg(count(lit(1)).as("n_purchases"),
           (sum(col("cents")).cast("double") / 100.0).as("revenue"))
         .orderBy(col("channel"))
+    }),
+
+    // day-over-day rank movers ("trending" report): each type's volume
+    // rank within its day vs the previous day — rank math is pure
+    // integers so movement is exact; the daily pre-aggregate collapses
+    // the stream before any window touches it (days × types rows).
+    // Absent-yesterday types surface with a null prev_rank instead of
+    // a fabricated movement.
+    "q154_rank_movers" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val wDay = Window.partitionBy(col("day"))
+        .orderBy(col("n").desc, col("event_type"))
+      val wType = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      daily
+        .withColumn("rk", rank().over(wDay).cast("long"))
+        .withColumn("prev_day", lag(col("day"), 1).over(wType))
+        .withColumn("prev_rk", lag(col("rk"), 1).over(wType))
+        .select(col("day"), col("event_type"), col("n"), col("rk"),
+          when(col("prev_day") === col("day") - expr("interval 1 day"),
+            col("prev_rk")).as("prev_rank"),
+          when(col("prev_day") === col("day") - expr("interval 1 day"),
+            col("prev_rk") - col("rk")).as("moved"))
+        .orderBy(col("day"), col("rk"), col("event_type"))
     })
   )
 
@@ -1453,6 +1478,23 @@ object TimeseriesQueries {
          |  FROM p)
          |SELECT channel, COUNT(*) AS n_purchases,
          |  CAST(SUM(cents) AS DOUBLE) / 100.0 AS revenue
-         |FROM a GROUP BY channel ORDER BY channel""".stripMargin
+         |FROM a GROUP BY channel ORDER BY channel""".stripMargin,
+
+    "q154_rank_movers" ->
+      """WITH d AS (SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+        |    event_type, COUNT(*) AS n FROM events GROUP BY 1, 2),
+        |r AS (SELECT day, event_type, n,
+        |    CAST(RANK() OVER (PARTITION BY day
+        |      ORDER BY n DESC, event_type) AS BIGINT) AS rk
+        |  FROM d),
+        |m AS (SELECT day, event_type, n, rk,
+        |    LAG(day) OVER w AS prev_day, LAG(rk) OVER w AS prev_rk
+        |  FROM r WINDOW w AS (PARTITION BY event_type ORDER BY day))
+        |SELECT day, event_type, n, rk,
+        |  CASE WHEN prev_day = day - INTERVAL 1 DAY THEN prev_rk END
+        |    AS prev_rank,
+        |  CASE WHEN prev_day = day - INTERVAL 1 DAY THEN prev_rk - rk END
+        |    AS moved
+        |FROM m ORDER BY day, rk, event_type""".stripMargin
   )
 }
