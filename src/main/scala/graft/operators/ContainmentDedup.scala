@@ -141,9 +141,9 @@ object ContainmentDedup {
   def estimate(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int, minContainment: Double): StrategyEstimate =
     estimateFromSets(shingleSets(docs, idCol, textCol, shingleK),
-      idCol, minContainment)
+      nDocs = docs.select(col(idCol)).distinct().count(), minContainment)
 
-  private def estimateFromSets(sets: DataFrame, idCol: String,
+  private def estimateFromSets(sets: DataFrame, nDocs: Long,
       minContainment: Double): StrategyEstimate = {
     val census = sets.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     // log2 histogram: tiny driver result regardless of vocabulary size
@@ -155,7 +155,6 @@ object ContainmentDedup {
         sum(col("df").cast("double") * col("df")).as("j"))
       .orderBy(col("b"))
       .collect()
-    val nDocs = sets.select(col(idCol)).distinct().count()
     val postings = hist.map(_.getAs[Long]("p")).sum
     val naive = hist.map(_.getAs[Double]("j")).sum
     val prefixMass = (1.0 - minContainment) * postings + nDocs
@@ -178,7 +177,11 @@ object ContainmentDedup {
   def pairsAuto(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int, minContainment: Double): DataFrame = {
     val sets = shingleSets(docs, idCol, textCol, shingleK).localCheckpoint()
-    if (estimateFromSets(sets, idCol, minContainment).usePrefix)
+    // nDocs from the RAW table (column-pruned scan): the exploded frame
+    // silently drops zero-shingle docs, which would skew the estimate's
+    // +D prefix-mass term on short-doc-heavy corpora
+    val nDocs = docs.select(col(idCol)).distinct().count()
+    if (estimateFromSets(sets, nDocs, minContainment).usePrefix)
       prefixFromSets(sets, idCol, minContainment)
     else pairsFromSets(sets, idCol, minContainment, maxDocFreq = 0)
   }

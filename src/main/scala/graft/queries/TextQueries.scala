@@ -433,8 +433,11 @@ object TextQueries {
         .crossJoin(broadcast(grand))
         .withColumn("num", mulGuard(col("c_st"), col("tot"), "term lift num"))
         .withColumn("den", mulGuard(col("tot_s"), col("c_t"), "term lift den"))
-        .withColumn("sc_i",
-          expr("(num * 2000000 + den) div (den * 2)"))
+        // the ×2e6 rounding scale gets its own guard (q132's idiom):
+        // DuckDB widens to HUGEINT here, so a quiet Spark wrap would
+        // silently reorder the top-5 instead of failing loudly
+        .withColumn("sc_n", mulGuard(col("num"), lit(2000000L), "term lift scale"))
+        .withColumn("sc_i", expr("(sc_n + den) div (den * 2)"))
         .select(col("source"), col("tok"), col("sc_i"))
       graft.operators.TopKPerGroup
         .topK(scored, Seq("source"), "sc_i", Seq("tok"), TermTopK)

@@ -848,8 +848,12 @@ object TimeseriesQueries {
         .withColumn("next_d", lead(col("d"), 1).over(w))
         .crossJoin(broadcast(ev.agg(max(col("d")).as("dmax"))))
         .select(col("d"),
+          // same strict inequality as the churn side: a return counts
+          // only when the preceding silence EXCEEDED the horizon, so
+          // every reactivation pairs with exactly one earlier churn
+          // (the ledger balances up to right-censoring)
           when(col("prev_d").isNotNull &&
-            col("d") - col("prev_d") >= DormantDays, 1L).otherwise(0L)
+            col("d") - col("prev_d") > DormantDays, 1L).otherwise(0L)
             .as("react"),
           when(col("d") <= col("dmax") - DormantDays &&
             (col("next_d").isNull || col("next_d") - col("d") > DormantDays),
@@ -1433,7 +1437,7 @@ object TimeseriesQueries {
         |  FROM events),
         |mx AS (SELECT MAX(d) AS dmax FROM ev),
         |m AS (SELECT d,
-        |    CASE WHEN LAG(d) OVER w IS NOT NULL AND d - LAG(d) OVER w >= 2
+        |    CASE WHEN LAG(d) OVER w IS NOT NULL AND d - LAG(d) OVER w > 2
         |      THEN 1 ELSE 0 END AS react,
         |    CASE WHEN d <= dmax - 2 AND
         |        (LEAD(d) OVER w IS NULL OR LEAD(d) OVER w - d > 2)

@@ -17,7 +17,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * alarm-and-reset recursion, so a replay of the same batches is
   * bit-identical and a batch/streaming parity check is exact rather
   * than approximate (StreamingCusumSpec pins it against the reference
-  * fold).
+  * fold). Tie caveat: equal-timestamp events fold in (time, value)
+  * order here — the stream carries no stable event id — while batch
+  * q144 breaks ties by event_id; exact cross-path parity therefore
+  * holds for series with distinct timestamps (real µs telemetry), and
+  * a tie-sensitive deployment should disambiguate the timestamp
+  * upstream.
   *
   * Scale shape: one shuffle (groupByKey on the series), state = one
   * (S⁺, S⁻) pair per CONFIGURED series — bounded by the limits map,

@@ -10,12 +10,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * NEWLY reached (the "conversion happened" signal batch analytics
   * only sees at the next run).
   *
-  * Identical semantics to the batch fold: stage k+1 fires on the
-  * earliest qualifying event STRICTLY after the stage-k timestamp, so
-  * with in-order arrival the streamed stage set equals q93's exactly
-  * (StreamingFunnelSpec pins parity across batch boundaries).
-  * Cross-batch disorder above the watermark applies in arrival order —
-  * the same documented trade as every stateful operator here.
+  * Identical advancement rule to the batch fold: stage k+1 fires on
+  * the earliest qualifying event STRICTLY after the stage-k timestamp,
+  * so with in-order arrival each user's FIRST traversal matches q93's
+  * exactly (StreamingFunnelSpec pins it across batch boundaries). One
+  * deliberate difference from the one-fold-per-user batch report:
+  * completion clears state, so a user who keeps going may start a NEW
+  * traversal — each completion is a separate funnel instance, which is
+  * what a live conversion feed wants and q93's single-snapshot frame
+  * cannot express. Cross-batch disorder above the watermark applies in
+  * arrival order — the same documented trade as every stateful
+  * operator here.
   *
   * State: one (t1, t2, t3) triple per user still mid-funnel — a
   * COMPLETED funnel removes its state immediately, and an event-time

@@ -19,11 +19,14 @@ import scala.collection.mutable
   * smaller is a sketch; the q34 path covers that trade). Late events
   * inside the watermark amend state before their hour closes; hours
   * close in order, each exactly once (`lastEmitted` cursor), and quiet
-  * hours still emit (their trailing window can be non-empty) — grid
+  * hours still emit while any presence remains in range — grid
   * continuity matches the batch formulation. An event-time timeout
   * re-arms at the next hour close so emission does not wait for the
-  * series' own next event (a silent series keeps reporting its decay
-  * to zero).
+  * series' own next event; a series that goes permanently silent
+  * reports its decay down to ONE closing zero row, then its state is
+  * REMOVED (no leak proportional to all-time series cardinality) and
+  * its grid ends — a later revival starts a fresh grid at its own
+  * first hour.
   */
 object StreamingSlidingDistinct {
 
@@ -67,32 +70,46 @@ object StreamingSlidingDistinct {
           // hour h is final once the watermark passed its close
           val lastFinal = state.getCurrentWatermarkMs() / HourMs - 1L
           val out = Vector.newBuilder[Rolling]
-          val firstHour =
-            if (st.pres.isEmpty) None else Some(st.pres.valuesIterator.flatten.min)
-          firstHour.foreach { f0 =>
-            val from = if (st.lastEmitted == Long.MinValue) f0
-                       else st.lastEmitted + 1L
-            var h = from
-            while (h <= lastFinal) {
-              val cnt = st.pres.count { case (_, hs) =>
-                hs.exists(x => x >= h - (W - 1) && x <= h) }
-              out += Rolling(series, h * HourUs, cnt.toLong)
-              h += 1L
-            }
-            if (lastFinal >= from) {
-              st = st.copy(lastEmitted = lastFinal)
-              // presence older than the NEXT hour's window is dead
-              val keepFrom = lastFinal + 1L - (W - 1L)
-              st = st.copy(pres = st.pres.iterator.map { case (u, hs) =>
-                u -> hs.filter(_ >= keepFrom)
-              }.filter(_._2.nonEmpty).toMap)
-            }
+          val from =
+            if (st.lastEmitted != Long.MinValue) st.lastEmitted + 1L
+            else if (st.pres.nonEmpty) st.pres.valuesIterator.flatten.min
+            else Long.MaxValue // nothing ever ingested: nothing to emit
+          var lastCount = -1L
+          var h = from
+          val maxPres = if (st.pres.isEmpty) Long.MinValue
+                        else st.pres.valuesIterator.flatten.max
+          var done = false
+          while (h <= lastFinal && !done) {
+            val cnt = st.pres.count { case (_, hs) =>
+              hs.exists(x => x >= h - (W - 1) && x <= h) }.toLong
+            out += Rolling(series, h * HourUs, cnt)
+            lastCount = cnt
+            // a zero with no presence ahead stays zero forever: emit it
+            // as the grid's single closing row even when the watermark
+            // jumped several hours in one wake
+            if (cnt == 0L && maxPres <= h) done = true
+            h += 1L
           }
-          state.update(st)
-          // wake at the close of the next unemitted hour even if this
-          // series goes quiet (emission must not depend on its own beats)
-          state.setTimeoutTimestamp(
-            ((lastFinal + 2L) * HourMs) max (state.getCurrentWatermarkMs() + 1L))
+          if (from < h) {
+            st = st.copy(lastEmitted = h - 1L)
+            // presence older than the NEXT hour's window is dead
+            val keepFrom = st.lastEmitted + 1L - (W - 1L)
+            st = st.copy(pres = st.pres.iterator.map { case (u, hs) =>
+              u -> hs.filter(_ >= keepFrom)
+            }.filter(_._2.nonEmpty).toMap)
+          }
+          if (st.pres.isEmpty && lastCount == 0L) {
+            // decayed to zero and nothing left in range: the closing
+            // zero row is in `out`; end this series' grid and free its
+            // state (a revival starts a fresh grid)
+            state.remove()
+          } else {
+            state.update(st)
+            // wake at the close of the next unemitted hour even if the
+            // series goes quiet (emission must not depend on its beats)
+            state.setTimeoutTimestamp(
+              ((lastFinal + 2L) * HourMs) max (state.getCurrentWatermarkMs() + 1L))
+          }
           out.result().iterator
       }
   }

@@ -49,9 +49,12 @@ class StreamingSlidingDistinctSpec extends SparkSpec {
         ("a", 3L, 1L), ("a", 4L, 0L), ("a", 5L, 0L)), s"a: $a")
       // every hour emitted exactly once
       assert(a.map(_._2) == a.map(_._2).distinct, s"duplicate hours: $a")
-      // b saw only hour 0 and its own watermark view: h0 must read 1
+      // b saw only hour 0: its grid decays 1,1,1 then closes with ONE
+      // zero row at h3 and the state is removed — no rows ever after,
+      // however far the watermark advances on a's beats
       val b = rows.filter(_._1 == "b").sortBy(_._2)
-      assert(b.headOption.contains(("b", 0L, 1L)), s"b: $b")
+      assert(b == List(("b", 0L, 1L), ("b", 1L, 1L), ("b", 2L, 1L),
+        ("b", 3L, 0L)), s"b decays to one closing zero then ends: $b")
     } finally q.stop()
   }
 }
