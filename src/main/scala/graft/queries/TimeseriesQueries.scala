@@ -928,6 +928,35 @@ object TimeseriesQueries {
           when(col("prev_day") === col("day") - expr("interval 1 day"),
             col("prev_rk") - col("rk")).as("moved"))
         .orderBy(col("day"), col("rk"), col("event_type"))
+    }),
+
+    // value concentration ("whale report"): the share of each type's
+    // total value carried by its top-decile users — exact rational:
+    // integer cents totals, the decile size is the ceiling rank
+    // (n+9) div 10, the share a round6 ratio. Per-user totals collapse
+    // the stream first; the top-decile selection rides a per-type
+    // rank window over the USER-level frame (users ≪ events), never
+    // the stream.
+    "q155_value_concentration" -> ((s, dir) => {
+      val totals = t(s, dir, "events")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum((dec(col("value")) * 100).cast("long")).as("cents"))
+      val wRank = Window.partitionBy(col("event_type"))
+        .orderBy(col("cents").desc, col("user_id"))
+      totals
+        .withColumn("rk", row_number().over(wRank).cast("long"))
+        .withColumn("nu",
+          count(lit(1)).over(Window.partitionBy(col("event_type"))))
+        .withColumn("k", expr("(nu + 9) div 10"))
+        .groupBy(col("event_type"))
+        .agg(max(col("nu")).as("n_users"), max(col("k")).as("top_k"),
+          sum(col("cents")).as("tot"),
+          sum(when(col("rk") <= col("k"), col("cents")).otherwise(0L))
+            .as("top_cents"))
+        .select(col("event_type"), col("n_users"), col("top_k"),
+          (col("tot").cast("double") / 100.0).as("total_value"),
+          round6(col("top_cents"), col("tot")).as("top_share"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -1499,6 +1528,24 @@ object TimeseriesQueries {
         |    AS prev_rank,
         |  CASE WHEN prev_day = day - INTERVAL 1 DAY THEN prev_rk - rk END
         |    AS moved
-        |FROM m ORDER BY day, rk, event_type""".stripMargin
+        |FROM m ORDER BY day, rk, event_type""".stripMargin,
+
+    "q155_value_concentration" ->
+      s"""WITH t AS (SELECT event_type, user_id,
+         |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+         |      AS BIGINT) AS cents
+         |  FROM events GROUP BY 1, 2),
+         |r AS (SELECT event_type, cents,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+         |      ORDER BY cents DESC, user_id) AS BIGINT) AS rk,
+         |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS nu
+         |  FROM t)
+         |SELECT event_type, nu AS n_users, (nu + 9) // 10 AS top_k,
+         |  CAST(CAST(SUM(cents) AS BIGINT) AS DOUBLE) / 100.0 AS total_value,
+         |  ${oRound6(
+        "CAST(SUM(CASE WHEN rk <= (nu + 9) // 10 THEN cents ELSE 0 END) AS BIGINT)",
+        "CAST(SUM(cents) AS BIGINT)")} AS top_share
+         |FROM r GROUP BY event_type, nu
+         |ORDER BY event_type""".stripMargin
   )
 }
