@@ -61,9 +61,23 @@ object Bench {
     val ok = results.filterNot(_._3)
     val errors = results.count(_._3)
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$errors,"queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","errors":$errors,"queries":$qs,"sf":"$sfDir"}"""
+    // also persist to a file: three rounds of BENCH_r*.json carried
+    // "parsed: null" because the driver's stdout capture truncates the
+    // sbt-wrapped line — the file is the durable record
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
+      java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write bench_out.json: ${e.getMessage}")
+    }
     if (errors > 0)
       System.err.println(s"[bench] $errors/${results.size} queries ERRORED — total covers ${ok.size} only")
     spark.stop()
+    // the bare JSON line is the LAST stdout line (after spark.stop's noise
+    // lands on stderr) so a tail-based parser still finds it
+    println(json)
   }
 }

@@ -38,10 +38,27 @@ object TopKPerGroup {
     val oIdx = schema.fieldIndex(orderCol)
     val tIdx = tieCols.map(schema.fieldIndex)
 
+    // integral order keys compare as exact longs: a double comparison
+    // collapses values that differ only beyond 2^53 (full-range 64-bit
+    // keys), making phase-1 selection diverge from the exact phase-2
+    // window order and silently drop correct top-k rows
+    val orderIsIntegral = schema(oIdx).dataType match {
+      case _: org.apache.spark.sql.types.LongType |
+           _: org.apache.spark.sql.types.IntegerType |
+           _: org.apache.spark.sql.types.ShortType |
+           _: org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+
     // row ordering: orderCol DESC, tieCols ASC — "a beats b" = a sorts first
     val beats: (Row, Row) => Boolean = { (a, b) =>
-      val c = java.lang.Double.compare(
-        a.getAs[Number](oIdx).doubleValue(), b.getAs[Number](oIdx).doubleValue())
+      val c =
+        if (orderIsIntegral)
+          java.lang.Long.compare(
+            a.getAs[Number](oIdx).longValue(), b.getAs[Number](oIdx).longValue())
+        else
+          java.lang.Double.compare(
+            a.getAs[Number](oIdx).doubleValue(), b.getAs[Number](oIdx).doubleValue())
       if (c != 0) c > 0 // larger orderCol sorts first
       else tIdx.iterator.map(i =>
         a.getAs[Comparable[Any]](i).compareTo(b.get(i))).find(_ != 0)

@@ -221,9 +221,14 @@ object DedupQueries {
     // is a parameter, not a semantic.
     "q83_decontaminate" -> ((s, dir) => {
       graft.GraftFunctions.registerAll(s)
+      // localCheckpoint: the tokenize+shingle pass is the dominant CPU
+      // cost and BOTH consumers (eval broadcast set + probe side) read
+      // it — without materialization it runs once per consumer
+      // (same pattern as ContainmentDedup.pairsAuto / q113)
       val sh = t(s, dir, "documents").select(col("doc_id"),
         explode(graft.operators.MinHashDedup
           .shingleHashesFromTokens(col("text"), 3)).as("sh"))
+        .localCheckpoint()
       val evalSet = sh.where(col("doc_id") % 97 === 0)
         .select(col("sh")).distinct()
       sh.where(col("doc_id") % 97 =!= 0)

@@ -60,19 +60,23 @@ object SortSetQueries {
     // TOP k WITH TIES (ANSI FETCH FIRST k ROWS WITH TIES): rank() ≤ k
     // keeps every row tying the kth value — the semantics LIMIT
     // silently breaks when the cutoff lands mid-tie. Integer cents make
-    // the tie predicate exact; per-group ranking keeps the window
-    // partitioned (never a global sort of the stream).
+    // the tie predicate exact. Pre-aggregate FIRST: the stream collapses
+    // to (event_type, value) counts map-side, so the window shuffles and
+    // sorts only distinct values per type, never the raw stream; the raw
+    // rank of a value is 1 + the tie counts of all strictly-greater
+    // values (a running window SUM over the distinct frame).
     "q150_topk_ties" -> ((s, dir) => {
       val w = Window.partitionBy(col("event_type"))
         .orderBy(col("c").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
       t(s, dir, "events")
         .select(col("event_type"),
           (dec(col("value")) * 100).cast("long").as("c"))
-        .withColumn("rk", rank().over(w))
-        .where(col("rk") <= 5)
-        .groupBy(col("event_type"), col("rk"), col("c"))
+        .groupBy(col("event_type"), col("c"))
         .agg(count(lit(1)).as("n_tied"))
-        .select(col("event_type"), col("rk").cast("long").as("rk"),
+        .withColumn("rk", lit(1L) + coalesce(sum(col("n_tied")).over(w), lit(0L)))
+        .where(col("rk") <= 5)
+        .select(col("event_type"), col("rk"),
           (col("c").cast("double") / 100.0).as("value"), col("n_tied"))
         .orderBy(col("event_type"), col("rk"), col("value"))
     }),
@@ -154,8 +158,9 @@ object SortSetQueries {
         |g AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day
         |  FROM b)
         |SELECT g.day, COALESCE(new_users, 0) AS new_users,
-        |  SUM(COALESCE(new_users, 0)) OVER (ORDER BY g.day
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS total_users
+        |  CAST(SUM(COALESCE(new_users, 0)) OVER (ORDER BY g.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS total_users
         |FROM g LEFT JOIN f ON g.day = f.d0
         |ORDER BY g.day""".stripMargin
   )

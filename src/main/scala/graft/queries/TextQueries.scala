@@ -674,11 +674,13 @@ object TextQueries {
          |nb AS (SELECT fb AS bucket, COUNT(*) AS new_tokens FROM fb GROUP BY fb),
          |db AS (SELECT bucket, COUNT(*) AS n_docs FROM d GROUP BY bucket)
          |SELECT db.bucket,
-         |  SUM(n_docs) OVER (ORDER BY db.bucket
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_docs_cum,
+         |  CAST(SUM(n_docs) OVER (ORDER BY db.bucket
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS n_docs_cum,
          |  COALESCE(new_tokens, 0) AS new_tokens,
-         |  SUM(COALESCE(new_tokens, 0)) OVER (ORDER BY db.bucket
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vocab_cum
+         |  CAST(SUM(COALESCE(new_tokens, 0)) OVER (ORDER BY db.bucket
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS vocab_cum
          |FROM db LEFT JOIN nb ON db.bucket = nb.bucket
          |ORDER BY db.bucket""".stripMargin,
 

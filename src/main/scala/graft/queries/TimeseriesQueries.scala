@@ -302,7 +302,11 @@ object TimeseriesQueries {
       val tot = hourly.groupBy(col("event_type"))
         .agg(sum(col("cnt")).as("total"), count(lit(1)).as("n_hours"))
       val bursts = hourly.join(broadcast(tot), "event_type")
-        .where(col("cnt") * col("n_hours") * 2 > col("total") * 3)
+        // guarded cross-multiplication (same shape as q135's seasonal
+        // predicate): at 100 TB cnt*n_hours can overflow int64, and a
+        // silent wrap mis-selects burst windows instead of failing loudly
+        .where(lit(2L) * mulGuard(col("cnt"), col("n_hours"), "burst") >
+          lit(3L) * col("total"))
       val wIsl = Window.partitionBy(col("event_type")).orderBy(col("h"))
       val intervals = bursts
         .withColumn("isl",
@@ -1170,7 +1174,7 @@ object TimeseriesQueries {
          |  FROM dev GROUP BY event_type)
          |SELECT event_type, n, CAST(med AS DOUBLE) / 100.0 AS median,
          |  CAST(mad AS DOUBLE) / 100.0 AS mad,
-         |  SUM(CASE WHEN ad > 3 * mad THEN 1 ELSE 0 END) AS n_outliers,
+         |  CAST(SUM(CASE WHEN ad > 3 * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
          |  ${oRound6("SUM(CASE WHEN ad > 3 * mad THEN 1 ELSE 0 END)", "n")}
          |    AS out_rate
          |FROM dev JOIN mad USING (event_type)
@@ -1340,8 +1344,8 @@ object TimeseriesQueries {
         |  FROM ev GROUP BY event_type)
         |SELECT ev.event_type, n,
         |  CAST(lo AS DOUBLE) / 100.0 AS p05, CAST(hi AS DOUBLE) / 100.0 AS p95,
-        |  SUM(CASE WHEN c < lo THEN 1 ELSE 0 END) AS n_lo,
-        |  SUM(CASE WHEN c > hi THEN 1 ELSE 0 END) AS n_hi,
+        |  CAST(SUM(CASE WHEN c < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+        |  CAST(SUM(CASE WHEN c > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
         |  CAST((CAST(SUM(GREATEST(lo, LEAST(hi, c))) AS BIGINT) * 200 + n)
         |    // (n * 2) AS DOUBLE) / 10000.0 AS wmean
         |FROM ev JOIN q ON ev.event_type = q.event_type

@@ -55,6 +55,21 @@ def main():
             n_fail += 1; continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} != {len(want)}"); n_fail += 1; continue
+        # dtype-strict on the int-vs-float axis: the driver hashes VALUES,
+        # and a DuckDB HUGEINT (bare SUM) surfaces as float64 ("2.0") while
+        # Spark emits int64 ("2") — values equal, hash differs. r5 lesson:
+        # check_dtype=False was blind to exactly this (q128/q138/q141/q151).
+        dtype_bad = []
+        for c in got.columns:
+            g_int = pd.api.types.is_integer_dtype(got[c])
+            w_int = pd.api.types.is_integer_dtype(want[c])
+            g_flt = pd.api.types.is_float_dtype(got[c])
+            w_flt = pd.api.types.is_float_dtype(want[c])
+            if (g_int and w_flt) or (g_flt and w_int):
+                dtype_bad.append(f"{c}: spark={got[c].dtype} oracle={want[c].dtype}")
+        if dtype_bad:
+            print(f"FAIL {name}: int/float dtype divergence ({'; '.join(dtype_bad)})")
+            n_fail += 1; continue
         try:
             pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                           check_exact=True)
