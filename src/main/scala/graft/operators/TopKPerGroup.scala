@@ -38,27 +38,31 @@ object TopKPerGroup {
     val oIdx = schema.fieldIndex(orderCol)
     val tIdx = tieCols.map(schema.fieldIndex)
 
-    // integral order keys compare as exact longs: a double comparison
-    // collapses values that differ only beyond 2^53 (full-range 64-bit
-    // keys), making phase-1 selection diverge from the exact phase-2
-    // window order and silently drop correct top-k rows
-    val orderIsIntegral = schema(oIdx).dataType match {
+    // exact-type order keys compare exactly: a double comparison
+    // collapses values that differ only beyond the 2^53 significand
+    // (full-range 64-bit keys; cents-scaled DECIMAL(18,2) balances),
+    // making phase-1 selection diverge from the exact phase-2 window
+    // order and silently drop correct top-k rows. Integrals compare as
+    // longs, decimals via BigDecimal.compareTo; only true floats take
+    // the double path.
+    val cmpOrder: (Row, Row) => Int = schema(oIdx).dataType match {
       case _: org.apache.spark.sql.types.LongType |
            _: org.apache.spark.sql.types.IntegerType |
            _: org.apache.spark.sql.types.ShortType |
-           _: org.apache.spark.sql.types.ByteType => true
-      case _ => false
+           _: org.apache.spark.sql.types.ByteType =>
+        (a, b) => java.lang.Long.compare(
+          a.getAs[Number](oIdx).longValue(), b.getAs[Number](oIdx).longValue())
+      case _: org.apache.spark.sql.types.DecimalType =>
+        (a, b) => a.getAs[java.math.BigDecimal](oIdx)
+          .compareTo(b.getAs[java.math.BigDecimal](oIdx))
+      case _ =>
+        (a, b) => java.lang.Double.compare(
+          a.getAs[Number](oIdx).doubleValue(), b.getAs[Number](oIdx).doubleValue())
     }
 
     // row ordering: orderCol DESC, tieCols ASC — "a beats b" = a sorts first
     val beats: (Row, Row) => Boolean = { (a, b) =>
-      val c =
-        if (orderIsIntegral)
-          java.lang.Long.compare(
-            a.getAs[Number](oIdx).longValue(), b.getAs[Number](oIdx).longValue())
-        else
-          java.lang.Double.compare(
-            a.getAs[Number](oIdx).doubleValue(), b.getAs[Number](oIdx).doubleValue())
+      val c = cmpOrder(a, b)
       if (c != 0) c > 0 // larger orderCol sorts first
       else tIdx.iterator.map(i =>
         a.getAs[Comparable[Any]](i).compareTo(b.get(i))).find(_ != 0)

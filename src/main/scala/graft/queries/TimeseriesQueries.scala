@@ -304,9 +304,12 @@ object TimeseriesQueries {
       val bursts = hourly.join(broadcast(tot), "event_type")
         // guarded cross-multiplication (same shape as q135's seasonal
         // predicate): at 100 TB cnt*n_hours can overflow int64, and a
-        // silent wrap mis-selects burst windows instead of failing loudly
-        .where(lit(2L) * mulGuard(col("cnt"), col("n_hours"), "burst") >
-          lit(3L) * col("total"))
+        // silent wrap mis-selects burst windows instead of failing loudly.
+        // The outer ×2/×3 are guarded too — a guarded inner product in
+        // (Max/2, Max] would still wrap under a bare lit(2L)*
+        .where(mulGuard(mulGuard(col("cnt"), col("n_hours"), "burst cnt*n_hours"),
+            lit(2L), "burst 2*product") >
+          mulGuard(col("total"), lit(3L), "burst 3*total"))
       val wIsl = Window.partitionBy(col("event_type")).orderBy(col("h"))
       val intervals = bursts
         .withColumn("isl",

@@ -558,6 +558,49 @@ class PlanSpec extends SparkSpec {
       s"one series-agg shuffle + output sort:\n$plan")
   }
 
+  test("q83 decontaminate shares ONE materialized shingle pass") {
+    val full = explained("q83_decontaminate")
+    val plan = full.indexOf("Initial Plan") match {
+      case -1 => full
+      case i => full.substring(0, i)
+    }
+    // the tokenize+shingle pass localCheckpoints; BOTH consumers (eval
+    // broadcast set + probe side) must read the checkpointed RDD. A
+    // parquet scan in this plan means the shingle pass re-ran per
+    // consumer — the r5 9× regression (4.42 s → 0.49 s when shared)
+    assert(count(plan, "Scan parquet") == 0,
+      s"shingle pass must be checkpoint-shared, not re-scanned:\n$plan")
+    assert(count(plan, "Scan ExistingRDD") >= 2,
+      s"eval set AND probe must both reuse the materialized shingles:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the eval shingle set must broadcast into the probe:\n$plan")
+  }
+
+  test("q150 WITH-TIES windows the distinct-value frame, never the raw stream") {
+    val full = explained("q150_topk_ties")
+    val plan = full.indexOf("Initial Plan") match {
+      case -1 => full
+      case i => full.substring(0, i)
+    }
+    // rank derives from a running SUM of tie counts over the
+    // (event_type, value)-aggregated frame: the Window must sit ABOVE a
+    // HashAggregate (the map-side pre-aggregation), so the shuffle/sort
+    // moves distinct values only — a Window with the scan directly
+    // below it re-sorts the raw stream
+    val win = plan.indexOf("Window")
+    assert(win >= 0, s"expected a Window stage:\n$plan")
+    assert(plan.substring(win).contains("HashAggregate"),
+      s"window input must be the pre-aggregated tie-count frame:\n$plan")
+    assert(full.contains("partial_count"),
+      s"tie counting must map-side combine:\n$full")
+    val winLine = full.linesIterator
+      .find(_.contains("windowspecdefinition(event_type")).getOrElse("")
+    assert(winLine.contains("sum("),
+      s"rank must derive from SUM of tie counts (semantics-bearing):\n$winLine")
+    assert(count(plan, "+- ShuffleQueryStage") <= 3,
+      s"agg + window + output sort are the only exchanges:\n$plan")
+  }
+
   test("centroid drift aggregates per (label,dim); corpus never self-joins") {
     val plan = explained("q143_centroid_drift")
     assert(!plan.contains("CartesianProduct"), plan)
