@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * quote-heavy and templated web corpora produce; containment fires at
   * 1.0 whenever the smaller document's shingles are fully covered.
   *
-  * TWO exact strategies, chosen by the corpus's shingle-frequency
+  * THREE exact strategies, chosen by the corpus's shingle-frequency
   * distribution (ContainmentDedupSpec pins their parity):
   *
   *  - [[pairs]] — inverted-index self-join + count aggregation. Cost is
@@ -21,6 +21,12 @@ import org.apache.spark.sql.functions._
   *    combine beats per-pair set intersection. The known hot spot is a
   *    boilerplate shingle whose posting list pairs quadratically in one
   *    task; the maxDocFreq cap bounds it at a documented accuracy cost.
+  *  - [[pairsBitmaskFromSets]] — broadcast-bitmask all-pairs popcount
+  *    sweep for the SMALL-CLOSED-VOCABULARY dense regime (the q113
+  *    fixture's shape): when masks are a few words wide and D²/2 word
+  *    ops fit a seconds budget, the sweep beats the join because the
+  *    join must shuffle Σ df² rows through a pair-cardinality hash
+  *    aggregate while the sweep shuffles nothing.
   *  - [[pairsPrefixFiltered]] — lossless PPJoin-style prefix filter, the
   *    100 TB web-corpus path: large vocabulary, rare shingles, near-dup
   *    rate ≪ pair count. Candidate generation touches only each doc's
@@ -119,7 +125,8 @@ object ContainmentDedup {
     * single-partition window exists on the path — scale-safe at any
     * vocabulary size. */
   final case class StrategyEstimate(
-      docs: Long, postings: Long, naiveJoinRows: Double, prefixJoinRows: Double) {
+      docs: Long, postings: Long, naiveJoinRows: Double, prefixJoinRows: Double,
+      vocab: Long = Long.MaxValue) {
     /** Prefix wins when BOTH hold (calibrated on the measured
       * dense/sparse fixtures, SCALE.md round 5):
       *
@@ -152,18 +159,20 @@ object ContainmentDedup {
       // df² summed in double: Σ df² over a billion-doc vocabulary
       // overflows long, and the estimate only needs magnitude
       .agg(sum(col("df")).as("p"),
-        sum(col("df").cast("double") * col("df")).as("j"))
+        sum(col("df").cast("double") * col("df")).as("j"),
+        count(lit(1)).as("v"))
       .orderBy(col("b"))
       .collect()
     val postings = hist.map(_.getAs[Long]("p")).sum
     val naive = hist.map(_.getAs[Double]("j")).sum
+    val vocab = hist.map(_.getAs[Long]("v")).sum
     val prefixMass = (1.0 - minContainment) * postings + nDocs
     var acc = 0.0
     var pre = 0.0
     hist.foreach { r =>
       if (acc < prefixMass) { acc += r.getAs[Long]("p"); pre += r.getAs[Double]("j") }
     }
-    StrategyEstimate(nDocs, postings, naive, pre)
+    StrategyEstimate(nDocs, postings, naive, pre, vocab)
   }
 
   /** Data-driven containment join: run the census-based [[estimate]] and
@@ -181,9 +190,99 @@ object ContainmentDedup {
     // silently drops zero-shingle docs, which would skew the estimate's
     // +D prefix-mass term on short-doc-heavy corpora
     val nDocs = docs.select(col(idCol)).distinct().count()
-    if (estimateFromSets(sets, nDocs, minContainment).usePrefix)
-      prefixFromSets(sets, idCol, minContainment)
+    val est = estimateFromSets(sets, nDocs, minContainment)
+    val idIntegral = docs.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    if (est.usePrefix) prefixFromSets(sets, idCol, minContainment)
+    else if (idIntegral && bitmaskFits(nDocs, est.vocab))
+      pairsBitmaskFromSets(sets, idCol, minContainment, est.vocab.toInt)
     else pairsFromSets(sets, idCol, minContainment, maxDocFreq = 0)
+  }
+
+  /** The dense-regime fast path fits when (a) the vocabulary is a small
+    * closed set (masks stay a few words wide), (b) the mask table fits
+    * comfortably in a broadcast, and (c) the D²/2 popcount sweep is a
+    * few-second budget across the cluster. Outside these bounds the
+    * inverted-index join remains the dense strategy. */
+  private def bitmaskFits(nDocs: Long, vocab: Long): Boolean = {
+    if (vocab > 16384 || nDocs > 200000L) return false
+    val words = (vocab + 63) >> 6
+    val maskBytes = nDocs * words * 8
+    val pairWordOps = nDocs.toDouble * nDocs * words / 2
+    maskBytes <= (256L << 20) && pairWordOps <= 4e10
+  }
+
+  /** Spec-facing wrapper: bitmask path from raw docs (parity pins). */
+  private[operators] def pairsBitmask(docs: DataFrame, idCol: String,
+      textCol: String, shingleK: Int, minContainment: Double): DataFrame = {
+    val sets = shingleSets(docs, idCol, textCol, shingleK).localCheckpoint()
+    val vocab = sets.select(col("sh")).distinct().count().toInt
+    pairsBitmaskFromSets(sets, idCol, minContainment, vocab)
+  }
+
+  /** Exact all-pairs containment over broadcast bitmasks — the dense
+    * regime's fastest shape (measured vs the inverted-index join, which
+    * must shuffle Σ df(sh)² join rows through a pair-cardinality hash
+    * aggregate; here each pair is ~`words` AND+popcounts with zero
+    * shuffle). Shingles dense-rank into bit positions; per-doc masks
+    * build distributed, broadcast once (bounded by [[bitmaskFits]]),
+    * and striped index blocks sweep the triangle at full parallelism.
+    * Same output as [[pairs]] — ContainmentDedupSpec pins three-way
+    * parity. Containment rounds through the identical integer-exact
+    * 6-dp formula (graft.queries.round6) so the doubles match the join
+    * paths bit-for-bit. */
+  private[operators] def pairsBitmaskFromSets(setsIn: DataFrame, idCol: String,
+      minContainment: Double, vocab: Int): DataFrame = {
+    val spark = setsIn.sparkSession
+    import spark.implicits._
+    val words = (vocab + 63) >> 6
+    val vocabArr = setsIn.select(col("sh")).distinct().as[Long].collect().sorted
+    val idxB = spark.sparkContext.broadcast(
+      vocabArr.zipWithIndex.toMap: Map[Long, Int])
+    val masks: Array[(Long, Array[Long])] = setsIn
+      .groupBy(col(idCol)).agg(collect_list(col("sh")).as("hs"))
+      .select(col(idCol).cast("long"), col("hs"))
+      .as[(Long, Seq[Long])]
+      .mapPartitions { it =>
+        val idx = idxB.value
+        it.map { case (d, hs) =>
+          val m = new Array[Long](words)
+          hs.foreach { h => val i = idx(h); m(i >> 6) |= 1L << (i & 63) }
+          (d, m)
+        }
+      }.collect().sortBy(_._1)
+    val counts = masks.map(_._2.map(java.lang.Long.bitCount).sum)
+    val mB = spark.sparkContext.broadcast(masks)
+    val cB = spark.sparkContext.broadcast(counts)
+    val d = masks.length
+    val stripes = math.max(1, math.min(d,
+      spark.sparkContext.defaultParallelism * 4))
+    val rows = spark.sparkContext.parallelize(0 until stripes, stripes)
+      .flatMap { s =>
+        val ms = mB.value; val cs = cB.value
+        Iterator.range(s, d, stripes).flatMap { i =>
+          val (d1, m1) = ms(i)
+          val n1 = cs(i)
+          Iterator.range(i + 1, d).flatMap { j =>
+            val (d2, m2) = ms(j)
+            var c = 0L
+            var w = 0
+            while (w < words) { c += java.lang.Long.bitCount(m1(w) & m2(w)); w += 1 }
+            val den = math.min(n1, cs(j)).toLong
+            // graft.queries.round6 in scalar form: exact 6-dp half-up
+            val containment = ((c * 2000000L + den) / (den * 2L)).toDouble / 1e6
+            if (containment >= minContainment)
+              Iterator.single((d1, d2, c, containment))
+            else Iterator.empty
+          }
+        }
+      }
+    rows.toDF("doc1", "doc2", "n_common", "containment")
   }
 
   /** Same output as [[pairs]] (uncapped), via the lossless prefix filter

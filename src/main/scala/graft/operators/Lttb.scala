@@ -143,10 +143,20 @@ object Lttb {
     private def toPt(t: (String, Long, Long, Long, Double)): Pt =
       Pt(t._1, t._2, t._3, t._4, t._5)
 
+    /** Bucket centroid with an ORDER-FREE, integer-exact x average:
+      * summing raw epoch-micros as doubles loses bits past 2^53 (any
+      * post-2255 timestamp, or big bucket sums of today's ~1.7e18 µs),
+      * and the rounding would depend on arrival order. Offsets from the
+      * bucket's first x sum exactly in a Long (span × bucket size ≪
+      * 2^63), so cx = x0 + Σoff/len reproduces bit-identically on any
+      * engine evaluating the same formula — which is what lets the
+      * q119b oracle twin match by hash. y stays a plain double sum
+      * (exact whenever y is integral, e.g. the twin's cents frame). */
     private def avgOf(ps: ArrayBuffer[Pt]): (Double, Double) = {
-      var sx = 0.0; var sy = 0.0
-      ps.foreach { p => sx += p.x.toDouble; sy += p.y }
-      (sx / ps.length, sy / ps.length)
+      val x0 = ps.head.x
+      var sx = 0L; var sy = 0.0
+      ps.foreach { p => sx += p.x - x0; sy += p.y }
+      (x0.toDouble + sx.toDouble / ps.length, sy / ps.length)
     }
 
     /** Max-area point of `ps` vs the fixed previous vertex and next-bucket

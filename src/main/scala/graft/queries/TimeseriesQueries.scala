@@ -184,6 +184,34 @@ object TimeseriesQueries {
           buckets = 40)
         .orderBy(col("event_type"), col("ts"), col("event_id"))),
 
+    // q119's ORACLE-EXACT twin (r6 verdict #5: convert "trust my spec"
+    // into "oracle agrees"): the largest-triangle chain IS expressible
+    // in SQL as a 38-step recursive CTE carrying the previously selected
+    // vertex per series. Exactness needs every float op to be
+    // order-free and bit-reproducible across engines, so the twin runs
+    // the same kernel on a transformed frame: x = epoch-µs offset from
+    // the global min (bucket-centroid sums stay integer-exact — see
+    // Lttb.avgOf), y = integer cents as double (sums exact in any
+    // order). The area/centroid formulas are spelled identically in the
+    // oracle; results map back to (ts, value) losslessly.
+    "q119b_lttb_exact" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      // one driver scalar (a metadata-sized min, same idiom as q139's
+      // bounds probe) so both engines shift by the identical origin
+      val gmin = ev.agg(min(unix_micros(col("ts")))).head().getLong(0)
+      val in = ev.select(col("event_type"),
+        timestamp_micros(unix_micros(col("ts")) - gmin).as("ts"),
+        col("event_id"),
+        (dec(col("value")) * 100).cast("long").cast("double").as("cents"))
+      graft.operators.Lttb.downsample(
+          in, "event_type", "ts", "event_id", "cents", buckets = 40)
+        .select(col("event_type"),
+          timestamp_micros(unix_micros(col("ts")) + gmin).as("ts"),
+          col("event_id"),
+          (col("cents") / lit(100.0)).as("value"))
+        .orderBy(col("event_type"), col("ts"), col("event_id"))
+    }),
+
     // Counter rate (the PromQL increase()/rate() shape Arc's monitoring
     // users run constantly): per-series non-negative deltas with counter
     // RESETS (delta < 0 ⇒ the counter restarted; the post-reset value is
@@ -1071,6 +1099,64 @@ object TimeseriesQueries {
         |  MAX(CASE WHEN rd = 1 THEN value END) AS last_v, COUNT(*) AS n
         |FROM r GROUP BY event_type, bucket
         |ORDER BY event_type, bucket""".stripMargin,
+
+    // the LTTB chain as a 38-step recursive CTE: rec carries the
+    // previously selected vertex (px, py, pid) per series; each step
+    // argmax-selects bucket b's point against the next bucket's
+    // centroid (bucket 37 uses the series' last point). Every float
+    // operation (offset-µs centroid, cents sums, triangle area) is
+    // spelled exactly as Lttb.avgOf/select compute it, so the doubles
+    // are bit-identical and the driver's hash gate passes.
+    "q119b_lttb_exact" ->
+      """WITH RECURSIVE g AS (
+        |  SELECT MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS gmin FROM events),
+        |base AS (SELECT event_type AS k,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) - (SELECT gmin FROM g) AS x,
+        |    event_id AS id,
+        |    CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS DOUBLE) AS y
+        |  FROM events),
+        |ord AS (SELECT k, x, id, y,
+        |    row_number() OVER (PARTITION BY k ORDER BY x, id) - 1 AS rn,
+        |    count(*) OVER (PARTITION BY k) AS n FROM base),
+        |shrt AS (SELECT k, x, id, y FROM ord WHERE n <= 40),
+        |lng AS (SELECT * FROM ord WHERE n > 40),
+        |firsts AS (SELECT k, x, id, y FROM lng WHERE rn = 0),
+        |lasts AS (SELECT k, x, id, y FROM lng WHERE rn = n - 1),
+        |inter AS (SELECT k, x, id, y, ((rn - 1) * 38) // (n - 2) AS pb
+        |  FROM lng WHERE rn >= 1 AND rn <= n - 2),
+        |cent AS (SELECT k, pb,
+        |    CAST(MIN(x) AS DOUBLE) + CAST(SUM(x - bx0) AS DOUBLE) / COUNT(*) AS cx,
+        |    SUM(y) / COUNT(*) AS cy
+        |  FROM (SELECT k, pb, x, y, MIN(x) OVER (PARTITION BY k, pb) AS bx0
+        |        FROM inter)
+        |  GROUP BY k, pb),
+        |vert AS (SELECT k, pb - 1 AS b, cx, cy FROM cent WHERE pb >= 1
+        |  UNION ALL SELECT k, 37 AS b, CAST(x AS DOUBLE) AS cx, y AS cy FROM lasts),
+        |rec AS (
+        |  SELECT 0 AS b, k, x AS px, y AS py, id AS pid FROM firsts
+        |  UNION ALL
+        |  SELECT b + 1, k, sx, sy, sid FROM (
+        |    SELECT r.b AS b, r.k AS k, i.x AS sx, i.y AS sy, i.id AS sid,
+        |      row_number() OVER (PARTITION BY r.k, r.b ORDER BY
+        |        abs((CAST(r.px AS DOUBLE) - v.cx) * (i.y - r.py)
+        |          - (CAST(r.px AS DOUBLE) - CAST(i.x AS DOUBLE)) * (v.cy - r.py))
+        |          DESC, i.x, i.id) AS rk
+        |    FROM rec r
+        |    JOIN inter i ON i.k = r.k AND i.pb = r.b
+        |    JOIN vert v ON v.k = r.k AND v.b = r.b
+        |    WHERE r.b < 38) s
+        |  WHERE rk = 1),
+        |sel AS (SELECT k, px AS x, pid AS id, py AS y FROM rec WHERE b >= 1),
+        |allpts AS (
+        |  SELECT k, x, id, y FROM shrt
+        |  UNION ALL SELECT k, x, id, y FROM firsts
+        |  UNION ALL SELECT k, x, id, y FROM sel
+        |  UNION ALL SELECT k, x, id, y FROM lasts)
+        |SELECT k AS event_type,
+        |  make_timestamp(x + (SELECT gmin FROM g)) AS ts,
+        |  id AS event_id, y / 100.0 AS value
+        |FROM allpts
+        |ORDER BY event_type, ts, event_id""".stripMargin,
 
     "q120_counter_rate" ->
       """WITH d AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,

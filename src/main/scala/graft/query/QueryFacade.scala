@@ -60,12 +60,16 @@ final class QueryFacade(spark: SparkSession) {
   }
 
   /** Execute under a cancellable job group; returns (queryId, result). */
-  def submit(q: String): (Long, DataFrame) = {
+  def submit(q: String): (Long, DataFrame) = submit(q, spark.sql)
+
+  /** [[submit]] with a custom planner (the HTTP layer routes through
+    * [[sqlWithShow]] so SHOW interception shares the registry too). */
+  def submit(q: String, run: String => DataFrame): (Long, DataFrame) = {
     val id = seq.incrementAndGet()
     val group = s"graft-query-$id"
     active.put(id, (group, q, System.nanoTime()))
     spark.sparkContext.setJobGroup(group, q, interruptOnCancel = true)
-    (id, spark.sql(q))
+    (id, run(q))
   }
 
   def cancel(id: Long): Boolean =
@@ -222,7 +226,8 @@ final class QueryFacade(spark: SparkSession) {
     * every core busy; smaller waves trade throughput for a tighter
     * memory bound. Returns the row count written. */
   def writeJsonEnvelope(df: DataFrame, out: java.io.OutputStream,
-      maxRows: Long = Long.MaxValue, wave: Int = 0): Long = {
+      maxRows: Long = Long.MaxValue, wave: Int = 0,
+      headExtra: String = ""): Long = {
     import java.nio.charset.StandardCharsets.UTF_8
     val t0 = System.nanoTime()
     val sc = spark.sparkContext
@@ -231,7 +236,10 @@ final class QueryFacade(spark: SparkSession) {
     val limited =
       if (maxRows < Long.MaxValue) df.limit(maxRows.min(Int.MaxValue).toInt) else df
     val chunkRdd = QueryFacade.jsonChunkRdd(limited)
-    out.write(("{\"columns\":[" + columns.map(QueryFacade.jsonStr).mkString(",") +
+    // headExtra: pre-encoded `"k":v,` pairs the HTTP layer prepends
+    // (success/timestamp in the reference envelope, query.go:660-675)
+    out.write(("{" + headExtra + "\"columns\":[" +
+      columns.map(QueryFacade.jsonStr).mkString(",") +
       "],\"data\":[").getBytes(UTF_8))
     var rows = 0L
     var wroteAny = false
@@ -307,7 +315,7 @@ object QueryFacade {
     }
   }
 
-  private[query] def jsonStr(s: String): String =
+  private[graft] def jsonStr(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"

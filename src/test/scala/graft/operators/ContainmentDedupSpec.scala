@@ -129,6 +129,25 @@ class ContainmentDedupSpec extends SparkSpec {
       s"planted twins missing: $twins")
   }
 
+  test("bitmask all-pairs equals the naive join on dense and sparse fixtures") {
+    val dense = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val naive = ContainmentDedup.pairs(dense, "doc_id", "text", 2, 0.8)
+      .orderBy("doc1", "doc2").collect().toSeq
+    val bm = ContainmentDedup.pairsBitmask(dense, "doc_id", "text", 2, 0.8)
+      .orderBy("doc1", "doc2").collect().toSeq
+    assert(naive == bm)
+    assert(naive.nonEmpty)
+    val rnd = new scala.util.Random(11)
+    val sparse = ((0 until 20).map { i =>
+      (i.toLong, (0 until 25).map(_ => s"v${i}_${rnd.nextInt(5000)}").mkString(" "))
+    } ++ Seq((100L, "v3_1 v3_2"))).toDF("doc_id", "text")
+    val n2 = ContainmentDedup.pairs(sparse, "doc_id", "text", 2, 0.6)
+      .orderBy("doc1", "doc2").collect().toSeq
+    val b2 = ContainmentDedup.pairsBitmask(sparse, "doc_id", "text", 2, 0.6)
+      .orderBy("doc1", "doc2").collect().toSeq
+    assert(n2 == b2)
+  }
+
   test("sorted_intersect_count matches size(array_intersect) on sorted sets") {
     val df = spark.range(200).selectExpr(
       "sort_array(array_distinct(transform(sequence(1, 1 + CAST(id % 17 AS INT)), " +

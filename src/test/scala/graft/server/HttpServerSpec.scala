@@ -1,0 +1,264 @@
+package graft.server
+
+import graft.SparkSpec
+import graft.ingest.MsgPack
+import graft.query.MsgPackEncoder
+
+import java.io.ByteArrayOutputStream
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.TimeUnit
+
+/** End-to-end socket tests for the HTTP serving binding: a real server
+  * on an ephemeral port, writes via MessagePack + Line Protocol, queries
+  * via all three wire formats, envelope parity, row caps, cancellation.
+  */
+class HttpServerSpec extends SparkSpec {
+
+  private lazy val root = tmpDir("graft_http")
+  private lazy val server = new HttpServer(spark, root)
+  private lazy val base: String = s"http://127.0.0.1:${server.start()}"
+  private val client = HttpClient.newHttpClient()
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def post(path: String, body: Array[Byte],
+      headers: Map[String, String] = Map.empty): HttpResponse[Array[Byte]] = {
+    var b = HttpRequest.newBuilder(URI.create(base + path))
+      .POST(HttpRequest.BodyPublishers.ofByteArray(body))
+    headers.foreach { case (k, v) => b = b.header(k, v) }
+    client.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
+  }
+
+  private def get(path: String): HttpResponse[Array[Byte]] =
+    client.send(HttpRequest.newBuilder(URI.create(base + path)).GET().build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+
+  private def sqlBody(sql: String): Array[Byte] =
+    mapper.writeValueAsBytes(
+      java.util.Collections.singletonMap("sql", sql))
+
+  private def json(r: HttpResponse[Array[Byte]]) = mapper.readTree(r.body())
+
+  /** Columnar msgpack write payload {"m":…, "columns":{…}, "tags":[…]}. */
+  private def cpuPayload(n: Int, m: String = "cpu"): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val p = new MsgPackEncoder.Packer(out)
+    p.packMapHeader(3)
+    p.packString("m"); p.packString(m)
+    p.packString("columns"); p.packMapHeader(3)
+    p.packString("time"); p.packArrayHeader(n)
+    (0 until n).foreach(i => p.packLong(1700000000000000L + i * 1000000L))
+    p.packString("host"); p.packArrayHeader(n)
+    (0 until n).foreach(i => p.packString(s"h${i % 2}"))
+    p.packString("usage"); p.packArrayHeader(n)
+    (0 until n).foreach(i => p.packDouble(i * 0.5))
+    p.packString("tags"); p.packArrayHeader(1); p.packString("host")
+    out.toByteArray
+  }
+
+  test("msgpack write returns 204 and the data queries back (JSON envelope)") {
+    assert(post("/api/v1/write/msgpack", cpuPayload(8, "cpuj")).statusCode() == 204)
+    val r = post("/api/v1/query",
+      sqlBody("SELECT host, count(*) AS n, sum(usage) AS total FROM cpuj GROUP BY host ORDER BY host"))
+    assert(r.statusCode() == 200)
+    assert(r.headers().firstValue("X-Graft-Query-Id").isPresent)
+    val env = json(r)
+    assert(env.get("success").asBoolean())
+    assert(env.get("timestamp").asText().nonEmpty)
+    assert(env.get("row_count").asInt() == 2)
+    assert(env.get("execution_time_ms").asDouble() >= 0)
+    assert(env.get("columns").toString == """["host","n","total"]""")
+    val data = env.get("data")
+    assert(data.get(0).get(0).asText() == "h0" && data.get(0).get(1).asInt() == 4)
+    assert(data.get(1).get(0).asText() == "h1" && data.get(1).get(1).asInt() == 4)
+    assert(math.abs(data.get(0).get(2).asDouble() - (0 + 1 + 2 + 3)) < 1e-9)
+  }
+
+  test("msgpack wire format returns the columnar envelope") {
+    post("/api/v1/write/msgpack", cpuPayload(8))
+    val r = post("/api/v1/query/msgpack",
+      sqlBody("SELECT host, usage FROM cpu ORDER BY time, host LIMIT 3"))
+    assert(r.statusCode() == 200)
+    assert(r.headers().firstValue("Content-Type").get == "application/x-msgpack")
+    val env = MsgPack.decode(r.body()).asInstanceOf[Map[String, Any]]
+    assert(env("columns") == Vector("host", "usage"))
+    assert(env("row_count") == 3L)
+    val data = env("data").asInstanceOf[Map[String, Any]]
+    assert(data("host").asInstanceOf[Vector[Any]].length == 3)
+    assert(data("usage").asInstanceOf[Vector[Any]].head == 0.0)
+  }
+
+  test("arrow wire format returns a readable IPC stream") {
+    post("/api/v1/write/msgpack", cpuPayload(8, "cpua"))
+    val r = post("/api/v1/query",
+      sqlBody("SELECT host, usage FROM cpua ORDER BY time, host"),
+      Map("Accept" -> "application/vnd.apache.arrow.stream"))
+    assert(r.statusCode() == 200)
+    assert(r.headers().firstValue("Content-Type").get ==
+      "application/vnd.apache.arrow.stream")
+    val alloc = new org.apache.arrow.memory.RootAllocator(Long.MaxValue)
+    val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+      new java.io.ByteArrayInputStream(r.body()), alloc)
+    var rows = 0
+    try {
+      val root = reader.getVectorSchemaRoot
+      assert(root.getSchema.getFields.get(0).getName == "host")
+      while (reader.loadNextBatch()) rows += root.getRowCount
+    } finally { reader.close(); alloc.close() }
+    assert(rows == 8)
+  }
+
+  test("line protocol write (v1 + gzip) lands and queries back") {
+    val lp = (0 until 6).map(i =>
+      s"mem,host=h${i % 3} used=${i}i ${1700000000000000000L + i * 1000000000L}")
+      .mkString("\n")
+    assert(post("/write?db=default&precision=ns", lp.getBytes(UTF_8))
+      .statusCode() == 204)
+    // gzip body, sniffed by magic bytes
+    val gz = new ByteArrayOutputStream()
+    val z = new java.util.zip.GZIPOutputStream(gz)
+    z.write(lp.replace("mem,", "memgz,").getBytes(UTF_8)); z.close()
+    assert(post("/write", gz.toByteArray).statusCode() == 204)
+    val r = json(post("/api/v1/query",
+      sqlBody("SELECT count(*) AS n, sum(used) AS s FROM memgz")))
+    assert(r.get("data").get(0).get(0).asLong() == 6)
+    assert(r.get("data").get(0).get(1).asLong() == 15)
+  }
+
+  test("estimate returns the reference warning ladder") {
+    post("/api/v1/write/msgpack", cpuPayload(8, "cpue"))
+    val r = json(post("/api/v1/query/estimate", sqlBody("SELECT * FROM cpue")))
+    assert(r.get("success").asBoolean())
+    assert(r.get("estimated_rows").asLong() == 8)
+    assert(r.get("warning_level").asText() == "none")
+    val bad = post("/api/v1/query/estimate", sqlBody("SELECT * FROM nope_missing"))
+    assert(bad.statusCode() == 400)
+    assert(json(bad).get("warning_level").asText() == "error")
+  }
+
+  test("row cap truncates the JSON envelope") {
+    post("/api/v1/write/msgpack", cpuPayload(8))
+    server.maxRows = 3
+    try {
+      val r = json(post("/api/v1/query", sqlBody("SELECT * FROM cpu")))
+      assert(r.get("row_count").asInt() == 3)
+      assert(r.get("data").size() == 3)
+    } finally server.maxRows = Long.MaxValue
+  }
+
+  test("SHOW DATABASES / SHOW TABLES intercept through the query endpoint") {
+    post("/api/v1/write/msgpack", cpuPayload(2))
+    val dbs = json(post("/api/v1/query", sqlBody("SHOW DATABASES")))
+    assert(dbs.get("columns").get(0).asText() == "database_name")
+    val names = (0 until dbs.get("data").size())
+      .map(i => dbs.get("data").get(i).get(0).asText())
+    assert(names.contains("default"))
+    val tbl = json(post("/api/v1/query", sqlBody("SHOW TABLES FROM default")))
+    val tables = (0 until tbl.get("data").size())
+      .map(i => tbl.get("data").get(i).get(0).asText())
+    assert(tables.contains("cpu"))
+  }
+
+  test("bad SQL yields a 400 error envelope; missing field 400s") {
+    val r = post("/api/v1/query", sqlBody("SELECT FROM WHERE"))
+    assert(r.statusCode() == 400)
+    val env = json(r)
+    assert(!env.get("success").asBoolean())
+    assert(env.get("error").asText().nonEmpty)
+    assert(post("/api/v1/query", """{"nope":1}""".getBytes(UTF_8))
+      .statusCode() == 400)
+  }
+
+  test("measurements, databases lifecycle, health, ready") {
+    post("/api/v1/write/msgpack", cpuPayload(2))
+    val ms = json(get("/api/v1/measurements?database=default"))
+    assert(ms.get("success").asBoolean())
+    val found = (0 until ms.get("measurements").size()).map(i =>
+      ms.get("measurements").get(i))
+    assert(found.exists(m => m.get("measurement").asText() == "cpu" &&
+      m.get("file_count").asInt() > 0 && m.get("total_size_mb").asDouble() > 0))
+    assert(post("/api/v1/databases",
+      """{"name":"httpdb"}""".getBytes(UTF_8)).statusCode() == 201)
+    val ls = json(get("/api/v1/databases"))
+    val names = (0 until ls.get("databases").size())
+      .map(i => ls.get("databases").get(i).get("name").asText())
+    assert(names.contains("httpdb"))
+    val del = client.send(HttpRequest.newBuilder(
+      URI.create(base + "/api/v1/databases/httpdb")).DELETE().build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+    assert(del.statusCode() == 200)
+    assert(json(get("/health")).get("status").asText() == "ok")
+    assert(json(get("/ready")).get("ready").asBoolean())
+  }
+
+  test("writes invalidate the cached view (new files visible to next query)") {
+    post("/api/v1/write/msgpack", cpuPayload(4, "cpuv"))
+    val n1 = json(post("/api/v1/query", sqlBody("SELECT count(*) AS n FROM cpuv")))
+      .get("data").get(0).get(0).asLong()
+    post("/api/v1/write/msgpack", cpuPayload(4, "cpuv")) // same timestamps, new files
+    val n2 = json(post("/api/v1/query", sqlBody("SELECT count(*) AS n FROM cpuv")))
+      .get("data").get(0).get(0).asLong()
+    assert(n2 > n1, s"expected the second write to be visible: $n1 -> $n2")
+  }
+
+  test("cancellation kills a running query well before it would finish") {
+    post("/api/v1/write/msgpack", cpuPayload(2))
+    val t0 = System.nanoTime()
+    // 200 rows x 500 ms over 4 partitions ≈ 25 s uncancelled
+    val fut = client.sendAsync(
+      HttpRequest.newBuilder(URI.create(base + "/api/v1/query"))
+        .POST(HttpRequest.BodyPublishers.ofByteArray(sqlBody(
+          "SELECT reflect('java.lang.Thread','sleep', 500L) AS z FROM range(0, 200, 1, 4)")))
+        .build(),
+      HttpResponse.BodyHandlers.ofString())
+    // wait until the registry lists it, then cancel
+    var id: Option[String] = None
+    val deadline = System.nanoTime() + 10L * 1000000000L
+    while (id.isEmpty && System.nanoTime() < deadline) {
+      val act = json(get("/api/v1/queries"))
+      if (act.get("queries").size() > 0)
+        id = Some(act.get("queries").get(0).get("query_id").asText())
+      else Thread.sleep(50)
+    }
+    assert(id.nonEmpty, "query never appeared in the active registry")
+    val cancel = post(s"/api/v1/query/${id.get}/cancel", Array.emptyByteArray)
+    assert(cancel.statusCode() == 200)
+    // the stream must terminate promptly — truncated body or error, never
+    // a complete success envelope, and far sooner than the 25 s runtime
+    val outcome = scala.util.Try(fut.get(15, TimeUnit.SECONDS))
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    assert(elapsed < 20, s"cancel did not interrupt the stream: $elapsed s")
+    outcome.foreach { resp =>
+      assert(!resp.body().contains("\"row_count\":200"),
+        "cancelled query must not deliver the full result")
+    }
+  }
+
+  test("bearer auth: 401 without the token, 200 with it") {
+    val s2 = new HttpServer(spark, tmpDir("graft_http_auth"),
+      authToken = Some("sekrit"))
+    val port = s2.start()
+    try {
+      val b2 = s"http://127.0.0.1:$port"
+      val no = client.send(HttpRequest.newBuilder(URI.create(b2 + "/api/v1/query"))
+        .POST(HttpRequest.BodyPublishers.ofByteArray(sqlBody("SELECT 1 AS one")))
+        .build(), HttpResponse.BodyHandlers.ofString())
+      assert(no.statusCode() == 401)
+      val ok = client.send(HttpRequest.newBuilder(URI.create(b2 + "/api/v1/query"))
+        .header("Authorization", "Bearer sekrit")
+        .POST(HttpRequest.BodyPublishers.ofByteArray(sqlBody("SELECT 1 AS one")))
+        .build(), HttpResponse.BodyHandlers.ofString())
+      assert(ok.statusCode() == 200)
+      assert(mapper.readTree(ok.body()).get("data").get(0).get(0).asInt() == 1)
+    } finally s2.stop()
+  }
+
+  test("oversized payload is rejected before decode") {
+    server.maxPayloadBytes = 64
+    try {
+      val r = post("/api/v1/write/msgpack", cpuPayload(1000))
+      assert(r.statusCode() == 400 || r.statusCode() == 413)
+    } finally server.maxPayloadBytes = 512L << 20
+  }
+}
