@@ -379,6 +379,33 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // q121's ORACLE-EXACT twin (shrinking the no-oracle set, like
+    // q119b): BPE is "inherently sequential", but both halves bound
+    // their sequential depth — learning iterates over the WORD DICT
+    // (numMerges steps), encoding over one word's symbols (≤ word
+    // length) — so both are expressible as DuckDB recursive CTEs:
+    // learning carries the exploded (word, pos, symbol) state and picks
+    // each step's argmax pair with the same (count DESC, pair ASC)
+    // tie-break; leftmost-non-overlapping merge application is the
+    // run-parity rule (a match is taken iff its consecutive-match run
+    // prefix has even length); encoding merges the lowest-rank leftmost
+    // pair per word per step. 30 merges (not q121's 200) keep the twin
+    // NON-degenerate: this corpus's 31-word vocabulary exhausts all
+    // pairs by merge ~93, after which every word is one piece and the
+    // oracle would collapse to n_pieces = n_words. All-integer/string
+    // computation — no float concerns anywhere.
+    "q121b_bpe_exact" -> ((s, dir) => {
+      graft.GraftFunctions.registerAll(s)
+      val docs = t(s, dir, "documents")
+      val model = bpeCache.getOrElseUpdate(dir + "#30",
+        graft.operators.Bpe.learn(docs, "text", numMerges = 30))
+      docs.select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_words"),
+        graft.operators.Bpe.countExpr(col("text"), model).cast("long")
+          .as("n_pieces"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Heaps-law vocabulary growth curve: cumulative distinct-token
     // count as the corpus is consumed in 20 equal doc_id slices — the
     // "is more data still adding vocabulary?" diagnostic for corpus
@@ -475,6 +502,97 @@ object TextQueries {
   private[graft] val UrlRe = "(?i)https?://\\S+" // (?i): schemes leak in any case
 
   val oracles: Map[String, String] = Map(
+    // the BPE twin: learning + encoding as recursive CTEs (see the
+    // q121b query comment for the construction; verified against an
+    // independent reimplementation of the Sennrich algorithm before
+    // wiring). Working-table semantics: each step sees only the
+    // previous iteration's rows, which is exactly the sequential state.
+    "q121b_bpe_exact" ->
+      """WITH RECURSIVE
+        |wtok AS (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+        |    FROM documents)
+        |  WHERE length(w) > 0),
+        |dict AS (
+        |  SELECT w, count(*) AS c FROM wtok GROUP BY w
+        |  ORDER BY c DESC, w LIMIT 100000),
+        |linit AS (
+        |  SELECT w, c, i AS pos,
+        |    CASE WHEN i = length(w) THEN substr(w, i, 1) || '</w>'
+        |         ELSE substr(w, i, 1) END AS sym
+        |  FROM (SELECT w, c, unnest(generate_series(1, length(w))) AS i FROM dict)),
+        |learn(it, w, c, pos, sym, ma, mb) AS (
+        |  SELECT 0, w, c, pos, sym, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM linit
+        |  UNION ALL
+        |  (WITH cur AS (SELECT it, w, c, pos, sym FROM learn
+        |                WHERE w IS NOT NULL AND it < 30),
+        |    pairs AS (SELECT it, w, c, pos, sym AS a,
+        |        lead(sym) OVER (PARTITION BY w ORDER BY pos) AS b FROM cur),
+        |    best AS (SELECT a, b FROM pairs WHERE b IS NOT NULL
+        |             GROUP BY a, b ORDER BY sum(c) DESC, a, b LIMIT 1),
+        |    marked AS (SELECT p.it, p.w, p.c, p.pos, p.a AS sym, p.b AS nxt,
+        |        coalesce(p.a = (SELECT a FROM best) AND p.b = (SELECT b FROM best),
+        |          FALSE) AS m
+        |      FROM pairs p),
+        |    isl AS (SELECT *, CASE WHEN m THEN
+        |          pos - row_number() OVER (PARTITION BY w, m ORDER BY pos) END AS grp
+        |      FROM marked),
+        |    tk AS (SELECT *, m AND (row_number() OVER (PARTITION BY w, grp ORDER BY pos)
+        |          % 2 = 1) AS taken FROM isl),
+        |    appl AS (SELECT it, w, c,
+        |        row_number() OVER (PARTITION BY w ORDER BY pos) AS pos,
+        |        CASE WHEN taken THEN sym || nxt ELSE sym END AS sym
+        |      FROM (SELECT *, coalesce(lag(taken) OVER (PARTITION BY w ORDER BY pos),
+        |              FALSE) AS dropped FROM tk)
+        |      WHERE NOT dropped)
+        |  SELECT it + 1, w, c, pos, sym, NULL, NULL FROM appl
+        |    WHERE EXISTS (SELECT 1 FROM best)
+        |  UNION ALL
+        |  SELECT (SELECT max(it) FROM cur) + 1, NULL, NULL, NULL, NULL, a, b FROM best)
+        |),
+        |merges AS (
+        |  SELECT it - 1 AS rank, ma, mb FROM learn WHERE ma IS NOT NULL),
+        |einit AS (
+        |  SELECT w, i AS pos,
+        |    CASE WHEN i = length(w) THEN substr(w, i, 1) || '</w>'
+        |         ELSE substr(w, i, 1) END AS sym
+        |  FROM (SELECT w, unnest(generate_series(1, length(w))) AS i
+        |        FROM (SELECT DISTINCT w FROM wtok))),
+        |enc(it, w, pos, sym) AS (
+        |  SELECT 0, w, pos, sym FROM einit
+        |  UNION ALL
+        |  (WITH cur AS (SELECT * FROM enc WHERE it < 100),
+        |    pairs AS (SELECT it, w, pos, sym AS a,
+        |        lead(sym) OVER (PARTITION BY w ORDER BY pos) AS b FROM cur),
+        |    cand AS (SELECT p.*, m.rank FROM pairs p
+        |        JOIN merges m ON m.ma = p.a AND m.mb = p.b),
+        |    sel AS (SELECT w, pos FROM (
+        |        SELECT w, pos, row_number() OVER (PARTITION BY w
+        |            ORDER BY rank, pos) AS rn FROM cand)
+        |      WHERE rn = 1)
+        |  SELECT it + 1, w,
+        |    row_number() OVER (PARTITION BY w ORDER BY pos) AS pos,
+        |    CASE WHEN pos = mpos THEN sym || nxt ELSE sym END AS sym
+        |  FROM (SELECT c.it, c.w, c.pos, c.sym,
+        |      lead(c.sym) OVER (PARTITION BY c.w ORDER BY c.pos) AS nxt,
+        |      s.pos AS mpos
+        |    FROM cur c JOIN sel s ON s.w = c.w)
+        |  WHERE pos <> mpos + 1)
+        |),
+        |pieces AS (
+        |  SELECT w, count(*) AS np FROM enc e
+        |  WHERE it = (SELECT max(it) FROM enc e2 WHERE e2.w = e.w)
+        |  GROUP BY w)
+        |SELECT d.doc_id,
+        |  CAST(len(string_split_regex(trim(d.text), '\s+')) AS BIGINT) AS n_words,
+        |  CAST(coalesce(s.np_sum, 0) AS BIGINT) AS n_pieces
+        |FROM documents d LEFT JOIN (
+        |  SELECT t.doc_id, sum(p.np) AS np_sum
+        |  FROM wtok t JOIN pieces p USING (w) GROUP BY t.doc_id) s
+        |  ON s.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
     "q60_text_tokens" ->
       s"""SELECT doc_id,
          |  len(string_split_regex(trim(text), '\\s+')) AS n_tokens,

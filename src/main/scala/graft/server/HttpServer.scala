@@ -5,6 +5,7 @@ import graft.catalog.GraftCatalog
 import graft.ingest.{ColumnarBatch, DirectParquetWriter, LineProtocol, MsgPack}
 import graft.query.{ArrowEncoder, MsgPackEncoder, QueryFacade}
 import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions.{col, timestamp_micros}
 import org.apache.spark.sql.{AnalysisException, DataFrame, SparkSession}
 
 import java.io.ByteArrayInputStream
@@ -44,7 +45,12 @@ import scala.util.matching.Regex
   *    /api/v1/databases[/{name}]`, `GET /health`, `GET /ready`;
   *  - `GET /api/v1/queries` + `POST /api/v1/query/{id}/cancel` — the
   *    registry/cancel surface (internal/queryregistry) over Spark job
-  *    groups; every query response carries `X-Graft-Query-Id`.
+  *    groups; every query response carries `X-Graft-Query-Id`;
+  *  - `POST /api/v1/write/tle` (internal/api/tle.go:70),
+  *    `POST /api/v1/import/{csv,parquet,lp,tle}` multipart uploads
+  *    (internal/api/import.go:100-104), `GET /api/v1/query/{measurement}`
+  *    simple reads (query.go:3923), `GET /metrics` (Prometheus text /
+  *    JSON by Accept, server.go:176) + per-source `…/stats`.
   *
   * Scale stance: the serving layer never materializes a result on the
   * driver unless the wire format requires it — JSON and Arrow stream
@@ -75,6 +81,25 @@ final class HttpServer(
   private val startedAt = System.nanoTime()
   private val rfc3339 = DateTimeFormatter.ISO_INSTANT
 
+  // ---- metrics (the reference's metrics.Get() counters, server.go:176;
+  // snapshot served as Prometheus text or JSON by Accept) --------------
+  private val mQueries = new java.util.concurrent.atomic.AtomicLong
+  private val mQueryErrors = new java.util.concurrent.atomic.AtomicLong
+  private val mIngestRequests = new java.util.concurrent.atomic.AtomicLong
+  private val mIngestRecords = new java.util.concurrent.atomic.AtomicLong
+  private val mIngestBytes = new java.util.concurrent.atomic.AtomicLong
+  private val mIngestErrors = new java.util.concurrent.atomic.AtomicLong
+
+  private def metricPairs: Seq[(String, Long)] = Seq(
+    "graft_queries_total" -> mQueries.get,
+    "graft_query_errors_total" -> mQueryErrors.get,
+    "graft_slow_queries_total" -> facade.slowQueryCount,
+    "graft_ingest_requests_total" -> mIngestRequests.get,
+    "graft_ingest_records_total" -> mIngestRecords.get,
+    "graft_ingest_bytes_total" -> mIngestBytes.get,
+    "graft_ingest_errors_total" -> mIngestErrors.get,
+    "graft_uptime_seconds" -> (System.nanoTime() - startedAt) / 1000000000L)
+
   // measurement -> owning db of the currently registered temp view.
   // Spark file-source views snapshot their file listing at registration,
   // so writes drop the entry and the next query re-registers (fresh
@@ -99,6 +124,8 @@ final class HttpServer(
   private val CancelPath: Regex = "/api/v1/query/([0-9]+)/cancel".r
   private val DbPath: Regex = "/api/v1/databases/([A-Za-z0-9_-]+)".r
   private val DbMeasPath: Regex = "/api/v1/databases/([A-Za-z0-9_-]+)/measurements".r
+  // GET-only: POSTs to /api/v1/query/{arrow,msgpack,estimate} match first
+  private val MeasQueryPath: Regex = "/api/v1/query/([A-Za-z][A-Za-z0-9_-]*)".r
 
   private def route(ex: HttpExchange): Unit = {
     val method = ex.getRequestMethod.toUpperCase
@@ -115,6 +142,12 @@ final class HttpServer(
         case ("POST", "/api/v1/write/msgpack") => handleWriteMsgPack(ex)
         case ("POST", "/write") | ("POST", "/api/v2/write") |
              ("POST", "/api/v1/write/line-protocol") => handleWriteLp(ex)
+        case ("POST", "/api/v1/write/tle") => handleWriteTle(ex)
+        case ("POST", "/api/v1/import/csv") => handleImport(ex, "csv")
+        case ("POST", "/api/v1/import/parquet") => handleImport(ex, "parquet")
+        case ("POST", "/api/v1/import/lp") => handleImport(ex, "lp")
+        case ("POST", "/api/v1/import/tle") => handleImport(ex, "tle")
+        case ("GET", MeasQueryPath(m)) => handleQueryMeasurement(ex, m)
         case ("GET", "/api/v1/measurements") => handleMeasurements(ex)
         case ("GET", "/api/v1/databases") => handleListDatabases(ex)
         case ("POST", "/api/v1/databases") => handleCreateDatabase(ex)
@@ -125,6 +158,28 @@ final class HttpServer(
           sendJson(ex, 200,
             s"""{"status":"ok","time":${q(now())},"uptime_sec":$up}""")
         case ("GET", "/ready") => sendJson(ex, 200, """{"ready":true}""")
+        case ("GET", "/metrics") | ("GET", "/api/v1/metrics") =>
+          val accept = Option(ex.getRequestHeaders.getFirst("Accept")).getOrElse("")
+          if (path == "/api/v1/metrics" || accept.contains("application/json"))
+            sendJson(ex, 200, metricPairs
+              .map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}"))
+          else {
+            val body = metricPairs.map { case (k, v) =>
+              s"# TYPE $k ${if (k.endsWith("_total")) "counter" else "gauge"}\n$k $v"
+            }.mkString("", "\n", "\n").getBytes(UTF_8)
+            ex.getResponseHeaders.set("Content-Type",
+              "text/plain; version=0.0.4; charset=utf-8")
+            ex.sendResponseHeaders(200, body.length)
+            ex.getResponseBody.write(body)
+            ex.getResponseBody.close()
+          }
+        case ("GET", "/api/v1/write/msgpack/stats") |
+             ("GET", "/api/v1/write/line-protocol/stats") |
+             ("GET", "/api/v1/write/tle/stats") | ("GET", "/api/v1/import/stats") =>
+          sendJson(ex, 200,
+            s"""{"success":true,"stats":{"total_requests":${mIngestRequests.get},""" +
+              s""""total_records":${mIngestRecords.get},"total_bytes":${mIngestBytes.get},""" +
+              s""""total_errors":${mIngestErrors.get}}}""")
         case _ => sendJson(ex, 404, err(s"no route: $method $path"))
       }
     } catch {
@@ -144,6 +199,7 @@ final class HttpServer(
 
   private def handleQuery(ex: HttpExchange, wire: String): Unit = {
     val ts = now()
+    mQueries.incrementAndGet()
     val sql = sqlField(readBody(ex))
     val db = headerDb(ex)
     val (id, df) =
@@ -152,6 +208,7 @@ final class HttpServer(
         facade.submit(sql, q => facade.sqlWithShow(q, catalog))
       } catch {
         case e: AnalysisException =>
+          mQueryErrors.incrementAndGet()
           sendJson(ex, 400, err(msg(e), ts)); return
       }
     ex.getResponseHeaders.set("X-Graft-Query-Id", id.toString)
@@ -191,6 +248,7 @@ final class HttpServer(
         // headers are already on the wire — a mid-stream failure
         // (cancellation, executor loss) can only truncate the body, the
         // same contract as the reference's streamed responses
+        mQueryErrors.incrementAndGet()
         try ex.getResponseBody.close() catch { case _: Throwable => () }
         throw e
     } finally facade.complete(id, rows)
@@ -249,9 +307,10 @@ final class HttpServer(
     val batches =
       try MsgPack.decodePayload(payload)
       catch { case e: Throwable =>
+        mIngestErrors.incrementAndGet()
         sendJson(ex, 400, err("Invalid MessagePack payload: " + msg(e))); return
       }
-    writeBatches(ex, db, batches)
+    writeBatches(ex, db, batches, payload.length.toLong)
   }
 
   private def handleWriteLp(ex: HttpExchange): Unit = {
@@ -266,22 +325,212 @@ final class HttpServer(
     if (points.isEmpty) {
       val detail = errors.headOption
         .map(e => s"line ${e.line}: ${e.message}").getOrElse("no points")
+      mIngestErrors.incrementAndGet()
       sendJson(ex, 400, err(s"no valid points ($detail)")); return
     }
-    writeBatches(ex, db, ColumnarBatch.fromPoints(points))
+    writeBatches(ex, db, ColumnarBatch.fromPoints(points), text.length.toLong)
   }
 
   private def writeBatches(ex: HttpExchange, db: String,
-      batches: Seq[ColumnarBatch]): Unit = {
+      batches: Seq[ColumnarBatch], payloadBytes: Long): Unit = {
     batches.find(b => MeasName.findFirstIn(b.measurement).isEmpty) match {
       case Some(bad) =>
+        mIngestErrors.incrementAndGet()
         sendJson(ex, 400, err(s"invalid measurement name: ${bad.measurement}"))
       case None =>
         batches.foreach { b =>
           DirectParquetWriter.write(catalog, db, b)
           viewOwner.remove(b.measurement) // stale listing: re-register lazily
         }
+        mIngestRequests.incrementAndGet()
+        mIngestRecords.addAndGet(batches.map(_.rowCount.toLong).sum)
+        mIngestBytes.addAndGet(payloadBytes)
         ex.sendResponseHeaders(204, -1) // InfluxDB-compatible No Content
+    }
+  }
+
+  /** TLE satellite-element write (internal/api/tle.go:70): 3-line text
+    * body → typed elements into `x-arc-measurement` (default
+    * satellite_tle), 204 on success. */
+  private def handleWriteTle(ex: HttpExchange): Unit = {
+    val db = headerDb(ex)
+    if (!catalog.isValidDatabaseName(db)) {
+      sendJson(ex, 400, err(s"invalid database name: $db")); return
+    }
+    val meas = Option(ex.getRequestHeaders.getFirst("x-arc-measurement"))
+      .filter(_.nonEmpty).getOrElse("satellite_tle")
+    if (MeasName.findFirstIn(meas).isEmpty) {
+      sendJson(ex, 400, err(s"invalid measurement name: $meas")); return
+    }
+    val text = new String(decompressed(readBody(ex)), UTF_8)
+    tleRows(db, meas, text) match {
+      case Left(e) => sendJson(ex, 400, err(e))
+      case Right(_) => ex.sendResponseHeaders(204, -1)
+    }
+  }
+
+  private def tleRows(db: String, meas: String, text: String): Either[String, Long] = {
+    val (elems, errors) = graft.ingest.Tle.parse(text)
+    if (elems.isEmpty)
+      return Left(errors.headOption.getOrElse("no TLE elements in payload"))
+    val df = graft.ingest.Tle.toDataFrame(spark, text)
+      .withColumn("time", timestamp_micros(col("epochMicros")))
+      .drop("epochMicros")
+    val n = graft.ingest.HourPartitionedWriter.write(catalog, db, meas, df,
+      countRows = true)
+    viewOwner.remove(meas)
+    Right(n)
+  }
+
+  /** Bulk import (internal/api/import.go:100-104): multipart `file`
+    * upload (or a raw body) lands in a temp file and runs through the
+    * library import path (CsvImport.csv/parquet, LP parse, TLE parse);
+    * responds `{success, rows_imported, measurement?}` like the
+    * reference's ImportResponse. */
+  private def handleImport(ex: HttpExchange, kind: String): Unit = {
+    val params = queryParams(ex)
+    val db = params.get("db").orElse(headerDbOpt(ex)).getOrElse("default")
+    if (!catalog.isValidDatabaseName(db)) {
+      sendJson(ex, 400, err(s"invalid database name: $db")); return
+    }
+    val body = readBody(ex)
+    val fileBytes = multipartFile(ex, body).getOrElse(body)
+    if (fileBytes.isEmpty) { sendJson(ex, 400, err("empty upload")); return }
+    def needMeasurement(): Option[String] = params.get("measurement") match {
+      case Some(m) if MeasName.findFirstIn(m).nonEmpty => Some(m)
+      case Some(m) => sendJson(ex, 400, err(s"invalid measurement name: $m")); None
+      case None => sendJson(ex, 400, err("measurement query param is required")); None
+    }
+    def respond(rows: Long, meas: String): Unit = {
+      viewOwner.remove(meas)
+      sendJson(ex, 200,
+        s"""{"success":true,"rows_imported":$rows,"measurement":${q(meas)},"database":${q(db)}}""")
+    }
+    kind match {
+      case "csv" => needMeasurement().foreach { m =>
+        val tmp = java.nio.file.Files.createTempFile("graft_import", ".csv")
+        java.nio.file.Files.write(tmp, fileBytes)
+        try respond(graft.ingest.CsvImport.csv(catalog, db, m, tmp.toString,
+          params.getOrElse("time_column", "time")), m)
+        finally java.nio.file.Files.deleteIfExists(tmp)
+      }
+      case "parquet" => needMeasurement().foreach { m =>
+        val tmp = java.nio.file.Files.createTempFile("graft_import", ".parquet")
+        java.nio.file.Files.write(tmp, fileBytes)
+        try respond(graft.ingest.CsvImport.parquet(catalog, db, m, tmp.toString,
+          params.getOrElse("time_column", "time"),
+          params.get("time_format")), m)
+        finally java.nio.file.Files.deleteIfExists(tmp)
+      }
+      case "lp" =>
+        val precision = params.getOrElse("precision", "ns")
+        val (points, perrs) = LineProtocol.parse(new String(fileBytes, UTF_8), precision)
+        val filter = params.get("measurement")
+        val kept = filter match {
+          case Some(m) => points.filter(_.measurement == m)
+          case None => points
+        }
+        if (kept.isEmpty) {
+          val detail = perrs.headOption.map(e => s"line ${e.line}: ${e.message}")
+            .getOrElse("no points")
+          sendJson(ex, 400, err(s"no valid points ($detail)"))
+        } else {
+          val batches = ColumnarBatch.fromPoints(kept)
+          batches.foreach { b =>
+            DirectParquetWriter.write(catalog, db, b)
+            viewOwner.remove(b.measurement)
+          }
+          sendJson(ex, 200,
+            s"""{"success":true,"rows_imported":${kept.size},"database":${q(db)}}""")
+        }
+      case "tle" =>
+        val meas = params.getOrElse("measurement", "satellite_tle")
+        if (MeasName.findFirstIn(meas).isEmpty)
+          sendJson(ex, 400, err(s"invalid measurement name: $meas"))
+        else tleRows(db, meas, new String(fileBytes, UTF_8)) match {
+          case Left(e) => sendJson(ex, 400, err(e))
+          case Right(n) => respond(n, meas)
+        }
+    }
+  }
+
+  /** Minimal multipart/form-data extraction of the `file` field (the
+    * reference's import surface uploads via FormFile, import.go:164).
+    * Returns None when the request isn't multipart — raw bodies then
+    * import as-is. */
+  private def multipartFile(ex: HttpExchange, body: Array[Byte]): Option[Array[Byte]] = {
+    val ct = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
+    if (!ct.toLowerCase.startsWith("multipart/form-data")) return None
+    val boundary = ct.split("boundary=", 2) match {
+      case Array(_, b) => b.trim.stripPrefix("\"").stripSuffix("\"")
+      case _ => return None
+    }
+    val delim = ("--" + boundary).getBytes(UTF_8)
+    def indexOf(needle: Array[Byte], from: Int): Int = {
+      var i = from
+      val last = body.length - needle.length
+      while (i <= last) {
+        var j = 0
+        while (j < needle.length && body(i + j) == needle(j)) j += 1
+        if (j == needle.length) return i
+        i += 1
+      }
+      -1
+    }
+    val headerEnd = "\r\n\r\n".getBytes(UTF_8)
+    var at = indexOf(delim, 0)
+    while (at >= 0) {
+      val hdrStart = at + delim.length
+      val he = indexOf(headerEnd, hdrStart)
+      if (he < 0) return None
+      val headers = new String(body, hdrStart, he - hdrStart, UTF_8)
+      val next = indexOf(delim, he + 4)
+      if (next < 0) return None
+      if (headers.toLowerCase.contains("name=\"file\"")) {
+        // part content ends with CRLF before the next boundary
+        val end = next - 2
+        return Some(java.util.Arrays.copyOfRange(body, he + 4, math.max(he + 4, end)))
+      }
+      at = next
+    }
+    None
+  }
+
+  /** GET /api/v1/query/{measurement} — the reference's simple-read
+    * endpoint (query.go:3923): SELECT * with validated limit / order_by
+    * / where, returned as the JSON envelope. */
+  private def handleQueryMeasurement(ex: HttpExchange, meas: String): Unit = {
+    val params = queryParams(ex)
+    val db = params.getOrElse("database", headerDb(ex))
+    val limit = params.getOrElse("limit", "100").toIntOption.getOrElse(-1)
+    if (limit < 0 || limit > 1000000) {
+      sendJson(ex, 400, err("Invalid limit: must be a positive integer up to 1000000"))
+      return
+    }
+    val orderBy = params.getOrElse("order_by", "time DESC")
+    if (!orderBy.matches("[A-Za-z0-9_]+(\\s+(?i:ASC|DESC))?(\\s*,\\s*[A-Za-z0-9_]+(\\s+(?i:ASC|DESC))?)*")) {
+      sendJson(ex, 400, err(s"invalid order_by: $orderBy")); return
+    }
+    val where = params.getOrElse("where", "")
+    if (where.contains(";") || where.contains("--")) {
+      sendJson(ex, 400, err("invalid where clause")); return
+    }
+    val sql = s"SELECT * FROM $meas" +
+      (if (where.nonEmpty) s" WHERE $where" else "") +
+      s" ORDER BY $orderBy LIMIT $limit"
+    val ts = now()
+    try {
+      ensureViews(db)
+      val df = spark.sql(sql)
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(200, 0)
+      val out = new java.io.BufferedOutputStream(ex.getResponseBody, 1 << 20)
+      facade.writeJsonEnvelope(df, out, maxRows,
+        headExtra = s""""success":true,"timestamp":${q(ts)},""")
+      out.flush()
+      ex.getResponseBody.close()
+    } catch {
+      case e: AnalysisException => sendJson(ex, 400, err(msg(e), ts))
     }
   }
 

@@ -235,6 +235,69 @@ class HttpServerSpec extends SparkSpec {
     }
   }
 
+  test("TLE write lands typed orbital elements; GET measurement query reads back") {
+    val tle =
+      """ISS (ZARYA)
+        |1 25544U 98067A   24001.50000000  .00016717  00000-0  10270-3 0  9005
+        |2 25544  51.6400 208.9163 0006317  69.9862 290.2553 15.49815308 25000""".stripMargin
+    val r = post("/api/v1/write/tle", tle.getBytes(UTF_8))
+    assert(r.statusCode() == 204)
+    val env = json(get("/api/v1/query/satellite_tle?limit=10&order_by=time"))
+    assert(env.get("success").asBoolean())
+    assert(env.get("row_count").asInt() == 1)
+    val cols = (0 until env.get("columns").size())
+      .map(i => env.get("columns").get(i).asText())
+    assert(cols.contains("objectName") && cols.contains("periodMin") &&
+      cols.contains("time"))
+    val noradIdx = cols.indexOf("noradId")
+    assert(env.get("data").get(0).get(noradIdx).asInt() == 25544)
+  }
+
+  test("CSV import via multipart lands rows; LP import filters by measurement") {
+    val csv = "time,host,temp\n2024-03-01T00:00:00Z,a,1.5\n2024-03-01T01:00:00Z,b,2.5\n"
+    val boundary = "graftspecboundary"
+    val part = (s"--$boundary\r\n" +
+      "Content-Disposition: form-data; name=\"file\"; filename=\"d.csv\"\r\n" +
+      "Content-Type: text/csv\r\n\r\n" + csv + s"\r\n--$boundary--\r\n").getBytes(UTF_8)
+    val r = post("/api/v1/import/csv?measurement=imported_csv", part,
+      Map("Content-Type" -> s"multipart/form-data; boundary=$boundary"))
+    assert(r.statusCode() == 200, new String(r.body(), UTF_8))
+    assert(json(r).get("rows_imported").asLong() == 2)
+    val env = json(post("/api/v1/query",
+      sqlBody("SELECT count(*) AS n, sum(temp) AS s FROM imported_csv")))
+    assert(env.get("data").get(0).get(0).asLong() == 2)
+    assert(math.abs(env.get("data").get(0).get(1).asDouble() - 4.0) < 1e-9)
+    // LP import (raw body, measurement filter)
+    val lp = "impa v=1i 1700000000000000000\nimpb v=2i 1700000000000000000\n"
+    val li = json(post("/api/v1/import/lp?measurement=impa", lp.getBytes(UTF_8)))
+    assert(li.get("rows_imported").asLong() == 1)
+    val n = json(post("/api/v1/query", sqlBody("SELECT count(*) AS n FROM impa")))
+    assert(n.get("data").get(0).get(0).asLong() == 1)
+  }
+
+  test("GET measurement query validates limit/order_by/where") {
+    post("/api/v1/write/msgpack", cpuPayload(4, "cpug"))
+    val ok = json(get("/api/v1/query/cpug?limit=2&order_by=time%20DESC&where=usage%20%3E%3D%200"))
+    assert(ok.get("row_count").asInt() == 2)
+    assert(get("/api/v1/query/cpug?limit=-1").statusCode() == 400)
+    assert(get("/api/v1/query/cpug?order_by=time;DROP").statusCode() == 400)
+    assert(get("/api/v1/query/cpug?where=1%3D1;DELETE").statusCode() == 400)
+  }
+
+  test("metrics surface counts queries and ingest; Prometheus + JSON forms") {
+    post("/api/v1/write/msgpack", cpuPayload(3, "cpum"))
+    post("/api/v1/query", sqlBody("SELECT count(*) AS n FROM cpum"))
+    val prom = new String(get("/metrics").body(), UTF_8)
+    assert(prom.contains("# TYPE graft_queries_total counter"))
+    assert(prom.linesIterator.exists(l => l.startsWith("graft_queries_total ") &&
+      l.split(" ")(1).toLong >= 1))
+    val j = json(get("/api/v1/metrics"))
+    assert(j.get("graft_ingest_records_total").asLong() >= 3)
+    val st = json(get("/api/v1/write/msgpack/stats"))
+    assert(st.get("success").asBoolean() &&
+      st.get("stats").get("total_records").asLong() >= 3)
+  }
+
   test("bearer auth: 401 without the token, 200 with it") {
     val s2 = new HttpServer(spark, tmpDir("graft_http_auth"),
       authToken = Some("sekrit"))
