@@ -282,7 +282,13 @@ object ContainmentDedup {
           }
         }
       }
+    // doc ids travel as longs through the kernel; cast back to the
+    // source id type so the result schema is strategy-independent
+    // (pairsAuto's output must not change type with corpus statistics)
+    val idType = setsIn.schema(idCol).dataType
     rows.toDF("doc1", "doc2", "n_common", "containment")
+      .withColumn("doc1", col("doc1").cast(idType))
+      .withColumn("doc2", col("doc2").cast(idType))
   }
 
   /** Same output as [[pairs]] (uncapped), via the lossless prefix filter

@@ -63,13 +63,24 @@ final class QueryFacade(spark: SparkSession) {
   def submit(q: String): (Long, DataFrame) = submit(q, spark.sql)
 
   /** [[submit]] with a custom planner (the HTTP layer routes through
-    * [[sqlWithShow]] so SHOW interception shares the registry too). */
+    * [[sqlWithShow]] so SHOW interception shares the registry too).
+    * Planning failure (AnalysisException on bad SQL) unwinds the
+    * registration — otherwise every typo'd query would leak a phantom
+    * registry entry AND leave the pooled thread's job group set, so a
+    * later cancel aimed at the dead id would kill whatever unrelated
+    * query that thread runs next. */
   def submit(q: String, run: String => DataFrame): (Long, DataFrame) = {
     val id = seq.incrementAndGet()
     val group = s"graft-query-$id"
     active.put(id, (group, q, System.nanoTime()))
     spark.sparkContext.setJobGroup(group, q, interruptOnCancel = true)
-    (id, run(q))
+    try (id, run(q))
+    catch {
+      case e: Throwable =>
+        active.remove(id)
+        spark.sparkContext.clearJobGroup()
+        throw e
+    }
   }
 
   def cancel(id: Long): Boolean =
@@ -110,14 +121,19 @@ final class QueryFacade(spark: SparkSession) {
   def activeQueries: Map[Long, String] =
     active.map { case (id, (group, _, _)) => id -> group }.toMap
 
-  /** Row-count estimate with the reference's warning ladder. */
-  def estimate(q: String): (Long, String) = {
+  /** Row-count estimate with the reference's warning ladder
+    * (query.go:3725-3740: none/low/medium/high at 1e4/1e5/1e6) — ONE
+    * ladder, shared by the HTTP estimate endpoint so the two can't
+    * drift. Returns (rows, warning_level, warning_message). */
+  def estimate(q: String): (Long, String, String) = {
     val n = spark.sql(s"SELECT COUNT(*) AS n FROM ($q)").head().getLong(0)
-    val warning =
-      if (n > 10000000L) "very_large"
-      else if (n > 1000000L) "large"
-      else "ok"
-    (n, warning)
+    if (n > 1000000L)
+      (n, "high", s"Large query ($n rows): may take minutes and significant memory.")
+    else if (n > 100000L)
+      (n, "medium", s"Medium query ($n rows): may take 30-60 seconds.")
+    else if (n > 10000L)
+      (n, "low", s"$n rows: should complete quickly.")
+    else (n, "none", s"Small query ($n rows).")
   }
 
   /** Stream a result as the reference's JSON envelope. Rows stream in

@@ -90,6 +90,31 @@ final class HttpServer(
   private val mIngestBytes = new java.util.concurrent.atomic.AtomicLong
   private val mIngestErrors = new java.util.concurrent.atomic.AtomicLong
 
+  /** Per-source ingest counters (the reference keeps one set per
+    * handler — msgpack.go totalRequests etc.); the globals above
+    * aggregate across sources for /metrics. */
+  private final class SourceStats {
+    val requests = new java.util.concurrent.atomic.AtomicLong
+    val records = new java.util.concurrent.atomic.AtomicLong
+    val bytes = new java.util.concurrent.atomic.AtomicLong
+    val errors = new java.util.concurrent.atomic.AtomicLong
+  }
+  private val srcStats: Map[String, SourceStats] =
+    Seq("msgpack", "lp", "tle", "import").map(_ -> new SourceStats).toMap
+
+  private def ingested(source: String, records: Long, bytes: Long): Unit = {
+    val s = srcStats(source)
+    s.requests.incrementAndGet(); s.records.addAndGet(records)
+    s.bytes.addAndGet(bytes)
+    mIngestRequests.incrementAndGet(); mIngestRecords.addAndGet(records)
+    mIngestBytes.addAndGet(bytes)
+  }
+
+  private def ingestError(source: String): Unit = {
+    srcStats(source).errors.incrementAndGet()
+    mIngestErrors.incrementAndGet()
+  }
+
   private def metricPairs: Seq[(String, Long)] = Seq(
     "graft_queries_total" -> mQueries.get,
     "graft_query_errors_total" -> mQueryErrors.get,
@@ -173,13 +198,10 @@ final class HttpServer(
             ex.getResponseBody.write(body)
             ex.getResponseBody.close()
           }
-        case ("GET", "/api/v1/write/msgpack/stats") |
-             ("GET", "/api/v1/write/line-protocol/stats") |
-             ("GET", "/api/v1/write/tle/stats") | ("GET", "/api/v1/import/stats") =>
-          sendJson(ex, 200,
-            s"""{"success":true,"stats":{"total_requests":${mIngestRequests.get},""" +
-              s""""total_records":${mIngestRecords.get},"total_bytes":${mIngestBytes.get},""" +
-              s""""total_errors":${mIngestErrors.get}}}""")
+        case ("GET", "/api/v1/write/msgpack/stats") => sendStats(ex, "msgpack")
+        case ("GET", "/api/v1/write/line-protocol/stats") => sendStats(ex, "lp")
+        case ("GET", "/api/v1/write/tle/stats") => sendStats(ex, "tle")
+        case ("GET", "/api/v1/import/stats") => sendStats(ex, "import")
         case _ => sendJson(ex, 404, err(s"no route: $method $path"))
       }
     } catch {
@@ -202,6 +224,10 @@ final class HttpServer(
     mQueries.incrementAndGet()
     val sql = sqlField(readBody(ex))
     val db = headerDb(ex)
+    if (!catalog.isValidDatabaseName(db)) {
+      mQueryErrors.incrementAndGet()
+      sendJson(ex, 400, err(s"invalid database name: $db", ts)); return
+    }
     val (id, df) =
       try {
         ensureViews(db)
@@ -259,14 +285,11 @@ final class HttpServer(
     val sql = sqlField(readBody(ex))
     val db = headerDb(ex)
     try {
+      if (!catalog.isValidDatabaseName(db))
+        throw new IllegalArgumentException(s"invalid database name: $db")
       ensureViews(db)
-      val (n, _) = facade.estimate(sql)
-      // the reference's ladder (query.go:3725-3740)
-      val (level, message) =
-        if (n > 1000000L) ("high", s"Large query ($n rows): may take minutes and significant memory.")
-        else if (n > 100000L) ("medium", s"Medium query ($n rows): may take 30-60 seconds.")
-        else if (n > 10000L) ("low", s"$n rows: should complete quickly.")
-        else ("none", s"Small query ($n rows).")
+      // one warning ladder, owned by the facade (query.go:3725-3740)
+      val (n, level, message) = facade.estimate(sql)
       val ms = (System.nanoTime() - t0) / 1e6
       sendJson(ex, 200,
         s"""{"success":true,"estimated_rows":$n,"warning_level":${q(level)},""" +
@@ -307,10 +330,10 @@ final class HttpServer(
     val batches =
       try MsgPack.decodePayload(payload)
       catch { case e: Throwable =>
-        mIngestErrors.incrementAndGet()
+        ingestError("msgpack")
         sendJson(ex, 400, err("Invalid MessagePack payload: " + msg(e))); return
       }
-    writeBatches(ex, db, batches, payload.length.toLong)
+    writeBatches(ex, db, batches, payload.length.toLong, "msgpack")
   }
 
   private def handleWriteLp(ex: HttpExchange): Unit = {
@@ -325,28 +348,34 @@ final class HttpServer(
     if (points.isEmpty) {
       val detail = errors.headOption
         .map(e => s"line ${e.line}: ${e.message}").getOrElse("no points")
-      mIngestErrors.incrementAndGet()
+      ingestError("lp")
       sendJson(ex, 400, err(s"no valid points ($detail)")); return
     }
-    writeBatches(ex, db, ColumnarBatch.fromPoints(points), text.length.toLong)
+    writeBatches(ex, db, ColumnarBatch.fromPoints(points), text.length.toLong, "lp")
   }
 
   private def writeBatches(ex: HttpExchange, db: String,
-      batches: Seq[ColumnarBatch], payloadBytes: Long): Unit = {
+      batches: Seq[ColumnarBatch], payloadBytes: Long, source: String): Unit = {
     batches.find(b => MeasName.findFirstIn(b.measurement).isEmpty) match {
       case Some(bad) =>
-        mIngestErrors.incrementAndGet()
+        ingestError(source)
         sendJson(ex, 400, err(s"invalid measurement name: ${bad.measurement}"))
       case None =>
         batches.foreach { b =>
           DirectParquetWriter.write(catalog, db, b)
           viewOwner.remove(b.measurement) // stale listing: re-register lazily
         }
-        mIngestRequests.incrementAndGet()
-        mIngestRecords.addAndGet(batches.map(_.rowCount.toLong).sum)
-        mIngestBytes.addAndGet(payloadBytes)
+        ingested(source, batches.map(_.rowCount.toLong).sum, payloadBytes)
         ex.sendResponseHeaders(204, -1) // InfluxDB-compatible No Content
     }
+  }
+
+  private def sendStats(ex: HttpExchange, source: String): Unit = {
+    val s = srcStats(source)
+    sendJson(ex, 200,
+      s"""{"success":true,"stats":{"total_requests":${s.requests.get},""" +
+        s""""total_records":${s.records.get},"total_bytes":${s.bytes.get},""" +
+        s""""total_errors":${s.errors.get}}}""")
   }
 
   /** TLE satellite-element write (internal/api/tle.go:70): 3-line text
@@ -364,8 +393,12 @@ final class HttpServer(
     }
     val text = new String(decompressed(readBody(ex)), UTF_8)
     tleRows(db, meas, text) match {
-      case Left(e) => sendJson(ex, 400, err(e))
-      case Right(_) => ex.sendResponseHeaders(204, -1)
+      case Left(e) =>
+        ingestError("tle")
+        sendJson(ex, 400, err(e))
+      case Right(n) =>
+        ingested("tle", n, text.length.toLong)
+        ex.sendResponseHeaders(204, -1)
     }
   }
 
@@ -403,6 +436,7 @@ final class HttpServer(
     }
     def respond(rows: Long, meas: String): Unit = {
       viewOwner.remove(meas)
+      ingested("import", rows, fileBytes.length.toLong)
       sendJson(ex, 200,
         s"""{"success":true,"rows_imported":$rows,"measurement":${q(meas)},"database":${q(db)}}""")
     }
@@ -433,6 +467,7 @@ final class HttpServer(
         if (kept.isEmpty) {
           val detail = perrs.headOption.map(e => s"line ${e.line}: ${e.message}")
             .getOrElse("no points")
+          ingestError("import")
           sendJson(ex, 400, err(s"no valid points ($detail)"))
         } else {
           val batches = ColumnarBatch.fromPoints(kept)
@@ -440,6 +475,7 @@ final class HttpServer(
             DirectParquetWriter.write(catalog, db, b)
             viewOwner.remove(b.measurement)
           }
+          ingested("import", kept.size.toLong, fileBytes.length.toLong)
           sendJson(ex, 200,
             s"""{"success":true,"rows_imported":${kept.size},"database":${q(db)}}""")
         }
@@ -486,7 +522,10 @@ final class HttpServer(
       val headers = new String(body, hdrStart, he - hdrStart, UTF_8)
       val next = indexOf(delim, he + 4)
       if (next < 0) return None
-      if (headers.toLowerCase.contains("name=\"file\"")) {
+      // `(?:^|;)\s*name="file"` — a bare substring check would also
+      // match `filename="file"` and import the wrong part
+      if ("(?i)(?:^|;)\\s*name=\"file\"".r
+          .findFirstIn(headers.replace("\r\n", " ")).nonEmpty) {
         // part content ends with CRLF before the next boundary
         val end = next - 2
         return Some(java.util.Arrays.copyOfRange(body, he + 4, math.max(he + 4, end)))
@@ -515,29 +554,53 @@ final class HttpServer(
     if (where.contains(";") || where.contains("--")) {
       sendJson(ex, 400, err("invalid where clause")); return
     }
+    if (!catalog.isValidDatabaseName(db)) {
+      sendJson(ex, 400, err(s"invalid database name: $db")); return
+    }
     val sql = s"SELECT * FROM $meas" +
       (if (where.nonEmpty) s" WHERE $where" else "") +
       s" ORDER BY $orderBy LIMIT $limit"
     val ts = now()
+    // same registry/cancel/metrics path as POST /api/v1/query — a slow
+    // simple-read must be listable, cancellable, and counted, and must
+    // never run under a stale thread-local job group
+    mQueries.incrementAndGet()
+    val (id, df) =
+      try {
+        ensureViews(db)
+        facade.submit(sql, spark.sql)
+      } catch {
+        case e: AnalysisException =>
+          mQueryErrors.incrementAndGet()
+          sendJson(ex, 400, err(msg(e), ts)); return
+      }
+    ex.getResponseHeaders.set("X-Graft-Query-Id", id.toString)
+    var rows = -1L
     try {
-      ensureViews(db)
-      val df = spark.sql(sql)
       ex.getResponseHeaders.set("Content-Type", "application/json")
       ex.sendResponseHeaders(200, 0)
       val out = new java.io.BufferedOutputStream(ex.getResponseBody, 1 << 20)
-      facade.writeJsonEnvelope(df, out, maxRows,
+      rows = facade.writeJsonEnvelope(df, out, maxRows,
         headExtra = s""""success":true,"timestamp":${q(ts)},""")
       out.flush()
       ex.getResponseBody.close()
     } catch {
-      case e: AnalysisException => sendJson(ex, 400, err(msg(e), ts))
-    }
+      case e: Throwable =>
+        mQueryErrors.incrementAndGet()
+        try ex.getResponseBody.close() catch { case _: Throwable => () }
+        throw e
+    } finally facade.complete(id, rows)
   }
 
   // ---- catalog surface -------------------------------------------------
 
   private def handleMeasurements(ex: HttpExchange): Unit = {
     val filter = queryParams(ex).get("database")
+    filter.foreach { db =>
+      if (!catalog.isValidDatabaseName(db)) {
+        sendJson(ex, 400, err(s"invalid database parameter: $db")); return
+      }
+    }
     val dbs = filter.map(Seq(_)).getOrElse(catalog.listDatabases())
     val fs = new Path(catalogRoot)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -586,13 +649,27 @@ final class HttpServer(
 
   // ---- helpers ---------------------------------------------------------
 
-  private def ensureViews(db: String): Unit =
+  /** Register any missing/invalidated temp views for `db`'s
+    * measurements. The owner mark is put BEFORE register: a concurrent
+    * write completes by landing its file and THEN removing the mark, so
+    * whichever order the race resolves in, either the mark is gone
+    * (next query re-registers over the fresh listing) or the register
+    * started after the write finished (listing already fresh). Marking
+    * after register would let a remove land between register and put —
+    * a lost invalidation that leaves the stale snapshot pinned forever.
+    * Temp views are session-global, so concurrent queries against TWO
+    * databases sharing a measurement name contend on the view slot —
+    * same-name multi-db serving should use per-db SparkSessions
+    * (`spark.newSession()`), one HttpServer each. */
+  private val regLock = new Object
+  private def ensureViews(db: String): Unit = regLock.synchronized {
     catalog.listTables(db).foreach { m =>
       if (!viewOwner.get(m).contains(db)) {
-        catalog.register(db, m)
         viewOwner.put(m, db)
+        catalog.register(db, m)
       }
     }
+  }
 
   private def authorized(ex: HttpExchange): Boolean = authToken match {
     case None => true

@@ -146,6 +146,16 @@ class ContainmentDedupSpec extends SparkSpec {
     val b2 = ContainmentDedup.pairsBitmask(sparse, "doc_id", "text", 2, 0.6)
       .orderBy("doc1", "doc2").collect().toSeq
     assert(n2 == b2)
+    // result schema is strategy-independent: an int id stays int (the
+    // kernel's internal long cast must not leak into the output)
+    val intIds = sparse.withColumn("doc_id",
+      org.apache.spark.sql.functions.col("doc_id").cast("int"))
+    val bi = ContainmentDedup.pairsBitmask(intIds, "doc_id", "text", 2, 0.6)
+    assert(bi.schema("doc1").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(bi.orderBy("doc1", "doc2").collect().toSeq ==
+      ContainmentDedup.pairs(intIds, "doc_id", "text", 2, 0.6)
+        .orderBy("doc1", "doc2").collect().toSeq)
   }
 
   test("sorted_intersect_count matches size(array_intersect) on sorted sets") {

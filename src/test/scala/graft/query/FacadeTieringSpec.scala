@@ -70,10 +70,14 @@ class QueryFacadeSpec extends SparkSpec {
     } finally df.unpersist()
   }
 
-  test("estimate wraps the query in COUNT(*)") {
+  test("estimate wraps the query in COUNT(*), reference warning ladder") {
     val f = facade
-    val (n, warn) = f.estimate("SELECT * FROM range(1234)")
-    assert(n == 1234 && warn == "ok")
+    val (n, warn, msg) = f.estimate("SELECT * FROM range(1234)")
+    assert(n == 1234 && warn == "none" && msg.contains("1234"))
+    val (n2, warn2, _) = f.estimate("SELECT * FROM range(20000)")
+    assert(n2 == 20000 && warn2 == "low")
+    val (n3, warn3, _) = f.estimate("SELECT * FROM range(2000000)")
+    assert(n3 == 2000000 && warn3 == "high")
   }
 
   test("SHOW DATABASES / SHOW TABLES intercepted as storage listings") {

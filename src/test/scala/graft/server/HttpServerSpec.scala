@@ -168,6 +168,13 @@ class HttpServerSpec extends SparkSpec {
     assert(env.get("error").asText().nonEmpty)
     assert(post("/api/v1/query", """{"nope":1}""".getBytes(UTF_8))
       .statusCode() == 400)
+    // planning failure must unwind the registry: no phantom entry left
+    // behind to mis-route a later cancel
+    assert(json(get("/api/v1/queries")).get("queries").size() == 0)
+    // traversal-shaped database names rejected on the read paths
+    assert(post("/api/v1/query", sqlBody("SELECT 1"),
+      Map("x-arc-database" -> "../..")).statusCode() == 400)
+    assert(get("/api/v1/measurements?database=..%2F..").statusCode() == 400)
   }
 
   test("measurements, databases lifecycle, health, ready") {
