@@ -324,6 +324,34 @@ class HttpServerSpec extends SparkSpec {
     } finally s2.stop()
   }
 
+  test("concurrent writers and readers: no errors, all writes visible at quiesce") {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val errors = new java.util.concurrent.atomic.AtomicInteger
+    val writes = 12
+    val futs = (0 until writes).map { _ =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          // interleave writes to one measurement with queries over it
+          val w = post("/api/v1/write/msgpack", cpuPayload(4, "cpuc"))
+          if (w.statusCode() != 204) errors.incrementAndGet()
+          // this task's own write already returned 204, so the table
+          // exists — the query must succeed whatever the interleaving
+          val r = post("/api/v1/query",
+            sqlBody("SELECT count(*) AS n FROM cpuc"))
+          if (r.statusCode() != 200) errors.incrementAndGet()
+        }
+      })
+    }
+    futs.foreach(_.get())
+    pool.shutdown()
+    assert(errors.get() == 0, s"${errors.get()} concurrent requests failed")
+    // quiesce: the final count must see every write (no lost
+    // invalidation pinning a stale view)
+    val n = json(post("/api/v1/query", sqlBody("SELECT count(*) AS n FROM cpuc")))
+      .get("data").get(0).get(0).asLong()
+    assert(n == writes * 4L, s"expected ${writes * 4} rows visible, got $n")
+  }
+
   test("oversized payload is rejected before decode") {
     server.maxPayloadBytes = 64
     try {
