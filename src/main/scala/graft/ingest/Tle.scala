@@ -81,8 +81,14 @@ object Tle {
 
   /** TLE text → DataFrame (typed via product encoder). */
   def toDataFrame(spark: org.apache.spark.sql.SparkSession, text: String)
-      : org.apache.spark.sql.DataFrame = {
+      : org.apache.spark.sql.DataFrame =
+    toDataFrame(spark, parse(text)._1)
+
+  /** Already-parsed elements → DataFrame — callers that ran [[parse]]
+    * for validation avoid a second full parse of the payload. */
+  def toDataFrame(spark: org.apache.spark.sql.SparkSession,
+      elements: Seq[Element]): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
-    parse(text)._1.toDF()
+    elements.toDF()
   }
 }

@@ -125,11 +125,21 @@ final class HttpServer(
     "graft_ingest_errors_total" -> mIngestErrors.get,
     "graft_uptime_seconds" -> (System.nanoTime() - startedAt) / 1000000000L)
 
-  // measurement -> owning db of the currently registered temp view.
-  // Spark file-source views snapshot their file listing at registration,
-  // so writes drop the entry and the next query re-registers (fresh
-  // listing); queries only pay registration for unseen/invalidated views.
-  private val viewOwner = TrieMap.empty[String, String]
+  // View freshness is version-stamped: every write bumps the
+  // measurement's version; a registered temp view records the (db,
+  // version) it was built against. Spark file-source views snapshot
+  // their file listing at registration, so any version mismatch means
+  // the snapshot may predate a write and the view re-registers. The
+  // version is read BEFORE registering, so a write landing DURING
+  // registration leaves version > stamp and the next query refreshes —
+  // no interleaving can lose an invalidation, and the stamp only
+  // appears after the view actually exists (no thread can race past a
+  // half-registered view).
+  private val viewVersion = TrieMap.empty[String, Long]
+  private val viewState = TrieMap.empty[String, (String, Long)]
+
+  private def invalidateView(m: String): Unit =
+    viewVersion.updateWith(m)(v => Some(v.getOrElse(0L) + 1L))
 
   private val server = JdkHttpServer.create(new InetSocketAddress("127.0.0.1", port), 64)
   private val pool = Executors.newCachedThreadPool(r => {
@@ -222,7 +232,12 @@ final class HttpServer(
   private def handleQuery(ex: HttpExchange, wire: String): Unit = {
     val ts = now()
     mQueries.incrementAndGet()
-    val sql = sqlField(readBody(ex))
+    val sql =
+      try sqlField(readBody(ex))
+      catch { case e: IllegalArgumentException =>
+        mQueryErrors.incrementAndGet()
+        sendJson(ex, 400, err(msg(e), ts)); return
+      }
     val db = headerDb(ex)
     if (!catalog.isValidDatabaseName(db)) {
       mQueryErrors.incrementAndGet()
@@ -363,7 +378,7 @@ final class HttpServer(
       case None =>
         batches.foreach { b =>
           DirectParquetWriter.write(catalog, db, b)
-          viewOwner.remove(b.measurement) // stale listing: re-register lazily
+          invalidateView(b.measurement) // stale listing: re-register lazily
         }
         ingested(source, batches.map(_.rowCount.toLong).sum, payloadBytes)
         ex.sendResponseHeaders(204, -1) // InfluxDB-compatible No Content
@@ -406,12 +421,12 @@ final class HttpServer(
     val (elems, errors) = graft.ingest.Tle.parse(text)
     if (elems.isEmpty)
       return Left(errors.headOption.getOrElse("no TLE elements in payload"))
-    val df = graft.ingest.Tle.toDataFrame(spark, text)
+    val df = graft.ingest.Tle.toDataFrame(spark, elems)
       .withColumn("time", timestamp_micros(col("epochMicros")))
       .drop("epochMicros")
     val n = graft.ingest.HourPartitionedWriter.write(catalog, db, meas, df,
       countRows = true)
-    viewOwner.remove(meas)
+    invalidateView(meas)
     Right(n)
   }
 
@@ -431,16 +446,20 @@ final class HttpServer(
     if (fileBytes.isEmpty) { sendJson(ex, 400, err("empty upload")); return }
     def needMeasurement(): Option[String] = params.get("measurement") match {
       case Some(m) if MeasName.findFirstIn(m).nonEmpty => Some(m)
-      case Some(m) => sendJson(ex, 400, err(s"invalid measurement name: $m")); None
-      case None => sendJson(ex, 400, err("measurement query param is required")); None
+      case Some(m) =>
+        ingestError("import")
+        sendJson(ex, 400, err(s"invalid measurement name: $m")); None
+      case None =>
+        ingestError("import")
+        sendJson(ex, 400, err("measurement query param is required")); None
     }
     def respond(rows: Long, meas: String): Unit = {
-      viewOwner.remove(meas)
+      invalidateView(meas)
       ingested("import", rows, fileBytes.length.toLong)
       sendJson(ex, 200,
         s"""{"success":true,"rows_imported":$rows,"measurement":${q(meas)},"database":${q(db)}}""")
     }
-    kind match {
+    try kind match {
       case "csv" => needMeasurement().foreach { m =>
         val tmp = java.nio.file.Files.createTempFile("graft_import", ".csv")
         java.nio.file.Files.write(tmp, fileBytes)
@@ -471,22 +490,37 @@ final class HttpServer(
           sendJson(ex, 400, err(s"no valid points ($detail)"))
         } else {
           val batches = ColumnarBatch.fromPoints(kept)
-          batches.foreach { b =>
-            DirectParquetWriter.write(catalog, db, b)
-            viewOwner.remove(b.measurement)
+          // same MeasName gate as every other write path — an LP line
+          // names its own measurement, and '../../evil' must not
+          // become a storage path
+          batches.find(b => MeasName.findFirstIn(b.measurement).isEmpty) match {
+            case Some(bad) =>
+              ingestError("import")
+              sendJson(ex, 400,
+                err(s"invalid measurement name: ${bad.measurement}"))
+            case None =>
+              batches.foreach { b =>
+                DirectParquetWriter.write(catalog, db, b)
+                invalidateView(b.measurement)
+              }
+              ingested("import", kept.size.toLong, fileBytes.length.toLong)
+              sendJson(ex, 200,
+                s"""{"success":true,"rows_imported":${kept.size},"database":${q(db)}}""")
           }
-          ingested("import", kept.size.toLong, fileBytes.length.toLong)
-          sendJson(ex, 200,
-            s"""{"success":true,"rows_imported":${kept.size},"database":${q(db)}}""")
         }
       case "tle" =>
         val meas = params.getOrElse("measurement", "satellite_tle")
-        if (MeasName.findFirstIn(meas).isEmpty)
+        if (MeasName.findFirstIn(meas).isEmpty) {
+          ingestError("import")
           sendJson(ex, 400, err(s"invalid measurement name: $meas"))
-        else tleRows(db, meas, new String(fileBytes, UTF_8)) match {
-          case Left(e) => sendJson(ex, 400, err(e))
+        } else tleRows(db, meas, new String(fileBytes, UTF_8)) match {
+          case Left(e) =>
+            ingestError("import")
+            sendJson(ex, 400, err(e))
           case Right(n) => respond(n, meas)
         }
+    } catch {
+      case e: Throwable => ingestError("import"); throw e
     }
   }
 
@@ -539,32 +573,44 @@ final class HttpServer(
     * endpoint (query.go:3923): SELECT * with validated limit / order_by
     * / where, returned as the JSON envelope. */
   private def handleQueryMeasurement(ex: HttpExchange, meas: String): Unit = {
+    // count first so queries_total - query_errors_total = successes,
+    // matching handleQuery's accounting
+    mQueries.incrementAndGet()
+    def reject(message: String): Unit = {
+      mQueryErrors.incrementAndGet()
+      sendJson(ex, 400, err(message))
+    }
     val params = queryParams(ex)
     val db = params.getOrElse("database", headerDb(ex))
     val limit = params.getOrElse("limit", "100").toIntOption.getOrElse(-1)
     if (limit < 0 || limit > 1000000) {
-      sendJson(ex, 400, err("Invalid limit: must be a positive integer up to 1000000"))
+      reject("Invalid limit: must be a non-negative integer up to 1000000")
       return
     }
     val orderBy = params.getOrElse("order_by", "time DESC")
     if (!orderBy.matches("[A-Za-z0-9_]+(\\s+(?i:ASC|DESC))?(\\s*,\\s*[A-Za-z0-9_]+(\\s+(?i:ASC|DESC))?)*")) {
-      sendJson(ex, 400, err(s"invalid order_by: $orderBy")); return
+      reject(s"invalid order_by: $orderBy"); return
     }
     val where = params.getOrElse("where", "")
     if (where.contains(";") || where.contains("--")) {
-      sendJson(ex, 400, err("invalid where clause")); return
+      reject("invalid where clause"); return
     }
     if (!catalog.isValidDatabaseName(db)) {
-      sendJson(ex, 400, err(s"invalid database name: $db")); return
+      reject(s"invalid database name: $db"); return
     }
-    val sql = s"SELECT * FROM $meas" +
+    // backtick-quote identifiers: MeasName allows '-', which unquoted
+    // would parse as subtraction
+    val orderSql = orderBy.split(",").map(_.trim).map { part =>
+      val bits = part.split("\\s+", 2)
+      "`" + bits(0) + "`" + (if (bits.length > 1) " " + bits(1) else "")
+    }.mkString(", ")
+    val sql = s"SELECT * FROM `$meas`" +
       (if (where.nonEmpty) s" WHERE $where" else "") +
-      s" ORDER BY $orderBy LIMIT $limit"
+      s" ORDER BY $orderSql LIMIT $limit"
     val ts = now()
-    // same registry/cancel/metrics path as POST /api/v1/query — a slow
-    // simple-read must be listable, cancellable, and counted, and must
-    // never run under a stale thread-local job group
-    mQueries.incrementAndGet()
+    // same registry/cancel path as POST /api/v1/query — a slow
+    // simple-read must be listable, cancellable, and must never run
+    // under a stale thread-local job group
     val (id, df) =
       try {
         ensureViews(db)
@@ -662,11 +708,23 @@ final class HttpServer(
     * same-name multi-db serving should use per-db SparkSessions
     * (`spark.newSession()`), one HttpServer each. */
   private val regLock = new Object
-  private def ensureViews(db: String): Unit = regLock.synchronized {
-    catalog.listTables(db).foreach { m =>
-      if (!viewOwner.get(m).contains(db)) {
-        viewOwner.put(m, db)
-        catalog.register(db, m)
+  private def ensureViews(db: String): Unit = {
+    // listing runs per request (it discovers new measurements; a
+    // metadata LIST, no data touched). Fast path: when every view is
+    // registered at the current version, no lock — concurrent queries
+    // to registered measurements never serialize behind a slow
+    // registration.
+    val tables = catalog.listTables(db)
+    def fresh(m: String): Boolean =
+      viewState.get(m).contains((db, viewVersion.getOrElse(m, 0L)))
+    if (tables.forall(fresh)) return
+    regLock.synchronized {
+      tables.foreach { m =>
+        val v = viewVersion.getOrElse(m, 0L) // BEFORE register, see above
+        if (!viewState.get(m).contains((db, v))) {
+          catalog.register(db, m)
+          viewState.put(m, (db, v))
+        }
       }
     }
   }
