@@ -562,7 +562,7 @@ object TextQueries {
         |enc(it, w, pos, sym) AS (
         |  SELECT 0, w, pos, sym FROM einit
         |  UNION ALL
-        |  (WITH cur AS (SELECT * FROM enc WHERE it < 100),
+        |  (WITH cur AS (SELECT * FROM enc WHERE it < 1000),
         |    pairs AS (SELECT it, w, pos, sym AS a,
         |        lead(sym) OVER (PARTITION BY w ORDER BY pos) AS b FROM cur),
         |    cand AS (SELECT p.*, m.rank FROM pairs p

@@ -135,11 +135,22 @@ final class HttpServer(
   // no interleaving can lose an invalidation, and the stamp only
   // appears after the view actually exists (no thread can race past a
   // half-registered view).
-  private val viewVersion = TrieMap.empty[String, Long]
+  // NOTE: temp views are session-global, so concurrent queries against
+  // TWO databases sharing a measurement name contend on the view slot —
+  // same-name multi-db serving should use per-db SparkSessions
+  // (`spark.newSession()`), one HttpServer each.
+  private val viewVersion =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]
   private val viewState = TrieMap.empty[String, (String, Long)]
 
   private def invalidateView(m: String): Unit =
-    viewVersion.updateWith(m)(v => Some(v.getOrElse(0L) + 1L))
+    viewVersion.computeIfAbsent(m, _ => new java.util.concurrent.atomic.AtomicLong)
+      .incrementAndGet()
+
+  private def versionOf(m: String): Long = {
+    val v = viewVersion.get(m)
+    if (v == null) 0L else v.get
+  }
 
   private val server = JdkHttpServer.create(new InetSocketAddress("127.0.0.1", port), 64)
   private val pool = Executors.newCachedThreadPool(r => {
@@ -716,11 +727,11 @@ final class HttpServer(
     // registration.
     val tables = catalog.listTables(db)
     def fresh(m: String): Boolean =
-      viewState.get(m).contains((db, viewVersion.getOrElse(m, 0L)))
+      viewState.get(m).contains((db, versionOf(m)))
     if (tables.forall(fresh)) return
     regLock.synchronized {
       tables.foreach { m =>
-        val v = viewVersion.getOrElse(m, 0L) // BEFORE register, see above
+        val v = versionOf(m) // BEFORE register, see above
         if (!viewState.get(m).contains((db, v))) {
           catalog.register(db, m)
           viewState.put(m, (db, v))
