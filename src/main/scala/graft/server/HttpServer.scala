@@ -177,6 +177,17 @@ final class HttpServer(
     val method = ex.getRequestMethod.toUpperCase
     val path = ex.getRequestURI.getPath
     try {
+      // CORS, mirroring the reference's middleware (server.go:132-136);
+      // response compression stays off there too (manual body handling)
+      val h = ex.getResponseHeaders
+      h.set("Access-Control-Allow-Origin", "*")
+      if (method == "OPTIONS") {
+        h.set("Access-Control-Allow-Methods", "GET,POST,PUT,DELETE,OPTIONS")
+        h.set("Access-Control-Allow-Headers",
+          "Origin,Content-Type,Accept,Authorization,x-api-key,x-arc-database,Content-Encoding")
+        ex.sendResponseHeaders(204, -1)
+        return
+      }
       if (!authorized(ex)) { sendJson(ex, 401, err("unauthorized")); return }
       (method, path) match {
         case ("POST", "/api/v1/query") => handleQuery(ex, negotiated(ex))

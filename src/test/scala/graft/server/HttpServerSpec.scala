@@ -352,6 +352,16 @@ class HttpServerSpec extends SparkSpec {
     assert(n == writes * 4L, s"expected ${writes * 4} rows visible, got $n")
   }
 
+  test("CORS: allow-origin on every response, OPTIONS preflight 204") {
+    val r = get("/health")
+    assert(r.headers().firstValue("Access-Control-Allow-Origin").orElse("") == "*")
+    val opt = client.send(HttpRequest.newBuilder(URI.create(base + "/api/v1/query"))
+      .method("OPTIONS", HttpRequest.BodyPublishers.noBody()).build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+    assert(opt.statusCode() == 204)
+    assert(opt.headers().firstValue("Access-Control-Allow-Methods").isPresent)
+  }
+
   test("oversized payload is rejected before decode") {
     server.maxPayloadBytes = 64
     try {
