@@ -49,13 +49,19 @@ final class QueryFacade(spark: SparkSession) {
   /** SHOW DATABASES / SHOW TABLES [FROM db] intercepted as storage
     * listings against a catalog (the reference diverts these before the
     * executor, query.go:50-58); everything else goes to spark.sql. */
-  def sqlWithShow(q: String, catalog: graft.catalog.GraftCatalog): DataFrame = {
+  def sqlWithShow(q: String, catalog: graft.catalog.GraftCatalog): DataFrame =
+    sqlWithShow(q, catalog, spark.sql)
+
+  /** [[sqlWithShow]] with a custom runner for the non-SHOW branch (the
+    * HTTP layer resolves views in a per-database child session). */
+  def sqlWithShow(q: String, catalog: graft.catalog.GraftCatalog,
+      run: String => DataFrame): DataFrame = {
     val showDb = "(?i)^\\s*SHOW\\s+DATABASES\\s*;?\\s*$".r
     val showTables = "(?i)^\\s*SHOW\\s+TABLES(?:\\s+FROM\\s+(\\w+))?\\s*;?\\s*$".r
     q match {
       case showDb() => catalog.showDatabases()
       case showTables(db) => catalog.showTables(Option(db).getOrElse("default"))
-      case _ => spark.sql(q)
+      case _ => run(q)
     }
   }
 
@@ -125,8 +131,11 @@ final class QueryFacade(spark: SparkSession) {
     * (query.go:3725-3740: none/low/medium/high at 1e4/1e5/1e6) — ONE
     * ladder, shared by the HTTP estimate endpoint so the two can't
     * drift. Returns (rows, warning_level, warning_message). */
-  def estimate(q: String): (Long, String, String) = {
-    val n = spark.sql(s"SELECT COUNT(*) AS n FROM ($q)").head().getLong(0)
+  def estimate(q: String): (Long, String, String) = estimate(q, spark.sql)
+
+  /** [[estimate]] with a custom runner (per-database sessions). */
+  def estimate(q: String, run: String => DataFrame): (Long, String, String) = {
+    val n = run(s"SELECT COUNT(*) AS n FROM ($q)").head().getLong(0)
     if (n > 1000000L)
       (n, "high", s"Large query ($n rows): may take minutes and significant memory.")
     else if (n > 100000L)

@@ -70,6 +70,21 @@ final class HttpServer(
   val catalog = new GraftCatalog(spark, catalogRoot)
   val facade = new QueryFacade(spark)
 
+  // Per-database child sessions: temp views are session-scoped, so each
+  // database resolves measurement names in its OWN session — two
+  // databases sharing a measurement name serve concurrently without
+  // contending on one view slot (newSession shares the SparkContext and
+  // cached data; job groups live on the shared context, so the single
+  // registry/cancel id-space still covers every session's queries).
+  private val dbSessions = TrieMap.empty[String, (SparkSession, GraftCatalog)]
+
+  private def sessionFor(db: String): (SparkSession, GraftCatalog) =
+    dbSessions.getOrElseUpdate(db, {
+      val s = spark.newSession()
+      graft.GraftFunctions.registerAll(s) // function registry is per-session
+      (s, new GraftCatalog(s, catalogRoot))
+    })
+
   /** Governance row cap applied to every query result (the reference's
     * `query.max_result_rows`, query.go:1439-1468); MaxValue = off. */
   @volatile var maxRows: Long = Long.MaxValue
@@ -135,20 +150,20 @@ final class HttpServer(
   // no interleaving can lose an invalidation, and the stamp only
   // appears after the view actually exists (no thread can race past a
   // half-registered view).
-  // NOTE: temp views are session-global, so concurrent queries against
-  // TWO databases sharing a measurement name contend on the view slot —
-  // same-name multi-db serving should use per-db SparkSessions
-  // (`spark.newSession()`), one HttpServer each.
+  // Views register into each database's child session (sessionFor), so
+  // same-named measurements in different databases never contend;
+  // freshness keys are therefore "db/measurement".
   private val viewVersion =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]
   private val viewState = TrieMap.empty[String, (String, Long)]
 
-  private def invalidateView(m: String): Unit =
-    viewVersion.computeIfAbsent(m, _ => new java.util.concurrent.atomic.AtomicLong)
+  private def invalidateView(db: String, m: String): Unit =
+    viewVersion.computeIfAbsent(s"$db/$m",
+        _ => new java.util.concurrent.atomic.AtomicLong)
       .incrementAndGet()
 
-  private def versionOf(m: String): Long = {
-    val v = viewVersion.get(m)
+  private def versionOf(db: String, m: String): Long = {
+    val v = viewVersion.get(s"$db/$m")
     if (v == null) 0L else v.get
   }
 
@@ -268,7 +283,8 @@ final class HttpServer(
     val (id, df) =
       try {
         ensureViews(db)
-        facade.submit(sql, q => facade.sqlWithShow(q, catalog))
+        val (sess, dbCat) = sessionFor(db)
+        facade.submit(sql, q => facade.sqlWithShow(q, dbCat, sess.sql))
       } catch {
         case e: AnalysisException =>
           mQueryErrors.incrementAndGet()
@@ -326,7 +342,7 @@ final class HttpServer(
         throw new IllegalArgumentException(s"invalid database name: $db")
       ensureViews(db)
       // one warning ladder, owned by the facade (query.go:3725-3740)
-      val (n, level, message) = facade.estimate(sql)
+      val (n, level, message) = facade.estimate(sql, sessionFor(db)._1.sql)
       val ms = (System.nanoTime() - t0) / 1e6
       sendJson(ex, 200,
         s"""{"success":true,"estimated_rows":$n,"warning_level":${q(level)},""" +
@@ -400,7 +416,7 @@ final class HttpServer(
       case None =>
         batches.foreach { b =>
           DirectParquetWriter.write(catalog, db, b)
-          invalidateView(b.measurement) // stale listing: re-register lazily
+          invalidateView(db, b.measurement) // stale listing: re-register lazily
         }
         ingested(source, batches.map(_.rowCount.toLong).sum, payloadBytes)
         ex.sendResponseHeaders(204, -1) // InfluxDB-compatible No Content
@@ -448,7 +464,7 @@ final class HttpServer(
       .drop("epochMicros")
     val n = graft.ingest.HourPartitionedWriter.write(catalog, db, meas, df,
       countRows = true)
-    invalidateView(meas)
+    invalidateView(db, meas)
     Right(n)
   }
 
@@ -476,7 +492,7 @@ final class HttpServer(
         sendJson(ex, 400, err("measurement query param is required")); None
     }
     def respond(rows: Long, meas: String): Unit = {
-      invalidateView(meas)
+      invalidateView(db, meas)
       ingested("import", rows, fileBytes.length.toLong)
       sendJson(ex, 200,
         s"""{"success":true,"rows_imported":$rows,"measurement":${q(meas)},"database":${q(db)}}""")
@@ -523,7 +539,7 @@ final class HttpServer(
             case None =>
               batches.foreach { b =>
                 DirectParquetWriter.write(catalog, db, b)
-                invalidateView(b.measurement)
+                invalidateView(db, b.measurement)
               }
               ingested("import", kept.size.toLong, fileBytes.length.toLong)
               sendJson(ex, 200,
@@ -636,7 +652,7 @@ final class HttpServer(
     val (id, df) =
       try {
         ensureViews(db)
-        facade.submit(sql, spark.sql)
+        facade.submit(sql, sessionFor(db)._1.sql)
       } catch {
         case e: AnalysisException =>
           mQueryErrors.incrementAndGet()
@@ -735,17 +751,19 @@ final class HttpServer(
     // metadata LIST, no data touched). Fast path: when every view is
     // registered at the current version, no lock — concurrent queries
     // to registered measurements never serialize behind a slow
-    // registration.
+    // registration. Views register in the DATABASE's child session, so
+    // same-named measurements in different databases never collide.
     val tables = catalog.listTables(db)
     def fresh(m: String): Boolean =
-      viewState.get(m).contains((db, versionOf(m)))
+      viewState.get(s"$db/$m").contains((db, versionOf(db, m)))
     if (tables.forall(fresh)) return
+    val dbCat = sessionFor(db)._2
     regLock.synchronized {
       tables.foreach { m =>
-        val v = versionOf(m) // BEFORE register, see above
-        if (!viewState.get(m).contains((db, v))) {
-          catalog.register(db, m)
-          viewState.put(m, (db, v))
+        val v = versionOf(db, m) // BEFORE register, see above
+        if (!viewState.get(s"$db/$m").contains((db, v))) {
+          dbCat.register(db, m)
+          viewState.put(s"$db/$m", (db, v))
         }
       }
     }

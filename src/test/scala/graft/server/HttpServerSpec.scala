@@ -352,6 +352,21 @@ class HttpServerSpec extends SparkSpec {
     assert(n == writes * 4L, s"expected ${writes * 4} rows visible, got $n")
   }
 
+  test("two databases sharing a measurement name resolve independently") {
+    // same measurement name, different row counts per database — each
+    // query must see ITS database's data (per-db child sessions)
+    assert(post("/api/v1/write/msgpack", cpuPayload(3, "shared"),
+      Map("x-arc-database" -> "dbx")).statusCode() == 204)
+    assert(post("/api/v1/write/msgpack", cpuPayload(5, "shared"),
+      Map("x-arc-database" -> "dby")).statusCode() == 204)
+    def countIn(db: String): Long =
+      json(post("/api/v1/query", sqlBody("SELECT count(*) AS n FROM shared"),
+        Map("x-arc-database" -> db))).get("data").get(0).get(0).asLong()
+    assert(countIn("dbx") == 3)
+    assert(countIn("dby") == 5)
+    assert(countIn("dbx") == 3) // and back again — no view-slot theft
+  }
+
   test("CORS: allow-origin on every response, OPTIONS preflight 204") {
     val r = get("/health")
     assert(r.headers().firstValue("Access-Control-Allow-Origin").orElse("") == "*")
