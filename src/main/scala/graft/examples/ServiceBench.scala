@@ -128,8 +128,11 @@ object ServiceBench {
     val result = li.union(li).union(li).union(li).union(li)
       .limit(3000000).repartition(32).persist()
     val nRows = result.count()
-    result.createOrReplaceTempView("li_svc")
-    val sql = "SELECT * FROM li_svc"
+    // global temp view: the serving layer resolves names in per-db
+    // child sessions, and global_temp is the catalog namespace Spark
+    // shares across every session of one context
+    result.createOrReplaceGlobalTempView("li_svc")
+    val sql = "SELECT * FROM global_temp.li_svc"
 
     // raw-socket client: the JDK HttpClient tops out around ~250 MB/s on
     // a drain, which would measure the CLIENT, not the server (the

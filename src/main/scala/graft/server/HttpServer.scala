@@ -85,6 +85,11 @@ final class HttpServer(
       (s, new GraftCatalog(s, catalogRoot))
     })
 
+  /** The child session a database's queries resolve in — embedders that
+    * register extra temp views (benches, notebooks) must register them
+    * HERE, not in the root session. */
+  def dbSession(db: String): SparkSession = sessionFor(db)._1
+
   /** Governance row cap applied to every query result (the reference's
     * `query.max_result_rows`, query.go:1439-1468); MaxValue = off. */
   @volatile var maxRows: Long = Long.MaxValue
