@@ -160,7 +160,7 @@ final class HttpServer(
   // freshness keys are therefore "db/measurement".
   private val viewVersion =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]
-  private val viewState = TrieMap.empty[String, (String, Long)]
+  private val viewState = TrieMap.empty[String, Long] // "db/m" -> stamped version
 
   private def invalidateView(db: String, m: String): Unit =
     viewVersion.computeIfAbsent(s"$db/$m",
@@ -285,6 +285,13 @@ final class HttpServer(
       mQueryErrors.incrementAndGet()
       sendJson(ex, 400, err(s"invalid database name: $db", ts)); return
     }
+    // existence gate BEFORE creating a child session: each distinct db
+    // name allocates a SparkSession, so only real databases may
+    // ("default" is created lazily by the first write)
+    if (db != "default" && !catalog.listDatabases().contains(db)) {
+      mQueryErrors.incrementAndGet()
+      sendJson(ex, 404, err(s"database not found: $db", ts)); return
+    }
     val (id, df) =
       try {
         ensureViews(db)
@@ -345,6 +352,8 @@ final class HttpServer(
     try {
       if (!catalog.isValidDatabaseName(db))
         throw new IllegalArgumentException(s"invalid database name: $db")
+      if (db != "default" && !catalog.listDatabases().contains(db))
+        throw new IllegalArgumentException(s"database not found: $db")
       ensureViews(db)
       // one warning ladder, owned by the facade (query.go:3725-3740)
       val (n, level, message) = facade.estimate(sql, sessionFor(db)._1.sql)
@@ -412,21 +421,31 @@ final class HttpServer(
     writeBatches(ex, db, ColumnarBatch.fromPoints(points), text.length.toLong, "lp")
   }
 
-  private def writeBatches(ex: HttpExchange, db: String,
-      batches: Seq[ColumnarBatch], payloadBytes: Long, source: String): Unit = {
+  /** Shared write core for every batch path: the MeasName gate, the
+    * parquet writes, and the view invalidation live in ONE place so the
+    * endpoints can't drift. Returns the invalid name, or rows written. */
+  private def writeCore(db: String,
+      batches: Seq[ColumnarBatch]): Either[String, Long] =
     batches.find(b => MeasName.findFirstIn(b.measurement).isEmpty) match {
-      case Some(bad) =>
-        ingestError(source)
-        sendJson(ex, 400, err(s"invalid measurement name: ${bad.measurement}"))
+      case Some(bad) => Left(bad.measurement)
       case None =>
         batches.foreach { b =>
           DirectParquetWriter.write(catalog, db, b)
           invalidateView(db, b.measurement) // stale listing: re-register lazily
         }
+        Right(batches.map(_.rowCount.toLong).sum)
+    }
+
+  private def writeBatches(ex: HttpExchange, db: String,
+      batches: Seq[ColumnarBatch], payloadBytes: Long, source: String): Unit =
+    writeCore(db, batches) match {
+      case Left(bad) =>
+        ingestError(source)
+        sendJson(ex, 400, err(s"invalid measurement name: $bad"))
+      case Right(_) =>
         ingested(source, batches.map(_.rowCount.toLong).sum, payloadBytes)
         ex.sendResponseHeaders(204, -1) // InfluxDB-compatible No Content
     }
-  }
 
   private def sendStats(ex: HttpExchange, source: String): Unit = {
     val s = srcStats(source)
@@ -482,11 +501,15 @@ final class HttpServer(
     val params = queryParams(ex)
     val db = params.get("db").orElse(headerDbOpt(ex)).getOrElse("default")
     if (!catalog.isValidDatabaseName(db)) {
+      ingestError("import")
       sendJson(ex, 400, err(s"invalid database name: $db")); return
     }
     val body = readBody(ex)
     val fileBytes = multipartFile(ex, body).getOrElse(body)
-    if (fileBytes.isEmpty) { sendJson(ex, 400, err("empty upload")); return }
+    if (fileBytes.isEmpty) {
+      ingestError("import")
+      sendJson(ex, 400, err("empty upload")); return
+    }
     def needMeasurement(): Option[String] = params.get("measurement") match {
       case Some(m) if MeasName.findFirstIn(m).nonEmpty => Some(m)
       case Some(m) =>
@@ -531,25 +554,14 @@ final class HttpServer(
             .getOrElse("no points")
           ingestError("import")
           sendJson(ex, 400, err(s"no valid points ($detail)"))
-        } else {
-          val batches = ColumnarBatch.fromPoints(kept)
-          // same MeasName gate as every other write path — an LP line
-          // names its own measurement, and '../../evil' must not
-          // become a storage path
-          batches.find(b => MeasName.findFirstIn(b.measurement).isEmpty) match {
-            case Some(bad) =>
-              ingestError("import")
-              sendJson(ex, 400,
-                err(s"invalid measurement name: ${bad.measurement}"))
-            case None =>
-              batches.foreach { b =>
-                DirectParquetWriter.write(catalog, db, b)
-                invalidateView(db, b.measurement)
-              }
-              ingested("import", kept.size.toLong, fileBytes.length.toLong)
-              sendJson(ex, 200,
-                s"""{"success":true,"rows_imported":${kept.size},"database":${q(db)}}""")
-          }
+        } else writeCore(db, ColumnarBatch.fromPoints(kept)) match {
+          case Left(bad) =>
+            ingestError("import")
+            sendJson(ex, 400, err(s"invalid measurement name: $bad"))
+          case Right(rows) =>
+            ingested("import", rows, fileBytes.length.toLong)
+            sendJson(ex, 200,
+              s"""{"success":true,"rows_imported":$rows,"database":${q(db)}}""")
         }
       case "tle" =>
         val meas = params.getOrElse("measurement", "satellite_tle")
@@ -641,6 +653,9 @@ final class HttpServer(
     if (!catalog.isValidDatabaseName(db)) {
       reject(s"invalid database name: $db"); return
     }
+    if (db != "default" && !catalog.listDatabases().contains(db)) {
+      reject(s"database not found: $db"); return
+    }
     // backtick-quote identifiers: MeasName allows '-', which unquoted
     // would parse as subtraction
     val orderSql = orderBy.split(",").map(_.trim).map { part =>
@@ -726,6 +741,13 @@ final class HttpServer(
       sendJson(ex, 404, err(s"database not found: $name")); return
     }
     catalog.deleteDatabase(name, confirm = true)
+    // release the child session and every freshness stamp — a stale
+    // temp view would otherwise keep resolving over deleted files
+    dbSessions.remove(name)
+    regLocks.remove(name)
+    viewState.keySet.filter(_.startsWith(name + "/")).foreach(viewState.remove)
+    val it = viewVersion.keySet.iterator()
+    while (it.hasNext) { if (it.next().startsWith(name + "/")) it.remove() }
     sendJson(ex, 200, s"""{"success":true,"name":${q(name)}}""")
   }
 
@@ -739,18 +761,16 @@ final class HttpServer(
   // ---- helpers ---------------------------------------------------------
 
   /** Register any missing/invalidated temp views for `db`'s
-    * measurements. The owner mark is put BEFORE register: a concurrent
-    * write completes by landing its file and THEN removing the mark, so
-    * whichever order the race resolves in, either the mark is gone
-    * (next query re-registers over the fresh listing) or the register
-    * started after the write finished (listing already fresh). Marking
-    * after register would let a remove land between register and put —
-    * a lost invalidation that leaves the stale snapshot pinned forever.
-    * Temp views are session-global, so concurrent queries against TWO
-    * databases sharing a measurement name contend on the view slot —
-    * same-name multi-db serving should use per-db SparkSessions
-    * (`spark.newSession()`), one HttpServer each. */
-  private val regLock = new Object
+    * measurements (see the version-stamp protocol at [[viewVersion]]).
+    * The lock is PER DATABASE (stored with its session), so a cold
+    * registration in one database never blocks queries to another. A
+    * single measurement whose registration fails — e.g. a dash in the
+    * name, which MeasName allows on the write path but Spark's view
+    * identifier parser rejects, or a directory with no data yet — is
+    * SKIPPED (no stamp, retried next request) rather than failing the
+    * whole database: only queries that actually reference it see a
+    * table-not-found. */
+  private val regLocks = TrieMap.empty[String, Object]
   private def ensureViews(db: String): Unit = {
     // listing runs per request (it discovers new measurements; a
     // metadata LIST, no data touched). Fast path: when every view is
@@ -760,15 +780,21 @@ final class HttpServer(
     // same-named measurements in different databases never collide.
     val tables = catalog.listTables(db)
     def fresh(m: String): Boolean =
-      viewState.get(s"$db/$m").contains((db, versionOf(db, m)))
+      viewState.get(s"$db/$m").contains(versionOf(db, m))
     if (tables.forall(fresh)) return
     val dbCat = sessionFor(db)._2
-    regLock.synchronized {
+    regLocks.getOrElseUpdate(db, new Object).synchronized {
       tables.foreach { m =>
-        val v = versionOf(db, m) // BEFORE register, see above
-        if (!viewState.get(s"$db/$m").contains((db, v))) {
-          dbCat.register(db, m)
-          viewState.put(s"$db/$m", (db, v))
+        val v = versionOf(db, m) // read BEFORE register, see viewVersion
+        if (!viewState.get(s"$db/$m").contains(v)) {
+          try {
+            dbCat.register(db, m)
+            viewState.put(s"$db/$m", v)
+          } catch {
+            case e: Throwable =>
+              org.slf4j.LoggerFactory.getLogger(classOf[HttpServer]).warn(
+                s"view registration failed for $db/$m (skipped): ${e.getMessage}")
+          }
         }
       }
     }

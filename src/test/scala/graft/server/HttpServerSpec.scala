@@ -367,6 +367,21 @@ class HttpServerSpec extends SparkSpec {
     assert(countIn("dbx") == 3) // and back again — no view-slot theft
   }
 
+  test("unregisterable measurement doesn't poison its database; unknown db 404s") {
+    // dash name: MeasName allows it on the write path, but Spark's view
+    // identifier parser rejects it at registration — the failure must
+    // stay scoped to that one measurement
+    assert(post("/write?db=default",
+      "bad-meas v=1i 1700000000000000000".getBytes(UTF_8)).statusCode() == 204)
+    post("/api/v1/write/msgpack", cpuPayload(2, "goodm"))
+    val r = json(post("/api/v1/query", sqlBody("SELECT count(*) AS n FROM goodm")))
+    assert(r.get("data").get(0).get(0).asLong() == 2)
+    // unknown database: 404 before any child session is allocated
+    assert(post("/api/v1/query", sqlBody("SELECT 1"),
+      Map("x-arc-database" -> "nosuchdb")).statusCode() == 404)
+    assert(get("/api/v1/query/cpu?database=nosuchdb").statusCode() == 400)
+  }
+
   test("CORS: allow-origin on every response, OPTIONS preflight 204") {
     val r = get("/health")
     assert(r.headers().firstValue("Access-Control-Allow-Origin").orElse("") == "*")
