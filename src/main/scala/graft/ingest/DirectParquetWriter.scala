@@ -98,13 +98,22 @@ object DirectParquetWriter {
         dt.getYear, dt.getMonthValue, dt.getDayOfMonth, dt.getHour)
       val file = new Path(dir,
         HourPartitionedWriter.flushFileName(batch.measurement, flushUs, seq))
+      // write under a DOT-prefixed name, rename into place on close:
+      // readers (Spark's file index and DuckDB alike) skip `.`/`_`
+      // prefixes, so a concurrent query listing this hour mid-flush
+      // never sees a half-written footer — the same visible-only-when-
+      // complete contract as HourPartitionedWriter's tmp-tree protocol
+      // (a reader racing the old in-place write died with
+      // CANNOT_READ_FILE_FOOTER; caught by the server's concurrency
+      // stress test)
+      val tmp = new Path(dir, "." + file.getName + ".inprogress")
       // direct RecordConsumer write — the example Group API built a heap
       // object tree per row and did a name lookup per value; this path
       // streams primitives straight into the column writers (~3× the
       // rows/s at the same ZSTD level)
       val support = new RowIndexWriteSupport(schema, names, types, arrays)
       val builder = new RowIndexWriterBuilder(
-          org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(file, conf),
+          org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(tmp, conf),
           support)
         .withConf(conf)
         .withCompressionCodec(CompressionCodecName.ZSTD)
@@ -120,8 +129,17 @@ object DirectParquetWriter {
           builder.withBloomFilterNDV(c, HourPartitionedWriter.BloomNdv)
         }
       val writer = builder.build()
-      try rows.foreach(i => writer.write(i))
-      finally writer.close()
+      val fs = tmp.getFileSystem(conf)
+      try {
+        try rows.foreach(i => writer.write(i))
+        finally writer.close()
+        if (!fs.rename(tmp, file))
+          throw new java.io.IOException(s"rename $tmp -> $file failed")
+      } catch {
+        case e: Throwable =>
+          try fs.delete(tmp, false) catch { case _: Throwable => () }
+          throw e
+      }
       file.toString
     }.toSeq
   }
