@@ -111,9 +111,13 @@ object ServiceSoak {
       () => note("query2", post("/api/v1/query",
         """{"sql":"SELECT count(*) n FROM soak"}""".getBytes(UTF_8),
         "x-arc-database" -> "soakdb2").statusCode(), Set(200, 400, 404)),
-      // canceller: cancel a random (likely-finished) id — must never 5xx
-      () => note("cancel", post(s"/api/v1/query/${rnd.nextInt(1000) + 1}/cancel",
-        Array.emptyByteArray).statusCode(), Set(200, 404))
+      // canceller: a definitely-stale id — exercises the cancel route
+      // under load without victimizing a live query (a live-victim
+      // cancel makes the VICTIM's failure expected, which would blind
+      // the soak's zero-5xx assertion; targeted live cancellation is
+      // covered deterministically by HttpServerSpec)
+      () => note("cancel", post(s"/api/v1/query/${1000000000 + rnd.nextInt(1000)}/cancel",
+        Array.emptyByteArray).statusCode(), Set(404))
     ).map(f => new Runnable { def run(): Unit = f() })
 
     val pool = Executors.newFixedThreadPool(12)
@@ -127,6 +131,7 @@ object ServiceSoak {
             catch {
               case e: Throwable =>
                 bad.incrementAndGet()
+                stop.set(true) // fail fast: no point soaking past a failure
                 System.err.println(s"[soak] EXC ${e.getClass.getSimpleName}: ${e.getMessage}")
             }
           }

@@ -128,9 +128,12 @@ object DirectParquetWriter {
           builder.withBloomFilterEnabled(c, true)
           builder.withBloomFilterNDV(c, HourPartitionedWriter.BloomNdv)
         }
-      val writer = builder.build()
       val fs = tmp.getFileSystem(conf)
       try {
+        // build() inside the cleanup scope: it creates the tmp file and
+        // writes the magic before returning, so a codec/disk failure
+        // there must also delete the stranded dotfile
+        val writer = builder.build()
         try rows.foreach(i => writer.write(i))
         finally writer.close()
         if (!fs.rename(tmp, file))

@@ -478,6 +478,22 @@ object Compaction {
             s.getModificationTime < cutoff)
           .foreach { s => fs.delete(s.getPath, true); actions += s.getPath.toString }
     }
+    // abandoned direct-flush files: DirectParquetWriter writes
+    // `.{name}.inprogress` in the hour dir and renames on close — a
+    // crash between create and rename strands the dotfile (invisible to
+    // readers, but it accumulates bytes). Same one-hour abandonment
+    // cutoff as the tmp trees above.
+    locally {
+      val cutoff = System.currentTimeMillis() - 3600000L
+      catalog.listHourPartitions(db, m).foreach { hourDir =>
+        val fs = hourDir.getFileSystem(conf)
+        fs.listStatus(hourDir)
+          .filter(s => s.isFile && s.getPath.getName.startsWith(".") &&
+            s.getPath.getName.endsWith(".inprogress") &&
+            s.getModificationTime < cutoff)
+          .foreach { s => fs.delete(s.getPath, false); actions += s.getPath.toString }
+      }
+    }
     actions.toSeq
   }
 
