@@ -70,6 +70,8 @@ object TextFunctions {
       s"(a, b) -> (a * 31 + b) % $Prime)"
 
   private val stopwords = Seq("the", "a", "of", "and", "or", "is", "in", "to")
+  /** The list itself, for composed rule batteries (q156). */
+  def stopwordSeq: Seq[String] = stopwords
   def stopwordsSqlList: String = stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
 
   def stopwordCount(text: Column): Column =

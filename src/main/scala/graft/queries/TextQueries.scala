@@ -406,6 +406,40 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Gopher-style rule battery (Rae et al. 2021 §A1.1, the public
+    // quality-filter rule set behind MassiveText — the batch sibling of
+    // q61's composite score): per-doc word count bounds, mean word
+    // length bounds, alphabetic-token fraction, distinct-stopword
+    // presence, and the combined pass/fail gate. Every predicate is
+    // INTEGER arithmetic (bounds cross-multiplied, mean via round6) so
+    // the oracle matches exactly; pure per-row compute, zero shuffles
+    // before the output sort — linear at any corpus size.
+    "q156_gopher_rules" -> ((s, dir) => {
+      val tk = tokens(col("text"))
+      val sw = graft.functions.TextFunctions.stopwordSeq
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(tk).cast("long").as("_n"),
+          aggregate(tk, lit(0L), (a, x) => a + length(x)).as("_chars"),
+          size(filter(tk, x => x.rlike("^[A-Za-z]+$"))).cast("long").as("_alpha"),
+          size(array_distinct(filter(tk,
+            x => x.isin(sw.map(w => w: Any): _*)))).cast("long").as("_stopd"))
+        .select(col("_n").as("n_words"),
+          when(col("_n") === 0, lit(0.0))
+            .otherwise(round6(col("_chars"), col("_n"))).as("mean_wlen"),
+          col("_alpha").as("n_alpha"),
+          col("_stopd").as("n_stop_distinct"),
+          (col("_n") >= 50 && col("_n") <= 100000 &&
+            col("_chars") >= lit(3L) * col("_n") &&
+            col("_chars") <= lit(10L) * col("_n") &&
+            lit(5L) * col("_alpha") >= lit(4L) * col("_n") &&
+            col("_stopd") >= 2).as("passes"),
+          col("doc_id"))
+        .select(col("doc_id"), col("n_words"), col("mean_wlen"),
+          col("n_alpha"), col("n_stop_distinct"), col("passes"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Heaps-law vocabulary growth curve: cumulative distinct-token
     // count as the corpus is consumed in 20 equal doc_id slices — the
     // "is more data still adding vocabulary?" diagnostic for corpus
@@ -502,6 +536,28 @@ object TextQueries {
   private[graft] val UrlRe = "(?i)https?://\\S+" // (?i): schemes leak in any case
 
   val oracles: Map[String, String] = Map(
+    // the Gopher battery's oracle: same integer cross-multiplied
+    // bounds, mean via the shared 6-dp integer rounding
+    "q156_gopher_rules" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    string_split_regex(trim(text), '\\s+') AS tk FROM documents),
+         |c AS (SELECT doc_id,
+         |    CAST(len(tk) AS BIGINT) AS n,
+         |    CAST(coalesce(list_sum(list_transform(tk, t -> length(t))), 0)
+         |      AS BIGINT) AS chars,
+         |    CAST(len(list_filter(tk,
+         |      t -> regexp_full_match(t, '[A-Za-z]+'))) AS BIGINT) AS alpha,
+         |    CAST(len(list_distinct(list_filter(tk,
+         |      t -> list_contains($stopwordsSqlList, t)))) AS BIGINT) AS stopd
+         |  FROM d)
+         |SELECT doc_id, n AS n_words,
+         |  CASE WHEN n = 0 THEN 0.0 ELSE ${graft.queries.oRound6("chars", "n")} END
+         |    AS mean_wlen,
+         |  alpha AS n_alpha, stopd AS n_stop_distinct,
+         |  (n >= 50 AND n <= 100000 AND chars >= 3 * n AND chars <= 10 * n
+         |    AND 5 * alpha >= 4 * n AND stopd >= 2) AS passes
+         |FROM c ORDER BY doc_id""".stripMargin,
+
     // the BPE twin: learning + encoding as recursive CTEs (see the
     // q121b query comment for the construction; verified against an
     // independent reimplementation of the Sennrich algorithm before
