@@ -406,6 +406,25 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // tokenizer fertility per language (pieces/word under the learned
+    // subword vocab — the number a token-budget planner multiplies word
+    // counts by; high-fertility languages burn budget faster). Shares
+    // q121b's 30-merge model and its oracle's full BPE-in-SQL
+    // construction; the ratio is the integer-exact 6-dp rational.
+    "q157_tokenizer_fertility" -> ((s, dir) => {
+      graft.GraftFunctions.registerAll(s)
+      val docs = t(s, dir, "documents")
+      val model = bpeCache.getOrElseUpdate(dir + "#30",
+        graft.operators.Bpe.learn(docs, "text", numMerges = 30))
+      docs.select(col("lang"),
+          size(tokens(col("text"))).cast("long").as("w"),
+          graft.operators.Bpe.countExpr(col("text"), model).cast("long").as("p"))
+        .groupBy(col("lang"))
+        .agg(sum(col("w")).as("n_words"), sum(col("p")).as("n_pieces"))
+        .withColumn("fertility", round6(col("n_pieces"), col("n_words")))
+        .orderBy(col("lang"))
+    }),
+
     // Gopher-style rule battery (Rae et al. 2021 §A1.1, the public
     // quality-filter rule set behind MassiveText — the batch sibling of
     // q61's composite score): per-doc word count bounds, mean word
@@ -535,36 +554,11 @@ object TextQueries {
   private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private[graft] val UrlRe = "(?i)https?://\\S+" // (?i): schemes leak in any case
 
-  val oracles: Map[String, String] = Map(
-    // the Gopher battery's oracle: same integer cross-multiplied
-    // bounds, mean via the shared 6-dp integer rounding
-    "q156_gopher_rules" ->
-      s"""WITH d AS (SELECT doc_id,
-         |    string_split_regex(trim(text), '\\s+') AS tk FROM documents),
-         |c AS (SELECT doc_id,
-         |    CAST(len(tk) AS BIGINT) AS n,
-         |    CAST(coalesce(list_sum(list_transform(tk, t -> length(t))), 0)
-         |      AS BIGINT) AS chars,
-         |    CAST(len(list_filter(tk,
-         |      t -> regexp_full_match(t, '[A-Za-z]+'))) AS BIGINT) AS alpha,
-         |    CAST(len(list_distinct(list_filter(tk,
-         |      t -> list_contains($stopwordsSqlList, t)))) AS BIGINT) AS stopd
-         |  FROM d)
-         |SELECT doc_id, n AS n_words,
-         |  CASE WHEN n = 0 THEN 0.0 ELSE ${graft.queries.oRound6("chars", "n")} END
-         |    AS mean_wlen,
-         |  alpha AS n_alpha, stopd AS n_stop_distinct,
-         |  (n >= 50 AND n <= 100000 AND chars >= 3 * n AND chars <= 10 * n
-         |    AND 5 * alpha >= 4 * n AND stopd >= 2) AS passes
-         |FROM c ORDER BY doc_id""".stripMargin,
-
-    // the BPE twin: learning + encoding as recursive CTEs (see the
-    // q121b query comment for the construction; verified against an
-    // independent reimplementation of the Sennrich algorithm before
-    // wiring). Working-table semantics: each step sees only the
-    // previous iteration's rows, which is exactly the sequential state.
-    "q121b_bpe_exact" ->
-      """WITH RECURSIVE
+  /** The shared BPE-in-SQL machinery (census -> 30-merge learning ->
+    * greedy encoding -> per-word piece counts) used by BOTH q121b and
+    * q157's oracles — one construction, two final SELECTs. */
+  private val bpeSqlPrefix: String =
+    """WITH RECURSIVE
         |wtok AS (
         |  SELECT doc_id, w FROM (
         |    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
@@ -640,14 +634,65 @@ object TextQueries {
         |  SELECT w, count(*) AS np FROM enc e
         |  WHERE it = (SELECT max(it) FROM enc e2 WHERE e2.w = e.w)
         |  GROUP BY w)
-        |SELECT d.doc_id,
+""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    // the Gopher battery's oracle: same integer cross-multiplied
+    // bounds, mean via the shared 6-dp integer rounding
+    "q156_gopher_rules" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    string_split_regex(trim(text), '\\s+') AS tk FROM documents),
+         |c AS (SELECT doc_id,
+         |    CAST(len(tk) AS BIGINT) AS n,
+         |    CAST(coalesce(list_sum(list_transform(tk, t -> length(t))), 0)
+         |      AS BIGINT) AS chars,
+         |    CAST(len(list_filter(tk,
+         |      t -> regexp_full_match(t, '[A-Za-z]+'))) AS BIGINT) AS alpha,
+         |    CAST(len(list_distinct(list_filter(tk,
+         |      t -> list_contains($stopwordsSqlList, t)))) AS BIGINT) AS stopd
+         |  FROM d)
+         |SELECT doc_id, n AS n_words,
+         |  CASE WHEN n = 0 THEN 0.0 ELSE ${graft.queries.oRound6("chars", "n")} END
+         |    AS mean_wlen,
+         |  alpha AS n_alpha, stopd AS n_stop_distinct,
+         |  (n >= 50 AND n <= 100000 AND chars >= 3 * n AND chars <= 10 * n
+         |    AND 5 * alpha >= 4 * n AND stopd >= 2) AS passes
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // the BPE twin: learning + encoding as recursive CTEs (see the
+    // q121b query comment for the construction; verified against an
+    // independent reimplementation of the Sennrich algorithm before
+    // wiring). Working-table semantics: each step sees only the
+    // previous iteration's rows, which is exactly the sequential state.
+    "q121b_bpe_exact" ->
+      (bpeSqlPrefix + "\n" +
+      """        |SELECT d.doc_id,
         |  CAST(len(string_split_regex(trim(d.text), '\s+')) AS BIGINT) AS n_words,
         |  CAST(coalesce(s.np_sum, 0) AS BIGINT) AS n_pieces
         |FROM documents d LEFT JOIN (
         |  SELECT t.doc_id, sum(p.np) AS np_sum
         |  FROM wtok t JOIN pieces p USING (w) GROUP BY t.doc_id) s
         |  ON s.doc_id = d.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
+        |ORDER BY d.doc_id""".stripMargin),
+
+    // fertility over the same BPE construction: pieces/words per lang
+    "q157_tokenizer_fertility" ->
+      (bpeSqlPrefix + "\n" +
+      """SELECT lang, CAST(n_words AS BIGINT) AS n_words,
+        |  CAST(n_pieces AS BIGINT) AS n_pieces,
+        |  CAST(((n_pieces) * 2000000 + (n_words)) // ((n_words) * 2) AS DOUBLE)
+        |    / 1000000.0 AS fertility
+        |FROM (
+        |  SELECT d.lang,
+        |    SUM(CAST(len(string_split_regex(trim(d.text), '\s+')) AS BIGINT))
+        |      AS n_words,
+        |    SUM(CAST(coalesce(s.np_sum, 0) AS BIGINT)) AS n_pieces
+        |  FROM documents d LEFT JOIN (
+        |    SELECT t.doc_id, sum(p.np) AS np_sum
+        |    FROM wtok t JOIN pieces p USING (w) GROUP BY t.doc_id) s
+        |    ON s.doc_id = d.doc_id
+        |  GROUP BY d.lang)
+        |ORDER BY lang""".stripMargin),
 
     "q60_text_tokens" ->
       s"""SELECT doc_id,
