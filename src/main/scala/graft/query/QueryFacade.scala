@@ -52,6 +52,33 @@ final class QueryFacade(spark: SparkSession) {
   def sqlWithShow(q: String, catalog: graft.catalog.GraftCatalog): DataFrame =
     sqlWithShow(q, catalog, spark.sql)
 
+  /** Read-only gate for the serving surface: the reference's user-facing
+    * query API blocks every state-changing statement (its
+    * dangerousSQLPattern regex over comment-stripped, literal-masked
+    * text, internal/api/query.go — DDL/DML/SET/ATTACH/COPY/…). The
+    * Spark-first equivalent is an AST check, immune to the comment and
+    * string-literal evasions the reference's regex has to strip first:
+    * parse the statement and reject any plan that IS a command
+    * (CreateTable/DropTable/SetCommand/AddJar/InsertInto/… all extend
+    * `logical.Command`; SELECT/WITH/VALUES parse to ordinary query
+    * plans). SHOW is intercepted before this check by [[sqlWithShow]].
+    * Throws IllegalArgumentException for blocked statements. */
+  def requireReadOnly(session: org.apache.spark.sql.SparkSession, q: String): Unit = {
+    val plan = session.sessionState.sqlParser.parsePlan(q)
+    val cmd = plan match {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Command => true
+      // InsertIntoStatement and friends are unresolved statements, not
+      // yet Command subclasses at parse time — match by name prefix
+      case p => p.getClass.getSimpleName.startsWith("InsertInto") ||
+        p.getClass.getSimpleName.startsWith("MergeInto") ||
+        p.getClass.getSimpleName.startsWith("UpdateTable") ||
+        p.getClass.getSimpleName.startsWith("DeleteFrom")
+    }
+    if (cmd)
+      throw new IllegalArgumentException(
+        s"read-only query API: statement type ${plan.getClass.getSimpleName} is not allowed")
+  }
+
   /** [[sqlWithShow]] with a custom runner for the non-SHOW branch (the
     * HTTP layer resolves views in a per-database child session). */
   def sqlWithShow(q: String, catalog: graft.catalog.GraftCatalog,

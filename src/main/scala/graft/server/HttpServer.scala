@@ -296,11 +296,17 @@ final class HttpServer(
       try {
         ensureViews(db)
         val (sess, dbCat) = sessionFor(db)
-        facade.submit(sql, q => facade.sqlWithShow(q, dbCat, sess.sql))
+        facade.submit(sql, q => facade.sqlWithShow(q, dbCat, { stmt =>
+          facade.requireReadOnly(sess, stmt) // reference read-only gate
+          sess.sql(stmt)
+        }))
       } catch {
         case e: AnalysisException =>
           mQueryErrors.incrementAndGet()
           sendJson(ex, 400, err(msg(e), ts)); return
+        case e: IllegalArgumentException => // read-only gate
+          mQueryErrors.incrementAndGet()
+          sendJson(ex, 403, err(msg(e), ts)); return
       }
     ex.getResponseHeaders.set("X-Graft-Query-Id", id.toString)
     var rows = -1L
@@ -355,6 +361,7 @@ final class HttpServer(
       if (db != "default" && !catalog.listDatabases().contains(db))
         throw new IllegalArgumentException(s"database not found: $db")
       ensureViews(db)
+      facade.requireReadOnly(sessionFor(db)._1, sql)
       // one warning ladder, owned by the facade (query.go:3725-3740)
       val (n, level, message) = facade.estimate(sql, sessionFor(db)._1.sql)
       val ms = (System.nanoTime() - t0) / 1e6

@@ -382,6 +382,26 @@ class HttpServerSpec extends SparkSpec {
     assert(get("/api/v1/query/cpu?database=nosuchdb").statusCode() == 400)
   }
 
+  test("query API is read-only: DDL/SET/INSERT blocked by AST, SELECT passes") {
+    post("/api/v1/write/msgpack", cpuPayload(2, "rom"))
+    // register the view, then try to drop it through the query API
+    assert(post("/api/v1/query", sqlBody("SELECT count(*) n FROM rom"))
+      .statusCode() == 200)
+    for (stmt <- Seq(
+        "DROP VIEW rom",
+        "DROP /* sneaky */ VIEW rom", // comment evasion: AST doesn't care
+        "SET spark.sql.shuffle.partitions=1",
+        "CREATE TABLE x (a INT) USING parquet",
+        "INSERT INTO rom VALUES (1)")) {
+      val r = post("/api/v1/query", sqlBody(stmt))
+      assert(r.statusCode() == 403 || r.statusCode() == 400,
+        s"$stmt -> ${r.statusCode()}")
+    }
+    // the view survived every attempt
+    assert(post("/api/v1/query", sqlBody("SELECT count(*) n FROM rom"))
+      .statusCode() == 200)
+  }
+
   test("CORS: allow-origin on every response, OPTIONS preflight 204") {
     val r = get("/health")
     assert(r.headers().firstValue("Access-Control-Allow-Origin").orElse("") == "*")
