@@ -13,23 +13,38 @@ object Retention {
 
   final case class Result(deleted: Seq[String], keptCount: Int)
 
+  /** Cutoff hour (epoch-hours) for a policy evaluated at `nowMicros`. */
+  def cutoffHour(retentionDays: Int, bufferDays: Int, nowMicros: Long): Long =
+    nowMicros / 1000000L / 3600L - (retentionDays + bufferDays).toLong * 24L
+
+  /** The expired partition set WITHOUT deleting anything — the dry-run
+    * surface (retention.go's ExecuteRetentionRequest.DryRun). Returns
+    * (expiredPaths, keptCount). Hour partitions expire when their hour
+    * is past the cutoff; day-compacted partitions when their LAST hour
+    * is. */
+  def expired(catalog: GraftCatalog, db: String, m: String,
+      retentionDays: Int, bufferDays: Int = 0,
+      nowMicros: () => Long = () => System.currentTimeMillis() * 1000L)
+      : (Seq[Path], Int) = {
+    val cutoff = cutoffHour(retentionDays, bufferDays, nowMicros())
+    val parts = catalog.listHourPartitions(db, m)
+    val (old, kept) = parts.partition(p =>
+      Compaction.partitionHourEpoch(p).exists(_ < cutoff))
+    val (oldDays, keptDays) = catalog.listDailyTierDays(db, m).partition(p =>
+      Compaction.partitionDayValues(p).exists { case (y, mo, d) =>
+        java.time.LocalDate.of(y, mo, d).atStartOfDay
+          .toEpochSecond(java.time.ZoneOffset.UTC) / 3600L + 23 < cutoff
+      })
+    (old ++ oldDays, kept.length + keptDays.length)
+  }
+
   def apply(catalog: GraftCatalog, db: String, m: String,
       retentionDays: Int, bufferDays: Int = 0,
       nowMicros: () => Long = () => System.currentTimeMillis() * 1000L)
       : Result = {
-    val cutoffHour =
-      nowMicros() / 1000000L / 3600L - (retentionDays + bufferDays).toLong * 24L
-    val parts = catalog.listHourPartitions(db, m)
-    val (old, kept) = parts.partition(p =>
-      Compaction.partitionHourEpoch(p).exists(_ < cutoffHour))
-    // day-compacted tier: a day expires when its LAST hour is expired
-    val (oldDays, keptDays) = catalog.listDailyTierDays(db, m).partition(p =>
-      Compaction.partitionDayValues(p).exists { case (y, mo, d) =>
-        java.time.LocalDate.of(y, mo, d).atStartOfDay
-          .toEpochSecond(java.time.ZoneOffset.UTC) / 3600L + 23 < cutoffHour
-      })
+    val (old, keptCount) = expired(catalog, db, m, retentionDays, bufferDays, nowMicros)
     val conf = catalog.spark.sparkContext.hadoopConfiguration
-    (old ++ oldDays).foreach { p =>
+    old.foreach { p =>
       val fs = p.getFileSystem(conf)
       fs.delete(p, true)
       // prune now-empty day/month/year parents
@@ -40,6 +55,6 @@ object Retention {
         parent = parent.getParent
       }
     }
-    Result((old ++ oldDays).map(_.toString), kept.length + keptDays.length)
+    Result(old.map(_.toString), keptCount)
   }
 }

@@ -16,35 +16,52 @@ import org.apache.spark.sql.functions._
   */
 object TargetedDelete {
 
+  /** Per-file match census from the find-affected pass (the reference's
+    * `affectedFile` rows, delete.go:131-135). */
+  final case class FileMatches(path: String, matches: Long, rows: Long)
+
+  final case class Preview(files: Seq[FileMatches]) {
+    def affected: Seq[FileMatches] = files.filter(_.matches > 0)
+    def totalMatches: Long = files.map(_.matches).sum
+    def totalRows: Long = files.map(_.rows).sum
+  }
+
   final case class Result(filesScanned: Long, filesRewritten: Long,
-      rowsDeleted: Long, rowsKept: Long)
+      rowsDeleted: Long, rowsKept: Long, filesProcessed: Seq[String] = Nil)
+
+  /** The find-affected-files pass alone: one distributed scan counting
+    * matches per source file — the dry-run surface (delete.go's
+    * DryRun=true stops here). */
+  def preview(catalog: GraftCatalog, db: String, m: String,
+      predicate: Column): Preview = {
+    val tbl = catalog.table(db, m).withColumn("_src", input_file_name())
+    Preview(tbl.groupBy(col("_src"))
+      .agg(sum(when(predicate, 1L).otherwise(0L)).as("n_match"),
+        count(lit(1)).as("n_rows"))
+      .collect()
+      .map(r => FileMatches(r.getAs[String]("_src"),
+        r.getAs[Long]("n_match"), r.getAs[Long]("n_rows")))
+      .toSeq)
+  }
 
   def apply(catalog: GraftCatalog, db: String, m: String,
       predicate: Column, maxRows: Long = Long.MaxValue): Result = {
     val spark = catalog.spark
     val conf = spark.sparkContext.hadoopConfiguration
 
-    val tbl = catalog.table(db, m).withColumn("_src", input_file_name())
-    val perFile = tbl.groupBy(col("_src"))
-      .agg(sum(when(predicate, 1L).otherwise(0L)).as("n_match"),
-        count(lit(1)).as("n_rows"))
-      .collect()
-    val affected = perFile.filter(_.getAs[Long]("n_match") > 0)
-    val totalMatches = affected.map(_.getAs[Long]("n_match")).sum
-    if (totalMatches > maxRows)
+    val pre = preview(catalog, db, m, predicate)
+    val affected = pre.affected
+    if (pre.totalMatches > maxRows)
       throw new IllegalStateException(
-        s"delete would remove $totalMatches rows > cap $maxRows")
+        s"delete would remove ${pre.totalMatches} rows > cap $maxRows")
 
     // per-file rewrites are independent (distinct target files, distinct
     // tmp dirs): run them from a bounded pool — a wide delete touching
     // hundreds of files pays one overlapped job latency, not the sum
-    val deleted = BoundedParallel.run(affected.toSeq) { row =>
-      val uri = row.getAs[String]("_src")
-      val nMatch = row.getAs[Long]("n_match")
-      val nRows = row.getAs[Long]("n_rows")
-      val p = new Path(new java.net.URI(uri))
+    val deleted = BoundedParallel.run(affected) { fm =>
+      val p = new Path(new java.net.URI(fm.path))
       val fs = p.getFileSystem(conf)
-      if (nMatch == nRows) {
+      if (fm.matches == fm.rows) {
         fs.delete(p, false) // whole file matches: drop it, no rewrite
       } else {
         val tmp = new Path(p.getParent, s"_delete_tmp_${p.getName}")
@@ -63,10 +80,11 @@ object TargetedDelete {
               s"(rewritten rows preserved in $tmp)")
         fs.delete(tmp, true)
       }
-      nMatch
+      fm.matches
     }.sum
-    Result(perFile.length, affected.count(r =>
-      r.getAs[Long]("n_match") < r.getAs[Long]("n_rows")),
-      deleted, perFile.map(_.getAs[Long]("n_rows")).sum - deleted)
+    Result(pre.files.length,
+      affected.count(f => f.matches < f.rows),
+      deleted, pre.totalRows - deleted,
+      affected.map(_.path))
   }
 }

@@ -57,26 +57,66 @@ final class QueryFacade(spark: SparkSession) {
     * dangerousSQLPattern regex over comment-stripped, literal-masked
     * text, internal/api/query.go — DDL/DML/SET/ATTACH/COPY/…). The
     * Spark-first equivalent is an AST check, immune to the comment and
-    * string-literal evasions the reference's regex has to strip first:
-    * parse the statement and reject any plan that IS a command
-    * (CreateTable/DropTable/SetCommand/AddJar/InsertInto/… all extend
-    * `logical.Command`; SELECT/WITH/VALUES parse to ordinary query
-    * plans). SHOW is intercepted before this check by [[sqlWithShow]].
+    * string-literal evasions the reference's regex has to strip first.
+    *
+    * The check walks the ENTIRE parsed tree — plan nodes, their
+    * expressions, and every subquery plan inside those expressions — not
+    * just the root: `WITH c AS (SELECT 1) INSERT INTO …` parses to an
+    * UnresolvedWith whose CHILD is the insert, and a scalar subquery can
+    * smuggle a blocked construct anywhere an expression fits. Blocked
+    * anywhere in the tree:
+    *
+    *  - any `logical.Command` (CreateTable, DropTable, SetCommand, …)
+    *    and the unresolved DML statements (InsertInto…, MergeInto…,
+    *    UpdateTable, DeleteFrom…, matched by name because they only
+    *    become Commands after analysis);
+    *  - direct file-format relations (`SELECT * FROM parquet.`/path``,
+    *    text.`/etc/passwd`, …) — arbitrary server-filesystem reads; the
+    *    reference blocks this whole class on its query surface
+    *    (dangerousSQLPattern's ATTACH/COPY/LOAD family);
+    *  - `reflect` / `java_method` — arbitrary public-static-method
+    *    invocation (e.g. java.lang.System.getenv) is RCE-class, blocked
+    *    like the reference's EXEC/INSTALL patterns.
+    *
+    * SHOW is intercepted before this check by [[sqlWithShow]].
     * Throws IllegalArgumentException for blocked statements. */
   def requireReadOnly(session: org.apache.spark.sql.SparkSession, q: String): Unit = {
-    val plan = session.sessionState.sqlParser.parsePlan(q)
-    val cmd = plan match {
-      case _: org.apache.spark.sql.catalyst.plans.logical.Command => true
-      // InsertIntoStatement and friends are unresolved statements, not
-      // yet Command subclasses at parse time — match by name prefix
-      case p => p.getClass.getSimpleName.startsWith("InsertInto") ||
-        p.getClass.getSimpleName.startsWith("MergeInto") ||
-        p.getClass.getSimpleName.startsWith("UpdateTable") ||
-        p.getClass.getSimpleName.startsWith("DeleteFrom")
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedFunction, UnresolvedRelation}
+    import org.apache.spark.sql.catalyst.expressions.{Expression, PlanExpression}
+    import org.apache.spark.sql.catalyst.plans.logical.{Command, LogicalPlan}
+
+    def deny(what: String): Nothing =
+      throw new IllegalArgumentException(s"read-only query API: $what is not allowed")
+
+    def checkExpr(e: Expression): Unit = e.foreach {
+      case f: UnresolvedFunction
+          if QueryFacade.BlockedFunctions.contains(
+            f.nameParts.last.toLowerCase(java.util.Locale.ROOT)) =>
+        deny(s"function ${f.nameParts.mkString(".")}")
+      case pe: PlanExpression[_] => pe.plan match {
+        case lp: LogicalPlan => checkPlan(lp)
+        case _ => ()
+      }
+      case _ => ()
     }
-    if (cmd)
-      throw new IllegalArgumentException(
-        s"read-only query API: statement type ${plan.getClass.getSimpleName} is not allowed")
+
+    def checkPlan(plan: LogicalPlan): Unit = plan.foreach { node =>
+      node match {
+        case _: Command => deny(s"statement type ${node.getClass.getSimpleName}")
+        case r: UnresolvedRelation
+            if r.multipartIdentifier.length == 2 &&
+              QueryFacade.FileFormatSources.contains(
+                r.multipartIdentifier.head.toLowerCase(java.util.Locale.ROOT)) =>
+          deny(s"direct file-format relation ${r.multipartIdentifier.head}.`…`")
+        case n =>
+          val nm = n.getClass.getSimpleName
+          if (QueryFacade.BlockedNodePrefixes.exists(nm.startsWith))
+            deny(s"statement type $nm")
+      }
+      node.expressions.foreach(checkExpr)
+    }
+
+    checkPlan(session.sessionState.sqlParser.parsePlan(q))
   }
 
   /** [[sqlWithShow]] with a custom runner for the non-SHOW branch (the
@@ -329,6 +369,23 @@ object QueryFacade {
   /** One slow-query record: the reference logs sql, execution time and
     * row count (rows = -1 when the caller never counted them). */
   final case class SlowQuery(sql: String, ms: Double, rows: Long, atMillis: Long)
+
+  /** Unresolved-statement name prefixes that are DML before analysis
+    * turns them into Commands (InsertIntoStatement, InsertIntoDir,
+    * MergeIntoTable, UpdateTable, DeleteFromTable). */
+  private[query] val BlockedNodePrefixes: Seq[String] =
+    Seq("InsertInto", "MergeInto", "UpdateTable", "DeleteFrom")
+
+  /** File-format datasource shortnames: a 2-part relation with one of
+    * these as its qualifier is a direct filesystem read (`parquet.`…``),
+    * bypassing the catalog entirely. */
+  private[query] val FileFormatSources: Set[String] =
+    Set("parquet", "csv", "json", "text", "orc", "avro", "binaryfile",
+      "libsvm", "jdbc", "xml", "textfile")
+
+  /** Expression functions blocked on the read-only surface: reflective
+    * invocation of arbitrary public static methods. */
+  private[query] val BlockedFunctions: Set[String] = Set("reflect", "java_method")
 
   /** Bounded recent-slow ring size. */
   private[query] val SlowRingCap = 128

@@ -353,28 +353,38 @@ final class HttpServer(
 
   private def handleEstimate(ex: HttpExchange): Unit = {
     val t0 = System.nanoTime()
-    val sql = sqlField(readBody(ex))
+    def fail(status: Int, e: Throwable): Unit = {
+      val ms = (System.nanoTime() - t0) / 1e6
+      sendJson(ex, status,
+        s"""{"success":false,"estimated_rows":null,"warning_level":"error",""" +
+          s""""error":${q("Cannot estimate query: " + msg(e))},"execution_time_ms":$ms}""")
+    }
+    // request-shape errors are 400/403/404 like the reference
+    // (query.go:3550-3658); EXECUTION failure is HTTP 200 with a
+    // success:false EstimateResponse (query.go:3701 — c.JSON default),
+    // so status-code-checking clients match the reference contract
+    val sql =
+      try sqlField(readBody(ex))
+      catch { case e: IllegalArgumentException => fail(400, e); return }
     val db = headerDb(ex)
+    if (!catalog.isValidDatabaseName(db)) {
+      fail(400, new IllegalArgumentException(s"invalid database name: $db")); return
+    }
+    if (db != "default" && !catalog.listDatabases().contains(db)) {
+      fail(404, new IllegalArgumentException(s"database not found: $db")); return
+    }
     try {
-      if (!catalog.isValidDatabaseName(db))
-        throw new IllegalArgumentException(s"invalid database name: $db")
-      if (db != "default" && !catalog.listDatabases().contains(db))
-        throw new IllegalArgumentException(s"database not found: $db")
       ensureViews(db)
       facade.requireReadOnly(sessionFor(db)._1, sql)
+    } catch { case e: Throwable => fail(403, e); return }
+    try {
       // one warning ladder, owned by the facade (query.go:3725-3740)
       val (n, level, message) = facade.estimate(sql, sessionFor(db)._1.sql)
       val ms = (System.nanoTime() - t0) / 1e6
       sendJson(ex, 200,
         s"""{"success":true,"estimated_rows":$n,"warning_level":${q(level)},""" +
           s""""warning_message":${q(message)},"execution_time_ms":$ms}""")
-    } catch {
-      case e: Throwable =>
-        val ms = (System.nanoTime() - t0) / 1e6
-        sendJson(ex, 400,
-          s"""{"success":false,"estimated_rows":null,"warning_level":"error",""" +
-            s""""error":${q("Cannot estimate query: " + msg(e))},"execution_time_ms":$ms}""")
-    }
+    } catch { case e: Throwable => fail(200, e) }
   }
 
   private def handleCancel(ex: HttpExchange, id: Long): Unit = {
@@ -417,7 +427,8 @@ final class HttpServer(
       sendJson(ex, 400, err(s"invalid database name: $db")); return
     }
     val precision = params.getOrElse("precision", "ns")
-    val text = new String(decompressed(readBody(ex)), UTF_8)
+    val raw = readBody(ex) // byte counters record request PAYLOAD bytes
+    val text = new String(decompressed(raw), UTF_8)
     val (points, errors) = LineProtocol.parse(text, precision)
     if (points.isEmpty) {
       val detail = errors.headOption
@@ -425,7 +436,7 @@ final class HttpServer(
       ingestError("lp")
       sendJson(ex, 400, err(s"no valid points ($detail)")); return
     }
-    writeBatches(ex, db, ColumnarBatch.fromPoints(points), text.length.toLong, "lp")
+    writeBatches(ex, db, ColumnarBatch.fromPoints(points), raw.length.toLong, "lp")
   }
 
   /** Shared write core for every batch path: the MeasName gate, the
@@ -475,13 +486,14 @@ final class HttpServer(
     if (MeasName.findFirstIn(meas).isEmpty) {
       sendJson(ex, 400, err(s"invalid measurement name: $meas")); return
     }
-    val text = new String(decompressed(readBody(ex)), UTF_8)
+    val raw = readBody(ex) // byte counters record request PAYLOAD bytes
+    val text = new String(decompressed(raw), UTF_8)
     tleRows(db, meas, text) match {
       case Left(e) =>
         ingestError("tle")
         sendJson(ex, 400, err(e))
       case Right(n) =>
-        ingested("tle", n, text.length.toLong)
+        ingested("tle", n, raw.length.toLong)
         ex.sendResponseHeaders(204, -1)
     }
   }
@@ -810,8 +822,12 @@ final class HttpServer(
   private def authorized(ex: HttpExchange): Boolean = authToken match {
     case None => true
     case Some(tok) =>
-      Option(ex.getRequestHeaders.getFirst("Authorization"))
-        .contains(s"Bearer $tok")
+      // constant-time compare: String.equals short-circuits on the first
+      // differing byte, a timing side-channel on an internet-facing path
+      Option(ex.getRequestHeaders.getFirst("Authorization")).exists { h =>
+        java.security.MessageDigest.isEqual(
+          h.getBytes(UTF_8), s"Bearer $tok".getBytes(UTF_8))
+      }
   }
 
   private def readBody(ex: HttpExchange): Array[Byte] = {

@@ -132,9 +132,14 @@ class HttpServerSpec extends SparkSpec {
     assert(r.get("success").asBoolean())
     assert(r.get("estimated_rows").asLong() == 8)
     assert(r.get("warning_level").asText() == "none")
+    // EXECUTION failure is HTTP 200 with success:false (the reference's
+    // c.JSON default, query.go:3701); shape errors stay 400
     val bad = post("/api/v1/query/estimate", sqlBody("SELECT * FROM nope_missing"))
-    assert(bad.statusCode() == 400)
-    assert(json(bad).get("warning_level").asText() == "error")
+    assert(bad.statusCode() == 200)
+    val badJ = json(bad)
+    assert(!badJ.get("success").asBoolean())
+    assert(badJ.get("warning_level").asText() == "error")
+    assert(post("/api/v1/query/estimate", "{}".getBytes(UTF_8)).statusCode() == 400)
   }
 
   test("row cap truncates the JSON envelope") {
@@ -212,11 +217,13 @@ class HttpServerSpec extends SparkSpec {
   test("cancellation kills a running query well before it would finish") {
     post("/api/v1/write/msgpack", cpuPayload(2))
     val t0 = System.nanoTime()
-    // 200 rows x 500 ms over 4 partitions ≈ 25 s uncancelled
+    // counting 400G generated rows over 4 partitions runs minutes
+    // uncancelled (reflect-based sleeps are blocked by the read-only
+    // gate now; range's codegen loop polls the task kill flag per batch)
     val fut = client.sendAsync(
       HttpRequest.newBuilder(URI.create(base + "/api/v1/query"))
         .POST(HttpRequest.BodyPublishers.ofByteArray(sqlBody(
-          "SELECT reflect('java.lang.Thread','sleep', 500L) AS z FROM range(0, 200, 1, 4)")))
+          "SELECT count(*) AS z FROM range(0, 400000000000, 1, 4)")))
         .build(),
       HttpResponse.BodyHandlers.ofString())
     // wait until the registry lists it, then cancel
@@ -237,7 +244,7 @@ class HttpServerSpec extends SparkSpec {
     val elapsed = (System.nanoTime() - t0) / 1e9
     assert(elapsed < 20, s"cancel did not interrupt the stream: $elapsed s")
     outcome.foreach { resp =>
-      assert(!resp.body().contains("\"row_count\":200"),
+      assert(!resp.body().contains("\"row_count\":1"),
         "cancelled query must not deliver the full result")
     }
   }
@@ -392,7 +399,19 @@ class HttpServerSpec extends SparkSpec {
         "DROP /* sneaky */ VIEW rom", // comment evasion: AST doesn't care
         "SET spark.sql.shuffle.partitions=1",
         "CREATE TABLE x (a INT) USING parquet",
-        "INSERT INTO rom VALUES (1)")) {
+        "INSERT INTO rom VALUES (1)",
+        // CTE-wrapped DML parses to UnresolvedWith with the command as a
+        // CHILD — a root-only check misses all of these
+        "WITH c AS (SELECT 1) INSERT INTO rom SELECT * FROM c",
+        "WITH c AS (SELECT 1) DELETE FROM rom",
+        "WITH c AS (SELECT 1) INSERT OVERWRITE DIRECTORY '/tmp/x' USING parquet SELECT * FROM c",
+        // exfiltration class: direct file-format relations read arbitrary
+        // server files; reflect invokes arbitrary public static methods
+        "SELECT * FROM text.`/etc/passwd`",
+        "SELECT * FROM parquet.`/root/testdata/sf0.001/lineitem.parquet`",
+        "SELECT (SELECT * FROM text.`/etc/hostname`) AS h", // inside a subquery
+        "SELECT java_method('java.lang.System','getenv','HOME') AS v",
+        "SELECT reflect('java.lang.Thread','sleep',1000L) AS z")) {
       val r = post("/api/v1/query", sqlBody(stmt))
       assert(r.statusCode() == 403 || r.statusCode() == 400,
         s"$stmt -> ${r.statusCode()}")
