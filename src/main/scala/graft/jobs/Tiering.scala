@@ -28,8 +28,12 @@ object Tiering {
     val (old, kept) = parts.partition(p =>
       Compaction.partitionHourEpoch(p).exists(_ < cutoffHour))
     old.foreach { src =>
-      val rel = src.toString.stripPrefix(
-        new Path(hotBase).toUri.getPath).stripPrefix(hotBase).stripPrefix("/")
+      // compare scheme-free URI paths on both sides: listHourPartitions
+      // returns fully-qualified paths (file:/…, s3a://…) and a raw
+      // string stripPrefix against the unqualified base would silently
+      // keep the scheme, nesting `file:/…` dirs under the cold root
+      val rel = src.toUri.getPath
+        .stripPrefix(new Path(hotBase).toUri.getPath).stripPrefix("/")
       val dst = new Path(s"$coldRoot/$db/$m/$rel")
       val srcFs = src.getFileSystem(conf)
       val dstFs = dst.getFileSystem(conf)

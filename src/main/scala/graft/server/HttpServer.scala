@@ -70,6 +70,14 @@ final class HttpServer(
   val catalog = new GraftCatalog(spark, catalogRoot)
   val facade = new QueryFacade(spark)
 
+  /** The lifecycle/admin plane (delete, retention, continuous queries,
+    * compaction, tiering, MQTT subscriptions) — see [[AdminApi]]. */
+  val admin = new AdminApi(this)
+
+  /** Endpoint stats, log ring, time-series sampler — see
+    * [[Observability]]; feeds the metrics subroutes and `/api/v1/logs`. */
+  val obs = new Observability
+
   // Per-database child sessions: temp views are session-scoped, so each
   // database resolves measurement names in its OWN session — two
   // databases sharing a measurement name serve concurrently without
@@ -78,7 +86,7 @@ final class HttpServer(
   // registry/cancel id-space still covers every session's queries).
   private val dbSessions = TrieMap.empty[String, (SparkSession, GraftCatalog)]
 
-  private def sessionFor(db: String): (SparkSession, GraftCatalog) =
+  private[server] def sessionFor(db: String): (SparkSession, GraftCatalog) =
     dbSessions.getOrElseUpdate(db, {
       val s = spark.newSession()
       graft.GraftFunctions.registerAll(s) // function registry is per-session
@@ -162,7 +170,7 @@ final class HttpServer(
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]
   private val viewState = TrieMap.empty[String, Long] // "db/m" -> stamped version
 
-  private def invalidateView(db: String, m: String): Unit =
+  private[server] def invalidateView(db: String, m: String): Unit =
     viewVersion.computeIfAbsent(s"$db/$m",
         _ => new java.util.concurrent.atomic.AtomicLong)
       .incrementAndGet()
@@ -181,9 +189,14 @@ final class HttpServer(
 
   def boundPort: Int = server.getAddress.getPort
 
-  def start(): Int = { server.start(); boundPort }
+  def start(): Int = {
+    obs.appCounters = () => metricPairs
+    obs.start()
+    server.start()
+    boundPort
+  }
 
-  def stop(): Unit = { server.stop(0); pool.shutdownNow() }
+  def stop(): Unit = { server.stop(0); pool.shutdownNow(); obs.stop() }
 
   // ---- routing ---------------------------------------------------------
 
@@ -193,9 +206,12 @@ final class HttpServer(
   // GET-only: POSTs to /api/v1/query/{arrow,msgpack,estimate} match first
   private val MeasQueryPath: Regex = "/api/v1/query/([A-Za-z][A-Za-z0-9_-]*)".r
 
+  private val TsPath: Regex = "/api/v1/metrics/timeseries/([a-z]+)".r
+
   private def route(ex: HttpExchange): Unit = {
     val method = ex.getRequestMethod.toUpperCase
     val path = ex.getRequestURI.getPath
+    val t0 = System.nanoTime()
     try {
       // CORS, mirroring the reference's middleware (server.go:132-136);
       // response compression stays off there too (manual body handling)
@@ -250,16 +266,127 @@ final class HttpServer(
             ex.getResponseBody.write(body)
             ex.getResponseBody.close()
           }
+        case ("GET", "/api/v1/metrics/memory") =>
+          sendJson(ex, 200, obs.memoryJson(q))
+        case ("GET", "/api/v1/metrics/query-pool") => handleQueryPoolMetrics(ex)
+        case ("GET", "/api/v1/metrics/endpoints") => handleEndpointMetrics(ex)
+        case ("GET", TsPath(tpe)) => handleTimeseriesMetrics(ex, tpe)
+        case ("GET", "/api/v1/logs") => handleLogs(ex)
         case ("GET", "/api/v1/write/msgpack/stats") => sendStats(ex, "msgpack")
         case ("GET", "/api/v1/write/line-protocol/stats") => sendStats(ex, "lp")
         case ("GET", "/api/v1/write/tle/stats") => sendStats(ex, "tle")
         case ("GET", "/api/v1/import/stats") => sendStats(ex, "import")
-        case _ => sendJson(ex, 404, err(s"no route: $method $path"))
+        case _ =>
+          if (!admin.route(method, path, ex))
+            sendJson(ex, 404, err(s"no route: $method $path"))
       }
     } catch {
       case e: IllegalArgumentException => sendJson(ex, 400, err(msg(e)))
-      case e: Throwable => sendJson(ex, 500, err(msg(e)))
-    } finally ex.close()
+      case e: Throwable =>
+        // surfaced in the body when headers haven't gone out; logged
+        // always — a mid-stream failure would otherwise vanish into a
+        // truncated response with no server-side trace
+        org.slf4j.LoggerFactory.getLogger(classOf[HttpServer])
+          .warn(s"$method $path failed: ${msg(e)}")
+        sendJson(ex, 500, err(msg(e)))
+    } finally {
+      ex.close()
+      obs.record(method, path, math.max(ex.getResponseCode, 0),
+        (System.nanoTime() - t0) / 1000L)
+    }
+  }
+
+  // ---- observability subroutes (server.go:179-203) ---------------------
+
+  /** The Spark analog of the reference's DuckDB-pool metrics
+    * (server.go:352-374): the "pool" here is the shared SparkContext —
+    * registry depth, scheduler load, parallelism. */
+  private def handleQueryPoolMetrics(ex: HttpExchange): Unit = {
+    val tracker = spark.sparkContext.statusTracker
+    sendJson(ex, 200,
+      s"""{"timestamp":${q(now())},"pool":{""" +
+        s""""active_queries":${facade.activeQueries.size},""" +
+        s""""queries_total":${mQueries.get},""" +
+        s""""query_errors_total":${mQueryErrors.get},""" +
+        s""""slow_queries_total":${facade.slowQueryCount},""" +
+        s""""spark_active_jobs":${tracker.getActiveJobIds().length},""" +
+        s""""spark_active_stages":${tracker.getActiveStageIds().length},""" +
+        s""""spark_executors":${tracker.getExecutorInfos.length},""" +
+        s""""default_parallelism":${spark.sparkContext.defaultParallelism}}}""")
+  }
+
+  /** Per-endpoint request statistics (server.go:375-460): requests,
+    * errors, average latency per id-normalized route, plus the ingest
+    * and query counter families. */
+  private def handleEndpointMetrics(ex: HttpExchange): Unit = {
+    val rows = obs.endpointRows.map { case (k, req, errs, latUs) =>
+      val avgMs = if (req > 0) latUs.toDouble / req / 1000.0 else 0.0
+      s"""{"endpoint":${q(k)},"requests_total":$req,"errors_total":$errs,""" +
+        s""""latency_avg_ms":$avgMs}"""
+    }
+    val (req, errs, latUs) = obs.httpTotals
+    val httpAvg = if (req > 0) latUs.toDouble / req / 1000.0 else 0.0
+    def src(name: String): String = {
+      val s = srcStats(name)
+      s"""{"requests_total":${s.requests.get},"records_total":${s.records.get},""" +
+        s""""bytes_total":${s.bytes.get},"errors_total":${s.errors.get}}"""
+    }
+    sendJson(ex, 200,
+      s"""{"timestamp":${q(now())},"http":{"requests_total":$req,""" +
+        s""""errors_total":$errs,"latency_avg_ms":$httpAvg},""" +
+        s""""ingestion":{"records_total":${mIngestRecords.get},""" +
+        s""""bytes_total":${mIngestBytes.get},""" +
+        s""""requests_total":${mIngestRequests.get},""" +
+        s""""errors_total":${mIngestErrors.get}},""" +
+        s""""msgpack":${src("msgpack")},"lineprotocol":${src("lp")},""" +
+        s""""tle":${src("tle")},"import":${src("import")},""" +
+        s""""query":{"requests_total":${mQueries.get},""" +
+        s""""errors_total":${mQueryErrors.get},""" +
+        s""""slow_total":${facade.slowQueryCount}},""" +
+        s""""endpoints":${rows.mkString("[", ",", "]")}}""")
+  }
+
+  /** Sampled time-series metrics by type (server.go:630-665). */
+  private def handleTimeseriesMetrics(ex: HttpExchange, tpe: String): Unit = {
+    val duration = queryParams(ex).get("duration_minutes")
+      .flatMap(_.toIntOption).filter(d => d > 0 && d <= 1440).getOrElse(30)
+    obs.tsPoints(tpe, duration) match {
+      case None =>
+        sendJson(ex, 400,
+          s"""{"error":"Invalid metric type","valid_types":["system","application","api"]}""")
+      case Some(points) =>
+        val data = points.map { p =>
+          val vs = p.values.map { case (k, v) =>
+            s"${q(k)}:${if (v.isNaN || v.isInfinite) "null" else v.toString}"
+          }.mkString(",")
+          s"""{"timestamp":${q(java.time.Instant.ofEpochMilli(p.atMillis).toString)},$vs}"""
+        }
+        sendJson(ex, 200,
+          s"""{"timestamp":${q(now())},"type":${q(tpe)},""" +
+            s""""duration_minutes":$duration,"points_count":${points.size},""" +
+            s""""data":${data.mkString("[", ",", "]")}}""")
+    }
+  }
+
+  /** Recent application logs from the in-process ring
+    * (server.go:598-628): limit / level / since_minutes filters. */
+  private def handleLogs(ex: HttpExchange): Unit = {
+    val params = queryParams(ex)
+    val limit = params.get("limit").flatMap(_.toIntOption)
+      .filter(l => l > 0 && l <= 1000).getOrElse(100)
+    val level = params.get("level").filter(_.nonEmpty)
+    val since = params.get("since_minutes").flatMap(_.toIntOption)
+      .filter(m => m > 0 && m <= 1440).getOrElse(60)
+    val entries = obs.recentLogs(limit, level, since)
+    val logs = entries.map { e =>
+      s"""{"timestamp":${q(java.time.Instant.ofEpochMilli(e.atMillis).toString)},""" +
+        s""""level":${q(e.level)},"logger":${q(e.logger)},""" +
+        s""""message":${q(e.message)}}"""
+    }
+    sendJson(ex, 200,
+      s"""{"timestamp":${q(now())},"count":${entries.size},"limit":$limit,""" +
+        s""""level_filter":${level.map(q).getOrElse("null")},""" +
+        s""""since_minutes":$since,"logs":${logs.mkString("[", ",", "]")}}""")
   }
 
   // ---- query -----------------------------------------------------------
@@ -326,11 +453,14 @@ final class HttpServer(
           rows = ArrowEncoder.writeStream(capped, out)
           out.flush()
         case "msgpack" =>
-          val bytes = MsgPackEncoder.encodeDistributed(df, maxRows)
           ex.getResponseHeaders.set("Content-Type", "application/x-msgpack")
-          ex.sendResponseHeaders(200, bytes.length)
-          ex.getResponseBody.write(bytes)
-          rows = -1L // the envelope carries row_count; skip a recount
+          ex.sendResponseHeaders(200, 0) // chunked: spool-streamed columns
+          // bounded driver memory for ANY result size: partition column
+          // runs spool to driver-local disk in waves, then splice to the
+          // socket (MsgPackEncoder.writeStream scaladoc)
+          val out = new java.io.BufferedOutputStream(ex.getResponseBody, 1 << 20)
+          rows = MsgPackEncoder.writeStream(df, out, maxRows)
+          out.flush()
         case _ =>
           ex.getResponseHeaders.set("Content-Type", "application/json")
           ex.sendResponseHeaders(200, 0) // chunked: stream partition waves
@@ -402,7 +532,7 @@ final class HttpServer(
 
   // ---- writes ----------------------------------------------------------
 
-  private val MeasName: Regex = "^[A-Za-z][A-Za-z0-9_-]*$".r
+  private[server] val MeasName: Regex = "^[A-Za-z][A-Za-z0-9_-]*$".r
 
   private def handleWriteMsgPack(ex: HttpExchange): Unit = {
     val payload = decompressed(readBody(ex))
@@ -790,7 +920,7 @@ final class HttpServer(
     * whole database: only queries that actually reference it see a
     * table-not-found. */
   private val regLocks = TrieMap.empty[String, Object]
-  private def ensureViews(db: String): Unit = {
+  private[server] def ensureViews(db: String): Unit = {
     // listing runs per request (it discovers new measurements; a
     // metadata LIST, no data touched). Fast path: when every view is
     // registered at the current version, no lock — concurrent queries
@@ -807,7 +937,7 @@ final class HttpServer(
         val v = versionOf(db, m) // read BEFORE register, see viewVersion
         if (!viewState.get(s"$db/$m").contains(v)) {
           try {
-            dbCat.register(db, m)
+            registerView(dbCat, db, m)
             viewState.put(s"$db/$m", v)
           } catch {
             case e: Throwable =>
@@ -815,6 +945,30 @@ final class HttpServer(
                 s"view registration failed for $db/$m (skipped): ${e.getMessage}")
           }
         }
+      }
+    }
+  }
+
+  /** Register a measurement's temp view. When the admin tiering plane
+    * has migrated partitions to the cold root, the view is the hot∪cold
+    * union (both sides pruned — identical layout on both tiers), so
+    * queries keep seeing migrated data transparently, the reference's
+    * multi-tier scan behavior (query.go:2836-2921). A fully-migrated
+    * measurement (empty hot tree) registers as cold alone. */
+  private def registerView(dbCat: GraftCatalog, db: String, m: String): Unit = {
+    val cold = new Path(s"${admin.coldRoot}/$db/$m")
+    val cfs = cold.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasCold = cfs.exists(cold) &&
+      cfs.globStatus(new Path(cold, "year=*")).nonEmpty
+    if (!hasCold) dbCat.register(db, m)
+    else {
+      val coldDf = dbCat.spark.read.option("mergeSchema", "true")
+        .option("basePath", cold.toString).parquet(cold.toString)
+      scala.util.Try(dbCat.table(db, m)).toOption match {
+        case Some(hot) =>
+          hot.unionByName(coldDf, allowMissingColumns = true)
+            .createOrReplaceTempView(m)
+        case None => coldDf.createOrReplaceTempView(m)
       }
     }
   }
@@ -830,7 +984,7 @@ final class HttpServer(
       }
   }
 
-  private def readBody(ex: HttpExchange): Array[Byte] = {
+  private[server] def readBody(ex: HttpExchange): Array[Byte] = {
     val in = ex.getRequestBody
     val out = new java.io.ByteArrayOutputStream(8192)
     val buf = new Array[Byte](65536)
@@ -878,7 +1032,7 @@ final class HttpServer(
   private def headerDb(ex: HttpExchange): String =
     headerDbOpt(ex).getOrElse("default")
 
-  private def queryParams(ex: HttpExchange): Map[String, String] =
+  private[server] def queryParams(ex: HttpExchange): Map[String, String] =
     Option(ex.getRequestURI.getRawQuery).getOrElse("").split('&')
       .filter(_.contains('='))
       .map { kv =>
@@ -887,7 +1041,7 @@ final class HttpServer(
           java.net.URLDecoder.decode(kv.substring(i + 1), "UTF-8")
       }.toMap
 
-  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private[server] val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
   private def jsonField(body: Array[Byte], field: String): Option[String] = {
     val node = mapper.readTree(body)
@@ -900,15 +1054,15 @@ final class HttpServer(
 
   private def now(): String = rfc3339.format(Instant.now())
 
-  private def q(s: String): String = QueryFacade.jsonStr(s)
+  private[server] def q(s: String): String = QueryFacade.jsonStr(s)
 
-  private def msg(e: Throwable): String =
+  private[server] def msg(e: Throwable): String =
     Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
 
-  private def err(m: String, ts: String = now()): String =
+  private[server] def err(m: String, ts: String = now()): String =
     s"""{"success":false,"error":${q(m)},"timestamp":${q(ts)}}"""
 
-  private def sendJson(ex: HttpExchange, status: Int, body: String): Unit = {
+  private[server] def sendJson(ex: HttpExchange, status: Int, body: String): Unit = {
     // idempotent: mid-stream failures land here after headers went out
     if (ex.getResponseCode == -1) {
       val bytes = body.getBytes(UTF_8)
