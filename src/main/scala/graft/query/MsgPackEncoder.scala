@@ -226,4 +226,82 @@ object MsgPackEncoder {
     p.packLong(n)
     out.toByteArray
   }
+
+  /** Stream the columnar msgpack envelope to `out` with driver memory
+    * BOUNDED at O(wave × partition chunk), independent of result size —
+    * the fix for the one wire format whose driver footprint scaled with
+    * the full result ([[encodeDistributed]] collects every partition's
+    * runs at once).
+    *
+    * The columnar envelope needs each column's array header (with the
+    * TOTAL row count) before that column's values, so a single forward
+    * pass can't write the socket directly. Instead of a count-first
+    * second data pass (which would re-run the whole query per column),
+    * partitions stream their column runs to the driver in waves — one
+    * parallel job per wave, at most `wave` chunks resident — and the
+    * driver appends each column's run to its own driver-LOCAL spool
+    * file. After the single data pass, the spool files are spliced to
+    * the socket behind their headers and deleted. Disk holds the
+    * response once; memory never does. Byte-identical output to
+    * [[encode]] (parity-pinned in MsgPackEncoderSpec).
+    *
+    * Returns the row count written. */
+  def writeStream(df: DataFrame, out: java.io.OutputStream,
+      maxRows: Long = Long.MaxValue, wave: Int = 0): Long = {
+    val capped = RowCodec.capped(df, maxRows)
+    val cols = capped.columns
+    val fields = capped.schema.fields
+    val sc = df.sparkSession.sparkContext
+    val w = if (wave > 0) wave else math.max(1, sc.defaultParallelism)
+    val chunkRdd = capped.queryExecution.toRdd
+      .mapPartitions(it => Iterator.single(partitionColumnRuns(fields, it)))
+    val nParts = chunkRdd.getNumPartitions
+    val spool = java.nio.file.Files.createTempDirectory("graft_msgpack_spool")
+    val colFiles = Array.tabulate(cols.length)(c => spool.resolve(s"col$c.bin"))
+    val streams = colFiles.map(f => new java.io.BufferedOutputStream(
+      java.nio.file.Files.newOutputStream(f), 1 << 16))
+    try {
+      var n = 0L
+      var start = 0
+      while (start < nParts) {
+        val parts = (start until math.min(start + w, nParts)).toArray
+        val res = sc.runJob(chunkRdd,
+          (it: Iterator[(Array[Array[Byte]], Long)]) => it.next(), parts.toSeq)
+        res.foreach { case (runs, cnt) =>
+          var c = 0
+          while (c < runs.length) { streams(c).write(runs(c)); c += 1 }
+          n += cnt
+        }
+        start += w
+      }
+      streams.foreach(_.close())
+      require(n <= Int.MaxValue, s"result too large for one envelope: $n rows")
+      val p = new Packer(out)
+      p.packMapHeader(3)
+      p.packString("columns")
+      p.packArrayHeader(cols.length)
+      cols.foreach(p.packString)
+      p.packString("data")
+      p.packMapHeader(cols.length)
+      val buf = new Array[Byte](1 << 16)
+      var c = 0
+      while (c < cols.length) {
+        p.packString(cols(c))
+        p.packArrayHeader(n.toInt)
+        val in = java.nio.file.Files.newInputStream(colFiles(c))
+        try {
+          var r = in.read(buf)
+          while (r >= 0) { out.write(buf, 0, r); r = in.read(buf) }
+        } finally in.close()
+        c += 1
+      }
+      p.packString("row_count")
+      p.packLong(n)
+      n
+    } finally {
+      streams.foreach(s => try s.close() catch { case _: Throwable => () })
+      colFiles.foreach(f => java.nio.file.Files.deleteIfExists(f))
+      java.nio.file.Files.deleteIfExists(spool)
+    }
+  }
 }

@@ -183,6 +183,43 @@ class MsgPackEncoderSpec extends SparkSpec {
       .asInstanceOf[Map[String, Any]]
     assert(decoded("row_count") == 9L)
   }
+
+  test("spool-streamed encode is byte-identical to the driver-side encode") {
+    val df = spark.sql(
+      """SELECT id AS k, CAST(id * 1.5 AS DOUBLE) AS v, CONCAT('s', id) AS s,
+        |  CASE WHEN id % 3 = 0 THEN NULL ELSE id END AS n
+        |FROM range(1000)""".stripMargin)
+      .repartition(7).persist()
+    try {
+      df.count() // pin partition contents so both encodes see the same order
+      val a = MsgPackEncoder.encode(df)
+      val out = new java.io.ByteArrayOutputStream()
+      // wave=2 forces multiple spool waves over the 7 partitions — the
+      // bounded-memory path, not a one-wave degenerate case
+      val rows = MsgPackEncoder.writeStream(df, out, wave = 2)
+      assert(rows == 1000L)
+      assert(java.util.Arrays.equals(a, out.toByteArray))
+    } finally df.unpersist()
+  }
+
+  test("spool-streamed encode honors the row cap and cleans its spool") {
+    val before = listSpools()
+    val out = new java.io.ByteArrayOutputStream()
+    MsgPackEncoder.writeStream(spark.range(100).toDF("id"), out, maxRows = 9)
+    val decoded = graft.ingest.MsgPack.decode(out.toByteArray)
+      .asInstanceOf[Map[String, Any]]
+    assert(decoded("row_count") == 9L)
+    assert(listSpools() == before, "spool dir leaked")
+  }
+
+  private def listSpools(): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val s = java.nio.file.Files.list(tmp)
+    try s.iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith("graft_msgpack_spool")).toSet
+    finally s.close()
+  }
 }
 
 class ArrowEncoderSpec extends SparkSpec {
