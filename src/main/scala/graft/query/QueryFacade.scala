@@ -384,8 +384,9 @@ object QueryFacade {
       "libsvm", "jdbc", "xml", "textfile")
 
   /** Expression functions blocked on the read-only surface: reflective
-    * invocation of arbitrary public static methods. */
-  private[query] val BlockedFunctions: Set[String] = Set("reflect", "java_method")
+    * invocation of arbitrary public static methods. (private[graft]: the
+    * admin delete WHERE validator shares the same denylist.) */
+  private[graft] val BlockedFunctions: Set[String] = Set("reflect", "java_method")
 
   /** Bounded recent-slow ring size. */
   private[query] val SlowRingCap = 128
