@@ -113,8 +113,92 @@ object MiscQueries {
         .select(col("media_id"), col("n_bytes"), col("width"), col("height"),
           col("checksum"))
         .orderBy(col("media_id"))
-    })
+    }),
+
+    // q80's oracle-exact twin: REAL JDK decodes (ImageIO PNG, sound-API
+    // WAV) over deterministic in-query fixtures, exporting only
+    // CONTENT-derived quantities (dimensions, quantized luminance-
+    // histogram / RMS-segment features) — stable across JVM encoder
+    // versions, so the oracle is a static VALUES table. A half-black/
+    // half-white 32x16 PNG decodes to hist bins 0=0.5, 7=0.5; an
+    // all-black 10x10 to bin0=1; a 1600-frame 8 kHz mono square wave
+    // (silent first half) to RMS segments 0 and 32767/32768.
+    "q80b_multimodal_fixture" -> ((s, dir) => {
+      import s.implicits._
+      val media = Seq(
+        (0L, pngHalf(32, 16), "png"),
+        (1L, pngHalf(10, 10, allBlack = true), "png"),
+        (2L, wavSquare(1600, 8000f), "wav"))
+        .toDF("media_id", "bytes", "format")
+      Multimodal.extractFeatures(media)
+        .select(col("media_id"), col("width"), col("height"),
+          round(element_at(col("features"), 1) * 1000).cast("long").as("f0"),
+          round(element_at(col("features"), 8) * 1000).cast("long").as("f7"))
+        .orderBy(col("media_id"))
+    }),
+
+    // q34's oracle-checked companion: the exact distinct counts ARE the
+    // oracle row, and the sketch columns export only their error-bound
+    // verdicts (|approx-exact| within 10% for HLL++ at default rsd 0.05;
+    // 2% value error for percentile_approx at accuracy 10000) — the
+    // oracle asserts TRUE, so a sketch drifting out of its published
+    // bound fails the hash gate
+    "q34b_sketch_bounds" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey")).as("_approx"),
+          expr("percentile(l_extendedprice, 0.5D)").as("_p50x"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+            .as("_p50a"),
+          expr("percentile(l_extendedprice, 0.99D)").as("_p99x"),
+          percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000))
+            .as("_p99a"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("_approx") - col("exact_parts")) <=
+            col("exact_parts") * lit(0.1)).as("distinct_ok"),
+          (abs(col("_p50a") - col("_p50x")) <=
+            abs(col("_p50x")) * lit(0.02)).as("p50_ok"),
+          (abs(col("_p99a") - col("_p99x")) <=
+            abs(col("_p99x")) * lit(0.02)).as("p99_ok"))
+        .orderBy(col("l_returnflag")))
   )
+
+  /** Deterministic w×h PNG: left half black, right half white (or all
+    * black) — encoded via the JDK's ImageIO, decoded by the REAL q80b
+    * image path. */
+  private def pngHalf(w: Int, h: Int, allBlack: Boolean = false): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if (!allBlack && x >= w / 2) 0xffffff else 0x000000)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** 16-bit mono PCM WAV: silent first half, full-amplitude square wave
+    * second half. */
+  private def wavSquare(frames: Int, rate: Float): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val pcm = new Array[Byte](frames * 2)
+    var i = 0
+    while (i < frames) {
+      val sample: Short =
+        if (i < frames / 2) 0
+        else if (i % 2 == 0) 32767 else -32767
+      pcm(2 * i) = (sample & 0xff).toByte
+      pcm(2 * i + 1) = ((sample >> 8) & 0xff).toByte
+      i += 1
+    }
+    val in = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(in,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
 
   val oracles: Map[String, String] = Map(
     "q18_join_asof" ->
@@ -156,8 +240,21 @@ object MiscQueries {
          |FROM events
          |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-03 00:00:00'
          |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-08 00:00:00'
-         |GROUP BY event_type ORDER BY event_type""".stripMargin
-    // q34/q80: intentionally no oracle (sketches are engine-specific;
-    // multimodal decode is stubbed) -> driver rows-only check
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // q34/q80 themselves stay rows-only (sketch VALUES are
+    // engine-specific; the documents-bytes pipeline exports encoder-
+    // dependent checksums) — their oracle-exact twins are below
+    "q34b_sketch_bounds" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+        |  TRUE AS distinct_ok, TRUE AS p50_ok, TRUE AS p99_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q80b_multimodal_fixture" ->
+      """SELECT * FROM (VALUES
+        |  (0, 32, 16, 500, 500),
+        |  (1, 10, 10, 1000, 0),
+        |  (2, 8000, 1, 0, 1000))
+        |AS fx(media_id, width, height, f0, f7) ORDER BY media_id""".stripMargin
   )
 }
