@@ -68,25 +68,43 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
       meta.decimals.map { case (c, (p, s)) => s"$c:$p:$s" }.mkString(","))
     props.setProperty("zorderKeys", meta.zorderKeys.mkString(","))
     val path = metaPath(db, m)
-    val out = fs(path).create(path, true)
+    val f = fs(path)
+    f.mkdirs(path.getParent)
+    // tmp + overwrite-rename: the visible meta file is always a complete
+    // snapshot. A direct create(path, true) let a concurrent readMeta
+    // (every flush calls registerTags) observe a torn/half-written
+    // properties file — surfaced by the sustained soak as a rare write
+    // 500 under 12-thread mixed traffic.
+    val tmp = new Path(path.getParent,
+      s".${path.getName}.${Thread.currentThread().getId}.tmp")
+    val out = f.create(tmp, true)
     try props.store(out, "graft table metadata") finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(f.getUri,
+      spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, path, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
+
+  // per-table serialization of the meta read-modify-write: two
+  // concurrent first flushes must not lose each other's tag unions
+  private val metaLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** Union-merge newly observed tag columns into the table meta. Tags
     * define series identity: compaction's dedup key and the
     * bloom-filtered columns must track every tag ever declared — a
     * first-batch-only registration would drop later tags at the first
     * rewrite. Returns the up-to-date meta. */
-  def registerTags(db: String, m: String, tags: Seq[String]): TableMeta = {
-    val meta = readMeta(db, m)
-    val merged = (meta.tagColumns ++ tags).distinct
-    if (merged == meta.tagColumns) meta
-    else {
-      val upd = meta.copy(tagColumns = merged)
-      writeMeta(db, m, upd)
-      upd
+  def registerTags(db: String, m: String, tags: Seq[String]): TableMeta =
+    metaLocks.computeIfAbsent(s"$db/$m", _ => new Object).synchronized {
+      val meta = readMeta(db, m)
+      val merged = (meta.tagColumns ++ tags).distinct
+      if (merged == meta.tagColumns) meta
+      else {
+        val upd = meta.copy(tagColumns = merged)
+        writeMeta(db, m, upd)
+        upd
+      }
     }
-  }
 
   def readMeta(db: String, m: String): TableMeta = {
     val path = metaPath(db, m)

@@ -12,6 +12,13 @@ import org.apache.spark.sql.SparkSession
   * port. Optional env:
   *   GRAFT_AUTH_TOKEN     static bearer token (unset = auth off)
   *   GRAFT_MAX_ROWS       governance row cap per query result
+  *   GRAFT_DELETE_ENABLED true enables POST /api/v1/delete (reference
+  *                        default: disabled, config.go:1438)
+  *   GRAFT_COLD_ROOT      cold-tier root for /api/v1/tiering (default
+  *                        {root}/_cold)
+  *   GRAFT_COMPACT_EVERY_SEC  start the in-process compaction
+  *                        scheduler at this interval (unset = admin
+  *                        trigger only)
   *   SPARK_GRAFT_CPUS     local[N] parallelism (default all cores)
   *
   * On a real cluster, build the SparkSession against your cluster
@@ -36,12 +43,21 @@ object ServeMain {
       authToken = sys.env.get("GRAFT_AUTH_TOKEN"))
     sys.env.get("GRAFT_MAX_ROWS").flatMap(_.toLongOption)
       .foreach(server.maxRows = _)
+    if (sys.env.get("GRAFT_DELETE_ENABLED").exists(_.toBoolean))
+      server.admin.deleteEnabled = true
+    sys.env.get("GRAFT_COLD_ROOT").foreach(server.admin.coldRoot = _)
+    sys.env.get("GRAFT_COMPACT_EVERY_SEC").flatMap(_.toLongOption).foreach { s =>
+      new graft.jobs.CompactionScheduler(server.catalog,
+        intervalMillis = s * 1000L).start()
+    }
     val bound = server.start()
     println(s"graft serving on http://127.0.0.1:$bound  (root=$root)")
     println(s"  POST /api/v1/query            {\"sql\": \"...\"}  (Accept: arrow/msgpack negotiates)")
     println(s"  POST /write?db=mydb           InfluxDB line protocol")
     println(s"  POST /api/v1/write/msgpack    columnar MessagePack")
-    println(s"  GET  /health | /metrics | /api/v1/measurements")
+    println(s"  GET  /health | /metrics | /api/v1/measurements | /api/v1/logs")
+    println(s"  POST /api/v1/delete | /api/v1/compaction/trigger | /api/v1/tiering/migrate")
+    println(s"  CRUD /api/v1/retention | /api/v1/continuous_queries | /api/v1/mqtt/subscriptions")
     // keep serving until killed
     Thread.currentThread().join()
   }

@@ -23,6 +23,14 @@ import java.util.concurrent.{Executors, TimeUnit}
 object ServiceSoak {
   def main(args: Array[String]): Unit = {
     val seconds = sys.env.getOrElse("SOAK_SECONDS", "60").toInt
+    // SOAK_COMPACT=1: sustained-maintenance mode — hourly compaction
+    // triggers fire over the admin HTTP route WHILE ingest and queries
+    // run, and the audit additionally asserts (a) the post-quiesce file
+    // count stays bounded (compaction kept up with ingest) and (b) query
+    // latency in the soak's second half stays within 5x its first half
+    // (serving didn't degrade under accumulating files + maintenance) —
+    // the 100x-scale-up confidence check from the r7 verdict, item 8.
+    val compact = sys.env.get("SOAK_COMPACT").contains("1")
     val spark = SparkSession.builder()
       .master("local[16]")
       .config("spark.sql.shuffle.partitions", "16")
@@ -65,8 +73,12 @@ object ServiceSoak {
     val rnd = new java.util.Random(42)
     val t0 = 1700000000000000000L
     val nextTs = new AtomicLong(t0)
+    // (wall-clock ns, latency ms) per count-query — flatness audit input
+    val queryLatencies =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double)]()
+    val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
-    val roles: Seq[Runnable] = Seq(
+    val roles: Seq[Runnable] = (Seq[() => Unit](
       // msgpack-ish writer via LP (rows counted for the final audit)
       () => {
         val n = 200
@@ -75,14 +87,28 @@ object ServiceSoak {
         note("write", r.statusCode(), Set(204))
         if (r.statusCode() == 204) written.addAndGet(n.toLong)
       },
-      // reader: count over the soak measurement (may not exist yet)
+      // reader: count over the soak measurement (may not exist yet);
+      // latency sampled for the flatness audit. The envelope must PARSE
+      // in full — a mid-stream execution failure truncates a 200 body,
+      // which a substring check would wave through (it did, for one
+      // round: the first sustained-soak run hid FILE_NOT_EXIST aborts
+      // behind "contains success:true")
       () => {
+        val q0 = System.nanoTime()
         val r = post("/api/v1/query",
           """{"sql":"SELECT count(*) AS n FROM soak"}""".getBytes(UTF_8))
+        queryLatencies.add((System.nanoTime(), (System.nanoTime() - q0) / 1e6))
         note("query", r.statusCode(), Set(200, 400))
-        if (r.statusCode() == 200 &&
-            !new String(r.body(), UTF_8).contains("\"success\":true"))
-          { bad.incrementAndGet(); System.err.println("[soak] bad envelope") }
+        if (r.statusCode() == 200) {
+          try {
+            val env = jsonMapper.readTree(r.body())
+            if (!env.get("success").asBoolean() || !env.has("row_count"))
+              { bad.incrementAndGet(); System.err.println("[soak] bad envelope") }
+          } catch { case e: Exception =>
+            bad.incrementAndGet()
+            System.err.println(s"[soak] TRUNCATED/UNPARSEABLE envelope: ${e.getMessage}")
+          }
+        }
       },
       // arrow reader
       () => note("arrow", post("/api/v1/query",
@@ -118,7 +144,14 @@ object ServiceSoak {
       // covered deterministically by HttpServerSpec)
       () => note("cancel", post(s"/api/v1/query/${1000000000 + rnd.nextInt(1000)}/cancel",
         Array.emptyByteArray).statusCode(), Set(404))
-    ).map(f => new Runnable { def run(): Unit = f() })
+    ) ++ (if (!compact) Nil else Seq[() => Unit](
+      // sustained-mode compactor: hourly merges over the admin route
+      // while writers/readers hammer the same measurement; 409 = another
+      // trigger in flight (expected under 12 random workers)
+      () => note("compact", post("/api/v1/compaction/trigger",
+        """{"database":"default","measurement":"soak","tier":"hourly","min_files":8,"min_age_hours":0}"""
+          .getBytes(UTF_8)).statusCode(), Set(200, 409))
+    ))).map(f => new Runnable { def run(): Unit = f() })
 
     val pool = Executors.newFixedThreadPool(12)
     val deadline = System.nanoTime() + seconds * 1000000000L
@@ -147,7 +180,61 @@ object ServiceSoak {
     val body = new String(fin.body(), UTF_8)
     val seen = "\"data\":\\[\\[(\\d+)\\]\\]".r.findFirstMatchIn(body).map(_.group(1).toLong)
     println(s"[soak] ops=${ops.get} bad=${bad.get} written=${written.get} visible=$seen")
-    val ok = bad.get == 0 && seen.contains(written.get)
+    var ok = bad.get == 0 && seen.contains(written.get)
+
+    if (compact) {
+      // tail sweep, then the sustained-mode audits
+      var sweep = post("/api/v1/compaction/trigger",
+        """{"database":"default","measurement":"soak","tier":"hourly","min_files":2,"min_age_hours":0}"""
+          .getBytes(UTF_8))
+      var tries = 0
+      while (sweep.statusCode() == 409 && tries < 20) {
+        Thread.sleep(500); tries += 1
+        sweep = post("/api/v1/compaction/trigger",
+          """{"database":"default","measurement":"soak","tier":"hourly","min_files":2,"min_age_hours":0}"""
+            .getBytes(UTF_8))
+      }
+      // (a) bounded files: ingest wrote one parquet per accepted write;
+      // after the sweep each hour partition should hold ~1 merged file
+      val files = {
+        def walk(d: java.io.File): Seq[java.io.File] =
+          Option(d.listFiles()).toSeq.flatten
+            .flatMap(f => if (f.isDirectory) walk(f) else Seq(f))
+        walk(new java.io.File(s"$root/default/soak"))
+          .filter(_.getName.endsWith(".parquet"))
+      }
+      val hourDirs = files.map(_.getParentFile).distinct.size.max(1)
+      println(s"[soak] compact-mode: ${files.size} parquet files over " +
+        s"$hourDirs hour partitions after sweep")
+      if (files.size > hourDirs * 4) {
+        ok = false
+        System.err.println(s"[soak] FILE-COUNT UNBOUNDED: ${files.size} files")
+      }
+      // (b) latency flatness: second-half p50 within 5x first-half p50
+      import scala.jdk.CollectionConverters._
+      val lats = queryLatencies.asScala.toSeq.sortBy(_._1)
+      if (lats.size >= 20) {
+        def p50(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+        val (h1, h2) = lats.map(_._2).splitAt(lats.size / 2)
+        println(f"[soak] query p50 first-half ${p50(h1)}%.1f ms, " +
+          f"second-half ${p50(h2)}%.1f ms")
+        if (p50(h2) > p50(h1) * 5 && p50(h2) > 200) {
+          ok = false
+          System.err.println("[soak] LATENCY DEGRADED under sustained ingest")
+        }
+      }
+      // verify the count survived every concurrent merge exactly
+      val after = post("/api/v1/query",
+        """{"sql":"SELECT count(*) AS n FROM soak"}""".getBytes(UTF_8))
+      val seenAfter = "\"data\":\\[\\[(\\d+)\\]\\]".r
+        .findFirstMatchIn(new String(after.body(), UTF_8)).map(_.group(1).toLong)
+      println(s"[soak] post-sweep visible=$seenAfter")
+      if (!seenAfter.contains(written.get)) {
+        ok = false
+        System.err.println("[soak] POST-COMPACTION COUNT MISMATCH")
+      }
+    }
+
     println(if (ok) "[soak] PASS" else "[soak] FAIL")
     server.stop(); spark.stop()
     if (!ok) sys.exit(1)

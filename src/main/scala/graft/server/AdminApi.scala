@@ -11,7 +11,6 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.{expr, lit}
 
-import java.nio.charset.StandardCharsets.UTF_8
 import java.time.Instant
 import java.util.concurrent.ConcurrentLinkedDeque
 import java.util.concurrent.atomic.AtomicLong
@@ -667,18 +666,24 @@ final class AdminApi(srv: HttpServer) {
         val now = System.currentTimeMillis() * 1000L
         (now - intervalUs, now)
       }
-      val rows = dbCat.spark.sql(ContinuousQuery.substitute(query, su, eu)).count()
+      // withSession: CQ SQL executes on an HTTP pool thread — the db
+      // session must be ACTIVE there (see HttpServer.withSession)
+      val rows = srv.withSession(dbCat.spark) {
+        dbCat.spark.sql(ContinuousQuery.substitute(query, su, eu)).count()
+      }
       ok(ex, 200,
         s"""{"success":true,"dry_run":true,"records_written":0,""" +
           s""""window_rows":$rows,"window_start":${q(isoOfUs(su))},""" +
           s""""window_end":${q(isoOfUs(eu))},"execution_time_ms":$ms}""")
       return
     }
-    val execs = explicit match {
-      case Some((su, eu)) => Seq(ContinuousQuery.execute(dbCat, cqJob, su, eu))
-      case None =>
-        ContinuousQuery.catchUp(dbCat, cqJob, intervalUs,
-          System.currentTimeMillis() * 1000L)
+    val execs = srv.withSession(dbCat.spark) {
+      explicit match {
+        case Some((su, eu)) => Seq(ContinuousQuery.execute(dbCat, cqJob, su, eu))
+        case None =>
+          ContinuousQuery.catchUp(dbCat, cqJob, intervalUs,
+            System.currentTimeMillis() * 1000L)
+      }
     }
     srv.invalidateView(db, dest)
     val written = execs.map(_.rows).sum
@@ -738,6 +743,12 @@ final class AdminApi(srv: HttpServer) {
       .map { case (id, desc) => s"""{"job_id":$id,"description":${q(desc)}}""" }
       .mkString("""{"jobs":[""", ",", s"""],"count":${compActive.size}}"""))
 
+  // one trigger at a time: two concurrent triggers over the same scope
+  // would plan the same merge twice — the second's inputs vanish under
+  // it mid-write. The manifest's per-table lock makes the SWAP safe;
+  // this makes the PLAN safe. 409 mirrors "already running".
+  private val compTriggerBusy = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   /** POST /api/v1/compaction/trigger — run the hourly and/or daily tier
     * NOW for the selected scope (compaction.go triggerCompaction). Runs
     * synchronously; per-partition merges fan out inside the job. */
@@ -769,6 +780,9 @@ final class AdminApi(srv: HttpServer) {
         for (db <- catalog.listDatabases(); m <- catalog.listTables(db))
           yield (db, m)
     }
+    if (!compTriggerBusy.compareAndSet(false, true)) {
+      fail(ex, 409, "compaction trigger already running"); return
+    }
     val jobId = compSeq.incrementAndGet()
     compActive.put(jobId, s"trigger tier=$tier scope=${scope.size} tables")
     try {
@@ -799,7 +813,10 @@ final class AdminApi(srv: HttpServer) {
       ok(ex, 200, resp)
     } catch {
       case e: Throwable => compFailed.incrementAndGet(); throw e
-    } finally compActive.remove(jobId)
+    } finally {
+      compActive.remove(jobId)
+      compTriggerBusy.set(false)
+    }
   }
 
   // ---- tiering ---------------------------------------------------------------

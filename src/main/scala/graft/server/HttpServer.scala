@@ -90,6 +90,14 @@ final class HttpServer(
     dbSessions.getOrElseUpdate(db, {
       val s = spark.newSession()
       graft.GraftFunctions.registerAll(s) // function registry is per-session
+      // maintenance runs concurrently with serving: compaction/retention
+      // delete source files that a registered view's snapshot may still
+      // list. Skipping a vanished file (instead of failing the query)
+      // gives the same transient semantics as the reference's per-query
+      // listing under concurrent deletes; exactness is restored by the
+      // view-version protocol the moment the maintenance op invalidates
+      // the view.
+      s.conf.set("spark.sql.files.ignoreMissingFiles", "true")
       (s, new GraftCatalog(s, catalogRoot))
     })
 
@@ -419,10 +427,11 @@ final class HttpServer(
       mQueryErrors.incrementAndGet()
       sendJson(ex, 404, err(s"database not found: $db", ts)); return
     }
+    val (sess, dbCat) = sessionFor(db)
+    withSession(sess) { // plan AND stream under the db session's conf
     val (id, df) =
       try {
         ensureViews(db)
-        val (sess, dbCat) = sessionFor(db)
         facade.submit(sql, q => facade.sqlWithShow(q, dbCat, { stmt =>
           facade.requireReadOnly(sess, stmt) // reference read-only gate
           sess.sql(stmt)
@@ -479,6 +488,7 @@ final class HttpServer(
         try ex.getResponseBody.close() catch { case _: Throwable => () }
         throw e
     } finally facade.complete(id, rows)
+    }
   }
 
   private def handleEstimate(ex: HttpExchange): Unit = {
@@ -507,7 +517,7 @@ final class HttpServer(
       ensureViews(db)
       facade.requireReadOnly(sessionFor(db)._1, sql)
     } catch { case e: Throwable => fail(403, e); return }
-    try {
+    try withSession(sessionFor(db)._1) {
       // one warning ladder, owned by the facade (query.go:3725-3740)
       val (n, level, message) = facade.estimate(sql, sessionFor(db)._1.sql)
       val ms = (System.nanoTime() - t0) / 1e6
@@ -818,6 +828,7 @@ final class HttpServer(
     // same registry/cancel path as POST /api/v1/query — a slow
     // simple-read must be listable, cancellable, and must never run
     // under a stale thread-local job group
+    withSession(sessionFor(db)._1) {
     val (id, df) =
       try {
         ensureViews(db)
@@ -843,6 +854,7 @@ final class HttpServer(
         try ex.getResponseBody.close() catch { case _: Throwable => () }
         throw e
     } finally facade.complete(id, rows)
+    }
   }
 
   // ---- catalog surface -------------------------------------------------
@@ -859,9 +871,14 @@ final class HttpServer(
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val items = for (db <- dbs; m <- catalog.listTables(db)) yield {
       val p = new Path(catalog.tablePath(db, m))
-      val s = fs.getContentSummary(p)
-      s"""{"database":${q(db)},"measurement":${q(m)},"file_count":${s.getFileCount},""" +
-        s""""total_size_mb":${s.getLength / 1048576.0},"storage_path":${q(p.toString)}}"""
+      // stat failures are transient under concurrent maintenance (a
+      // compaction/retention delete can race getContentSummary's walk) —
+      // report zeros for this listing rather than failing the request
+      val (files, bytes) =
+        try { val s = fs.getContentSummary(p); (s.getFileCount, s.getLength) }
+        catch { case _: java.io.IOException => (0L, 0L) }
+      s"""{"database":${q(db)},"measurement":${q(m)},"file_count":$files,""" +
+        s""""total_size_mb":${bytes / 1048576.0},"storage_path":${q(p.toString)}}"""
     }
     sendJson(ex, 200,
       s"""{"success":true,"measurements":${items.mkString("[", ",", "]")},"count":${items.size}}""")
@@ -946,6 +963,25 @@ final class HttpServer(
           }
         }
       }
+    }
+  }
+
+  /** Run `f` with `sess` as the thread's ACTIVE session. HTTP pool
+    * threads inherit whatever session was active when the pool spawned
+    * them (SparkSession.activeSession is an InheritableThreadLocal —
+    * usually the ROOT session), and parts of Spark's scan planning read
+    * `SQLConf.get` (the active session's conf) rather than the
+    * relation's session conf. Serving-layer settings like
+    * ignoreMissingFiles silently didn't apply to some plan shapes until
+    * the handling thread activates the database's child session —
+    * surfaced by the sustained soak as FAILED_READ_FILE aborts on the
+    * simple-read route while compaction deleted merged-away files. */
+  private[server] def withSession[T](sess: SparkSession)(f: => T): T = {
+    val prev = SparkSession.getActiveSession
+    SparkSession.setActiveSession(sess)
+    try f finally prev match {
+      case Some(p) => SparkSession.setActiveSession(p)
+      case None => SparkSession.clearActiveSession()
     }
   }
 
