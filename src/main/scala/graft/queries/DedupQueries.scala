@@ -407,8 +407,55 @@ object DedupQueries {
           t(s, dir, "documents"), "doc_id", "text",
           key, w = SnmW, minJaccard = 0.5)
         .orderBy(col("doc1"), col("doc2"))
+    }),
+
+    // CCNet-style LINE-level dedup (the web-corpus boilerplate pass:
+    // hash every line, drop lines whose corpus frequency crosses a
+    // threshold, keep the rest in order). The synthetic docs have no
+    // newlines, so a "line" here is a non-overlapping LineW-word chunk —
+    // the same shape at the same cost. Lines shared by >= LineDupDocs
+    // distinct docs are removed from EVERY doc; the cleaned text
+    // reassembles in position order (docs whose every line is common
+    // come back empty, not dropped). Scale: the common-line table is
+    // small by construction (boilerplate), so the removal join
+    // broadcasts; the explode is linear in corpus words.
+    "q158_line_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lines = docs.select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(sequence(0, cast(ceil(size(split(text, ' ')) / ${LineW}.0) AS int) - 1),
+             | i -> array_join(slice(split(text, ' '), i * $LineW + 1, $LineW), ' '))"""
+            .stripMargin.replace("\n", ""))).as(Seq("pos", "line")))
+      val common = lines.groupBy(col("line"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+        .where(col("n_docs") >= LineDupDocs)
+        .select(col("line"))
+      // ONE flag-join pass (not an anti-join + separate totals join):
+      // totals, kept counts, and the reassembled text all come from a
+      // single grouped aggregation over the flagged lines — two corpus
+      // scans total (counting pass + this one), the two-pass minimum
+      // for a global-frequency filter
+      val flagged = lines.join(
+        broadcast(common.withColumn("dup", lit(true))), Seq("line"), "left")
+      flagged.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("total_lines"),
+          sum(when(col("dup").isNull, 1L).otherwise(0L)).as("kept_lines"),
+          array_join(transform(filter(array_sort(collect_list(struct(
+              col("pos"), col("line"),
+              coalesce(col("dup"), lit(false)).as("dup")))),
+            x => !x.getField("dup")),
+            x => x.getField("line")), " ").as("cleaned"))
+        .select(col("doc_id"), col("kept_lines"),
+          (col("total_lines") - col("kept_lines")).as("removed_lines"),
+          col("cleaned"))
+        .orderBy(col("doc_id"))
     })
   )
+
+  // 3-word "lines", removed when shared by >= 2 distinct docs — tuned so
+  // the synthetic corpus (small vocab) actually exercises the removal
+  private val LineW = 3
+  private val LineDupDocs = 2
 
   /** q109 shingle width (3-gram, same granularity as the q99 source
     * overlap matrix — fine enough to overlap across the synthetic
@@ -719,6 +766,35 @@ object DedupQueries {
          |SELECT LEAST(d1, d2) AS doc1, GREATEST(d1, d2) AS doc2,
          |  ${oRound6("i", "u")} AS jaccard
          |FROM p WHERE ${oRound6("i", "u")} >= 0.5
-         |ORDER BY doc1, doc2""".stripMargin
+         |ORDER BY doc1, doc2""".stripMargin,
+
+    "q158_line_dedup" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         |),
+         |lines AS (
+         |  SELECT doc_id, r.pos,
+         |    array_to_string(w[(r.pos * $LineW + 1):(r.pos * $LineW + $LineW)], ' ') AS line
+         |  FROM docs,
+         |    UNNEST(range(0, CAST(ceil(len(w) / ${LineW}.0) AS int))) AS r(pos)
+         |),
+         |common AS (
+         |  SELECT line FROM lines GROUP BY line
+         |  HAVING COUNT(DISTINCT doc_id) >= $LineDupDocs
+         |),
+         |kept AS (
+         |  SELECT * FROM lines WHERE line NOT IN (SELECT line FROM common)
+         |),
+         |tot AS (SELECT doc_id, COUNT(*) AS total_lines FROM lines GROUP BY doc_id),
+         |ka AS (
+         |  SELECT doc_id, COUNT(*) AS kept_lines,
+         |    string_agg(line, ' ' ORDER BY pos) AS cleaned
+         |  FROM kept GROUP BY doc_id
+         |)
+         |SELECT t.doc_id, COALESCE(ka.kept_lines, 0) AS kept_lines,
+         |  t.total_lines - COALESCE(ka.kept_lines, 0) AS removed_lines,
+         |  COALESCE(ka.cleaned, '') AS cleaned
+         |FROM tot t LEFT JOIN ka USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin
   )
 }

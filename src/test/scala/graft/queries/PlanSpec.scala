@@ -610,4 +610,21 @@ class PlanSpec extends SparkSpec {
     assert(count(plan, ") Scan parquet") <= 1,
       s"one embedding scan feeds everything:\n$plan")
   }
+
+  test("q158 line dedup: two corpus scans, common lines broadcast") {
+    val full = explained("q158_line_dedup")
+    val plan = full.indexOf("Initial Plan") match {
+      case -1 => full
+      case i => full.substring(0, i)
+    }
+    // a global-frequency filter needs two passes (count, then flag) —
+    // a third scan means the totals/kept/reassembly aggregations split
+    assert(count(plan, "Scan parquet") == 2,
+      s"line dedup is a two-pass op, found a different scan count:\n$plan")
+    // the common-line (boilerplate) table is small by construction and
+    // must broadcast into the flag join — a shuffle join here re-keys
+    // the whole exploded corpus by line text
+    assert(plan.contains("BroadcastHashJoin"),
+      s"common lines must broadcast:\n$plan")
+  }
 }
