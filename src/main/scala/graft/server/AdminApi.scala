@@ -348,7 +348,14 @@ final class AdminApi(srv: HttpServer) {
       fail(ex, 400, "Confirmation required for delete operation. " +
         "Set confirm=true or use dry_run=true to preview."); return
     }
-    val pre = TargetedDelete.preview(catalog, db, meas, predicate)
+    val pre =
+      try TargetedDelete.preview(catalog, db, meas, predicate)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          // unknown column / type mismatch in the (parse-valid) WHERE —
+          // a client error, not a server fault
+          fail(ex, 400, "invalid WHERE clause: " + srv.msg(e)); return
+      }
     if (pre.totalMatches > deleteMaxRows) {
       fail(ex, 400, s"Delete would affect ${pre.totalMatches} rows, " +
         s"exceeding max_rows_per_delete ($deleteMaxRows)"); return

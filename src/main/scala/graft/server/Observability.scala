@@ -46,9 +46,18 @@ final class Observability {
       if (seg.nonEmpty && seg.forall(_.isDigit)) ":id" else seg
     }.mkString("/")
 
+  /** Bounded endpoint cardinality: real routes number a few dozen; an
+    * open internet port also receives arbitrary 404 paths, which must
+    * not grow this map without limit. Past the cap, unseen keys fold
+    * into one OTHER bucket. */
+  private val EndpointCap = 256
+
   private[server] def record(method: String, path: String, status: Int,
       latencyUs: Long): Unit = {
-    val key = s"$method ${normalizePath(path)}"
+    val norm = s"$method ${normalizePath(path)}"
+    val key =
+      if (endpoints.contains(norm) || endpoints.size < EndpointCap) norm
+      else "OTHER"
     val s = endpoints.getOrElseUpdate(key, new EndpointStat)
     s.requests.incrementAndGet()
     if (status >= 400) s.errors.incrementAndGet()
