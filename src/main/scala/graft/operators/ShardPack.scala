@@ -54,6 +54,19 @@ object ShardPack {
   def assign(df: DataFrame, keyCol: Column, weightCol: Column, budget: Long,
       shardCol: String = "shard_id", partitions: Int = 0): DataFrame = {
     require(budget > 0, s"shard budget must be positive, got $budget")
+    priors(df, keyCol, weightCol, partitions)
+      // exact integer division (double floor would wobble past 2^53)
+      .withColumn(shardCol, expr(s"_prior div ${budget}L").cast("long"))
+      .select(col("_k"), col("_w"), col(shardCol))
+  }
+
+  /** The distributed EXCLUSIVE global prefix sum underneath [[assign]]
+    * (and [[SequencePack]]): per row, (`_k` key, `_w` weight, `_prior` =
+    * sum of all strictly-preceding weights in key order). Never a global
+    * single-task window — range partition + per-partition offsets; the
+    * only driver state is p partition sums. */
+  def priors(df: DataFrame, keyCol: Column, weightCol: Column,
+      partitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
     val p = if (partitions > 0) partitions
       else spark.sparkContext.defaultParallelism
@@ -83,12 +96,10 @@ object ShardPack {
       .rowsBetween(Window.unboundedPreceding, -1)
     narrow
       .withColumn("_pid", spark_partition_id())
-      .withColumn("_prior", coalesce(sum(col("_w")).over(w), lit(0L)))
+      .withColumn("_local", coalesce(sum(col("_w")).over(w), lit(0L)))
       .join(broadcast(offsets), "_pid")
-      // exact integer division (double floor would wobble past 2^53)
-      .withColumn(shardCol,
-        expr(s"(_off + _prior) div ${budget}L").cast("long"))
-      .select(col("_k"), col("_w"), col(shardCol))
+      .select(col("_k"), col("_w"),
+        (col("_off") + col("_local")).as("_prior"))
   }
 
   /** Per-shard manifest: doc count, total weight, key range — the

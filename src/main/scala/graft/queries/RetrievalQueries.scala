@@ -159,6 +159,34 @@ object RetrievalQueries {
           Seq("doc_id", "pos"))
         .select(col("doc_id"), col("pos"), col("phrase"))
         .orderBy(col("doc_id"), col("pos"))
+    }),
+
+    // RAG chunking: split every document into overlapping retrieval
+    // windows of 64 tokens at stride 48 (16-token overlap — the
+    // standard passage-index prep ahead of the q70/q116 indexes). A
+    // doc shorter than one window is its own single chunk; the final
+    // chunk may run short rather than re-reading the tail twice.
+    // Per-row HOF compute only (tokenize → bounded explode → slice →
+    // join): no shuffle at all before the presentation sort; output is
+    // O(total_tokens / stride). chunk_text re-joins with single spaces
+    // — the same whitespace normalization both engines apply, so the
+    // strings hash-match exactly.
+    "q160_chunk_windows" -> ((s, dir) => {
+      val W = 64L; val S = 48L
+      t(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+        .withColumn("n", size(col("tk")).cast("long"))
+        .select(col("doc_id"), col("tk"), col("n"),
+          explode(expr(
+            s"sequence(0L, if(n <= ${W}L, 0L, (n - ${W}L + ${S}L - 1) div ${S}L))"))
+            .as("chunk_id"))
+        .select(col("doc_id"), col("chunk_id"),
+          (col("chunk_id") * S).as("tok_start"),
+          least(lit(W), col("n") - col("chunk_id") * S).as("n_chunk_toks"),
+          array_join(slice(col("tk"),
+            (col("chunk_id") * S + 1L).cast("int"), lit(W.toInt)), " ")
+            .as("chunk_text"))
+        .orderBy(col("doc_id"), col("chunk_id"))
     })
   )
 
@@ -249,6 +277,22 @@ object RetrievalQueries {
          |SELECT s.doc_id, d.source,
          |  CAST(imp6 AS DOUBLE) / 1000000.0 AS importance
          |FROM scored s JOIN documents d ON s.doc_id = d.doc_id
-         |ORDER BY importance DESC, s.doc_id""".stripMargin
+         |ORDER BY importance DESC, s.doc_id""".stripMargin,
+
+    "q160_chunk_windows" ->
+      """WITH d AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |n AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n FROM d),
+        |e AS (SELECT doc_id, tk, n,
+        |    unnest(generate_series(0,
+        |      CASE WHEN n <= 64 THEN 0 ELSE (n - 64 + 47) // 48 END))
+        |      AS chunk_id
+        |  FROM n)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(chunk_id * 48 AS BIGINT) AS tok_start,
+        |  CAST(LEAST(64, n - chunk_id * 48) AS BIGINT) AS n_chunk_toks,
+        |  array_to_string(tk[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ')
+        |    AS chunk_text
+        |FROM e ORDER BY doc_id, chunk_id""".stripMargin
   )
 }

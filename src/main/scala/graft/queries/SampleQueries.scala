@@ -257,7 +257,24 @@ object SampleQueries {
             .cast("double") / 1000000.0).as("lift"))
         .orderBy(col("lift").desc, col("a"), col("b"))
         .limit(LiftTopK)
-    })
+    }),
+
+    // context-window sequence packing: concatenate the corpus's token
+    // stream in doc_id order and split it into 1024-token training
+    // sequences, docs crossing boundaries (GPT-style pack-then-split).
+    // Output = the segment map / provenance index, one row per
+    // (sequence, doc) intersection (operators.SequencePack over the
+    // distributed ShardPack prefix sum). The oracle is the single-task
+    // `SUM() OVER (ORDER BY)` + generate_series form the operator
+    // exists to avoid — exact equality proves the segment arithmetic.
+    "q159_sequence_pack" -> ((s, dir) =>
+      graft.operators.SequencePack.segments(
+        t(s, dir, "documents"),
+        col("doc_id"), TextFunctions.tokenCount(col("text")),
+        seqLen = 1024L)
+        .select(col("seq_id"), col("key").as("doc_id"),
+          col("seq_off"), col("doc_off"), col("n_toks"))
+        .orderBy(col("seq_id"), col("doc_id")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -385,6 +402,27 @@ object SampleQueries {
          |FROM cab JOIN cw ca ON cab.a = ca.w JOIN cw cb ON cab.b = cb.w
          |CROSS JOIN n
          |ORDER BY c_ab * n_docs * 1000000 // (ca.c * cb.c) DESC, a, b
-         |LIMIT $LiftTopK""".stripMargin
+         |LIMIT $LiftTopK""".stripMargin,
+
+    "q159_sequence_pack" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS w
+        |  FROM documents),
+        |c AS (SELECT doc_id, w,
+        |    CAST(COALESCE(SUM(w) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS prior
+        |  FROM d),
+        |e AS (SELECT doc_id, w, prior,
+        |    unnest(generate_series(prior // 1024, (prior + w - 1) // 1024))
+        |      AS seq_id
+        |  FROM c WHERE w > 0)
+        |SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+        |  CAST(GREATEST(prior, seq_id * 1024) - seq_id * 1024 AS BIGINT)
+        |    AS seq_off,
+        |  CAST(GREATEST(prior, seq_id * 1024) - prior AS BIGINT) AS doc_off,
+        |  CAST(LEAST(prior + w, (seq_id + 1) * 1024)
+        |    - GREATEST(prior, seq_id * 1024) AS BIGINT) AS n_toks
+        |FROM e ORDER BY seq_id, doc_id""".stripMargin
   )
 }

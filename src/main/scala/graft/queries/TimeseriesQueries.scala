@@ -992,6 +992,49 @@ object TimeseriesQueries {
           (col("tot").cast("double") / 100.0).as("total_value"),
           round6(col("top_cents"), col("tot")).as("top_share"))
         .orderBy(col("event_type"))
+    }),
+
+    // two-sample Kolmogorov–Smirnov drift: per series, the exact KS
+    // statistic max|F1(v) − F2(v)| between the first- and second-half
+    // value distributions — q149's TV distance catches mass moving
+    // BETWEEN bins; KS catches the shift/shape change a coarse
+    // histogram smears away, and is the standard distribution-drift
+    // test a feature-monitoring pipeline runs. Same half-split
+    // convention as q149; values quantized to cents (int64) so the
+    // ECDF support is discrete and both engines agree bit-for-bit;
+    // D = |cum1·n2 − cum2·n1| stays integral (mulGuard-ed), one
+    // rounded division at the end. The cumulative window partitions by
+    // series and runs over the (series × distinct cents) frame —
+    // bounded by the value DOMAIN, not the event count, so the
+    // per-series window task stays small at any corpus scale.
+    "q161_ks_drift" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .crossJoin(broadcast(t(s, dir, "events")
+          .agg(min(unix_micros(col("ts"))).as("t0"),
+            max(unix_micros(col("ts"))).as("t1"))))
+        .select(col("event_type"),
+          (dec(col("value")) * 100).cast("long").as("v"),
+          when(unix_micros(col("ts")) * 2 < col("t0") + col("t1"), 1L)
+            .otherwise(2L).as("half"))
+      val g = ev.groupBy(col("event_type"), col("v"))
+        .agg(sum(when(col("half") === 1L, 1L).otherwise(0L)).as("c1"),
+          sum(when(col("half") === 2L, 1L).otherwise(0L)).as("c2"))
+      val tot = ev.groupBy(col("event_type"))
+        .agg(sum(when(col("half") === 1L, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("half") === 2L, 1L).otherwise(0L)).as("n2"))
+      val wc = Window.partitionBy(col("event_type")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g.withColumn("cum1", sum(col("c1")).over(wc))
+        .withColumn("cum2", sum(col("c2")).over(wc))
+        .join(broadcast(tot), "event_type")
+        .where(col("n1") > 0L && col("n2") > 0L)
+        .groupBy(col("event_type"), col("n1"), col("n2"))
+        .agg(max(abs(mulGuard(col("cum1"), col("n2"), "ks c1n2") -
+          mulGuard(col("cum2"), col("n1"), "ks c2n1"))).as("ks_num"))
+        .select(col("event_type"), col("n1"), col("n2"),
+          round6(col("ks_num"),
+            mulGuard(col("n1"), col("n2"), "ks den")).as("ks"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -1639,6 +1682,36 @@ object TimeseriesQueries {
         "CAST(SUM(CASE WHEN rk <= (nu + 9) // 10 THEN cents ELSE 0 END) AS BIGINT)",
         "CAST(SUM(cents) AS BIGINT)")} AS top_share
          |FROM r GROUP BY event_type, nu
-         |ORDER BY event_type""".stripMargin
+         |ORDER BY event_type""".stripMargin,
+
+    "q161_ks_drift" ->
+      s"""WITH b AS (SELECT MIN(epoch_us(CAST(ts AS TIMESTAMP))) t0,
+         |    MAX(epoch_us(CAST(ts AS TIMESTAMP))) t1 FROM events),
+         |ev AS (SELECT event_type,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+         |    CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) * 2 < t0 + t1
+         |      THEN 1 ELSE 2 END AS half
+         |  FROM events, b),
+         |g AS (SELECT event_type, v,
+         |    CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         |    CAST(SUM(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+         |  FROM ev GROUP BY 1, 2),
+         |tt AS (SELECT event_type,
+         |    CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |    CAST(SUM(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+         |  FROM ev GROUP BY 1),
+         |c AS (SELECT event_type, v,
+         |    SUM(c1) OVER (PARTITION BY event_type ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+         |    SUM(c2) OVER (PARTITION BY event_type ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2
+         |  FROM g)
+         |SELECT c.event_type, n1, n2,
+         |  ${oRound6("CAST(MAX(ABS(cum1 * n2 - cum2 * n1)) AS BIGINT)",
+        "n1 * n2")} AS ks
+         |FROM c JOIN tt ON c.event_type = tt.event_type
+         |WHERE n1 > 0 AND n2 > 0
+         |GROUP BY c.event_type, n1, n2
+         |ORDER BY c.event_type""".stripMargin
   )
 }
