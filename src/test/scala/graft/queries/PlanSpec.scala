@@ -627,4 +627,62 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"common lines must broadcast:\n$plan")
   }
+
+  test("q159 sequence packing: per-partition window + broadcast offsets") {
+    val plan = explained("q159_sequence_pack")
+    // the global prefix sum must NEVER be a single-task window: the
+    // running sum partitions by the physical partition id, and the p-row
+    // offset table broadcasts in — an empty partition spec here is the
+    // one-task-sorts-the-corpus scale killer
+    val winLine = plan.linesIterator
+      .find(_.contains("windowspecdefinition")).getOrElse("")
+    assert(winLine.contains("windowspecdefinition(_pid"),
+      s"prefix-sum window must partition by _pid:\n$winLine")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the p-row offset frame must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q160 chunk windows: pure per-row compute before the output sort") {
+    val full = explained("q160_chunk_windows")
+    val plan = full.indexOf("Initial Plan") match {
+      case -1 => full
+      case i => full.substring(0, i)
+    }
+    // tokenize → explode → slice is all per-row: no join, no window, no
+    // aggregate — the ONLY exchange is the presentation orderBy
+    assert(!plan.contains("Join") && !plan.contains("Window") &&
+      !plan.contains("HashAggregate"),
+      s"chunking must stay embarrassingly parallel:\n$plan")
+    assert(count(plan, "+- ShuffleQueryStage") <= 1,
+      s"only the output sort may shuffle:\n$plan")
+    assert(count(plan, "Scan parquet") == 1,
+      s"one documents scan feeds everything:\n$plan")
+  }
+
+  test("q161 KS drift: ECDF window runs on the distinct-cents frame") {
+    val full = explained("q161_ks_drift")
+    val plan = full.indexOf("Initial Plan") match {
+      case -1 => full
+      case i => full.substring(0, i)
+    }
+    // the cumulative window must sit above the (series, cents) hash
+    // aggregate — windowing the raw event stream re-sorts every event;
+    // aggregated first, the window frame is bounded by the value domain
+    val win = plan.indexOf("Window")
+    assert(win >= 0, s"expected a cumulative-count Window:\n$plan")
+    assert(plan.substring(win).contains("HashAggregate"),
+      s"window input must be the per-cents aggregated frame:\n$plan")
+    val winLine = full.linesIterator
+      .find(_.contains("windowspecdefinition")).getOrElse("")
+    assert(winLine.contains("windowspecdefinition(event_type"),
+      s"ECDF window must partition by series:\n$winLine")
+    // the global time bounds and per-half totals are 1-row/series-count
+    // frames: both must broadcast, never shuffle the event stream
+    assert(count(plan, "BroadcastHashJoin") >= 1 ||
+      count(plan, "BroadcastNestedLoopJoin") >= 1,
+      s"totals must broadcast into the ECDF frame:\n$plan")
+    assert(!plan.contains("CartesianProduct") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
