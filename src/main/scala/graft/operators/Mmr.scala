@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.functions.VectorFunctions.cosine
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+  * SIGIR'98) — the diversity pass a RAG retrieval stack runs between
+  * the ANN shortlist and the context window: greedily select k of the
+  * top-N candidates, each step maximizing relevance MINUS the max
+  * similarity to anything already selected, so near-duplicate passages
+  * don't crowd out coverage.
+  *
+  * λ is fixed at 1/2, so the argmax of λ·rel − (1−λ)·maxSim is the
+  * argmax of (rel − maxSim) — one IEEE subtraction of two 8-dp-rounded
+  * cosines, bit-identical on any engine. The empty-set penalty is 0.0
+  * (step 1 picks pure argmax relevance). Ties break on the smaller
+  * candidate id.
+  *
+  * Scale shape: the corpus-sized work — scoring every candidate against
+  * every query and cutting the per-query top-N shortlist — is one
+  * distributed pass (broadcast queries, windowed top-N; the same shape
+  * as the brute-force ANN baseline, or swap in the IVF probe upstream).
+  * The greedy selection is inherently sequential in k but runs on the
+  * shortlist ONLY: queries·N relevance rows + queries·N·(N−1) pairwise
+  * sims, both computed distributed (so cosine rounding is decided in
+  * one place) and collected under an explicit bound — the same
+  * guarded-metadata-collect contract as the ANN query batches. Corpus
+  * size never reaches the driver.
+  */
+object Mmr {
+
+  /** Max shortlist rows (queries × N) the driver greedy will accept. */
+  val MaxShortlistRows = 65536
+
+  /** @param queries (query_id: Long, qv: Array[Float]) — small, broadcast.
+    * @param corpus  (cand_id: Long, cv: Array[Float]) — any size.
+    * @return (query_id, step, cand_id, rel, max_sim, score), k rows per
+    *         query, step = selection order starting at 1. */
+  def rerank(queries: DataFrame, corpus: DataFrame,
+      shortlistN: Int, k: Int): DataFrame = {
+    require(shortlistN > 0 && k > 0 && k <= shortlistN,
+      s"need 0 < k <= shortlistN, got k=$k N=$shortlistN")
+    val spark = queries.sparkSession
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("cand_id"))
+    // one distributed scoring pass; checkpoint so the sim self-join
+    // below doesn't re-run the corpus scan per side (q83's contract)
+    val short = corpus.crossJoin(broadcast(queries))
+      .withColumn("rel", cosine(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= shortlistN)
+      .select(col("query_id"), col("cand_id"), col("rel"), col("cv"))
+      .localCheckpoint()
+    // pairwise candidate sims WITHIN each query's shortlist — computed
+    // distributed so both rel and sim round through the one native
+    // vec_cosine kernel; ≤ queries·N² rows
+    val a = short.select(col("query_id"), col("cand_id").as("i"), col("cv").as("ci"))
+    val b = short.select(col("query_id"), col("cand_id").as("j"), col("cv").as("cj"))
+    val sims = a.join(b, Seq("query_id")).where(col("i") =!= col("j"))
+      .select(col("query_id"), col("i"), col("j"),
+        cosine(col("ci"), col("cj")).as("sim"))
+
+    val relRows = short.select(col("query_id"), col("cand_id"), col("rel")).collect()
+    require(relRows.length <= MaxShortlistRows,
+      s"shortlist ${relRows.length} rows exceeds $MaxShortlistRows — " +
+        s"lower shortlistN or the query-batch size")
+    val simMap: Map[(Long, Long, Long), Double] = sims.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3))
+      .toMap
+
+    val out = Seq.newBuilder[Row]
+    relRows.groupBy(_.getLong(0)).toSeq.sortBy(_._1).foreach {
+      case (qid, rows) =>
+        var remaining = rows.map(r => (r.getLong(1), r.getDouble(2)))
+          .sortBy(_._1).toList
+        var selected = List.empty[Long]
+        var step = 1
+        while (step <= k && remaining.nonEmpty) {
+          // argmax(rel − maxSimToSelected), ties to the smaller cand_id
+          // (remaining is id-sorted, so strict > keeps the first)
+          var bestId = -1L; var bestRel = 0.0; var bestPen = 0.0
+          var bestScore = Double.NegativeInfinity
+          remaining.foreach { case (cid, rel) =>
+            val pen =
+              if (selected.isEmpty) 0.0
+              else selected.map(s => simMap((qid, cid, s))).max
+            val score = rel - pen
+            if (score > bestScore) {
+              bestScore = score; bestId = cid; bestRel = rel; bestPen = pen
+            }
+          }
+          out += Row(qid, step.toLong, bestId, bestRel, bestPen, bestScore)
+          selected ::= bestId
+          remaining = remaining.filterNot(_._1 == bestId)
+          step += 1
+        }
+    }
+    val schema = StructType(Seq(
+      StructField("query_id", LongType, nullable = false),
+      StructField("step", LongType, nullable = false),
+      StructField("cand_id", LongType, nullable = false),
+      StructField("rel", DoubleType, nullable = false),
+      StructField("max_sim", DoubleType, nullable = false),
+      StructField("score", DoubleType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.result(), 1), schema)
+  }
+}

@@ -121,8 +121,28 @@ object VectorQueries {
         .verdictsFromAssignments(assignments, "vec_id", "embedding",
           threshold = SemDedupTau)
         .orderBy(col("vec_id"))
+    }),
+
+    // MMR diversified re-ranking (Carbonell & Goldstein SIGIR'98): the
+    // RAG diversity pass between the ANN shortlist and the context
+    // window — greedy rel-minus-max-sim selection over the per-query
+    // top-N (operators.Mmr; λ=1/2 ⇒ pure IEEE subtraction of two 8-dp
+    // cosines, engine-exact). The oracle spells the identical greedy as
+    // a recursive CTE — the same construction that made LTTB (q119b)
+    // and BPE (q121b) oracle-checkable.
+    "q162_mmr_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val c = emb.where(col("vec_id") >= NQueries)
+        .select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+      graft.operators.Mmr.rerank(q, c, MmrShortlist, MmrK)
+        .orderBy(col("query_id"), col("step"))
     })
   )
+
+  private val MmrShortlist = 16
+  private val MmrK = 8
 
   private val DedupBands = 3
   private val DedupPlanes = 8 // 256 buckets/band: candidate volume ~ n²/256 per band
@@ -366,6 +386,58 @@ object VectorQueries {
          |i AS (SELECT unnest(generate_series(1, $ProjK)) AS i)
          |SELECT vec_id, label, CAST(i - 1 AS INT) AS dim, pr[i] AS p
          |FROM e, i ORDER BY vec_id, dim""".stripMargin,
+
+    // the MMR greedy as a recursive CTE: the working table carries the
+    // selected-so-far rows each iteration (each keeping its own pick
+    // step and stats); every round appends the argmax of
+    // rel − max(sim to selected) among the not-yet-picked shortlist,
+    // ties to the smaller cand_id — exactly operators.Mmr's fold
+    "q162_mmr_rerank" ->
+      s"""WITH RECURSIVE
+         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+         |      WHERE vec_id < $NQueries),
+         |c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings
+         |      WHERE vec_id >= $NQueries),
+         |scored AS (SELECT query_id, cand_id, cv, ${cosineSql("qv", "cv")} AS rel
+         |           FROM c CROSS JOIN q),
+         |short AS (SELECT query_id, cand_id, cv, rel FROM (
+         |    SELECT query_id, cand_id, cv, rel,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY rel DESC, cand_id) AS rn
+         |    FROM scored) WHERE rn <= $MmrShortlist),
+         |sims AS (SELECT a.query_id, a.cand_id AS i, b.cand_id AS j,
+         |    ${cosineSql("a.cv", "b.cv")} AS sim
+         |  FROM short a JOIN short b
+         |    ON a.query_id = b.query_id AND a.cand_id <> b.cand_id),
+         |sel(it, query_id, step, cand_id, rel, max_sim, score) AS (
+         |  SELECT 1, query_id, CAST(1 AS BIGINT), cand_id, rel,
+         |    CAST(0.0 AS DOUBLE), rel FROM (
+         |    SELECT query_id, cand_id, rel,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY rel DESC, cand_id) AS rn
+         |    FROM short) WHERE rn = 1
+         |  UNION ALL
+         |  (WITH cur AS (SELECT * FROM sel WHERE it < $MmrK),
+         |   pen AS (SELECT s.query_id, s.cand_id, s.rel, max(m.sim) AS max_sim
+         |       FROM short s
+         |       JOIN sims m ON m.query_id = s.query_id AND m.i = s.cand_id
+         |       JOIN cur p ON p.query_id = m.query_id AND p.cand_id = m.j
+         |       WHERE NOT EXISTS (SELECT 1 FROM cur p2
+         |         WHERE p2.query_id = s.query_id AND p2.cand_id = s.cand_id)
+         |       GROUP BY s.query_id, s.cand_id, s.rel),
+         |   pick AS (SELECT query_id, cand_id, rel, max_sim,
+         |       rel - max_sim AS score FROM (
+         |       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |           ORDER BY rel - max_sim DESC, cand_id) AS rn FROM pen)
+         |     WHERE rn = 1)
+         |   SELECT it + 1, query_id, step, cand_id, rel, max_sim, score FROM cur
+         |   UNION ALL
+         |   SELECT (SELECT max(it) FROM cur) + 1, query_id,
+         |     CAST((SELECT max(it) FROM cur) + 1 AS BIGINT),
+         |     cand_id, rel, max_sim, score FROM pick)
+         |)
+         |SELECT query_id, step, cand_id, rel, max_sim, score
+         |FROM sel WHERE it = $MmrK ORDER BY query_id, step""".stripMargin,
 
     "q70_ann_bruteforce" -> bruteCosSql,
     // IVF probed at every list == exact brute force (AnnRecallSpec).
