@@ -459,6 +459,33 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // C4-style blocklist gate (Raffel et al. 2020 §2.2's "bad words"
+    // filter; RefinedWeb runs the same stage): flag documents by
+    // blocked-TOKEN density plus blocked-PHRASE presence. All per-row
+    // codegen'd built-ins against plan-literal term arrays — for lists
+    // up to a few thousand terms the membership probe is a broadcast-
+    // free literal; the gate is integer cross-multiplied (no division).
+    // Phrase matching runs on the whitespace-normalized re-join with
+    // sentinel spaces, so token boundaries can't false-positive
+    // ("fast merges" does not contain the phrase " fast merge ").
+    "q163_blocklist_gate" -> ((s, dir) => {
+      val blockArr = array(BlockTerms.map(lit): _*)
+      val tk = col("tk")
+      t(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+        .select(col("doc_id"),
+          size(tk).cast("long").as("n_toks"),
+          size(filter(tk, x => array_contains(blockArr, x)))
+            .cast("long").as("n_hits"),
+          array_join(array_sort(array_intersect(array_distinct(tk),
+            blockArr)), ",").as("hit_terms"),
+          concat(lit(" "), array_join(tk, " "), lit(" "))
+            .contains(s" $BlockPhrase ").as("phrase_hit"))
+        .withColumn("passes",
+          lit(100L) * col("n_hits") <= col("n_toks") && !col("phrase_hit"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Heaps-law vocabulary growth curve: cumulative distinct-token
     // count as the corpus is consumed in 20 equal doc_id slices — the
     // "is more data still adding vocabulary?" diagnostic for corpus
@@ -534,6 +561,14 @@ object TextQueries {
   // sits mid-distribution on the fixture (the 31-token vocab splits
   // ~half above / half below at both sf0.01 and sf0.1), so the filter
   // genuinely discriminates and the MG decrement path fires (k = 31)
+  // q163 blocklist: two terms present in the synthetic vocabulary (so
+  // both the hit and the density-fail paths fire) + one absent (the
+  // no-op path); the phrase is a real vocabulary bigram
+  private val BlockTerms = Seq("slow", "legacy", "merge")
+  private val BlockPhrase = "fast merge"
+  private def blockSqlList =
+    BlockTerms.map(t => s"'$t'").mkString("[", ", ", "]")
+
   private val HhPpm = 33333L
   private val VocabSlices = 20 // q138 curve resolution
   private val MinTermSupport = 5 // q139 hapax floor
@@ -637,6 +672,23 @@ object TextQueries {
 """.stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q163_blocklist_gate" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    string_split_regex(trim(text), '\\s+') AS tk FROM documents),
+         |c AS (SELECT doc_id, tk,
+         |    CAST(len(tk) AS BIGINT) AS n_toks,
+         |    CAST(len(list_filter(tk,
+         |      t -> list_contains($blockSqlList, t))) AS BIGINT) AS n_hits,
+         |    contains(' ' || array_to_string(tk, ' ') || ' ',
+         |      ' $BlockPhrase ') AS phrase_hit
+         |  FROM d)
+         |SELECT doc_id, n_toks, n_hits,
+         |  coalesce(array_to_string(list_sort(list_distinct(list_filter(tk,
+         |    t -> list_contains($blockSqlList, t)))), ','), '') AS hit_terms,
+         |  phrase_hit,
+         |  (100 * n_hits <= n_toks AND NOT phrase_hit) AS passes
+         |FROM c ORDER BY doc_id""".stripMargin,
+
     // the Gopher battery's oracle: same integer cross-multiplied
     // bounds, mean via the shared 6-dp integer rounding
     "q156_gopher_rules" ->
