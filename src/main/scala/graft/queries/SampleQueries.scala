@@ -267,6 +267,40 @@ object SampleQueries {
     // distributed ShardPack prefix sum). The oracle is the single-task
     // `SUM() OVER (ORDER BY)` + generate_series form the operator
     // exists to avoid — exact equality proves the segment arithmetic.
+    // sequence-length planning report: for each candidate context
+    // length, what one-doc-per-sequence training would truncate (tokens
+    // past L) and pad (slack below L), versus the packed lower bound
+    // ceil(total/L) that q159's pack-then-split achieves — the report a
+    // team reads BEFORE choosing L and a packing regime. One corpus
+    // scan: per-doc token count, a per-row explode over the 4-length
+    // literal (no join), one hash aggregate. All-integer; the two
+    // fractions round through the shared round6 (headroom num < 4.6e12
+    // — a 100 TB corpus reports per shard and sums the integer columns,
+    // which stay exact).
+    "q165_seqlen_planning" -> ((s, dir) => {
+      val lens = Seq(128L, 256L, 512L, 1024L)
+      t(s, dir, "documents")
+        .select(TextFunctions.tokenCount(col("text")).cast("long").as("n"))
+        .select(col("n"), explode(lit(lens.toArray)).as("seq_len"))
+        .groupBy(col("seq_len"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n")).as("total_tokens"),
+          sum(when(col("n") > col("seq_len"), 1L).otherwise(0L)).as("docs_over"),
+          sum(greatest(col("n") - col("seq_len"), lit(0L))).as("trunc_tokens"),
+          sum(col("seq_len") - least(col("n"), col("seq_len"))).as("pad_tokens"))
+        .select(col("seq_len"), col("n_docs"), col("total_tokens"),
+          col("docs_over"), col("trunc_tokens"),
+          round6(col("trunc_tokens"), col("total_tokens")).as("trunc_frac"),
+          col("pad_tokens"),
+          round6(col("pad_tokens"),
+            mulGuard(col("n_docs"), col("seq_len"), "q165 pad denom"))
+            .as("pad_frac"),
+          call_function("div",
+            col("total_tokens") + col("seq_len") - lit(1L), col("seq_len"))
+            .as("seqs_if_packed"))
+        .orderBy(col("seq_len"))
+    }),
+
     "q159_sequence_pack" -> ((s, dir) =>
       graft.operators.SequencePack.segments(
         t(s, dir, "documents"),
@@ -403,6 +437,25 @@ object SampleQueries {
          |CROSS JOIN n
          |ORDER BY c_ab * n_docs * 1000000 // (ca.c * cb.c) DESC, a, b
          |LIMIT $LiftTopK""".stripMargin,
+
+    "q165_seqlen_planning" ->
+      s"""WITH d AS (SELECT CAST(len(string_split_regex(trim(text), '\\s+'))
+         |    AS BIGINT) AS n FROM documents),
+         |e AS (SELECT n, unnest([128, 256, 512, 1024]) AS seq_len FROM d),
+         |a AS (SELECT CAST(seq_len AS BIGINT) AS seq_len,
+         |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(n) AS BIGINT) AS total_tokens,
+         |    CAST(SUM(CASE WHEN n > seq_len THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS docs_over,
+         |    CAST(SUM(GREATEST(n - seq_len, 0)) AS BIGINT) AS trunc_tokens,
+         |    CAST(SUM(seq_len - LEAST(n, seq_len)) AS BIGINT) AS pad_tokens
+         |  FROM e GROUP BY 1)
+         |SELECT seq_len, n_docs, total_tokens, docs_over, trunc_tokens,
+         |  ${oRound6("trunc_tokens", "total_tokens")} AS trunc_frac,
+         |  pad_tokens,
+         |  ${oRound6("pad_tokens", "n_docs * seq_len")} AS pad_frac,
+         |  (total_tokens + seq_len - 1) // seq_len AS seqs_if_packed
+         |FROM a ORDER BY seq_len""".stripMargin,
 
     "q159_sequence_pack" ->
       """WITH d AS (SELECT doc_id,
