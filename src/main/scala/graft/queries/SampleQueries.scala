@@ -301,6 +301,22 @@ object SampleQueries {
         .orderBy(col("seq_len"))
     }),
 
+    // doc-aligned best-fit packing (the "fewer truncations" regime —
+    // operators.BestFitPack): per source, chunk docs only past L=256,
+    // then best-fit-decreasing bins; documents never straddle sequence
+    // boundaries. The oracle replays the IDENTICAL greedy as a
+    // recursive CTE in per-source lockstep — each iteration places each
+    // source's next chunk into its smallest fitting open bin — so the
+    // whole placement map is hash-checked, not just summary stats.
+    "q166_bestfit_pack" -> ((s, dir) =>
+      graft.operators.BestFitPack.pack(
+        t(s, dir, "documents"),
+        col("source"), col("doc_id"), TextFunctions.tokenCount(col("text")),
+        seqLen = 256L)
+        .select(col("group").as("source"), col("key").as("doc_id"),
+          col("chunk_id"), col("n_toks"), col("bin_id"), col("bin_off"))
+        .orderBy(col("source"), col("bin_id"), col("bin_off"))),
+
     "q159_sequence_pack" -> ((s, dir) =>
       graft.operators.SequencePack.segments(
         t(s, dir, "documents"),
@@ -437,6 +453,63 @@ object SampleQueries {
          |CROSS JOIN n
          |ORDER BY c_ab * n_docs * 1000000 // (ca.c * cb.c) DESC, a, b
          |LIMIT $LiftTopK""".stripMargin,
+
+    // the best-fit greedy in per-source lockstep: `rk` fixes the
+    // processing order (size desc, doc, chunk); each iteration the
+    // working table is the placements so far, from which every bin's
+    // remaining capacity is derivable — pick the smallest fitting bin
+    // (ties low id) or open max(bin_id)+1
+    "q166_bestfit_pack" ->
+      """WITH RECURSIVE
+        |d AS (SELECT source, doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS w
+        |  FROM documents),
+        |ch AS (SELECT source, doc_id, c AS chunk_id,
+        |    CAST(LEAST(256, w - c * 256) AS BIGINT) AS sz
+        |  FROM (SELECT source, doc_id, w,
+        |      unnest(generate_series(0, (w - 1) // 256)) AS c
+        |    FROM d WHERE w > 0)),
+        |rk AS (SELECT source, doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |    sz,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY sz DESC, doc_id, chunk_id) AS r
+        |  FROM ch),
+        |mx AS (SELECT max(cnt) AS m FROM (
+        |    SELECT count(*) AS cnt FROM rk GROUP BY source)),
+        |pl(it, source, doc_id, chunk_id, sz, bin_id, bin_off) AS (
+        |  SELECT 1, source, doc_id, chunk_id, sz,
+        |    CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |  FROM rk WHERE r = 1
+        |  UNION ALL
+        |  (WITH cur AS (SELECT * FROM pl WHERE it < (SELECT m FROM mx)),
+        |   done AS (SELECT source, count(*) AS n FROM cur GROUP BY source),
+        |   nxt AS (SELECT rk.source, rk.doc_id, rk.chunk_id, rk.sz
+        |     FROM rk JOIN done ON rk.source = done.source
+        |       AND rk.r = done.n + 1),
+        |   rems AS (SELECT source, bin_id,
+        |       256 - CAST(sum(sz) AS BIGINT) AS rem,
+        |       CAST(sum(sz) AS BIGINT) AS fill
+        |     FROM cur GROUP BY source, bin_id),
+        |   fit AS (SELECT n.source, r.bin_id, r.fill,
+        |       row_number() OVER (PARTITION BY n.source
+        |         ORDER BY r.rem, r.bin_id) AS f
+        |     FROM nxt n JOIN rems r ON r.source = n.source
+        |       AND r.rem >= n.sz),
+        |   place AS (SELECT n.source, n.doc_id, n.chunk_id, n.sz,
+        |       coalesce(f.bin_id, (SELECT max(c.bin_id) + 1 FROM cur c
+        |         WHERE c.source = n.source)) AS bin_id,
+        |       coalesce(f.fill, CAST(0 AS BIGINT)) AS bin_off
+        |     FROM nxt n LEFT JOIN (SELECT * FROM fit WHERE f = 1) f
+        |       ON f.source = n.source)
+        |  SELECT it + 1, source, doc_id, chunk_id, sz, bin_id, bin_off
+        |  FROM cur
+        |  UNION ALL
+        |  SELECT (SELECT max(it) FROM cur) + 1, source, doc_id, chunk_id,
+        |    sz, bin_id, bin_off FROM place)
+        |)
+        |SELECT source, doc_id, chunk_id, sz AS n_toks, bin_id, bin_off
+        |FROM pl WHERE it = (SELECT m FROM mx)
+        |ORDER BY source, bin_id, bin_off""".stripMargin,
 
     "q165_seqlen_planning" ->
       s"""WITH d AS (SELECT CAST(len(string_split_regex(trim(text), '\\s+'))
