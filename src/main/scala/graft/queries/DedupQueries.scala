@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.functions.TextFunctions._
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Deduplication family over `documents` — the operators a 100 TB
@@ -19,6 +20,26 @@ object DedupQueries {
   private val MinHashK = 16
   private val Bands = 4
   private val RowsPerBand = MinHashK / Bands
+
+  /** The deterministic 90/5/5 split bucket (q100/q168). The id is
+    * bounded mod 1000003 BEFORE the Knuth multiply: the raw product
+    * wraps past id ~3.5e9 in Spark and errors in DuckDB — at billions
+    * of docs the engines would neither agree nor both complete. */
+  private def splitOf(id: Column): Column = {
+    val bucket = pmod(
+      pmod(id, lit(1000003L)) * lit(2654435761L), lit(1000L))
+    when(bucket < 900, lit("train"))
+      .when(bucket < 950, lit("val"))
+      .otherwise(lit("test"))
+  }
+
+  /** DuckDB spelling of [[splitOf]] (DuckDB % keeps the sign of the
+    * dividend like Spark's pmod only for non-negative ids, which both
+    * call sites guarantee). */
+  private def oSplitOf(id: String): String =
+    s"CASE WHEN ((($id) % 1000003) * 2654435761) % 1000 < 900 THEN 'train' " +
+      s"WHEN ((($id) % 1000003) * 2654435761) % 1000 < 950 THEN 'val' " +
+      s"ELSE 'test' END"
   // 8-token passages: long enough that cross-doc repeats mean copied
   // spans (near-dup docs), short enough to fire on the synthetic corpus
   private val PassageK = 8
@@ -121,18 +142,50 @@ object DedupQueries {
       val docs = t(s, dir, "documents")
       val pairs = graft.operators.MinHashDedup.candidatePairs(
         docs, "doc_id", "text", shingleK = 2, numHashes = MinHashK, bands = Bands)
-      // cluster_id is bounded mod 1000003 BEFORE the Knuth multiply:
-      // the raw product wraps past cluster_id ~3.5e9 in Spark and
-      // errors in DuckDB — at billions of docs the engines would
-      // neither agree nor both complete
-      val bucket = pmod(
-        pmod(col("cluster_id"), lit(1000003L)) * lit(2654435761L), lit(1000L))
       graft.operators.DedupClusters.clusters(docs, "doc_id", pairs, "doc1", "doc2")
         .select(col("doc_id"), col("cluster_id"),
-          when(bucket < 900, lit("train"))
-            .when(bucket < 950, lit("val"))
-            .otherwise(lit("test")).as("split"))
+          splitOf(col("cluster_id")).as("split"))
         .orderBy(col("doc_id"))
+    }),
+
+    // split-leakage audit: the quantified case FOR q100's cluster-aware
+    // assignment — take the SAME near-dup pair set and count pairs
+    // straddling train/eval under (a) the naive per-document hash split
+    // and (b) the per-cluster split. (b) is zero BY CONSTRUCTION (both
+    // endpoints of a candidate edge share a component, so they share a
+    // split); (a) leaks ~2·0.9·0.1 of pairs in expectation — this is
+    // the one-look report that tells a team their eval set is (or is
+    // not) contaminated by their own split rule. Pair generation and
+    // clustering are the L3/L6 production paths; the audit adds two
+    // id-keyed joins of the SMALL pair frame against the assignment and
+    // one 2-row aggregate.
+    "q168_split_leak_audit" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = graft.operators.MinHashDedup.candidatePairs(
+          docs, "doc_id", "text", shingleK = 2, numHashes = MinHashK,
+          bands = Bands)
+        .localCheckpoint() // feeds the audit AND the clustering below
+      val asg = graft.operators.DedupClusters
+        .clusters(docs, "doc_id", pairs, "doc1", "doc2")
+        .select(col("doc_id"), splitOf(col("cluster_id")).as("csplit"))
+      val audited = pairs
+        .select(col("doc1"), col("doc2"),
+          splitOf(col("doc1")).as("s1"), splitOf(col("doc2")).as("s2"))
+        .join(asg.select(col("doc_id").as("doc1"), col("csplit").as("c1")),
+          "doc1")
+        .join(asg.select(col("doc_id").as("doc2"), col("csplit").as("c2")),
+          "doc2")
+        .localCheckpoint() // one pair-frame pass feeds both rule rows
+      def row(rule: String, cross: Column) = audited
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(cross, 1L).otherwise(0L)).as("n_cross"))
+        .select(lit(rule).as("rule"), col("n_pairs"), col("n_cross"),
+          when(col("n_pairs") === 0L, lit(0.0))
+            .otherwise(round6(col("n_cross"), col("n_pairs")))
+            .as("leak_frac"))
+      row("cluster_hash", col("c1") =!= col("c2"))
+        .unionAll(row("doc_hash", col("s1") =!= col("s2")))
+        .orderBy(col("rule"))
     }),
 
     // incremental near-dup: dedup a NEW batch (top 20% of doc_ids)
@@ -572,6 +625,40 @@ object DedupQueries {
          |       WHEN ((cluster_id % 1000003) * 2654435761) % 1000 < 950 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM cl ORDER BY doc_id""".stripMargin,
+
+    // same pair set + same closure clustering as q100; the audit just
+    // scores each edge under the per-doc and per-cluster split rules
+    "q168_split_leak_audit" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (SELECT doc1 AS s, doc2 AS d FROM pairs
+         |          UNION ALL SELECT doc2, doc1 FROM pairs),
+         |reach(n, r) AS (
+         |  SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+         |  UNION
+         |  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.n),
+         |comp AS (SELECT n AS node, MIN(r) AS component FROM reach GROUP BY n),
+         |spl AS (SELECT d.doc_id,
+         |    ${oSplitOf("d.doc_id")} AS dsplit,
+         |    ${oSplitOf("coalesce(c.component, d.doc_id)")} AS csplit
+         |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+         |a AS (SELECT s1.dsplit AS d1, s2.dsplit AS d2,
+         |    s1.csplit AS c1, s2.csplit AS c2
+         |  FROM pairs p JOIN spl s1 ON s1.doc_id = p.doc1
+         |  JOIN spl s2 ON s2.doc_id = p.doc2),
+         |r AS (SELECT 'cluster_hash' AS rule,
+         |    CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |    CAST(COALESCE(SUM(CASE WHEN c1 <> c2 THEN 1 ELSE 0 END), 0)
+         |      AS BIGINT) AS n_cross
+         |  FROM a
+         |  UNION ALL
+         |  SELECT 'doc_hash', CAST(COUNT(*) AS BIGINT),
+         |    CAST(COALESCE(SUM(CASE WHEN d1 <> d2 THEN 1 ELSE 0 END), 0)
+         |      AS BIGINT)
+         |  FROM a)
+         |SELECT rule, n_pairs, n_cross,
+         |  CASE WHEN n_pairs = 0 THEN 0.0
+         |    ELSE ${oRound6("n_cross", "n_pairs")} END AS leak_frac
+         |FROM r ORDER BY rule""".stripMargin,
 
     // deliberately UNBLOCKED brute force: if the Spark-side band blocking
     // lost any hd<=6 pair, this oracle would catch it

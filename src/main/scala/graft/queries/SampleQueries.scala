@@ -301,6 +301,34 @@ object SampleQueries {
         .orderBy(col("seq_len"))
     }),
 
+    // length-bucketed batching plan: pad-to-longest batches of B=32
+    // under two orderings — length-sorted (the dynamic-batching /
+    // bucketed-inference standard) vs arrival order — with per-batch
+    // padding waste, so the report quantifies what length bucketing
+    // saves. Exact global ranks come from GlobalRank's distributed
+    // offset stamping (never a single-task sort of the corpus); each
+    // plan is then one hash aggregate on batch_id.
+    "q167_batch_plan" -> ((s, dir) => {
+      val B = 32L
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n"))
+      def plan(name: String, sort: Seq[org.apache.spark.sql.Column]) =
+        graft.operators.GlobalRank.withRowNumber(docs, sort, "rn")
+          .select(lit(name).as("plan"),
+            call_function("div", col("rn") - 1L, lit(B)).as("batch_id"),
+            col("n"))
+          .groupBy(col("plan"), col("batch_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            max(col("n")).as("max_toks"),
+            sum(col("n")).as("sum_toks"))
+          .withColumn("pad_tokens",
+            col("max_toks") * col("n_docs") - col("sum_toks"))
+      plan("by_length", Seq(col("n").desc, col("doc_id")))
+        .unionAll(plan("by_id", Seq(col("doc_id"))))
+        .orderBy(col("plan"), col("batch_id"))
+    }),
+
     // doc-aligned best-fit packing (the "fewer truncations" regime —
     // operators.BestFitPack): per source, chunk docs only past L=256,
     // then best-fit-decreasing bins; documents never straddle sequence
@@ -453,6 +481,24 @@ object SampleQueries {
          |CROSS JOIN n
          |ORDER BY c_ab * n_docs * 1000000 // (ca.c * cb.c) DESC, a, b
          |LIMIT $LiftTopK""".stripMargin,
+
+    "q167_batch_plan" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+        |  FROM documents),
+        |r AS (SELECT 'by_length' AS plan,
+        |    (row_number() OVER (ORDER BY n DESC, doc_id) - 1) // 32
+        |      AS batch_id, n FROM d
+        |  UNION ALL
+        |  SELECT 'by_id', (row_number() OVER (ORDER BY doc_id) - 1) // 32,
+        |    n FROM d)
+        |SELECT plan, CAST(batch_id AS BIGINT) AS batch_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  MAX(n) AS max_toks,
+        |  CAST(SUM(n) AS BIGINT) AS sum_toks,
+        |  CAST(MAX(n) * COUNT(*) - SUM(n) AS BIGINT) AS pad_tokens
+        |FROM r GROUP BY plan, batch_id
+        |ORDER BY plan, batch_id""".stripMargin,
 
     // the best-fit greedy in per-source lockstep: `rk` fixes the
     // processing order (size desc, doc, chunk); each iteration the
