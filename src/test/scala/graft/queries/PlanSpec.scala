@@ -660,6 +660,39 @@ class PlanSpec extends SparkSpec {
       s"one documents scan feeds everything:\n$plan")
   }
 
+  test("q166 best-fit packing: one keyed shuffle, sorted-group kernel") {
+    val full = explained("q166_bestfit_pack")
+    val plan = full.indexOf("Initial Plan") match {
+      case -1 => full
+      case i => full.substring(0, i)
+    }
+    // chunking is a per-row explode; the ONLY exchanges are the
+    // (group, shard) shuffle into the packing kernel and the output
+    // sort — a global sort of the chunk stream would be the scale
+    // killer the secondary-sort shape exists to avoid
+    assert(plan.contains("MapGroups") || full.contains("MapGroups"),
+      s"expected the sorted-groups packing kernel:\n$plan")
+    assert(count(plan, "+- ShuffleQueryStage") <= 2,
+      s"group shuffle + output sort only:\n$plan")
+    assert(!plan.contains("windowspecdefinition()"),
+      s"no empty-partition global window:\n$plan")
+    assert(count(plan, "Scan parquet") == 1,
+      s"one documents scan:\n$plan")
+  }
+
+  test("q167 batch plan: global ranks stamp, never a one-task window") {
+    val plan = explained("q167_batch_plan")
+    // GlobalRank = range partition + broadcast offsets + mid stamping;
+    // an empty-partition windowspecdefinition would mean the whole
+    // corpus sorted in one task
+    assert(!plan.contains("windowspecdefinition()"),
+      s"no single-task global window:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"partition offsets must broadcast:\n$plan")
+    assert(plan.contains("monotonically_increasing_id"),
+      s"expected the mid-based local index stamp:\n$plan")
+  }
+
   test("q161 KS drift: ECDF window runs on the distinct-cents frame") {
     val full = explained("q161_ks_drift")
     val plan = full.indexOf("Initial Plan") match {
