@@ -301,6 +301,34 @@ object SampleQueries {
         .orderBy(col("seq_len"))
     }),
 
+    // mixture epoch planner: given per-source mixture weights (the
+    // DoReMi/data-mixing config, per-mille so everything stays
+    // integer) and a token budget derived from the corpus (2× total —
+    // scale-free), report per source the target token draw, the epoch
+    // count that requires (exact rational, round6), and whether the
+    // source is over-sampled past one epoch — the one-look report that
+    // says which sources will repeat and how hard. One scan, one
+    // 4-row aggregate joined to a broadcast 1-row total.
+    "q169_mixture_plan" -> ((s, dir) => {
+      val srcTok = t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(sum(TextFunctions.tokenCount(col("text")).cast("long"))
+          .as("tokens"))
+        .withColumn("w",
+          substring(col("source"), 4, 10).cast("long") + 1L)
+      val total = srcTok.agg(sum(col("tokens")).as("corpus_tokens"),
+        sum(col("w")).as("w_total"))
+      srcTok.crossJoin(broadcast(total))
+        .select(col("source"), col("tokens"), col("w").as("weight_share"),
+          call_function("div",
+            lit(2L) * col("corpus_tokens") * col("w"), col("w_total"))
+            .as("target_tokens"))
+        .withColumn("epochs",
+          round6(col("target_tokens"), col("tokens")))
+        .withColumn("oversampled", col("target_tokens") > col("tokens"))
+        .orderBy(col("source"))
+    }),
+
     // length-bucketed batching plan: pad-to-longest batches of B=32
     // under two orderings — length-sorted (the dynamic-batching /
     // bucketed-inference standard) vs arrival order — with per-batch
@@ -481,6 +509,22 @@ object SampleQueries {
          |CROSS JOIN n
          |ORDER BY c_ab * n_docs * 1000000 // (ca.c * cb.c) DESC, a, b
          |LIMIT $LiftTopK""".stripMargin,
+
+    "q169_mixture_plan" ->
+      s"""WITH st AS (SELECT source,
+         |    CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+         |      AS tokens,
+         |    CAST(CAST(substr(source, 4) AS BIGINT) + 1 AS BIGINT) AS w
+         |  FROM documents GROUP BY source),
+         |tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS corpus_tokens,
+         |    CAST(SUM(w) AS BIGINT) AS w_total FROM st),
+         |p AS (SELECT source, tokens, w AS weight_share,
+         |    (2 * corpus_tokens * w) // w_total AS target_tokens
+         |  FROM st, tot)
+         |SELECT source, tokens, weight_share, target_tokens,
+         |  ${oRound6("target_tokens", "tokens")} AS epochs,
+         |  (target_tokens > tokens) AS oversampled
+         |FROM p ORDER BY source""".stripMargin,
 
     "q167_batch_plan" ->
       """WITH d AS (SELECT doc_id,

@@ -486,6 +486,29 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // token frequency-of-frequencies spectrum (the Good–Turing frontier
+    // / Zipf-tail census): for each occurrence count, how many types
+    // carry it and what share of types and of token mass — the report
+    // behind vocab-size and smoothing decisions (how much mass sits on
+    // hapaxes is the first number a tokenizer review asks for). Two
+    // keyed aggregations (token → count, count → types), totals ride a
+    // broadcast 1-row frame; all-integer with shared round6 shares.
+    "q170_freq_spectrum" -> ((s, dir) => {
+      val tf = t(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("tok"))
+        .where(length(col("tok")) > 0)
+        .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      val spec = tf.groupBy(col("freq")).agg(count(lit(1)).as("n_types"))
+      val totals = spec.agg(sum(col("n_types")).as("v"),
+        sum(col("freq") * col("n_types")).as("n"))
+      spec.crossJoin(broadcast(totals))
+        .select(col("freq"), col("n_types"),
+          (col("freq") * col("n_types")).as("mass_tokens"),
+          round6(col("n_types"), col("v")).as("type_share"),
+          round6(col("freq") * col("n_types"), col("n")).as("token_share"))
+        .orderBy(col("freq"))
+    }),
+
     // Heaps-law vocabulary growth curve: cumulative distinct-token
     // count as the corpus is consumed in 20 equal doc_id slices — the
     // "is more data still adding vocabulary?" diagnostic for corpus
@@ -672,6 +695,21 @@ object TextQueries {
 """.stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q170_freq_spectrum" ->
+      s"""WITH tk AS (SELECT unnest(string_split_regex(trim(text), '\\s+'))
+         |    AS tok FROM documents),
+         |tf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq FROM tk
+         |  WHERE length(tok) > 0 GROUP BY tok),
+         |spec AS (SELECT freq, CAST(COUNT(*) AS BIGINT) AS n_types
+         |  FROM tf GROUP BY freq),
+         |tot AS (SELECT CAST(SUM(n_types) AS BIGINT) AS v,
+         |    CAST(SUM(freq * n_types) AS BIGINT) AS n FROM spec)
+         |SELECT freq, n_types,
+         |  CAST(freq * n_types AS BIGINT) AS mass_tokens,
+         |  ${oRound6("n_types", "v")} AS type_share,
+         |  ${oRound6("freq * n_types", "n")} AS token_share
+         |FROM spec, tot ORDER BY freq""".stripMargin,
+
     "q163_blocklist_gate" ->
       s"""WITH d AS (SELECT doc_id,
          |    string_split_regex(trim(text), '\\s+') AS tk FROM documents),
