@@ -237,6 +237,11 @@ final class AdminApi(srv: HttpServer) {
       case ("PUT", TierPol(db)) => handleTierPolicySet(ex, db)
       case ("DELETE", TierPol(db)) => handleRemove(ex, tierPolicyStore, db, "tiering policy")
 
+      case ("GET", "/api/v1/schedulers") => handleSchedulers(ex)
+      case ("POST", "/api/v1/schedulers/cq/reload") => handleCqReload(ex)
+      case ("POST", "/api/v1/schedulers/retention/trigger") =>
+        handleRetentionTriggerAll(ex)
+
       case ("GET", "/api/v1/mqtt/health") => handleMqttHealth(ex)
       case ("GET", "/api/v1/mqtt/stats") => handleMqttStats(ex)
       case ("GET", "/api/v1/mqtt/subscriptions") => handleSubList(ex)
@@ -954,6 +959,81 @@ final class AdminApi(srv: HttpServer) {
     ok(ex, 200,
       s"""{"database":${q(db)},"cold_after_days":$days,""" +
         s""""enabled":$enabled,"source":${q(source)}}""")
+  }
+
+  // ---- schedulers (scheduler.go:53-66) -------------------------------------
+
+  /** GET /api/v1/schedulers — per-scheduler status built from the policy
+    * stores (the reference reports its in-process scheduler objects;
+    * here the definitions ARE the stores, so status = definition census
+    * + last-execution fields persisted on the records). */
+  private def handleSchedulers(ex: HttpExchange): Unit = {
+    def census(store: Store): (Int, Int, String) = {
+      val recs = store.ids().flatMap(i => store.get(i.toString))
+      val active = recs.count(r => oBool(r, "is_active", d = true))
+      val last = recs.flatMap(r => oText(r, "last_execution_time"))
+        .sorted.lastOption.map(q).getOrElse("null")
+      (recs.size, active, last)
+    }
+    val (cqN, cqA, cqLast) = census(cqStore)
+    val (rN, rA, rLast) = census(retentionStore)
+    ok(ex, 200,
+      s"""{"cq_scheduler":{"enabled":${cqA > 0},"job_count":$cqN,""" +
+        s""""active":$cqA,"last_execution_time":$cqLast},""" +
+        s""""retention_scheduler":{"enabled":${rA > 0},"policy_count":$rN,""" +
+        s""""active":$rA,"last_execution_time":$rLast},""" +
+        s""""compaction_scheduler":{"active_jobs":${compActive.size},""" +
+        s""""total_completed":${compCompleted.get},""" +
+        s""""total_failed":${compFailed.get}}}""")
+  }
+
+  /** POST /api/v1/schedulers/cq/reload — definitions are re-read from
+    * the store on every execute, so reload = re-census (scheduler.go
+    * handleCQReload's envelope). */
+  private def handleCqReload(ex: HttpExchange): Unit =
+    ok(ex, 200,
+      s"""{"message":"CQ scheduler reloaded successfully",""" +
+        s""""job_count":${cqStore.ids().size}}""")
+
+  /** POST /api/v1/schedulers/retention/trigger — run every ACTIVE
+    * retention policy now (scheduler.go handleRetentionTrigger). */
+  private def handleRetentionTriggerAll(ex: HttpExchange): Unit = {
+    var deleted = 0L
+    var executed = 0
+    retentionStore.ids().flatMap(i => retentionStore.get(i.toString))
+      .filter(r => oBool(r, "is_active", d = true))
+      .foreach { pol =>
+        val db = pol.get("database").asText
+        if (catalog.listDatabases().contains(db)) {
+          val days = pol.get("retention_days").asInt
+          val buffer = pol.get("buffer_days").asInt
+          val measurements = oText(pol, "measurement").map(Seq(_))
+            .getOrElse(catalog.listTables(db))
+          measurements.foreach { m =>
+            val (exp, _) = Retention.expired(catalog, db, m, days, buffer)
+            if (exp.nonEmpty) {
+              val parquets = exp.flatMap { p =>
+                val fs = p.getFileSystem(hconf)
+                fs.listStatus(p)
+                  .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+                  .map(_.getPath).toSeq
+              }
+              deleted += Compaction.footerRowCount(hconf, parquets)
+              Retention(catalog, db, m, days, buffer)
+              srv.invalidateView(db, m)
+            }
+          }
+          executed += 1
+          pol.put("last_execution_time", nowIso())
+          pol.put("last_execution_status", "success")
+          pol.put("last_deleted_count", deleted)
+          pol.put("updated_at", nowIso())
+          retentionStore.put(pol.get("id").asLong.toString, pol)
+        }
+      }
+    ok(ex, 200,
+      s"""{"message":"Retention triggered successfully",""" +
+        s""""policies_executed":$executed,"deleted_count":$deleted}""")
   }
 
   // ---- MQTT ---------------------------------------------------------------

@@ -280,6 +280,26 @@ final class HttpServer(
         case ("GET", "/api/v1/metrics/endpoints") => handleEndpointMetrics(ex)
         case ("GET", TsPath(tpe)) => handleTimeseriesMetrics(ex, tpe)
         case ("GET", "/api/v1/logs") => handleLogs(ex)
+        case ("POST", "/api/v1/write/line-protocol/flush") =>
+          // every write endpoint here is synchronously durable (parquet
+          // lands before the 204), so there is never anything buffered —
+          // the reference's FlushAll contract holds vacuously
+          sendJson(ex, 200, """{"status":"success","message":"All buffers flushed","note":"writes are synchronously durable; nothing is ever buffered"}""")
+        case ("GET", "/api/v1/write/line-protocol/health") =>
+          sendJson(ex, 200,
+            """{"status":"healthy","service":"line_protocol_writer"}""")
+        case ("GET", "/api/v1/write/msgpack/spec") =>
+          // the reference's self-describing wire doc (msgpack.go:411-460)
+          sendJson(ex, 200,
+            """{"version":"2.0","protocol":"MessagePack","endpoint":"/api/v1/write/msgpack",""" +
+              """"content_type":"application/msgpack","compression":"gzip or zstd (optional)",""" +
+              """"format":{"columnar (RECOMMENDED)":{"m":"measurement (string)",""" +
+              """"columns":"dict of column_name: [array of values]",""" +
+              """"note":"zero-copy fast path; time column in int64 ms/us/s"},""" +
+              """"row (LEGACY)":{"m":"measurement (string)","t":"timestamp (int64)",""" +
+              """"h":"host (string, optional)","fields":"dict of field_name: value",""" +
+              """"tags":"dict of tag_name: value (optional)"},""" +
+              """"batch":{"batch":"array of measurements (columnar or row)"}}}""")
         case ("GET", "/api/v1/write/msgpack/stats") => sendStats(ex, "msgpack")
         case ("GET", "/api/v1/write/line-protocol/stats") => sendStats(ex, "lp")
         case ("GET", "/api/v1/write/tle/stats") => sendStats(ex, "tle")
@@ -562,7 +582,11 @@ final class HttpServer(
 
   private def handleWriteLp(ex: HttpExchange): Unit = {
     val params = queryParams(ex)
-    val db = params.get("db").orElse(headerDbOpt(ex)).getOrElse("default")
+    // reference precedence (lineprotocol.go WriteV1/WriteInfluxDB): the
+    // x-arc-database header OVERRIDES ?db= (v1) / ?bucket= (v2)
+    val db = headerDbOpt(ex)
+      .orElse(params.get("db")).orElse(params.get("bucket"))
+      .getOrElse("default")
     if (!catalog.isValidDatabaseName(db)) {
       sendJson(ex, 400, err(s"invalid database name: $db")); return
     }

@@ -457,6 +457,58 @@ class AdminRoutesSpec extends SparkSpec {
     } finally broker.close()
   }
 
+  test("schedulers: status census, CQ reload, retention trigger-all") {
+    // one old hour that a triggered retention policy will reap
+    post("/api/v1/write/msgpack", payload("sched", (0 until 5).map(OldUs + _ * 1000000L)))
+    post("/api/v1/write/msgpack", payload("sched", (0 until 2).map(nowUs + _ * 1000000L)))
+    val pol = json(post("/api/v1/retention",
+      j("name" -> "sched-30d", "database" -> "default",
+        "measurement" -> "sched", "retention_days" -> 30)))
+    val polId = pol.get("id").asLong()
+    try {
+      val st = json(get("/api/v1/schedulers"))
+      assert(st.get("retention_scheduler").get("enabled").asBoolean())
+      assert(st.get("retention_scheduler").get("policy_count").asInt() >= 1)
+      assert(st.has("cq_scheduler") && st.has("compaction_scheduler"))
+
+      val reload = json(post("/api/v1/schedulers/cq/reload", j()))
+      assert(reload.get("message").asText().contains("reloaded"))
+      assert(reload.get("job_count").asInt() >= 0)
+
+      // trigger-all runs every active policy NOW: old hour reaped
+      val trig = json(post("/api/v1/schedulers/retention/trigger", j()))
+      assert(trig.get("policies_executed").asInt() >= 1)
+      assert(trig.get("deleted_count").asLong() >= 5)
+      assert(queryCount("SELECT count(*) FROM sched") == 2)
+      // the policy record carries the execution outcome
+      assert(json(get(s"/api/v1/retention/$polId"))
+        .get("last_execution_status").asText() == "success")
+    } finally delete(s"/api/v1/retention/$polId")
+  }
+
+  test("LP flush/health, msgpack spec, and header-over-query db precedence") {
+    assert(json(post("/api/v1/write/line-protocol/flush", j()))
+      .get("status").asText() == "success")
+    assert(json(get("/api/v1/write/line-protocol/health"))
+      .get("service").asText() == "line_protocol_writer")
+    val spec = json(get("/api/v1/write/msgpack/spec"))
+    assert(spec.get("protocol").asText() == "MessagePack")
+    assert(spec.get("format").has("batch"))
+
+    // reference precedence: x-arc-database OVERRIDES ?db=/?bucket=
+    post("/api/v1/databases", j("name" -> "lpheader"))
+    val r = client.send(HttpRequest.newBuilder(
+      URI.create(s"$base/write?db=ignored_db"))
+      .header("x-arc-database", "lpheader")
+      .POST(HttpRequest.BodyPublishers.ofString(
+        s"prec,tag=a v=1.0 ${nowUs * 1000L}")).build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+    assert(r.statusCode() == 204)
+    val shown = json(get("/api/v1/databases")).toString
+    assert(shown.contains("lpheader"))
+    assert(!shown.contains("ignored_db"), "query param must not win")
+  }
+
   test("admin stores persist across server instances (file-backed)") {
     val created = json(post("/api/v1/retention",
       j("name" -> "persist-check", "database" -> "default", "retention_days" -> 14)))
