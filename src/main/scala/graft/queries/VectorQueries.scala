@@ -123,6 +123,32 @@ object VectorQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // metadata-FILTERED ANN (the "filtered search" feature vector
+    // stores struggle with): each query retrieves only among candidates
+    // sharing its label — spelled as a PRE-filter (label equi-join with
+    // the broadcast query frame) so the scan never scores disqualified
+    // vectors; top-k is exact within the filtered set. At 100 TB the
+    // label join composes with label-partitioned storage into partition
+    // pruning; a post-filter top-k would under-fill k instead.
+    "q164_ann_filtered" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("label").as("qlabel"))
+      val c = emb.where(col("vec_id") >= NQueries)
+        .select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
+          col("label"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("cand_id"))
+      c.join(broadcast(q), col("label") === col("qlabel"))
+        .withColumn("cos", cosine(col("qv"), col("cv")))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= TopK)
+        .select(col("query_id"), col("rn"), col("cand_id"), col("label"),
+          col("cos"))
+        .orderBy(col("query_id"), col("rn"))
+    }),
+
     // MMR diversified re-ranking (Carbonell & Goldstein SIGIR'98): the
     // RAG diversity pass between the ANN shortlist and the context
     // window — greedy rel-minus-max-sim selection over the per-query
@@ -386,6 +412,21 @@ object VectorQueries {
          |i AS (SELECT unnest(generate_series(1, $ProjK)) AS i)
          |SELECT vec_id, label, CAST(i - 1 AS INT) AS dim, pr[i] AS p
          |FROM e, i ORDER BY vec_id, dim""".stripMargin,
+
+    "q164_ann_filtered" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+         |    label AS qlabel FROM embeddings WHERE vec_id < $NQueries),
+         |c AS (SELECT vec_id AS cand_id, embedding AS cv, label
+         |      FROM embeddings WHERE vec_id >= $NQueries),
+         |scored AS (SELECT query_id, cand_id, label,
+         |    ${cosineSql("qv", "cv")} AS cos
+         |  FROM c JOIN q ON c.label = q.qlabel)
+         |SELECT query_id, rn, cand_id, label, cos FROM (
+         |  SELECT query_id, cand_id, label, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, cand_id) AS rn
+         |  FROM scored)
+         |WHERE rn <= $TopK ORDER BY query_id, rn""".stripMargin,
 
     // the MMR greedy as a recursive CTE: the working table carries the
     // selected-so-far rows each iteration (each keeping its own pick
