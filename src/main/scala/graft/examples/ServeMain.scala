@@ -50,6 +50,24 @@ object ServeMain {
       new graft.jobs.CompactionScheduler(server.catalog,
         intervalMillis = s * 1000L).start()
     }
+    // buffered-accept ingest (the reference's ArrowBuffer+WAL regime):
+    // GRAFT_INGEST_WAL_DIR=<dir> turns it on; GRAFT_INGEST_FLUSH_MS and
+    // GRAFT_INGEST_FLUSH_ROWS tune the flush cadence;
+    // GRAFT_INGEST_WAL_ASYNC=true trades the per-request fsync for OS
+    // page-cache durability (the reference's accept-only regime)
+    sys.env.get("GRAFT_INGEST_WAL_DIR").foreach { dir =>
+      val recovered = server.enableBufferedIngest(
+        new java.io.File(dir),
+        flushRows = sys.env.get("GRAFT_INGEST_FLUSH_ROWS")
+          .flatMap(_.toIntOption).getOrElse(200000),
+        flushMillis = sys.env.get("GRAFT_INGEST_FLUSH_MS")
+          .flatMap(_.toLongOption).getOrElse(500L),
+        syncMode =
+          if (sys.env.get("GRAFT_INGEST_WAL_ASYNC").exists(_.toBoolean))
+            graft.ingest.Wal.SyncAsync
+          else graft.ingest.Wal.SyncEvery)
+      if (recovered > 0) println(s"replayed $recovered WAL rows from a previous run")
+    }
     val bound = server.start()
     println(s"graft serving on http://127.0.0.1:$bound  (root=$root)")
     println(s"  POST /api/v1/query            {\"sql\": \"...\"}  (Accept: arrow/msgpack negotiates)")

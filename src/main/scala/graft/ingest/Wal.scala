@@ -162,6 +162,78 @@ object Wal {
   }
 }
 
+/** Lossless WAL framing for already-decoded [[ColumnarBatch]]es, so a
+  * replay after a crash reproduces the batch EXACTLY — including
+  * unit-normalized timestamps and the tag-column set — instead of
+  * re-running a source decoder whose parameters (LP precision, TLE
+  * measurement header) lived only in the original HTTP request. The
+  * leading magic 0xC1 is the one byte the MessagePack spec reserves as
+  * never-used, and is not printable ASCII, so framed bodies can never
+  * be mistaken for a raw msgpack or Line Protocol payload. */
+object BatchCodec {
+
+  val Magic: Byte = 0xC1.toByte
+
+  private val TNull = 0; private val TLong = 1; private val TDouble = 2
+  private val TString = 3; private val TBool = 4
+
+  def encode(batches: Seq[ColumnarBatch]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeByte(Magic)
+    out.writeInt(batches.size)
+    batches.foreach { b =>
+      out.writeUTF(b.measurement)
+      out.writeBoolean(b.dedupTime)
+      out.writeInt(b.tagColumns.size)
+      b.tagColumns.foreach(out.writeUTF)
+      out.writeInt(b.columns.size)
+      out.writeInt(b.rowCount)
+      b.columns.foreach { case (name, vs) =>
+        out.writeUTF(name)
+        vs.foreach {
+          case null => out.writeByte(TNull)
+          case l: java.lang.Long => out.writeByte(TLong); out.writeLong(l)
+          case i: java.lang.Integer => out.writeByte(TLong); out.writeLong(i.toLong)
+          case d: java.lang.Double => out.writeByte(TDouble); out.writeDouble(d)
+          case f: java.lang.Float => out.writeByte(TDouble); out.writeDouble(f.toDouble)
+          case s: String => out.writeByte(TString); out.writeUTF(s)
+          case bo: java.lang.Boolean => out.writeByte(TBool); out.writeBoolean(bo)
+          case other => out.writeByte(TString); out.writeUTF(other.toString)
+        }
+      }
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  def decode(body: Array[Byte]): Seq[ColumnarBatch] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(body))
+    require(in.readByte() == Magic, "not a BatchCodec frame")
+    (0 until in.readInt()).map { _ =>
+      val m = in.readUTF()
+      val dedup = in.readBoolean()
+      val tags = (0 until in.readInt()).map(_ => in.readUTF())
+      val nCols = in.readInt()
+      val nRows = in.readInt()
+      val cols = mutable.LinkedHashMap.empty[String, Array[Any]]
+      (0 until nCols).foreach { _ =>
+        val name = in.readUTF()
+        cols(name) = Array.tabulate[Any](nRows) { _ =>
+          in.readByte() match {
+            case 0 => null
+            case 1 => in.readLong(): java.lang.Long
+            case 2 => in.readDouble(): java.lang.Double
+            case 3 => in.readUTF()
+            case 4 => in.readBoolean(): java.lang.Boolean
+          }
+        }
+      }
+      ColumnarBatch(m, cols, tags, dedup)
+    }
+  }
+}
+
 /** Durable buffered ingester — the analog of the reference's ArrowBuffer
   * + WAL coupling (internal/ingest/arrow_writer.go buffer/flush +
   * internal/wal/recovery.go): `accept` journals the raw payload, then
@@ -172,7 +244,8 @@ object Wal {
   */
 final class DurableIngester(catalog: GraftCatalog, walDir: File,
     syncMode: Wal.SyncMode = Wal.SyncEvery,
-    flushRows: Int = 50000) {
+    flushRows: Int = 50000,
+    onFlush: (String, String) => Unit = (_, _) => ()) {
 
   /** Rows recovered (already flushed to parquet) from a prior crash. */
   val recoveredRows: Long = {
@@ -197,7 +270,8 @@ final class DurableIngester(catalog: GraftCatalog, walDir: File,
   private var bufferedRows = 0
 
   private def decodeBody(body: Array[Byte]): Seq[ColumnarBatch] =
-    try MsgPack.decodePayload(body)
+    if (body.nonEmpty && body(0) == BatchCodec.Magic) BatchCodec.decode(body)
+    else try MsgPack.decodePayload(body)
     catch {
       case _: Exception =>
         val (points, _) = LineProtocol.parse(new String(body, "UTF-8"), "ns")
@@ -206,21 +280,60 @@ final class DurableIngester(catalog: GraftCatalog, walDir: File,
 
   /** Journal + buffer one write payload (msgpack or LP bytes). The
     * payload is on disk before this returns. */
-  def accept(db: String, payload: Array[Byte]): Int = synchronized {
-    wal.append(db, payload)
-    val batches = decodeBody(payload)
-    batches.foreach { b => buffer += db -> b; bufferedRows += b.rowCount }
-    if (bufferedRows >= flushRows) flush()
+  def accept(db: String, payload: Array[Byte]): Int = {
+    val batches = decodeBody(payload) // decode OUTSIDE the accept lock
+    journal(db, payload, batches)
+  }
+
+  /** Journal + buffer ALREADY-DECODED batches (the HTTP serving path:
+    * the handler has decoded + validated them; replay must not depend
+    * on request-scoped decode parameters). On disk before returning. */
+  def acceptDecoded(db: String, batches: Seq[ColumnarBatch]): Int =
+    journal(db, BatchCodec.encode(batches), batches)
+
+  /** Journal a raw payload the handler has ALREADY decoded into
+    * `batches`, when that payload replays deterministically on its own
+    * (msgpack — no request-scoped decode parameters): skips the
+    * BatchCodec re-encode on the hottest accept path. */
+  def acceptRaw(db: String, payload: Array[Byte],
+      batches: Seq[ColumnarBatch]): Int =
+    journal(db, payload, batches)
+
+  private def journal(db: String, body: Array[Byte],
+      batches: Seq[ColumnarBatch]): Int = {
+    val drain = synchronized {
+      wal.append(db, body)
+      batches.foreach { b => buffer += db -> b; bufferedRows += b.rowCount }
+      bufferedRows >= flushRows
+    }
+    if (drain) flush()
     batches.map(_.rowCount).sum
   }
 
-  /** Flush all buffered batches to parquet, then checkpoint the WAL. */
-  def flush(): Unit = synchronized {
-    val pending = buffer.toSeq
-    buffer.clear(); bufferedRows = 0
+  /** Rows currently buffered (accepted, journaled, not yet in parquet). */
+  def pendingRows: Int = synchronized { bufferedRows }
+
+  // flushes serialize among THEMSELVES but hold the accept lock only
+  // for the buffer swap + WAL seal — the parquet write happens outside
+  // it, so accepts keep flowing during a flush (the reference's
+  // buffer-swap flush, arrow_writer.go). seal() guarantees the sealed
+  // segments cover exactly the swapped batches: anything accepted
+  // after the swap lands in the NEW segment and survives a crash.
+  private val flushLock = new Object
+
+  /** Flush all buffered batches to parquet, then purge the covering
+    * WAL segments. */
+  def flush(): Unit = flushLock.synchronized {
+    val (pending, segs) = synchronized {
+      val p = buffer.toSeq
+      buffer.clear(); bufferedRows = 0
+      (p, wal.seal())
+    }
     pending.foreach { case (db, b) => DirectParquetWriter.write(catalog, db, b) }
-    wal.checkpoint()
+    wal.purge(segs)
+    pending.map { case (db, b) => (db, b.measurement) }.distinct
+      .foreach { case (db, m) => onFlush(db, m) }
   }
 
-  def close(): Unit = synchronized { flush(); wal.close() }
+  def close(): Unit = { flush(); synchronized { wal.close() } }
 }

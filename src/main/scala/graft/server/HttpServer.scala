@@ -114,6 +114,40 @@ final class HttpServer(
     * `max_payload_size`, msgpack.go:223-229). */
   @volatile var maxPayloadBytes: Long = 512L << 20
 
+  /** Optional buffered-accept ingest — the reference's actual ingest
+    * architecture (ArrowBuffer + WAL, internal/ingest/arrow_writer.go):
+    * writes are journaled + buffered and the request acks BEFORE the
+    * parquet flush. Durability moves from "parquet before 204" to "WAL
+    * before 204" (crash replay restores acknowledged rows); reads see
+    * the rows at the next flush tick, exactly the reference's
+    * read-your-writes window. OFF by default — the synchronous path
+    * stays the conservative contract; ServeMain opts in. */
+  @volatile private[server] var bufferedIngest: Option[graft.ingest.DurableIngester] = None
+
+  /** Switch ingest to buffered-accept. Returns rows recovered from a
+    * previous process's un-checkpointed WAL (already flushed). */
+  def enableBufferedIngest(walDir: java.io.File, flushRows: Int = 200000,
+      flushMillis: Long = 500L,
+      syncMode: graft.ingest.Wal.SyncMode = graft.ingest.Wal.SyncEvery): Long = {
+    val ing = new graft.ingest.DurableIngester(catalog, walDir, syncMode,
+      flushRows, onFlush = (db, m) => invalidateView(db, m))
+    bufferedIngest = Some(ing)
+    val t = new Thread(() => {
+      while (bufferedIngest.contains(ing)) {
+        try { Thread.sleep(flushMillis); ing.flush() }
+        catch {
+          case _: InterruptedException => ()
+          case e: Throwable =>
+            org.slf4j.LoggerFactory.getLogger(classOf[HttpServer])
+              .warn(s"ingest flush failed: ${msg(e)}")
+        }
+      }
+    }, "graft-ingest-flusher")
+    t.setDaemon(true)
+    t.start()
+    ing.recoveredRows
+  }
+
   private val startedAt = System.nanoTime()
   private val rfc3339 = DateTimeFormatter.ISO_INSTANT
 
@@ -204,7 +238,13 @@ final class HttpServer(
     boundPort
   }
 
-  def stop(): Unit = { server.stop(0); pool.shutdownNow(); obs.stop() }
+  def stop(): Unit = {
+    server.stop(0); pool.shutdownNow(); obs.stop()
+    bufferedIngest.foreach { ing =>
+      bufferedIngest = None // stops the flusher loop
+      ing.close() // final flush + WAL checkpoint
+    }
+  }
 
   // ---- routing ---------------------------------------------------------
 
@@ -281,13 +321,22 @@ final class HttpServer(
         case ("GET", TsPath(tpe)) => handleTimeseriesMetrics(ex, tpe)
         case ("GET", "/api/v1/logs") => handleLogs(ex)
         case ("POST", "/api/v1/write/line-protocol/flush") =>
-          // every write endpoint here is synchronously durable (parquet
-          // lands before the 204), so there is never anything buffered —
-          // the reference's FlushAll contract holds vacuously
-          sendJson(ex, 200, """{"status":"success","message":"All buffers flushed","note":"writes are synchronously durable; nothing is ever buffered"}""")
+          bufferedIngest match {
+            case Some(ing) =>
+              val pending = ing.pendingRows
+              ing.flush()
+              sendJson(ex, 200,
+                s"""{"status":"success","message":"All buffers flushed","rows_flushed":$pending}""")
+            case None =>
+              // the synchronous path is durable before the 204 — the
+              // reference's FlushAll contract holds vacuously
+              sendJson(ex, 200, """{"status":"success","message":"All buffers flushed","note":"writes are synchronously durable; nothing is ever buffered"}""")
+          }
         case ("GET", "/api/v1/write/line-protocol/health") =>
+          val pending = bufferedIngest.map(_.pendingRows).getOrElse(0)
           sendJson(ex, 200,
-            """{"status":"healthy","service":"line_protocol_writer"}""")
+            s"""{"status":"healthy","service":"line_protocol_writer",""" +
+              s""""buffered":${bufferedIngest.isDefined},"pending_rows":$pending}""")
         case ("GET", "/api/v1/write/msgpack/spec") =>
           // the reference's self-describing wire doc (msgpack.go:411-460)
           sendJson(ex, 200,
@@ -577,7 +626,11 @@ final class HttpServer(
         ingestError("msgpack")
         sendJson(ex, 400, err("Invalid MessagePack payload: " + msg(e))); return
       }
-    writeBatches(ex, db, batches, payload.length.toLong, "msgpack")
+    // the raw msgpack body replays deterministically (no request-scoped
+    // decode parameters), so buffered mode journals it verbatim —
+    // skipping the BatchCodec re-encode on the hottest accept path
+    writeBatches(ex, db, batches, payload.length.toLong, "msgpack",
+      replayableRaw = Some(payload))
   }
 
   private def handleWriteLp(ex: HttpExchange): Unit = {
@@ -619,14 +672,31 @@ final class HttpServer(
     }
 
   private def writeBatches(ex: HttpExchange, db: String,
-      batches: Seq[ColumnarBatch], payloadBytes: Long, source: String): Unit =
-    writeCore(db, batches) match {
-      case Left(bad) =>
-        ingestError(source)
-        sendJson(ex, 400, err(s"invalid measurement name: $bad"))
-      case Right(_) =>
-        ingested(source, batches.map(_.rowCount.toLong).sum, payloadBytes)
-        ex.sendResponseHeaders(204, -1) // InfluxDB-compatible No Content
+      batches: Seq[ColumnarBatch], payloadBytes: Long, source: String,
+      replayableRaw: Option[Array[Byte]] = None): Unit =
+    bufferedIngest match {
+      case Some(ing) => // buffered accept: WAL before 204, flush async
+        batches.find(b => MeasName.findFirstIn(b.measurement).isEmpty) match {
+          case Some(bad) =>
+            ingestError(source)
+            sendJson(ex, 400, err(s"invalid measurement name: ${bad.measurement}"))
+          case None =>
+            replayableRaw match {
+              case Some(raw) => ing.acceptRaw(db, raw, batches)
+              case None => ing.acceptDecoded(db, batches)
+            }
+            ingested(source, batches.map(_.rowCount.toLong).sum, payloadBytes)
+            ex.sendResponseHeaders(204, -1)
+        }
+      case None =>
+        writeCore(db, batches) match {
+          case Left(bad) =>
+            ingestError(source)
+            sendJson(ex, 400, err(s"invalid measurement name: $bad"))
+          case Right(_) =>
+            ingested(source, batches.map(_.rowCount.toLong).sum, payloadBytes)
+            ex.sendResponseHeaders(204, -1) // InfluxDB-compatible No Content
+        }
     }
 
   private def sendStats(ex: HttpExchange, source: String): Unit = {
