@@ -318,6 +318,87 @@ object Multimodal {
     }(enc)
   }
 
+  /** Perceptual average-hash (aHash) of a decodable image: box-filter
+    * the luminance raster onto an 8×8 grid, set bit (cy·8+cx) when the
+    * cell's mean luminance strictly exceeds the global mean. Identical
+    * rasters hash identically regardless of container (PNG vs BMP of
+    * the same pixels); recompression and small edits land within a few
+    * Hamming bits — the image analog of text SimHash, feeding the same
+    * banded near-dup machinery. Cell/global means compare by integer
+    * cross-multiplication carried in doubles (sums are exact integers
+    * below 2^53, i.e. up to ~5.9-megapixel rasters; beyond that the
+    * comparison is last-ulp fuzzy, which a 64-bit perceptual hash
+    * tolerates). None when the bytes don't decode. */
+  def averageHash(bytes: Array[Byte]): Option[Long] = {
+    if (bytes.isEmpty) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return None
+      val w = img.getWidth
+      val h = img.getHeight
+      val sums = new Array[Double](64)
+      val counts = new Array[Double](64)
+      var total = 0.0
+      var y = 0
+      while (y < h) {
+        val cy = y * 8 / h
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+          val c = cy * 8 + x * 8 / w
+          sums(c) += lum
+          counts(c) += 1
+          total += lum
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toDouble * h
+      var hash = 0L
+      var c = 0
+      while (c < 64) {
+        // cellMean > globalMean  ⇔  cellSum·n > total·cellCount
+        if (counts(c) > 0 && sums(c) * n > total * counts(c))
+          hash |= 1L << c
+        c += 1
+      }
+      Some(hash)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** (media_id, sh) perceptual-hash frame over the decodable image rows
+    * (non-images and corrupt bytes drop out — near-dup over a stub hash
+    * would manufacture false pairs). Same bytes-budget partitioning as
+    * [[extractFeatures]]. */
+  def imageHashes(media: DataFrame,
+      targetBytesPerPartition: Long = 128L * 1024 * 1024): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("sh", LongType, nullable = false)))
+    val enc = RowEncoder.encoderFor(schema)
+    media.select("media_id", "bytes", "format").mapPartitions { it =>
+      it.flatMap { r =>
+        val fmtL = Option(r.getString(2)).map(_.toLowerCase).getOrElse("")
+        if (!ImageFormats.contains(fmtL)) Iterator.empty
+        else averageHash(Option(r.getAs[Array[Byte]](1))
+            .getOrElse(Array.emptyByteArray))
+          .map(hsh => Row(r.getLong(0), hsh)).iterator
+      }
+    }(enc)
+  }
+
+  /** Image near-duplicate pairs: aHash signatures through the SHARED
+    * banded Hamming kernel ([[SimHashDedup.pairsFromSignatures]], 64-bit
+    * width) — pigeonhole-exact for hd ≤ maxHd, equi-join shuffle only
+    * (never an all-pairs compare). The 100 TB image-dedup shape: hash
+    * per item (embarrassingly parallel over the bytes), band join, bit
+    * verify. */
+  def nearDupImagePairs(media: DataFrame, maxHd: Int = 6): DataFrame =
+    SimHashDedup.pairsFromSignatures(
+      imageHashes(media).localCheckpoint(), bits = 64, maxHd = maxHd)
+
   /** Frame-sampling pipeline: one row per sampled frame. MJPEG-AVI rows
     * emit REAL evenly-spaced JPEG frame payloads (each independently
     * decodable downstream); other formats emit the labeled stub slices. */

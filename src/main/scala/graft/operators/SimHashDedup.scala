@@ -23,27 +23,30 @@ object SimHashDedup {
 
   val DefaultMaxHammingDistance = 6
 
-  /** Bit widths of the bands covering [[TextFunctions.SimHashBits]] bits:
+  /** Bit widths of the bands covering `bits` signature bits:
     * `maxHd + 1` bands as equal as possible (32 bits / 7 → 5,5,5,5,4,4,4). */
-  private[operators] def bandWidths(numBands: Int): Seq[Int] = {
-    val bits = TextFunctions.SimHashBits
+  private[operators] def bandWidths(bits: Int, numBands: Int): Seq[Int] = {
     val base = bits / numBands
     val extra = bits % numBands
     Seq.fill(extra)(base + 1) ++ Seq.fill(numBands - extra)(base)
   }
 
+  private[operators] def bandWidths(numBands: Int): Seq[Int] =
+    bandWidths(TextFunctions.SimHashBits, numBands)
+
   /** (band index, band key) struct array for a signature column. */
-  private def bandKeys(sh: Column, numBands: Int): Column = {
-    val widths = bandWidths(numBands)
-    val offsets = widths.scanLeft(0)(_ + _)
+  private def bandKeys(sh: Column, bits: Int, numBands: Int): Column = {
+    val widths = bandWidths(bits, numBands)
     array(widths.zipWithIndex.map { case (w, i) =>
-      struct(lit(i).as("b"), bandKey(sh, numBands, i).as("k"))
+      struct(lit(i).as("b"), bandKey(sh, bits, numBands, i).as("k"))
     }: _*)
   }
 
-  /** Band `i` of a signature, as a Long key. */
-  private def bandKey(sh: Column, numBands: Int, i: Int): Column = {
-    val widths = bandWidths(numBands)
+  /** Band `i` of a signature, as a Long key. A full-width 64-bit band
+    * would shift a negative mask; widths below 64 by construction when
+    * numBands >= 2 (maxHd >= 1). */
+  private def bandKey(sh: Column, bits: Int, numBands: Int, i: Int): Column = {
+    val widths = bandWidths(bits, numBands)
     val offsets = widths.scanLeft(0)(_ + _)
     shiftrightunsigned(sh, offsets(i)).bitwiseAND(lit((1L << widths(i)) - 1))
   }
@@ -52,15 +55,24 @@ object SimHashDedup {
     * with maxHd+1 bands guarantees no pair within maxHd is missed. */
   def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
       maxHd: Int = DefaultMaxHammingDistance): DataFrame = {
-    val numBands = maxHd + 1
     val spark = docs.sparkSession
     val sigs = docs
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col(idCol).as("doc_id"),
         TextFunctions.simhash(col(textCol)).as("sh"))
       .localCheckpoint() // signatures are CPU-heavy: compute exactly once
+    pairsFromSignatures(sigs, TextFunctions.SimHashBits, maxHd)
+  }
+
+  /** The banding/verify kernel over an ARBITRARY signature frame
+    * (`doc_id`, `sh`) of `bits`-wide hashes — shared by text SimHash
+    * (q67) and image perceptual hashes ([[Multimodal.nearDupImagePairs]]).
+    * Pigeonhole-exact for Hamming distance ≤ maxHd. */
+  def pairsFromSignatures(sigs: DataFrame, bits: Int,
+      maxHd: Int = DefaultMaxHammingDistance): DataFrame = {
+    val numBands = maxHd + 1
     val bands = sigs.select(col("doc_id"), col("sh"),
-      explode(bandKeys(col("sh"), numBands)).as("band"))
+      explode(bandKeys(col("sh"), bits, numBands)).as("band"))
     val a = bands.select(col("doc_id").as("doc1"), col("sh").as("sh1"), col("band"))
     val b = bands.select(col("doc_id").as("doc2"), col("sh").as("sh2"), col("band"))
     // first-matching-band emission replaces a distinct() over the full
@@ -71,7 +83,8 @@ object SimHashDedup {
     // all of them, this filter drops duplicates map-side.
     val firstBand = (0 until numBands).map { j =>
       (col("band.b") > j) &&
-        (bandKey(col("sh1"), numBands, j) === bandKey(col("sh2"), numBands, j))
+        (bandKey(col("sh1"), bits, numBands, j) ===
+          bandKey(col("sh2"), bits, numBands, j))
     }.reduce(_ || _)
     a.join(b, "band")
       .where(col("doc1") < col("doc2"))
