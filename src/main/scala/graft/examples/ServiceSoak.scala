@@ -39,6 +39,13 @@ object ServiceSoak {
     spark.sparkContext.setLogLevel("ERROR")
     val root = java.nio.file.Files.createTempDirectory("graft_soak").toString
     val server = new HttpServer(spark, root)
+    // SOAK_BUFFERED=1: soak the buffered-accept ingest regime (WAL +
+    // buffer before 204, 250 ms background flushes) under the same
+    // mixed traffic — readers race the flusher instead of the writers
+    val buffered = sys.env.get("SOAK_BUFFERED").contains("1")
+    if (buffered) server.enableBufferedIngest(
+      java.nio.file.Files.createTempDirectory("graft_soak_wal").toFile,
+      flushRows = 100000, flushMillis = 250L)
     val base = s"http://127.0.0.1:${server.start()}"
     val client = HttpClient.newHttpClient()
 
@@ -174,7 +181,10 @@ object ServiceSoak {
     workers.foreach(_.get())
     pool.shutdown(); pool.awaitTermination(10, TimeUnit.SECONDS)
 
-    // quiesce audit: every accepted write must be visible
+    // quiesce audit: every accepted write must be visible (buffered
+    // mode first drains the accept buffer through the flush route —
+    // the contract there is WAL-durable at accept, VISIBLE at flush)
+    if (buffered) post("/api/v1/write/line-protocol/flush", Array.emptyByteArray)
     val fin = post("/api/v1/query",
       """{"sql":"SELECT count(*) AS n FROM soak"}""".getBytes(UTF_8))
     val body = new String(fin.body(), UTF_8)
