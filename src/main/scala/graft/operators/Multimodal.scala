@@ -368,6 +368,92 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** Perceptual energy-envelope hash of a decodable PCM clip — the
+    * audio analog of [[averageHash]]: the first channel's samples split
+    * into 64 equal segments; bit s is set when segment s's mean SQUARED
+    * amplitude strictly exceeds the clip's mean (comparing mean squares
+    * avoids the sqrt — the RMS ordering is identical). Container- and
+    * endianness-invariant for the same samples; re-leveling and small
+    * noise move few bits; different material moves many. None when the
+    * bytes aren't JDK-decodable PCM. */
+  def audioHash(bytes: Array[Byte], maxFrames: Int = 1 << 20): Option[Long] = {
+    if (bytes.isEmpty) return None
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val bits = fmt.getSampleSizeInBits
+        if (bits != 16 && bits != 8) return None
+        val frameBytes = fmt.getFrameSize
+        val nFrames = math.min(
+          if (in.getFrameLength >= 0) in.getFrameLength else maxFrames.toLong,
+          maxFrames.toLong).toInt
+        val buf = new Array[Byte](nFrames * frameBytes)
+        var off = 0
+        var read = 0
+        while (off < buf.length && read >= 0) {
+          read = in.read(buf, off, buf.length - off)
+          if (read > 0) off += read
+        }
+        val frames = off / frameBytes
+        if (frames < 64) return None // under one frame per segment
+        val bigEndian = fmt.isBigEndian
+        val sums = new Array[Double](64)
+        val counts = new Array[Double](64)
+        var total = 0.0
+        var f = 0
+        while (f < frames) {
+          val base = f * frameBytes
+          val s =
+            if (bits == 16) {
+              val (b0, b1) = (buf(base) & 0xff, buf(base + 1) & 0xff)
+              val raw = if (bigEndian) (b0 << 8) | b1 else (b1 << 8) | b0
+              raw.toShort.toDouble / 32768.0
+            } else (buf(base) & 0xff) / 255.0 * 2.0 - 1.0
+          val seg = (f.toLong * 64 / frames).toInt
+          val e = s * s
+          sums(seg) += e
+          counts(seg) += 1
+          total += e
+          f += 1
+        }
+        val n = frames.toDouble
+        var hash = 0L
+        var seg = 0
+        while (seg < 64) {
+          if (counts(seg) > 0 && sums(seg) * n > total * counts(seg))
+            hash |= 1L << seg
+          seg += 1
+        }
+        Some(hash)
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** (media_id, sh) energy-envelope hashes over decodable PCM rows —
+    * feeds the same banded Hamming kernel as the image path. */
+  def audioHashes(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("sh", LongType, nullable = false)))
+    val enc = RowEncoder.encoderFor(schema)
+    media.select("media_id", "bytes", "format").mapPartitions { it =>
+      it.flatMap { r =>
+        val fmtL = Option(r.getString(2)).map(_.toLowerCase).getOrElse("")
+        if (!AudioFormats.contains(fmtL)) Iterator.empty
+        else audioHash(Option(r.getAs[Array[Byte]](1))
+            .getOrElse(Array.emptyByteArray))
+          .map(hsh => Row(r.getLong(0), hsh)).iterator
+      }
+    }(enc)
+  }
+
+  /** Audio near-duplicate pairs through the shared banded kernel. */
+  def nearDupAudioPairs(media: DataFrame, maxHd: Int = 6): DataFrame =
+    SimHashDedup.pairsFromSignatures(
+      audioHashes(media).localCheckpoint(), bits = 64, maxHd = maxHd)
+
   /** (media_id, sh) perceptual-hash frame over the decodable image rows
     * (non-images and corrupt bytes drop out — near-dup over a stub hash
     * would manufacture false pairs). Same bytes-budget partitioning as
