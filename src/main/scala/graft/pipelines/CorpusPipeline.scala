@@ -18,6 +18,8 @@ import org.apache.spark.sql.functions._
   *     → quality + repetition gates (pushdown filter)
   *     → classifier gate (optional: mean hashed-bucket weight vs
   *       threshold — the q87 model-score shape)
+  *     → blocklist gate (optional: blocked-token density cap +
+  *       boundary-safe blocked phrases — the q163 C4 bad-words shape)
   *     → decontamination (optional: drop docs overlapping a broadcast
   *       eval set's shingle hashes — the q83 shape)
   *     → exact dedup (normalized-key groupBy, min-id survivor)
@@ -78,7 +80,12 @@ object CorpusPipeline {
       // highest-quality docs while the running token count stays within
       // the budget; None = off. Runs last so the budget is spent on
       // already-deduped, already-rebalanced survivors.
-      tokenBudgetPerStratum: Option[Long] = None)
+      tokenBudgetPerStratum: Option[Long] = None,
+      // blocklist gate (q163 shape): blocked-token density cap
+      // (per-mille) + boundary-safe blocked phrases; both empty = off
+      blockTerms: Seq[String] = Nil,
+      blockPhrases: Seq[String] = Nil,
+      maxBlockedPerMille: Long = 10L)
 
   /** docs(idCol, textCol, strataCol) → kept rows with annotations:
     * (id, text, stratum, n_tokens, n_bpe, quality, top_token_frac,
@@ -176,6 +183,28 @@ object CorpusPipeline {
         annotated.where(score > cfg.classifierMinScore)
     }
 
+    // 1b'. blocklist gate (q163's C4 bad-words shape): blocked-token
+    // density cap + boundary-safe blocked-phrase rejection, per-row
+    // codegen'd against plan-literal arrays
+    val blockGated =
+      if (cfg.blockTerms.isEmpty && cfg.blockPhrases.isEmpty) classified
+      else {
+        val toksB = TextFunctions.tokens(col("text"))
+        val density =
+          if (cfg.blockTerms.isEmpty) lit(true)
+          else {
+            val terms = array(cfg.blockTerms.map(lit): _*)
+            lit(1000L) * size(filter(toksB, x => array_contains(terms, x)))
+              .cast("long") <=
+              lit(cfg.maxBlockedPerMille) * size(toksB).cast("long")
+          }
+        val phraseFree = cfg.blockPhrases.foldLeft(lit(true)) { (acc, p) =>
+          acc && !concat(lit(" "), array_join(toksB, " "), lit(" "))
+            .contains(s" $p ")
+        }
+        classified.where(density && phraseFree)
+      }
+
     // 1c. decontamination (q83 shape): eval-set shingle hashes are a
     // broadcast set; contaminated doc ids fall out of one equi-join +
     // per-doc count — linear in corpus size, then an anti-join drops
@@ -184,7 +213,7 @@ object CorpusPipeline {
     // overlap spans a masked URL/email or a collapsed token run would
     // hash differently on the two sides and silently survive.
     val decontaminated = evalTexts match {
-      case None => classified
+      case None => blockGated
       case Some(ev) =>
         val k = cfg.deconShingleK
         val evTextRaw = col(ev.columns.head)
@@ -199,10 +228,10 @@ object CorpusPipeline {
             TextFunctions.tokens(evScrubbed)), " ")
         val evSh = ev.select(explode(MinHashDedup
           .shingleHashesFromTokens(evText, k)).as("_sh")).distinct()
-        // both the probe and the anti-join left consume `classified`;
+        // both the probe and the anti-join left consume the gated frame;
         // materialize it once or the whole upstream chain (scan, scrub,
         // boilerplate window, annotate kernels, classifier) runs twice
-        val base = classified.localCheckpoint()
+        val base = blockGated.localCheckpoint()
         val hits = base
           .select(col("doc_id"),
             explode(MinHashDedup.shingleHashesFromTokens(col("text"), k)).as("_sh"))
@@ -258,4 +287,19 @@ object CorpusPipeline {
         .drop("sel_prior")
     }
   }
+
+  /** Training-sequence tail over [[run]]'s kept rows: the pack-then-
+    * split segment map (q159's regime — docs cross boundaries, zero
+    * padding) keyed by doc_id with token weights from the pipeline's
+    * own annotate pass. The trainer's lineage artifact. */
+  def packSequences(kept: DataFrame, seqLen: Long): DataFrame =
+    graft.operators.SequencePack.segments(
+      kept, col("doc_id"), col("n_tokens"), seqLen)
+
+  /** The doc-aligned alternative (q166's fewer-truncations regime —
+    * docs never straddle boundaries, some padding slack), packed per
+    * stratum. */
+  def packBestFit(kept: DataFrame, seqLen: Long, shards: Int = 1): DataFrame =
+    graft.operators.BestFitPack.pack(
+      kept, col("stratum"), col("doc_id"), col("n_tokens"), seqLen, shards)
 }

@@ -231,4 +231,47 @@ class CorpusPipelineSpec extends SparkSpec {
       assert(ranked.startsWith(keptInS), s"not a quality prefix in $s")
     }
   }
+
+  test("blocklist gate drops dense and phrase-matching docs; off by default") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "clean prose about distributed query planning and storage formats", "web"),
+      (2L, "badword scattered badword heavily badword through badword here badword now", "web"), // dense
+      (3L, "one badword inside an otherwise long and perfectly ordinary passage of text about engines and planners and scans", "web"), // sparse: survives density
+      (4L, "this text contains the exact forbidden phrase in the middle of it", "web"),
+      (5L, "phrases like forbidden phrasing do not match on token boundaries at all", "web"))
+      .toDF("doc_id", "text", "source")
+    val base = CorpusPipeline.Config(minTokens = 3, minQuality = 0.0,
+      minDeflateRatio = 0.0, maxDeflateRatio = 2.0)
+    assert(CorpusPipeline.run(docs, "doc_id", "text", "source", base)
+      .count() == 5, "gate must be off by default")
+    val kept = CorpusPipeline.run(docs, "doc_id", "text", "source",
+      base.copy(blockTerms = Seq("badword"),
+        blockPhrases = Seq("forbidden phrase"), maxBlockedPerMille = 100L))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 5L), s"kept: $kept")
+  }
+
+  test("packing tails cover every kept doc's tokens exactly") {
+    val docs = corpus()
+    val cfg = CorpusPipeline.Config(minTokens = 5, minQuality = 0.0,
+      numHashes = 16, bands = 8)
+    val kept = CorpusPipeline.run(docs, "doc_id", "text", "source", cfg)
+      .localCheckpoint()
+    val tokens = kept.select("doc_id", "n_tokens").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val L = 16L
+    // pack-then-split: per-doc segment lengths sum to its token count
+    val seg = CorpusPipeline.packSequences(kept, L).collect()
+      .groupBy(_.getAs[Long]("key"))
+      .view.mapValues(_.map(_.getAs[Long]("n_toks")).sum).toMap
+    assert(seg == tokens, s"segment map must cover every kept doc: $seg")
+    // best-fit: same coverage, no bin overflow
+    val placed = CorpusPipeline.packBestFit(kept, L)
+    assert(placed.collect().groupBy(_.getAs[Long]("key"))
+      .view.mapValues(_.map(_.getAs[Long]("n_toks")).sum).toMap == tokens)
+    placed.groupBy("group", "bin_id")
+      .agg(org.apache.spark.sql.functions.sum("n_toks").as("fill"))
+      .collect().foreach(r => assert(r.getAs[Long]("fill") <= L))
+  }
 }
