@@ -69,11 +69,39 @@ object Bm25 {
       .limit(k)
   }
 
+  /** The ADDITIVE index state behind the rational scorer: postings
+    * `tf` (doc_id, dl, term, tf), per-term `dfs`, and the 1-row corpus
+    * `stats`. Additive = the daily-increment contract (the q91/q105
+    * shape for retrieval): a new batch's index simply unions in —
+    * postings are disjoint by doc, dfs and stats add — so history is
+    * never re-tokenized. In production `tf`/`dfs` persist as parquet and
+    * this frame is their scan. */
+  final case class Index(tf: DataFrame, dfs: DataFrame, stats: DataFrame)
+
+  def buildIndex(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String]): Index = {
+    val (tf, dfs, stats) = candidates(docs, idCol, textCol, terms)
+    Index(tf, dfs, stats)
+  }
+
+  /** Merge two disjoint-corpus indexes — postings union, dfs add,
+    * stats add. O(|dfs|) + a union of posting scans; no re-tokenize. */
+  def mergeIndex(a: Index, b: Index): Index = Index(
+    a.tf.unionAll(b.tf),
+    a.dfs.unionAll(b.dfs).groupBy(col("term")).agg(sum(col("df")).as("df")),
+    a.stats.unionAll(b.stats)
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("total_len")).as("total_len")))
+
   /** Oracle-parity rational BM25 top-k (see scaladoc): pure int64 until
     * one final cast, so ordering and values match DuckDB exactly. */
   def topKRational(docs: DataFrame, idCol: String, textCol: String,
-      terms: Seq[String], k: Int): DataFrame = {
-    val (tf, dfs, stats) = candidates(docs, idCol, textCol, terms)
+      terms: Seq[String], k: Int): DataFrame =
+    topKRationalFromIndex(buildIndex(docs, idCol, textCol, terms), k)
+
+  /** The rational scorer over a (possibly merged) [[Index]]. */
+  def topKRationalFromIndex(idx: Index, k: Int): DataFrame = {
+    val Index(tf, dfs, stats) = idx
     import graft.queries.mulGuard
     val div = (a: Column, b: Column) => call_function("div", a, b)
     // every product that can exceed int64 goes through mulGuard — a wrap

@@ -50,6 +50,25 @@ object RetrievalQueries {
       graft.operators.Bm25.topKRational(
         t(s, dir, "documents"), "doc_id", "text", Bm25Terms, Bm25K)),
 
+    // incremental BM25 index maintenance: the retrieval member of the
+    // incremental family (q91 near-dup, q105 spans). History and the
+    // new batch (top 20% of doc_ids, q91's corpus-derived split) build
+    // SEPARATE additive indexes; the merged index's scores must equal
+    // the full-corpus scorer bit-for-bit — which is exactly what the
+    // oracle (the q116 full-corpus SQL) asserts. History is never
+    // re-tokenized: the merge is a postings union + df/stat adds.
+    "q171_bm25_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val split = docs.agg(coalesce(max(col("doc_id")).cast("long"), lit(0L)))
+        .head.getLong(0) * 8L / 10L
+      val hist = graft.operators.Bm25.buildIndex(
+        docs.where(col("doc_id") <= split), "doc_id", "text", Bm25Terms)
+      val batch = graft.operators.Bm25.buildIndex(
+        docs.where(col("doc_id") > split), "doc_id", "text", Bm25Terms)
+      graft.operators.Bm25.topKRationalFromIndex(
+        graft.operators.Bm25.mergeIndex(hist, batch), Bm25K)
+    }),
+
     "q117_dsir_weight" -> ((s, dir) => {
       val toks = t(s, dir, "documents")
         .select(col("doc_id"), (col("source") === DsirTarget).as("is_t"),
@@ -234,6 +253,13 @@ object RetrievalQueries {
         |ORDER BY doc_id, pos""".stripMargin,
 
     "q116_bm25_topk" ->
+      s"""$bm25CteSql
+         |SELECT doc_id, CAST(sc_sum AS DOUBLE) / 1000000.0 AS score, n_terms
+         |FROM agg ORDER BY sc_sum DESC, doc_id LIMIT $Bm25K""".stripMargin,
+
+    // the incremental merge must reproduce the FULL-corpus scorer
+    // exactly — same oracle as q116
+    "q171_bm25_incremental" ->
       s"""$bm25CteSql
          |SELECT doc_id, CAST(sc_sum AS DOUBLE) / 1000000.0 AS score, n_terms
          |FROM agg ORDER BY sc_sum DESC, doc_id LIMIT $Bm25K""".stripMargin,
