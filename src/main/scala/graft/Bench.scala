@@ -101,9 +101,21 @@ object Bench {
             // the driver wraps the bench line under "parsed" in some rounds
             val qn = Seq(node, node.get("parsed")).filter(_ != null)
               .map(_.get("queries")).find(n => n != null && !n.isNull)
-            qn.toSeq.flatMap(q => q.properties().asScala.toSeq
+            val direct = qn.toSeq.flatMap(q => q.properties().asScala.toSeq
               .filter(_.getValue.isNumber)
               .map(e => e.getKey -> e.getValue.asDouble))
+            if (direct.nonEmpty) direct
+            else {
+              // other rounds carry only a TRUNCATED copy of the bench
+              // stdout under "tail" — regex-harvest whatever per-query
+              // pairs survived the cut (partial history still beats none
+              // for the 2x-median noise flags)
+              val tail = Option(node.get("tail")).filter(_.isTextual)
+                .map(_.asText).getOrElse("")
+              "\"(q[A-Za-z0-9_]+)\":([0-9]+\\.[0-9]+)".r
+                .findAllMatchIn(tail)
+                .map(m => m.group(1) -> m.group(2).toDouble).toSeq
+            }
           } catch { case _: Throwable => Nil }
         }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
       } catch { case _: Throwable => Map.empty }
