@@ -693,6 +693,37 @@ class PlanSpec extends SparkSpec {
       s"expected the mid-based local index stamp:\n$plan")
   }
 
+  test("q163 blocklist gate: per-row gate, one scan, sort-only exchange") {
+    val full = explained("q163_blocklist_gate")
+    val plan = full.indexOf("Initial Plan") match {
+      case -1 => full
+      case i => full.substring(0, i)
+    }
+    // plan-literal term arrays: no join to a blocklist table, no
+    // aggregate, no window — the gate must stay embarrassingly parallel
+    assert(!plan.contains("Join") && !plan.contains("HashAggregate") &&
+      !plan.contains("Window"),
+      s"blocklist gate must be pure per-row compute:\n$plan")
+    assert(count(plan, "+- ShuffleQueryStage") <= 1,
+      s"only the presentation sort may shuffle:\n$plan")
+    assert(count(plan, "Scan parquet") == 1, s"one documents scan:\n$plan")
+  }
+
+  test("q171 incremental BM25: merged postings broadcast dfs and stats") {
+    val plan = explained("q171_bm25_incremental")
+    // the per-term df table and the 1-row corpus stats must broadcast
+    // into the posting scan — shuffling the postings by term would be
+    // the O(occurrences) re-key the broadcast exists to avoid
+    assert(count(plan, "BroadcastHashJoin") >= 1,
+      s"dfs must broadcast into the postings:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      count(plan, "BroadcastHashJoin") >= 2,
+      s"the 1-row stats frame must broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must never global-sort:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q161 KS drift: ECDF window runs on the distinct-cents frame") {
     val full = explained("q161_ks_drift")
     val plan = full.indexOf("Initial Plan") match {
