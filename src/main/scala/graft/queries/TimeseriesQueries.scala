@@ -361,25 +361,24 @@ object TimeseriesQueries {
     // robust per-series outlier gate: median/MAD instead of q95's
     // mean/stddev (a single extreme value inflates stddev and hides
     // its siblings; the median absolute deviation doesn't budge).
-    // Exact nearest-rank medians on integer cents (q123's selection
-    // idiom), outlier test |v − med| > 3·MAD in pure int64. Group
-    // buckets are per-series sample sets — the q123-documented bound;
-    // unbounded series take the q34 sketch path instead.
+    // Exact nearest-rank medians on integer cents via shuffle-sort rank
+    // selection (GroupQuantile — spillable sorts, NO per-group
+    // collect_list buffer; a hot series splits across range partitions
+    // instead of OOMing one task), outlier test |v − med| > 3·MAD in
+    // pure int64.
     "q128_robust_outliers" -> ((s, dir) => {
+      import graft.operators.GroupQuantile
       val ev = t(s, dir, "events").select(col("event_type"),
         (dec(col("value")) * 100).cast("long").as("c"))
-      val med = ev.groupBy(col("event_type"))
-        .agg(sort_array(collect_list(col("c"))).as("vs"),
-          count(lit(1)).as("n"))
-        .select(col("event_type"), col("n"),
-          element_at(col("vs"), expr("cast((n + 1) div 2 as int)")).as("med"))
+      val med = GroupQuantile.selectRanks(ev, Seq("event_type"), "c",
+        Seq("med" -> (n => GroupQuantile.rank(n, 2L))))
       val dev = ev.join(broadcast(med), "event_type")
         .withColumn("ad", abs(col("c") - col("med")))
-      val mad = dev.groupBy(col("event_type"))
-        .agg(sort_array(collect_list(col("ad"))).as("ds"),
-          count(lit(1)).as("n2"))
-        .select(col("event_type"),
-          element_at(col("ds"), expr("cast((n2 + 1) div 2 as int)")).as("mad"))
+      val mad = GroupQuantile.selectRanks(
+          dev.select(col("event_type"), col("ad")),
+          Seq("event_type"), "ad",
+          Seq("mad" -> (n => GroupQuantile.rank(n, 2L))))
+        .select(col("event_type"), col("mad"))
       dev.join(broadcast(mad), "event_type")
         .groupBy(col("event_type"), col("n"), col("med"), col("mad"))
         .agg(sum(when(col("ad") > lit(3L) * col("mad"), 1L).otherwise(0L))
@@ -638,19 +637,18 @@ object TimeseriesQueries {
     // winsorized robust mean: clamp each series' values at its own
     // exact nearest-rank P05/P95 (integer index — no float percentile
     // ambiguity), then the clamped mean as an exact rational. The
-    // quantile pass rides q128's sorted-list selection (bounded
-    // per-group lists; unbounded series belong on the q34 sketch
-    // path); the clamp pass re-joins through a broadcast. Reports how
-    // much mass the tails carried — the "is the mean trustworthy"
+    // quantile pass is GroupQuantile's shuffle-sort rank selection
+    // (spillable sorts, no per-group arrays — any series size
+    // survives); the clamp pass re-joins through a broadcast. Reports
+    // how much mass the tails carried — the "is the mean trustworthy"
     // one-liner.
     "q141_winsorize" -> ((s, dir) => {
+      import graft.operators.GroupQuantile
       val ev = t(s, dir, "events").select(col("event_type"),
         (dec(col("value")) * 100).cast("long").as("c"))
-      val qs = ev.groupBy(col("event_type"))
-        .agg(sort_array(collect_list(col("c"))).as("vs"), count(lit(1)).as("n"))
-        .select(col("event_type"), col("n"),
-          element_at(col("vs"), expr("cast((n + 19) div 20 as int)")).as("lo"),
-          element_at(col("vs"), expr("cast((19 * n + 19) div 20 as int)")).as("hi"))
+      val qs = GroupQuantile.selectRanks(ev, Seq("event_type"), "c", Seq(
+        "lo" -> (n => GroupQuantile.rank(n, 20L)),
+        "hi" -> (n => GroupQuantile.idiv(lit(19L) * n + lit(19L), lit(20L)))))
       ev.join(broadcast(qs), "event_type")
         .groupBy(col("event_type"), col("n"), col("lo"), col("hi"))
         .agg(sum(when(col("c") < col("lo"), 1L).otherwise(0L)).as("n_lo"),
@@ -688,47 +686,52 @@ object TimeseriesQueries {
     // changepoint detector — S⁺/S⁻ accumulate deviations from the
     // series' own exact median, alarm and reset when either excursion
     // crosses 4·MAD. Everything is int64 (cents): target and threshold
-    // come from q128's exact nearest-rank selection, the recursion is
-    // a per-series ordered fold (aggregate HOF over the time-ordered
-    // array — the same shape as q93's funnel fold; bounded per-series
-    // lists, unbounded series chunk by day like q129 or take the
-    // streaming path). One shuffle total; the fold is a single
-    // codegen'd expression, no UDF.
+    // come from GroupQuantile's shuffle-sort nearest-rank selection
+    // (spillable sorts — no per-group value arrays), and the recursion
+    // — inherently sequential per series — STREAMS each series through
+    // `flatMapSortedGroups` in (tt, event_id) order: Spark's secondary
+    // sort delivers the rows without materializing the group, and the
+    // fold state is four int64 counters, O(1) per series at any length.
     "q144_cusum_alerts" -> ((s, dir) => {
+      import graft.operators.GroupQuantile
+      import s.implicits._
       val ev = t(s, dir, "events").select(col("event_type"),
         unix_micros(col("ts")).as("tt"), col("event_id"),
         (dec(col("value")) * 100).cast("long").as("c"))
-      ev.groupBy(col("event_type"))
-        .agg(sort_array(collect_list(col("c"))).as("vs"),
-          sort_array(collect_list(struct(col("tt"), col("event_id"), col("c"))))
-            .as("seq"),
-          count(lit(1)).as("n"))
-        .withColumn("med", expr("element_at(vs, cast((n + 1) div 2 as int))"))
-        .withColumn("mad", expr(
-          "element_at(sort_array(transform(vs, v -> abs(v - med))), " +
-            "cast((n + 1) div 2 as int))"))
+      val med = GroupQuantile.selectRanks(
+        ev.select(col("event_type"), col("c")), Seq("event_type"), "c",
+        Seq("med" -> (n => GroupQuantile.rank(n, 2L))))
+      val mad = GroupQuantile.selectRanks(
+          ev.join(broadcast(med), "event_type")
+            .select(col("event_type"), abs(col("c") - col("med")).as("ad")),
+          Seq("event_type"), "ad",
+          Seq("mad" -> (n => GroupQuantile.rank(n, 2L))))
+        .select(col("event_type"), col("mad"))
+      val params = med.join(mad, "event_type")
         .withColumn("h", greatest(lit(4L) * col("mad"), lit(1L)))
-        .withColumn("f", expr(
-          """aggregate(transform(seq, e -> e.c),
-            |named_struct('sp', CAST(0 AS BIGINT), 'sm', CAST(0 AS BIGINT),
-            |             'nh', CAST(0 AS BIGINT), 'nl', CAST(0 AS BIGINT)),
-            |(a, x) -> named_struct(
-            |  'sp', CASE WHEN greatest(CAST(0 AS BIGINT), a.sp + (x - med)) > h
-            |             THEN CAST(0 AS BIGINT)
-            |             ELSE greatest(CAST(0 AS BIGINT), a.sp + (x - med)) END,
-            |  'sm', CASE WHEN greatest(CAST(0 AS BIGINT), a.sm + (med - x)) > h
-            |             THEN CAST(0 AS BIGINT)
-            |             ELSE greatest(CAST(0 AS BIGINT), a.sm + (med - x)) END,
-            |  'nh', a.nh + CASE WHEN
-            |    greatest(CAST(0 AS BIGINT), a.sp + (x - med)) > h
-            |    THEN 1 ELSE 0 END,
-            |  'nl', a.nl + CASE WHEN
-            |    greatest(CAST(0 AS BIGINT), a.sm + (med - x)) > h
-            |    THEN 1 ELSE 0 END))""".stripMargin))
-        .select(col("event_type"), col("n"),
+        .select(col("event_type"), col("n"), col("med"), col("h"))
+      val folded = ev.join(broadcast(params), "event_type")
+        .select(col("event_type"), col("tt"), col("event_id"), col("c"),
+          col("n"), col("med"), col("h"))
+        .as[(String, Long, Long, Long, Long, Long, Long)]
+        .groupByKey(_._1)
+        .flatMapSortedGroups(col("tt"), col("event_id")) { (et, it) =>
+          var sp = 0L; var sm = 0L; var nh = 0L; var nl = 0L
+          var n = 0L; var med = 0L; var h = 0L
+          it.foreach { case (_, _, _, c, rn, rmed, rh) =>
+            n = rn; med = rmed; h = rh
+            val spn = math.max(0L, sp + (c - med))
+            val smn = math.max(0L, sm + (med - c))
+            if (spn > h) { nh += 1; sp = 0L } else sp = spn
+            if (smn > h) { nl += 1; sm = 0L } else sm = smn
+          }
+          Iterator((et, n, med, h, nh, nl))
+        }
+        .toDF("event_type", "n", "med", "h", "n_alarms_hi", "n_alarms_lo")
+      folded.select(col("event_type"), col("n"),
           (col("med").cast("double") / 100.0).as("target"),
           (col("h").cast("double") / 100.0).as("threshold"),
-          col("f.nh").as("n_alarms_hi"), col("f.nl").as("n_alarms_lo"))
+          col("n_alarms_hi"), col("n_alarms_lo"))
         .orderBy(col("event_type"))
     }),
 

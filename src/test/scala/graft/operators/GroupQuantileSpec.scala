@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GroupQuantileSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample = Seq(
+    ("a", 5L), ("a", 1L), ("a", 9L), ("a", 3L), ("a", 7L),
+    ("b", 10L), ("b", 20L), ("b", 30L), ("b", 40L),
+    ("c", 2L)).toDF("g", "v")
+
+  private val medPick =
+    Seq("med" -> ((n: org.apache.spark.sql.Column) => GroupQuantile.rank(n, 2L)))
+
+  test("nearest-rank median matches the sorted-array idiom (window path)") {
+    val got = GroupQuantile.selectRanks(sample, Seq("g"), "v", medPick)
+      .orderBy("g").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // a: sorted 1,3,5,7,9; rank (5+1) div 2 = 3 -> 5
+    // b: sorted 10,20,30,40; rank (4+1) div 2 = 2 -> 20
+    // c: rank 1 -> 2
+    assert(got.toSeq == Seq(("a", 5L, 5L), ("b", 4L, 20L), ("c", 1L, 2L)))
+  }
+
+  test("GlobalRank path (cutover 0) agrees with the window path") {
+    val big = GroupQuantile.selectRanks(sample, Seq("g"), "v", medPick,
+      cutoverBytes = 0L).orderBy("g").collect()
+    val small = GroupQuantile.selectRanks(sample, Seq("g"), "v", medPick)
+      .orderBy("g").collect()
+    assert(big.toSeq == small.toSeq)
+  }
+
+  test("multiple picks (P05/P95) select the winsorize bounds") {
+    val df = (1L to 100L).map(i => ("s", i)).toDF("g", "v")
+    val picks = Seq(
+      "lo" -> ((n: org.apache.spark.sql.Column) => GroupQuantile.rank(n, 20L)),
+      "hi" -> ((n: org.apache.spark.sql.Column) =>
+        GroupQuantile.idiv(lit(19L) * n + lit(19L), lit(20L))))
+    for (cut <- Seq(0L, GlobalRank.WindowCutoverBytes)) {
+      val r = GroupQuantile.selectRanks(df, Seq("g"), "v", picks,
+        cutoverBytes = cut).collect().head
+      assert(r.getLong(1) == 100L) // n
+      assert(r.getLong(2) == 5L)   // rank (100+19) div 20 = 5
+      assert(r.getLong(3) == 95L)  // rank (1900+19) div 20 = 95
+    }
+  }
+
+  test("coincident picks on a tiny group both resolve") {
+    val df = Seq(("g", 7L)).toDF("g", "v")
+    val picks = Seq(
+      "lo" -> ((n: org.apache.spark.sql.Column) => GroupQuantile.rank(n, 20L)),
+      "hi" -> ((n: org.apache.spark.sql.Column) =>
+        GroupQuantile.idiv(lit(19L) * n + lit(19L), lit(20L))))
+    val r = GroupQuantile.selectRanks(df, Seq("g"), "v", picks).collect().head
+    assert(r.getLong(1) == 1L && r.getLong(2) == 7L && r.getLong(3) == 7L)
+  }
+
+  test("duplicate values: any tie order selects the same rank value") {
+    val df = Seq.fill(6)(("g", 4L)).toDF("g", "v")
+      .unionAll(Seq(("g", 1L), ("g", 9L)).toDF("g", "v"))
+    for (cut <- Seq(0L, GlobalRank.WindowCutoverBytes)) {
+      val r = GroupQuantile.selectRanks(df, Seq("g"), "v", medPick,
+        cutoverBytes = cut).collect().head
+      assert(r.getLong(1) == 8L && r.getLong(2) == 4L)
+    }
+  }
+}

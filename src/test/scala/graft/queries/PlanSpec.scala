@@ -551,11 +551,17 @@ class PlanSpec extends SparkSpec {
       s"island merge rides the per-user window:\n$plan")
   }
 
-  test("cusum chart is one series aggregate + a per-row fold (no join/window)") {
+  test("cusum chart streams each series through a sorted-group fold") {
     val plan = explained("q144_cusum_alerts")
-    assert(!plan.contains("Window") && !plan.contains("Join"), plan)
-    assert(count(plan, "+- ShuffleQueryStage") <= 2,
-      s"one series-agg shuffle + output sort:\n$plan")
+    // med/MAD/h are a per-series frame: they broadcast into the event
+    // stream (shuffling the corpus to meet a 5-row frame is the
+    // anti-pattern), and the fold itself is MapGroups over the keyed
+    // secondary sort — O(1) state, no per-series array, no collect_list
+    assert(count(plan, "BroadcastHashJoin") >= 1,
+      s"series params must broadcast into the event stream:\n$plan")
+    assert(plan.contains("MapGroups"),
+      s"fold must stream via flatMapSortedGroups:\n$plan")
+    assert(!plan.contains("collect_list"), plan)
   }
 
   test("q83 decontaminate shares ONE materialized shingle pass") {
@@ -748,5 +754,17 @@ class PlanSpec extends SparkSpec {
       s"totals must broadcast into the ECDF frame:\n$plan")
     assert(!plan.contains("CartesianProduct") ||
       plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("exact quantiles never buffer a group in an aggregation array") {
+    // q128/q141/q144 select nearest ranks via shuffle-sort (spillable)
+    // — a collect_list aggregation buffer never spills, so a hot series
+    // at 100 TB is an executor OOM, not a slowdown (VERDICT r8 #1)
+    for (q <- Seq("q128_robust_outliers", "q141_winsorize",
+        "q144_cusum_alerts")) {
+      val plan = explained(q)
+      assert(!plan.contains("collect_list"),
+        s"$q must not materialize per-group value arrays:\n$plan")
+    }
   }
 }
