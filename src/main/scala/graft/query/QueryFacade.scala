@@ -119,6 +119,50 @@ final class QueryFacade(spark: SparkSession) {
     checkPlan(session.sessionState.sqlParser.parsePlan(q))
   }
 
+  /** Every real table the query references, as multipart identifiers —
+    * the RBAC batch-check input (reference:
+    * internal/api/query.go:1081-1200 extractTableReferences, which
+    * regex-scans comment-stripped, literal-masked SQL for FROM/JOIN and
+    * then subtracts CTE names and function calls). The Spark-first
+    * equivalent walks the PARSED tree: `UnresolvedRelation`s are exactly
+    * the table refs (string literals, comments, and table-valued
+    * functions never produce one), and CTE definitions
+    * (`UnresolvedWith`) are subtracted by name, case-insensitively, as
+    * SQL resolves them. Subquery plans inside expressions are walked
+    * too — `WHERE x IN (SELECT … FROM secret)` is a read of `secret`. */
+  def tableReferences(session: org.apache.spark.sql.SparkSession,
+      q: String): Seq[Seq[String]] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    import org.apache.spark.sql.catalyst.expressions.PlanExpression
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnresolvedWith}
+
+    val cteNames = scala.collection.mutable.Set.empty[String]
+    val refs = scala.collection.mutable.LinkedHashSet.empty[Seq[String]]
+
+    def walk(plan: LogicalPlan): Unit = plan.foreach { node =>
+      node match {
+        case w: UnresolvedWith =>
+          w.cteRelations.foreach { rel =>
+            cteNames += rel._1.toLowerCase(java.util.Locale.ROOT); ()
+          }
+        case r: UnresolvedRelation =>
+          refs += r.multipartIdentifier; ()
+        case _ => ()
+      }
+      node.expressions.foreach(_.foreach {
+        case pe: PlanExpression[_] => pe.plan match {
+          case lp: LogicalPlan => walk(lp)
+          case _ => ()
+        }
+        case _ => ()
+      })
+    }
+
+    walk(session.sessionState.sqlParser.parsePlan(q))
+    refs.toSeq.filterNot(id => id.length == 1 &&
+      cteNames.contains(id.head.toLowerCase(java.util.Locale.ROOT)))
+  }
+
   /** [[sqlWithShow]] with a custom runner for the non-SHOW branch (the
     * HTTP layer resolves views in a per-database child session). */
   def sqlWithShow(q: String, catalog: graft.catalog.GraftCatalog,

@@ -70,6 +70,17 @@ final class HttpServer(
   val catalog = new GraftCatalog(spark, catalogRoot)
   val facade = new QueryFacade(spark)
 
+  /** Multi-token store + scoped permissions (the reference's
+    * AuthManager/RBACManager, internal/auth/). Coexists with the static
+    * `authToken` (which authenticates as a synthetic full-admin): auth
+    * is DISABLED only when neither a static token nor any stored token
+    * exists — the open OSS deployment. */
+  val tokens = new AuthStore(catalogRoot, spark.sparkContext.hadoopConfiguration)
+  val rbac = new Rbac(catalogRoot, spark.sparkContext.hadoopConfiguration)
+
+  /** Token/RBAC HTTP plane — see [[AuthApi]]. */
+  val authApi = new AuthApi(this)
+
   /** The lifecycle/admin plane (delete, retention, continuous queries,
     * compaction, tiering, MQTT subscriptions) — see [[AdminApi]]. */
   val admin = new AdminApi(this)
@@ -272,7 +283,26 @@ final class HttpServer(
         ex.sendResponseHeaders(204, -1)
         return
       }
-      if (!authorized(ex)) { sendJson(ex, 401, err("unauthorized")); return }
+      authenticate(ex) match {
+        case Left(status) =>
+          sendJson(ex, status, err("unauthorized")); return
+        case Right(tok) =>
+          tok.foreach(ex.setAttribute("graft.token", _))
+          // coarse route-class gate (reference RequireRead/Write/Admin);
+          // RBAC-only tokens pass read/write here and are enforced
+          // per-resource (Rbac.passesCoarse scaladoc)
+          val coarseDenied = (for {
+            t <- tok
+            perm <- requiredPerm(method, path)
+          } yield (t, perm)).exists { case (t, perm) =>
+            if (rbac.passesCoarse(t, perm)) false
+            else {
+              sendJson(ex, 403, err(s"Permission denied: $perm required"))
+              true
+            }
+          }
+          if (coarseDenied) return
+      }
       (method, path) match {
         case ("POST", "/api/v1/query") => handleQuery(ex, negotiated(ex))
         case ("POST", "/api/v1/query/arrow") => handleQuery(ex, "arrow")
@@ -354,7 +384,8 @@ final class HttpServer(
         case ("GET", "/api/v1/write/tle/stats") => sendStats(ex, "tle")
         case ("GET", "/api/v1/import/stats") => sendStats(ex, "import")
         case _ =>
-          if (!admin.route(method, path, ex))
+          if (!authApi.route(method, path, ex) &&
+              !admin.route(method, path, ex))
             sendJson(ex, 404, err(s"no route: $method $path"))
       }
     } catch {
@@ -497,6 +528,16 @@ final class HttpServer(
       sendJson(ex, 404, err(s"database not found: $db", ts)); return
     }
     val (sess, dbCat) = sessionFor(db)
+    // per-table RBAC batch check over the PARSED plan's relations
+    // (reference: query.go:1545 checkQueryPermissions before execution;
+    // unparsable SQL yields zero refs here and fails with 400 in submit)
+    val refs =
+      try facade.tableReferences(sess, sql).map { ident =>
+        if (ident.length >= 2) (ident.head, ident.last) else (db, ident.head)
+      } catch { case _: Throwable => Nil }
+    if (!checkResource(ex, refs, "read")) {
+      mQueryErrors.incrementAndGet(); return
+    }
     withSession(sess) { // plan AND stream under the db session's conf
     val (id, df) =
       try {
@@ -586,6 +627,12 @@ final class HttpServer(
       ensureViews(db)
       facade.requireReadOnly(sessionFor(db)._1, sql)
     } catch { case e: Throwable => fail(403, e); return }
+    // same per-table RBAC gate as /api/v1/query (reference query.go:3656)
+    val refs =
+      try facade.tableReferences(sessionFor(db)._1, sql).map { ident =>
+        if (ident.length >= 2) (ident.head, ident.last) else (db, ident.head)
+      } catch { case _: Throwable => Nil }
+    if (!checkResource(ex, refs, "read")) return
     try withSession(sessionFor(db)._1) {
       // one warning ladder, owned by the facade (query.go:3725-3740)
       val (n, level, message) = facade.estimate(sql, sessionFor(db)._1.sql)
@@ -673,7 +720,14 @@ final class HttpServer(
 
   private def writeBatches(ex: HttpExchange, db: String,
       batches: Seq[ColumnarBatch], payloadBytes: Long, source: String,
-      replayableRaw: Option[Array[Byte]] = None): Unit =
+      replayableRaw: Option[Array[Byte]] = None): Unit = {
+    // per-measurement write RBAC (reference permissions.go
+    // CheckWritePermissions: every measurement in the payload must be
+    // writable, checked BEFORE anything lands)
+    if (!checkResource(ex,
+        batches.map(_.measurement).distinct.map((db, _)), "write")) {
+      ingestError(source); return
+    }
     bufferedIngest match {
       case Some(ing) => // buffered accept: WAL before 204, flush async
         batches.find(b => MeasName.findFirstIn(b.measurement).isEmpty) match {
@@ -698,6 +752,7 @@ final class HttpServer(
             ex.sendResponseHeaders(204, -1) // InfluxDB-compatible No Content
         }
     }
+  }
 
   private def sendStats(ex: HttpExchange, source: String): Unit = {
     val s = srcStats(source)
@@ -719,6 +774,9 @@ final class HttpServer(
       .filter(_.nonEmpty).getOrElse("satellite_tle")
     if (MeasName.findFirstIn(meas).isEmpty) {
       sendJson(ex, 400, err(s"invalid measurement name: $meas")); return
+    }
+    if (!checkResource(ex, Seq((db, meas)), "write")) {
+      ingestError("tle"); return
     }
     val raw = readBody(ex) // byte counters record request PAYLOAD bytes
     val text = new String(decompressed(raw), UTF_8)
@@ -778,15 +836,22 @@ final class HttpServer(
       sendJson(ex, 200,
         s"""{"success":true,"rows_imported":$rows,"measurement":${q(meas)},"database":${q(db)}}""")
     }
+    // write RBAC: csv/parquet/tle target one known measurement; lp
+    // payloads are checked on their parsed distinct measurement set
+    def writableImport(ms: Seq[String]): Boolean = {
+      val ok = checkResource(ex, ms.distinct.map((db, _)), "write")
+      if (!ok) ingestError("import")
+      ok
+    }
     try kind match {
-      case "csv" => needMeasurement().foreach { m =>
+      case "csv" => needMeasurement().filter(m => writableImport(Seq(m))).foreach { m =>
         val tmp = java.nio.file.Files.createTempFile("graft_import", ".csv")
         java.nio.file.Files.write(tmp, fileBytes)
         try respond(graft.ingest.CsvImport.csv(catalog, db, m, tmp.toString,
           params.getOrElse("time_column", "time")), m)
         finally java.nio.file.Files.deleteIfExists(tmp)
       }
-      case "parquet" => needMeasurement().foreach { m =>
+      case "parquet" => needMeasurement().filter(m => writableImport(Seq(m))).foreach { m =>
         val tmp = java.nio.file.Files.createTempFile("graft_import", ".parquet")
         java.nio.file.Files.write(tmp, fileBytes)
         try respond(graft.ingest.CsvImport.parquet(catalog, db, m, tmp.toString,
@@ -807,6 +872,7 @@ final class HttpServer(
             .getOrElse("no points")
           ingestError("import")
           sendJson(ex, 400, err(s"no valid points ($detail)"))
+        } else if (!writableImport(kept.map(_.measurement))) { ()
         } else writeCore(db, ColumnarBatch.fromPoints(kept)) match {
           case Left(bad) =>
             ingestError("import")
@@ -821,6 +887,7 @@ final class HttpServer(
         if (MeasName.findFirstIn(meas).isEmpty) {
           ingestError("import")
           sendJson(ex, 400, err(s"invalid measurement name: $meas"))
+        } else if (!writableImport(Seq(meas))) { ()
         } else tleRows(db, meas, new String(fileBytes, UTF_8)) match {
           case Left(e) =>
             ingestError("import")
@@ -909,6 +976,10 @@ final class HttpServer(
     if (db != "default" && !catalog.listDatabases().contains(db)) {
       reject(s"database not found: $db"); return
     }
+    // resource check on the named measurement (reference query.go:4006)
+    if (!checkResource(ex, Seq((db, meas)), "read")) {
+      mQueryErrors.incrementAndGet(); return
+    }
     // backtick-quote identifiers: MeasName allows '-', which unquoted
     // would parse as subtraction
     val orderSql = orderBy.split(",").map(_.trim).map { part =>
@@ -961,6 +1032,9 @@ final class HttpServer(
       }
     }
     val dbs = filter.map(Seq(_)).getOrElse(catalog.listDatabases())
+    // db-level read gate when a database is named (query.go:1537);
+    // unfiltered listings are visible to any read-capable caller
+    if (!checkResource(ex, filter.map((_, "*")).toSeq, "read")) return
     val fs = new Path(catalogRoot)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val items = for (db <- dbs; m <- catalog.listTables(db)) yield {
@@ -1103,16 +1177,103 @@ final class HttpServer(
     }
   }
 
-  private def authorized(ex: HttpExchange): Boolean = authToken match {
-    case None => true
-    case Some(tok) =>
-      // constant-time compare: String.equals short-circuits on the first
-      // differing byte, a timing side-channel on an internet-facing path
-      Option(ex.getRequestHeaders.getFirst("Authorization")).exists { h =>
-        java.security.MessageDigest.isEqual(
-          h.getBytes(UTF_8), s"Bearer $tok".getBytes(UTF_8))
-      }
+  /** True when no credential source exists at all — the open OSS
+    * deployment (reference: nil AuthManager → passthrough middleware,
+    * internal/api/auth_middleware.go). */
+  private[server] def authDisabled: Boolean =
+    authToken.isEmpty && !tokens.hasTokens
+
+  /** Token extraction order mirrors the reference
+    * (internal/auth/middleware.go:222-243 ExtractTokenFromRequest):
+    * Authorization Bearer / Token / plain, x-api-key, ?p= (InfluxDB 1.x
+    * compat). */
+  private def presentedToken(ex: HttpExchange): Option[String] = {
+    val h = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
+    if (h.startsWith("Bearer ")) Some(h.stripPrefix("Bearer "))
+    else if (h.startsWith("Token ")) Some(h.stripPrefix("Token "))
+    else if (h.nonEmpty) Some(h)
+    else Option(ex.getRequestHeaders.getFirst("x-api-key"))
+      .filter(_.nonEmpty)
+      .orElse(queryParams(ex).get("p").filter(_.nonEmpty))
   }
+
+  /** Resolve the caller's identity. Right(None) = auth disabled;
+    * Right(Some(info)) = authenticated; Left(401) = denied. The static
+    * `authToken` authenticates as a synthetic full-admin
+    * ([[Auth.StaticAdmin]]) so pre-RBAC deployments keep their exact
+    * behavior. */
+  private def authenticate(ex: HttpExchange): Either[Int, Option[TokenInfo]] =
+    if (authDisabled) Right(None)
+    else presentedToken(ex) match {
+      case None => Left(401)
+      case Some(value) =>
+        // constant-time compare for the static token: String.equals
+        // short-circuits on the first differing byte, a timing
+        // side-channel on an internet-facing path (store tokens compare
+        // by SHA-256 lookup — already constant-shaped)
+        val static = authToken.exists(tok =>
+          java.security.MessageDigest.isEqual(
+            value.getBytes(UTF_8), tok.getBytes(UTF_8)))
+        if (static) Right(Some(Auth.StaticAdmin))
+        else tokens.verify(value).toRight(401).map(Some(_))
+    }
+
+  /** The authenticated token for the current exchange (None under
+    * disabled auth — resource checks are skipped, like the reference's
+    * nil-TokenInfo paths). */
+  private[server] def tokenOf(ex: HttpExchange): Option[TokenInfo] =
+    Option(ex.getAttribute("graft.token").asInstanceOf[TokenInfo])
+
+  /** Coarse route-class permission (the reference's RequireRead /
+    * RequireWrite / RequireAdmin wiring in internal/api route files): query
+    * surfaces need read, ingest needs write, the lifecycle/admin plane
+    * needs admin. None = any authenticated caller (health, metrics,
+    * registry listings — parity with the repo's pre-RBAC single-token
+    * gate, which required the token for everything). */
+  private def requiredPerm(method: String, path: String): Option[String] = {
+    if (path.startsWith("/api/v1/query/estimate")) Some("read")
+    else if (path.startsWith("/api/v1/query") && method == "POST" &&
+      !path.endsWith("/cancel")) Some("read")
+    else if (path.startsWith("/api/v1/query/") && method == "GET") Some("read")
+    else if (path == "/api/v1/measurements") Some("read")
+    else if (path == "/api/v1/write/line-protocol/flush") Some("admin")
+    else if (path.startsWith("/api/v1/write") &&
+      !path.endsWith("/stats") && !path.endsWith("/health") &&
+      !path.endsWith("/spec")) Some("write")
+    else if (path == "/write" || path == "/api/v2/write") Some("write")
+    else if (path.startsWith("/api/v1/import/") && path != "/api/v1/import/stats")
+      Some("write")
+    else if (path == "/api/v1/databases" && method == "POST") Some("admin")
+    else if (path.startsWith("/api/v1/databases/") && method == "DELETE")
+      Some("admin")
+    else if (path.startsWith("/api/v1/delete") ||
+      path.startsWith("/api/v1/retention") ||
+      path.startsWith("/api/v1/continuous_queries") ||
+      path.startsWith("/api/v1/compaction") ||
+      path.startsWith("/api/v1/tiering") ||
+      path.startsWith("/api/v1/schedulers") ||
+      path.startsWith("/api/v1/mqtt")) Some("admin")
+    else None // /api/v1/auth + /api/v1/rbac gate themselves (AuthApi)
+  }
+
+  /** Per-resource RBAC gate shared by the read/write handlers. Sends the
+    * 403 envelope and returns false on denial (reference:
+    * query.go:1545-1548 / permissions.go CheckWritePermissions). */
+  private[server] def checkResource(ex: HttpExchange,
+      refs: Seq[(String, String)], perm: String): Boolean =
+    tokenOf(ex) match {
+      case None => true // auth disabled
+      case some =>
+        rbac.checkBatch(some, refs, perm).zip(refs)
+          .find(!_._1.allowed) match {
+          case Some((_, (db, meas))) =>
+            val res = if (meas.isEmpty || meas == "*") db else s"$db.$meas"
+            sendJson(ex, 403,
+              err(s"access denied: no $perm permission for $res"))
+            false
+          case None => true
+        }
+    }
 
   private[server] def readBody(ex: HttpExchange): Array[Byte] = {
     val in = ex.getRequestBody
