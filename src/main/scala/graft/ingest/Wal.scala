@@ -197,14 +197,33 @@ object BatchCodec {
           case i: java.lang.Integer => out.writeByte(TLong); out.writeLong(i.toLong)
           case d: java.lang.Double => out.writeByte(TDouble); out.writeDouble(d)
           case f: java.lang.Float => out.writeByte(TDouble); out.writeDouble(f.toDouble)
-          case s: String => out.writeByte(TString); out.writeUTF(s)
+          case s: String => out.writeByte(TString); writeStr(out, s)
           case bo: java.lang.Boolean => out.writeByte(TBool); out.writeBoolean(bo)
-          case other => out.writeByte(TString); out.writeUTF(other.toString)
+          case other => out.writeByte(TString); writeStr(out, other.toString)
         }
       }
     }
     out.flush()
     bos.toByteArray
+  }
+
+  /** String VALUES are length-prefixed raw UTF-8, not writeUTF: the
+    * modified-UTF-8 frame caps at 65535 bytes and THROWS past it, so a
+    * large LP string field would 500 the buffered-accept path while the
+    * synchronous path accepts the same payload. (Identifiers — names,
+    * tags — stay writeUTF: they are length-validated far below 64 KiB.) */
+  private def writeStr(out: java.io.DataOutputStream, s: String): Unit = {
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    out.writeInt(bytes.length)
+    out.write(bytes)
+  }
+
+  private def readStr(in: java.io.DataInputStream): String = {
+    val n = in.readInt()
+    require(n >= 0 && n <= (1 << 30), s"bad string frame length: $n")
+    val bytes = new Array[Byte](n)
+    in.readFully(bytes)
+    new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
   }
 
   def decode(body: Array[Byte]): Seq[ColumnarBatch] = {
@@ -224,7 +243,7 @@ object BatchCodec {
             case 0 => null
             case 1 => in.readLong(): java.lang.Long
             case 2 => in.readDouble(): java.lang.Double
-            case 3 => in.readUTF()
+            case 3 => readStr(in)
             case 4 => in.readBoolean(): java.lang.Boolean
           }
         }

@@ -35,6 +35,11 @@ object Mmr {
   /** Max shortlist rows (queries × N) the driver greedy will accept. */
   val MaxShortlistRows = 65536
 
+  /** Cap on the collected pairwise-sim frame (shortlist × (N−1) entries;
+    * ~8M Map entries ≈ hundreds of MB — the last size a driver-side
+    * greedy can justify). */
+  val MaxSimRows: Long = 1L << 23
+
   /** @param queries (query_id: Long, qv: Array[Float]) — small, broadcast.
     * @param corpus  (cand_id: Long, cv: Array[Float]) — any size.
     * @return (query_id, step, cand_id, rel, max_sim, score), k rows per
@@ -67,6 +72,13 @@ object Mmr {
     require(relRows.length <= MaxShortlistRows,
       s"shortlist ${relRows.length} rows exceeds $MaxShortlistRows — " +
         s"lower shortlistN or the query-batch size")
+    // sims is ≤ shortlist × (N−1) rows: bound it BEFORE collecting — a
+    // single query at shortlistN=65536 passes the rel guard yet its
+    // pairwise frame is ~4.3e9 rows, a driver OOM (r8 advice)
+    require(relRows.length.toLong * (shortlistN - 1) <= MaxSimRows,
+      s"pairwise sim frame ~${relRows.length.toLong * (shortlistN - 1)} rows " +
+        s"exceeds $MaxSimRows — lower shortlistN (greedy MMR is " +
+        s"driver-side by design; the shortlist is the ANN output, not the corpus)")
     val simMap: Map[(Long, Long, Long), Double] = sims.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3))
       .toMap

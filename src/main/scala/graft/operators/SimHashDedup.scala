@@ -70,6 +70,13 @@ object SimHashDedup {
     * Pigeonhole-exact for Hamming distance ≤ maxHd. */
   def pairsFromSignatures(sigs: DataFrame, bits: Int,
       maxHd: Int = DefaultMaxHammingDistance): DataFrame = {
+    // maxHd=0 with 64-bit signatures makes ONE full-width band whose
+    // mask (1L << 64) - 1 wraps to 0 — every band key collapses to 0 and
+    // the self-join goes quadratic (r8 advice). Exact-duplicate search
+    // at maxHd=0 is a plain groupBy on sh; this kernel requires banding.
+    require(maxHd >= 1 || bits < 64,
+      s"maxHd=0 with bits=$bits needs no banding — groupBy the signature " +
+        "directly (a full-width 64-bit band mask wraps to 0)")
     val numBands = maxHd + 1
     val bands = sigs.select(col("doc_id"), col("sh"),
       explode(bandKeys(col("sh"), bits, numBands)).as("band"))

@@ -1009,6 +1009,10 @@ final class AdminApi(srv: HttpServer) {
           val buffer = pol.get("buffer_days").asInt
           val measurements = oText(pol, "measurement").map(Seq(_))
             .getOrElse(catalog.listTables(db))
+          // per-policy delta: last_deleted_count records THIS policy's
+          // rows, like the single-policy execute path — not the running
+          // cross-policy total (r8 advice)
+          var polDeleted = 0L
           measurements.foreach { m =>
             val (exp, _) = Retention.expired(catalog, db, m, days, buffer)
             if (exp.nonEmpty) {
@@ -1018,15 +1022,16 @@ final class AdminApi(srv: HttpServer) {
                   .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
                   .map(_.getPath).toSeq
               }
-              deleted += Compaction.footerRowCount(hconf, parquets)
+              polDeleted += Compaction.footerRowCount(hconf, parquets)
               Retention(catalog, db, m, days, buffer)
               srv.invalidateView(db, m)
             }
           }
+          deleted += polDeleted
           executed += 1
           pol.put("last_execution_time", nowIso())
           pol.put("last_execution_status", "success")
-          pol.put("last_deleted_count", deleted)
+          pol.put("last_deleted_count", polDeleted)
           pol.put("updated_at", nowIso())
           retentionStore.put(pol.get("id").asLong.toString, pol)
         }

@@ -53,9 +53,14 @@ object StreamingDrift {
     cents / 5000L
   }
 
-  /** round6(num, den) — the engine-shared 6-dp HALF-UP rational. */
-  private def round6(num: Long, den: Long): Double =
-    ((num * 2000000L + den) / (den * 2L)).toDouble / 1000000.0
+  /** round6(num, den) — the engine-shared 6-dp HALF-UP rational.
+    * BigInt: num·2e6 wraps int64 once hourly×reference counts pass
+    * ~2.3e12 (r8 advice) — the batch analog mulGuards these products
+    * and fails loudly, but a stream can't fail per-record, so the
+    * streaming side computes exactly instead (bit-identical to batch
+    * everywhere batch doesn't throw). */
+  private def round6(num: BigInt, den: BigInt): Double =
+    ((num * 2000000 + den) / (den * 2)).toDouble / 1000000.0
 
   /** TV distance between an hour histogram and the reference. */
   def tvOf(hour: Map[Long, Long], ref: Map[Long, Long]): Double = {
@@ -63,9 +68,9 @@ object StreamingDrift {
     val nRef = ref.valuesIterator.sum
     if (nRef == 0L) return 1.0 // novel series: maximal drift
     val num = (hour.keySet ++ ref.keySet).iterator.map { b =>
-      math.abs(hour.getOrElse(b, 0L) * nRef - ref.getOrElse(b, 0L) * n)
+      (BigInt(hour.getOrElse(b, 0L)) * nRef - BigInt(ref.getOrElse(b, 0L)) * n).abs
     }.sum
-    round6(num, 2L * n * nRef)
+    round6(num, BigInt(2) * n * nRef)
   }
 
   /** @param reference series -> (bin -> count), calibrated offline

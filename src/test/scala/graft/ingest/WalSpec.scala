@@ -78,4 +78,21 @@ class WalSpec extends SparkSpec {
     assert(cat.table("default", "m").count() == 1) // exactly once
     ing2.close()
   }
+
+  test("BatchCodec round-trips string values past the 64 KiB writeUTF cap") {
+    // writeUTF throws UTFDataFormatException at 65536+ encoded bytes —
+    // a large LP string field must survive the buffered path (r8 advice)
+    val big = "x" * 200000
+    val multi = "é" * 40000 // 80 KB as UTF-8, 40k chars
+    val batch = ColumnarBatch("m",
+      scala.collection.mutable.LinkedHashMap[String, Array[Any]](
+        "time" -> Array[Any](java.lang.Long.valueOf(base)),
+        "s" -> Array[Any](big),
+        "u" -> Array[Any](multi)),
+      Seq.empty, dedupTime = false)
+    val decoded = BatchCodec.decode(BatchCodec.encode(Seq(batch)))
+    assert(decoded.length == 1)
+    assert(decoded.head.columns("s")(0) == big)
+    assert(decoded.head.columns("u")(0) == multi)
+  }
 }

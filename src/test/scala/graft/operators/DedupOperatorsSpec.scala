@@ -108,6 +108,20 @@ class DedupOperatorsSpec extends SparkSpec {
     assert(SimHashDedup.bandWidths(8) == Seq.fill(8)(4))
   }
 
+  test("64-bit signatures with maxHd=0 are refused (full-width band mask wraps)") {
+    import spark.implicits._
+    // (1L << 64) - 1 wraps to 0: every band key would collapse to 0 and
+    // the self-join goes quadratic (r8 advice) — exact-dup at maxHd=0 is
+    // a plain groupBy, so the kernel rejects the degenerate banding
+    val sigs = Seq((1L, 42L), (2L, 42L)).toDF("doc_id", "sh")
+    intercept[IllegalArgumentException] {
+      SimHashDedup.pairsFromSignatures(sigs, bits = 64, maxHd = 0)
+    }
+    // 64-bit with maxHd >= 1 still works (perceptual-hash path)
+    assert(SimHashDedup.pairsFromSignatures(sigs, bits = 64, maxHd = 1)
+      .count() == 1)
+  }
+
   test("SimHash of the planted pair is Hamming-close; unrelated pairs are not") {
     graft.GraftFunctions.registerAll(spark)
     val sh = corpus.select(col("doc_id"), TextFunctions.simhash(col("text")).as("sh"))

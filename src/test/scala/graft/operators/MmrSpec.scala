@@ -113,4 +113,15 @@ class MmrSpec extends SparkSpec {
         shortlistN = 0, k = 1)
     }
   }
+
+  test("the pairwise sim collect is bounded too (r8 advice)") {
+    // a shortlist that passes the rel-rows guard can still imply a
+    // quadratic sims frame (worst case ~4.3e9 rows at N=65536) — must
+    // refuse BEFORE collecting it
+    val corpus = (1L to 3000L).map(i => (i, Array(1f, 0f))).toDF("cand_id", "cv")
+    intercept[IllegalArgumentException] {
+      Mmr.rerank(Seq((0L, Array(1f, 0f))).toDF("query_id", "qv"),
+        corpus, shortlistN = 3000, k = 1)
+    }
+  }
 }

@@ -89,6 +89,18 @@ class StreamingDriftSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("tvOf stays exact past the int64 numerator bound (r8 advice)") {
+    // n·nRef ≈ 9e12: the old num*2000000 wrapped int64 and silently
+    // corrupted tv; BigInt keeps the rational exact
+    val n = 3000000L
+    val nRef = 3000000L
+    val hour = Map(0L -> n)
+    val ref = Map(0L -> (nRef / 3), 1L -> (2 * nRef / 3))
+    val tv = StreamingDrift.tvOf(hour, ref)
+    // exact TV = (|n·nRef − (nRef/3)·n| + |0 − (2nRef/3)·n|) / (2·n·nRef) = 2/3
+    assert(math.abs(tv - 0.666667) < 1e-9, s"tv=$tv")
+  }
+
   test("kernel quantization matches the engine's decimal cast on ties") {
     import spark.implicits._
     // .xx5 ties are where HALF_UP vs half-even would diverge
