@@ -45,14 +45,21 @@ import scala.jdk.CollectionConverters._
   */
 object IcebergExport {
 
-  private val Retain = 3 // metadata versions kept, reference default-ish
+  /** Snapshots + metadata versions kept per table — the reference's
+    * `iceberg.retain_snapshots` (default 10, RELEASE_NOTES_2026.09.1):
+    * each reconcile that publishes expires versions older than the
+    * newest `retain`, so long-lived tables hold bounded metadata. */
+  val DefaultRetainSnapshots = 10
 
   final case class Result(version: Int, snapshotId: Long, files: Int, rows: Long)
 
   /** Reconcile the Iceberg table for `{db}/{measurement}` with the
     * measurement's current parquet files. Creates the table on first
     * call; subsequent calls append a new snapshot + metadata version. */
-  def reconcile(catalog: GraftCatalog, db: String, m: String): Result = {
+  def reconcile(catalog: GraftCatalog, db: String, m: String,
+      retainSnapshots: Int = DefaultRetainSnapshots): Result = {
+    require(retainSnapshots >= 1, "retain_snapshots must be >= 1")
+    val Retain = retainSnapshots
     val conf = catalog.spark.sparkContext.hadoopConfiguration
     val tableDir = new Path(catalog.tablePath(db, m))
     val fs = tableDir.getFileSystem(conf)
@@ -175,7 +182,7 @@ object IcebergExport {
     writeString(fs, new Path(metaDir, "version-hint.text"), version.toString)
 
     // bounded history: metadata versions + their snapshot files
-    pruneOldVersions(fs, metaDir, version)
+    pruneOldVersions(fs, metaDir, version, Retain)
     Result(version, snapshotId, sized.length, totalRows)
   }
 
@@ -420,8 +427,9 @@ object IcebergExport {
   /** Delete the newly expired version plus a small self-heal window —
     * NOT every version since 1, which would re-issue O(version) no-op
     * delete RPCs on each publish of a long-lived table. */
-  private def pruneOldVersions(fs: FileSystem, metaDir: Path, version: Int): Unit = {
-    val newest = version - Retain
+  private def pruneOldVersions(fs: FileSystem, metaDir: Path, version: Int,
+      retain: Int): Unit = {
+    val newest = version - retain
     (math.max(1, newest - 2) to newest).foreach { v =>
       fs.delete(new Path(metaDir, s"v$v.metadata.json"), false)
       fs.delete(new Path(metaDir, f"snap-$v%05d.avro"), false)

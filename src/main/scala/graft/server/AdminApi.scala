@@ -183,6 +183,7 @@ final class AdminApi(srv: HttpServer) {
 
   // ---- routing ------------------------------------------------------------
 
+  private val BackupId: Regex = "/api/v1/backup/([A-Za-z0-9_-]+)".r
   private val RetId: Regex = "/api/v1/retention/([0-9]+)".r
   private val RetExec: Regex = "/api/v1/retention/([0-9]+)/execute".r
   private val RetExecs: Regex = "/api/v1/retention/([0-9]+)/executions".r
@@ -236,6 +237,13 @@ final class AdminApi(srv: HttpServer) {
       case ("GET", TierPol(db)) => handleGet(ex, tierPolicyStore, db, "tiering policy")
       case ("PUT", TierPol(db)) => handleTierPolicySet(ex, db)
       case ("DELETE", TierPol(db)) => handleRemove(ex, tierPolicyStore, db, "tiering policy")
+
+      case ("POST", "/api/v1/backup") => handleBackupCreate(ex)
+      case ("GET", "/api/v1/backup") => handleBackupList(ex)
+      case ("GET", "/api/v1/backup/status") => handleBackupStatus(ex)
+      case ("POST", "/api/v1/backup/restore") => handleBackupRestore(ex)
+      case ("GET", BackupId(id)) => handleBackupGet(ex, id)
+      case ("DELETE", BackupId(id)) => handleBackupDelete(ex, id)
 
       case ("GET", "/api/v1/schedulers") => handleSchedulers(ex)
       case ("POST", "/api/v1/schedulers/cq/reload") => handleCqReload(ex)
@@ -1215,5 +1223,116 @@ final class AdminApi(srv: HttpServer) {
     }
     ok(ex, 200,
       s"""{"success":true,"id":$id,"status":${q(subStatus(id))}}""")
+  }
+
+  // ---- backup/restore (internal/backup + api/backup_routes.go) -----------
+
+  /** Backups land under `{root}/_backups` unless re-pointed (underscore
+    * prefix keeps the tree out of database listings and out of its own
+    * backups). */
+  @volatile var backupRoot: String = new Path(catalog.root, "_backups").toString
+
+  // single-flight: the reference serializes backup/restore through one
+  // Manager mutex and 409s a second request (backup_routes.go:58)
+  private val backupBusy = new java.util.concurrent.atomic.AtomicBoolean(false)
+  @volatile private var backupProgress: Option[String] = None
+
+  private def setBackupProgress(op: String, id: String, status: String,
+      startedAt: String, error: Option[String] = None): Unit =
+    backupProgress = Some(
+      s"""{"operation":${q(op)},"backup_id":${q(id)},"status":${q(status)},""" +
+        s""""started_at":${q(startedAt)}""" +
+        error.map(e => s""","error":${q(e)}""").getOrElse("") + "}")
+
+  private def runBackupOp(ex: HttpExchange, op: String, id: String)
+      (work: => Unit): Unit = {
+    if (!backupBusy.compareAndSet(false, true)) {
+      ok(ex, 409,
+        s"""{"error":"A backup or restore operation is already in progress","status":"running","operation":${q(op)}}""")
+      return
+    }
+    val started = nowIso()
+    setBackupProgress(op, id, "running", started)
+    val t = new Thread(() => {
+      try { work; setBackupProgress(op, id, "completed", started) }
+      catch { case e: Throwable =>
+        setBackupProgress(op, id, "failed", started, Some(srv.msg(e)))
+      } finally backupBusy.set(false)
+    }, s"graft-$op")
+    t.setDaemon(true)
+    t.start()
+    // 202 + poll /status, the reference's async contract
+    ok(ex, 202,
+      s"""{"message":"${op.capitalize} started","status":"running","backup_id":${q(id)}}""")
+  }
+
+  private def handleBackupCreate(ex: HttpExchange): Unit = {
+    val n = body(ex)
+    val includeMeta = oBool(n, "include_metadata", d = true)
+    val id = s"backup-${System.currentTimeMillis()}"
+    runBackupOp(ex, "backup", id) {
+      graft.jobs.Backup.create(catalog, backupRoot, id,
+        includeMetadata = includeMeta)
+      ()
+    }
+  }
+
+  private def handleBackupRestore(ex: HttpExchange): Unit = {
+    val n = body(ex)
+    val id = oText(n, "backup_id").getOrElse {
+      fail(ex, 400, "backup_id is required"); return
+    }
+    if (!oBool(n, "confirm")) {
+      fail(ex, 400, "Restore requires confirm: true"); return
+    }
+    val data = oBool(n, "restore_data", d = true)
+    val meta = oBool(n, "restore_metadata", d = true)
+    runBackupOp(ex, "restore", id) {
+      val res = graft.jobs.Backup.restore(catalog, backupRoot, id,
+        restoreData = data, restoreMetadata = meta)
+      // restored files replace what live views may have snapshot-listed
+      res.databases.foreach { db =>
+        catalog.listTables(db).foreach(m => srv.invalidateView(db, m))
+      }
+    }
+  }
+
+  private def handleBackupStatus(ex: HttpExchange): Unit =
+    ok(ex, 200, backupProgress.getOrElse("""{"status":"idle"}"""))
+
+  private def handleBackupList(ex: HttpExchange): Unit = {
+    import org.json4s._
+    val summaries = graft.jobs.Backup.list(srv.spark, backupRoot).map { m =>
+      def s(f: String) = (m \ f) match {
+        case JString(v) => q(v); case v => org.json4s.jackson.JsonMethods.compact(
+          org.json4s.jackson.JsonMethods.render(v))
+      }
+      s"""{"backup_id":${s("backup_id")},"created_at":${s("created_at")},""" +
+        s""""backup_type":${s("backup_type")},"total_files":${s("total_files")},""" +
+        s""""total_size_bytes":${s("total_size_bytes")},""" +
+        s""""database_count":${(m \ "databases").children.size}}"""
+    }
+    ok(ex, 200,
+      s"""{"backups":${summaries.mkString("[", ",", "]")},"count":${summaries.size}}""")
+  }
+
+  private def handleBackupGet(ex: HttpExchange, id: String): Unit = {
+    val p = new Path(new Path(backupRoot, id), "manifest.json")
+    val fs = p.getFileSystem(hconf)
+    if (!fs.exists(p)) { fail(ex, 404, "Backup not found"); return }
+    val in = fs.open(p)
+    val text = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    ok(ex, 200, org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(
+        org.json4s.jackson.JsonMethods.parse(text))))
+  }
+
+  private def handleBackupDelete(ex: HttpExchange, id: String): Unit = {
+    val p = new Path(backupRoot, id)
+    val fs = p.getFileSystem(hconf)
+    if (!fs.exists(p)) { fail(ex, 404, "Backup not found"); return }
+    fs.delete(p, true)
+    ok(ex, 200, s"""{"message":"Backup deleted","backup_id":${q(id)}}""")
   }
 }

@@ -1247,6 +1247,7 @@ final class HttpServer(
     else if (path.startsWith("/api/v1/databases/") && method == "DELETE")
       Some("admin")
     else if (path.startsWith("/api/v1/delete") ||
+      path.startsWith("/api/v1/backup") ||
       path.startsWith("/api/v1/retention") ||
       path.startsWith("/api/v1/continuous_queries") ||
       path.startsWith("/api/v1/compaction") ||

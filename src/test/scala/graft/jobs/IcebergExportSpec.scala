@@ -112,9 +112,11 @@ class IcebergExportSpec extends SparkSpec {
     // metadata must point at a manifest-list file that exists, the
     // snapshots array must not grow without bound, and last-column-id
     // still covers every field id
+    // retain_snapshots=3 (the reference's iceberg.retain_snapshots knob,
+    // default 10) so four more reconciles roll past the window
     val rLast = (3 to 6).map { _ =>
       writeRows(cat, 1, offset = 9000L * 1000000L)
-      IcebergExport.reconcile(cat, "default", "ice_m")
+      IcebergExport.reconcile(cat, "default", "ice_m", retainSnapshots = 3)
     }.last
     val metaN = JsonMethods.parse(readStr(new Path(metaDir, s"v${rLast.version}.metadata.json")))
     val snapsN = (metaN \ "snapshots").children

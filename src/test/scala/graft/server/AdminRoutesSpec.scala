@@ -524,4 +524,53 @@ class AdminRoutesSpec extends SparkSpec {
       assert(mapper.readTree(r.body()).get("name").asText() == "persist-check")
     } finally server2.stop()
   }
+
+  test("backup: create -> status -> list -> get -> restore(confirm) -> delete") {
+    val base0 = 1717300000000000L
+    assert(post("/api/v1/write/msgpack",
+      payload("bkm", (0 until 6).map(base0 + _ * 1000000L))).statusCode() == 204)
+    val nBefore = queryCount("SELECT count(*) AS n FROM bkm")
+
+    def waitDone(): com.fasterxml.jackson.databind.JsonNode = {
+      var st = json(get("/api/v1/backup/status"))
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      while (st.get("status").asText() == "running" &&
+          System.nanoTime() < deadline) {
+        Thread.sleep(100); st = json(get("/api/v1/backup/status"))
+      }
+      assert(st.get("status").asText() == "completed", st.toString)
+      st
+    }
+
+    val created = post("/api/v1/backup", Array.emptyByteArray)
+    assert(created.statusCode() == 202, new String(created.body(), UTF_8))
+    val id = json(created).get("backup_id").asText()
+    waitDone()
+
+    val listing = json(get("/api/v1/backup"))
+    assert(listing.get("count").asInt() >= 1)
+    val man = json(get(s"/api/v1/backup/$id"))
+    assert(man.get("backup_id").asText() == id)
+    assert(man.get("total_files").asLong() > 0)
+
+    // restore without confirm is refused
+    assert(post("/api/v1/backup/restore",
+      j("backup_id" -> id)).statusCode() == 400)
+
+    // destroy the measurement, restore, and the count comes back
+    server.admin.deleteEnabled = true
+    try {
+      assert(post("/api/v1/delete",
+        j("database" -> "default", "measurement" -> "bkm",
+          "confirm" -> true)).statusCode() == 200)
+    } finally server.admin.deleteEnabled = false
+    val restored = post("/api/v1/backup/restore",
+      j("backup_id" -> id, "confirm" -> true))
+    assert(restored.statusCode() == 202, new String(restored.body(), UTF_8))
+    waitDone()
+    assert(queryCount("SELECT count(*) AS n FROM bkm") == nBefore)
+
+    assert(delete(s"/api/v1/backup/$id").statusCode() == 200)
+    assert(get(s"/api/v1/backup/$id").statusCode() == 404)
+  }
 }
