@@ -86,12 +86,56 @@ final class AuthApi(srv: HttpServer) {
   private val MeasId: Regex = "/api/v1/rbac/measurement-permissions/([0-9]+)".r
 
   /** Dispatch; false = not an auth/rbac path. */
+  private val GovTok: Regex = "/api/v1/governance/policies/([0-9]+)".r
+  private val GovUse: Regex = "/api/v1/governance/usage/([0-9]+)".r
+
   private[server] def route(method: String, path: String,
       ex: HttpExchange): Boolean = {
-    if (!path.startsWith("/api/v1/auth") && !path.startsWith("/api/v1/rbac"))
+    if (!path.startsWith("/api/v1/auth") && !path.startsWith("/api/v1/rbac") &&
+      !path.startsWith("/api/v1/governance") && !path.startsWith("/api/v1/audit"))
       return false
     (method, path) match {
       case ("GET", "/api/v1/auth/verify") => handleVerify(ex)
+
+      // ---- governance (internal/api/governance.go) -----------------------
+      case ("GET", "/api/v1/governance/policies") => if (adminGate(ex)) {
+        val ps = srv.governance.list().map(_.json)
+        ok(ex, 200, s"""{"success":true,"policies":${ps.mkString("[", ",", "]")},"count":${ps.size}}""")
+      }
+      case ("POST", "/api/v1/governance/policies") => if (adminGate(ex))
+        handleGovSet(ex, None)
+      case ("PUT", GovTok(id)) => if (adminGate(ex))
+        handleGovSet(ex, Some(id.toLong))
+      case ("GET", GovTok(id)) => if (adminGate(ex)) {
+        srv.governance.get(id.toLong) match {
+          case Some(p) => ok(ex, 200, s"""{"success":true,"policy":${p.json}}""")
+          case None => fail(ex, 404, "Policy not found")
+        }
+      }
+      case ("DELETE", GovTok(id)) => if (adminGate(ex)) {
+        if (srv.governance.delete(id.toLong))
+          ok(ex, 200, """{"success":true,"message":"Policy deleted"}""")
+        else fail(ex, 404, "Policy not found")
+      }
+      case ("GET", GovUse(id)) => if (adminGate(ex))
+        ok(ex, 200, s"""{"success":true,"usage":${srv.governance.usageJson(id.toLong)}}""")
+
+      // ---- audit (internal/api/audit_routes.go) --------------------------
+      case ("GET", "/api/v1/audit/logs") => if (adminGate(ex)) {
+        val params = srv.queryParams(ex)
+        val logs = srv.audit.query(
+          eventType = params.get("event_type"),
+          actor = params.get("actor"),
+          database = params.get("database"),
+          limit = params.get("limit").flatMap(_.toIntOption).getOrElse(100))
+        ok(ex, 200,
+          s"""{"success":true,"logs":${logs.mkString("[", ",", "]")},"count":${logs.size}}""")
+      }
+      case ("GET", "/api/v1/audit/stats") => if (adminGate(ex)) {
+        val st = srv.audit.stats().toSeq.sortBy(_._1)
+          .map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
+        ok(ex, 200, s"""{"success":true,"stats":$st}""")
+      }
 
       case ("GET", "/api/v1/auth/tokens") => if (adminGate(ex)) {
         val ts = srv.tokens.list().map(_.json)
@@ -330,6 +374,30 @@ final class AuthApi(srv: HttpServer) {
         } catch {
           case e: IllegalArgumentException => fail(ex, 400, e.getMessage)
         }
+    }
+  }
+
+  /** Create (POST, token_id in the body) or update (PUT /:token_id) a
+    * governance policy — same upsert semantics as the reference's
+    * keyed-by-token store. */
+  private def handleGovSet(ex: HttpExchange, pathId: Option[Long]): Unit = {
+    val n = body(ex)
+    val tokenId = pathId.orElse(oLong(n, "token_id")).getOrElse {
+      fail(ex, 400, "token_id is required"); return
+    }
+    def i(f: String): Int =
+      Option(n.get(f)).filterNot(_.isNull).map(_.asInt).getOrElse(0)
+    try {
+      val p = srv.governance.set(tokenId,
+        oText(n, "token_name").orElse(srv.tokens.get(tokenId).map(_.name))
+          .getOrElse(""),
+        i("rate_limit_per_minute"), i("rate_limit_per_hour"),
+        i("max_queries_per_hour"), i("max_queries_per_day"),
+        i("max_rows_per_query"), i("max_scan_duration_sec"))
+      ok(ex, if (pathId.isEmpty) 201 else 200,
+        s"""{"success":true,"policy":${p.json}}""")
+    } catch {
+      case e: IllegalArgumentException => fail(ex, 400, e.getMessage)
     }
   }
 

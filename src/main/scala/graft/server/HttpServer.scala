@@ -81,6 +81,21 @@ final class HttpServer(
   /** Token/RBAC HTTP plane — see [[AuthApi]]. */
   val authApi = new AuthApi(this)
 
+  /** Per-token rate limits + query quotas (reference
+    * internal/governance) — enforced on the query surface, managed over
+    * `/api/v1/governance/policies`. */
+  val governance = new Governance(catalogRoot, spark.sparkContext.hadoopConfiguration)
+
+  /** Structured audit trail (reference internal/audit) — JSONL segments
+    * under `_admin/audit/`, queried via `/api/v1/audit/logs`. */
+  val audit = new Audit(catalogRoot, spark.sparkContext.hadoopConfiguration)
+
+  /** Fires governance max-scan-duration cancels; one daemon thread. */
+  private val timeoutScheduler =
+    Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "graft-query-timeout"); t.setDaemon(true); t
+    })
+
   /** The lifecycle/admin plane (delete, retention, continuous queries,
     * compaction, tiering, MQTT subscriptions) — see [[AdminApi]]. */
   val admin = new AdminApi(this)
@@ -251,6 +266,7 @@ final class HttpServer(
 
   def stop(): Unit = {
     server.stop(0); pool.shutdownNow(); obs.stop()
+    try audit.close() catch { case _: Throwable => () } // final segment
     bufferedIngest.foreach { ing =>
       bufferedIngest = None // stops the flusher loop
       ing.close() // final flush + WAL checkpoint
@@ -287,7 +303,7 @@ final class HttpServer(
         case Left(status) =>
           sendJson(ex, status, err("unauthorized")); return
         case Right(tok) =>
-          tok.foreach(ex.setAttribute("graft.token", _))
+          currentToken.set(tok)
           // coarse route-class gate (reference RequireRead/Write/Admin);
           // RBAC-only tokens pass read/write here and are enforced
           // per-resource (Rbac.passesCoarse scaladoc)
@@ -401,6 +417,23 @@ final class HttpServer(
       ex.close()
       obs.record(method, path, math.max(ex.getResponseCode, 0),
         (System.nanoTime() - t0) / 1000L)
+      // audit off the response path: record is an O(1) enqueue, the
+      // flush drains whatever accumulated (batching under load, like
+      // the reference's channel + writerLoop)
+      audit.record(method, path, math.max(ex.getResponseCode, 0),
+        (System.nanoTime() - t0) / 1000000L,
+        actor = tokenOf(ex).map(_.name).getOrElse("anonymous"),
+        database = Option(ex.getRequestHeaders.getFirst("x-arc-database"))
+          .orElse(queryParams(ex).get("db"))
+          .orElse(queryParams(ex).get("database")).getOrElse(""),
+        measurement =
+          Option(ex.getRequestHeaders.getFirst("x-arc-measurement"))
+            .getOrElse(path match {
+              case MeasQueryPath(m) => m
+              case _ => ""
+            }))
+      try audit.flush() catch { case _: Throwable => () }
+      currentToken.remove()
     }
   }
 
@@ -538,6 +571,28 @@ final class HttpServer(
     if (!checkResource(ex, refs, "read")) {
       mQueryErrors.incrementAndGet(); return
     }
+    // governance: rate limits then quotas (reference query.go:1443-1468);
+    // denials are 429 with the reference's Retry-After header, and the
+    // allow carries this token's per-query row/duration caps
+    val govCaps: Option[(Long, Int)] = tokenOf(ex) match {
+      case None => Some((0L, 0))
+      case Some(t) =>
+        val rate = governance.checkRateLimit(t.id)
+        if (!rate.allowed) {
+          ex.getResponseHeaders.set("Retry-After", rate.retryAfterSec.toString)
+          mQueryErrors.incrementAndGet()
+          sendJson(ex, 429, err(rate.reason, ts)); None
+        } else {
+          val quota = governance.checkQuota(t.id)
+          if (!quota.allowed) {
+            mQueryErrors.incrementAndGet()
+            sendJson(ex, 429, err(quota.reason, ts)); None
+          } else Some((quota.maxRows.toLong, quota.maxDurationSec))
+        }
+    }
+    if (govCaps.isEmpty) return
+    val (govMaxRows, govTimeoutSec) = govCaps.get
+    val effMaxRows = if (govMaxRows > 0) math.min(maxRows, govMaxRows) else maxRows
     withSession(sess) { // plan AND stream under the db session's conf
     val (id, df) =
       try {
@@ -555,6 +610,14 @@ final class HttpServer(
           sendJson(ex, 403, err(msg(e), ts)); return
       }
     ex.getResponseHeaders.set("X-Graft-Query-Id", id.toString)
+    // max-scan-duration: cancel the job group when the budget elapses
+    // (the reference attaches a deadline context, query.go governanceTimeout)
+    val timeoutTask =
+      if (govTimeoutSec > 0)
+        Some(timeoutScheduler.schedule(new Runnable {
+          def run(): Unit = { facade.cancel(id); () }
+        }, govTimeoutSec.toLong, java.util.concurrent.TimeUnit.SECONDS))
+      else None
     var rows = -1L
     try {
       wire match {
@@ -563,7 +626,7 @@ final class HttpServer(
             "application/vnd.apache.arrow.stream")
           ex.sendResponseHeaders(200, 0)
           val capped =
-            if (maxRows < Long.MaxValue) df.limit(maxRows.min(Int.MaxValue).toInt)
+            if (effMaxRows < Long.MaxValue) df.limit(effMaxRows.min(Int.MaxValue).toInt)
             else df
           // buffer: the IPC writer emits each vector buffer piece as its
           // own write — unbuffered, every one becomes an HTTP chunk +
@@ -578,13 +641,13 @@ final class HttpServer(
           // runs spool to driver-local disk in waves, then splice to the
           // socket (MsgPackEncoder.writeStream scaladoc)
           val out = new java.io.BufferedOutputStream(ex.getResponseBody, 1 << 20)
-          rows = MsgPackEncoder.writeStream(df, out, maxRows)
+          rows = MsgPackEncoder.writeStream(df, out, effMaxRows)
           out.flush()
         case _ =>
           ex.getResponseHeaders.set("Content-Type", "application/json")
           ex.sendResponseHeaders(200, 0) // chunked: stream partition waves
           val out = new java.io.BufferedOutputStream(ex.getResponseBody, 1 << 20)
-          rows = facade.writeJsonEnvelope(df, out, maxRows,
+          rows = facade.writeJsonEnvelope(df, out, effMaxRows,
             headExtra = s""""success":true,"timestamp":${q(ts)},""")
           out.flush()
       }
@@ -597,7 +660,10 @@ final class HttpServer(
         mQueryErrors.incrementAndGet()
         try ex.getResponseBody.close() catch { case _: Throwable => () }
         throw e
-    } finally facade.complete(id, rows)
+    } finally {
+      timeoutTask.foreach(_.cancel(false))
+      facade.complete(id, rows)
+    }
     }
   }
 
@@ -1220,9 +1286,20 @@ final class HttpServer(
 
   /** The authenticated token for the current exchange (None under
     * disabled auth — resource checks are skipped, like the reference's
-    * nil-TokenInfo paths). */
+    * nil-TokenInfo paths).
+    *
+    * Thread-local, NOT HttpExchange.setAttribute: JDK exchange
+    * attributes live in the CONTEXT's shared map, so a token stored
+    * there leaks to other requests — concurrent callers would race each
+    * other's identities (observed as an auth.failed audit event carrying
+    * the previous caller's name). Each exchange is handled synchronously
+    * on one pool thread, so a thread-local set at auth and cleared in
+    * the route finally is exact. */
+  private val currentToken = new ThreadLocal[Option[TokenInfo]] {
+    override def initialValue(): Option[TokenInfo] = None
+  }
   private[server] def tokenOf(ex: HttpExchange): Option[TokenInfo] =
-    Option(ex.getAttribute("graft.token").asInstanceOf[TokenInfo])
+    currentToken.get()
 
   /** Coarse route-class permission (the reference's RequireRead /
     * RequireWrite / RequireAdmin wiring in internal/api route files): query
