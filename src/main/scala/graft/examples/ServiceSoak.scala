@@ -65,11 +65,12 @@ object ServiceSoak {
       client.send(HttpRequest.newBuilder(URI.create(base + path))
         .timeout(java.time.Duration.ofSeconds(60)).GET().build(),
         HttpResponse.BodyHandlers.ofByteArray())
-    def note(kind: String, code: Int, okCodes: Set[Int]): Unit = {
+    def note(kind: String, code: Int, okCodes: Set[Int],
+        body: => String = ""): Unit = {
       ops.incrementAndGet()
       if (!okCodes.contains(code)) {
         bad.incrementAndGet()
-        System.err.println(s"[soak] UNEXPECTED $kind -> $code")
+        System.err.println(s"[soak] UNEXPECTED $kind -> $code ${body.take(300)}")
       }
     }
 
@@ -151,14 +152,51 @@ object ServiceSoak {
       // covered deterministically by HttpServerSpec)
       () => note("cancel", post(s"/api/v1/query/${1000000000 + rnd.nextInt(1000)}/cancel",
         Array.emptyByteArray).statusCode(), Set(404))
-    ) ++ (if (!compact) Nil else Seq[() => Unit](
-      // sustained-mode compactor: hourly merges over the admin route
-      // while writers/readers hammer the same measurement; 409 = another
-      // trigger in flight (expected under 12 random workers)
-      () => note("compact", post("/api/v1/compaction/trigger",
-        """{"database":"default","measurement":"soak","tier":"hourly","min_files":8,"min_age_hours":0}"""
-          .getBytes(UTF_8)).statusCode(), Set(200, 409))
-    ))).map(f => new Runnable { def run(): Unit = f() })
+    ) ++ (if (!compact) Nil else {
+      // retention fixture: soak_old receives 40-day-old rows that a
+      // 30-day policy keeps deleting WHILE ingest/queries/compaction
+      // run — the full lifecycle plane ticking together (r8 verdict #6)
+      val oldT0 = new AtomicLong(
+        (System.currentTimeMillis() - 40L * 86400000L) * 1000000L)
+      val retCreate = post("/api/v1/retention",
+        """{"name":"soak-old","database":"default","measurement":"soak_old","retention_days":30,"buffer_days":0,"is_active":true}"""
+          .getBytes(UTF_8))
+      require(retCreate.statusCode() == 201 || retCreate.statusCode() == 200,
+        s"retention policy create failed: ${retCreate.statusCode()}")
+      Seq[() => Unit](
+        // sustained-mode compactor: hourly merges over the admin route
+        // while writers/readers hammer the same measurement; 409 = another
+        // trigger in flight (expected under 12 random workers)
+        // 409 = another trigger in flight; 404 = buffered mode hasn't
+        // flushed the measurement's first parquet yet (the directory —
+        // hence the catalog entry — exists only after the first flush)
+        () => note("compact", post("/api/v1/compaction/trigger",
+          """{"database":"default","measurement":"soak","tier":"hourly","min_files":8,"min_age_hours":0}"""
+            .getBytes(UTF_8)).statusCode(), Set(200, 404, 409)),
+        // expired-data writer: everything it writes is already past the
+        // 30-day policy
+        () => {
+          val n = 100
+          val ts = oldT0.getAndAdd(n * 1000L)
+          val r = post("/write?db=default&precision=ns",
+            (0 until n).map(i => s"soak_old,host=h${i % 4} v=${i}i ${ts + i * 1000L}")
+              .mkString("\n").getBytes(UTF_8))
+          note("write_old", r.statusCode(), Set(204))
+        },
+        // retention tick: executes every active policy over the admin
+        // route, racing the old-writer and the readers
+        // 409 = another execution in flight (single-flight guard)
+        () => {
+          val r = post("/api/v1/schedulers/retention/trigger", Array.emptyByteArray)
+          note("retention", r.statusCode(), Set(200, 409), new String(r.body(), UTF_8))
+        },
+        // reader racing retention's deletes (ignoreMissingFiles makes a
+        // mid-scan delete a transient, never a 5xx)
+        () => note("query_old", post("/api/v1/query",
+          """{"sql":"SELECT count(*) AS n FROM soak_old"}""".getBytes(UTF_8))
+          .statusCode(), Set(200, 400))
+      )
+    })).map(f => new Runnable { def run(): Unit = f() })
 
     val pool = Executors.newFixedThreadPool(12)
     val deadline = System.nanoTime() + seconds * 1000000000L
@@ -242,6 +280,25 @@ object ServiceSoak {
       if (!seenAfter.contains(written.get)) {
         ok = false
         System.err.println("[soak] POST-COMPACTION COUNT MISMATCH")
+      }
+      // (c) retention kept up: one final tick, then soak_old (whose every
+      // row is past the 30-day policy) must be empty — bounded storage
+      // under a ticking lifecycle is the property, not a lucky race
+      var ret = post("/api/v1/schedulers/retention/trigger", Array.emptyByteArray)
+      var retTries = 0
+      while (ret.statusCode() == 409 && retTries < 20) {
+        Thread.sleep(300); retTries += 1
+        ret = post("/api/v1/schedulers/retention/trigger", Array.emptyByteArray)
+      }
+      note("retention", ret.statusCode(), Set(200))
+      val oldCount = post("/api/v1/query",
+        """{"sql":"SELECT count(*) AS n FROM soak_old"}""".getBytes(UTF_8))
+      val seenOld = "\"data\":\\[\\[(\\d+)\\]\\]".r
+        .findFirstMatchIn(new String(oldCount.body(), UTF_8)).map(_.group(1).toLong)
+      println(s"[soak] post-retention soak_old visible=$seenOld")
+      if (!seenOld.forall(_ == 0L) && oldCount.statusCode() == 200) {
+        ok = false
+        System.err.println("[soak] RETENTION FELL BEHIND: expired rows survived the final tick")
       }
     }
 

@@ -340,16 +340,52 @@ final class DurableIngester(catalog: GraftCatalog, walDir: File,
   // after the swap lands in the NEW segment and survives a crash.
   private val flushLock = new Object
 
+  // WAL segments covering batches that failed a flush and were
+  // re-buffered: purged together with the NEXT successful flush
+  private var carriedSegs: Seq[File] = Nil
+
   /** Flush all buffered batches to parquet, then purge the covering
-    * WAL segments. */
+    * WAL segments.
+    *
+    * A write failure must NOT lose the swapped-out batches: the 204 was
+    * already sent (durability = WAL before ack), and the background
+    * flusher swallows exceptions and keeps ticking — dropping the swap
+    * on error loses acknowledged rows until a process restart replays
+    * the WAL (found by the lifecycle soak: retention deleting an hour
+    * directory mid-write failed one cycle and 600 accepted rows
+    * vanished). On error the unwritten tail goes BACK to the front of
+    * the buffer (written batches are visible only at their tmp+rename,
+    * so retrying the failed one cannot double-write) and the sealed
+    * segments carry forward so a crash before the retry still replays. */
   def flush(): Unit = flushLock.synchronized {
     val (pending, segs) = synchronized {
       val p = buffer.toSeq
       buffer.clear(); bufferedRows = 0
       (p, wal.seal())
     }
-    pending.foreach { case (db, b) => DirectParquetWriter.write(catalog, db, b) }
-    wal.purge(segs)
+    var i = 0
+    try {
+      while (i < pending.length) {
+        val (db, b) = pending(i)
+        DirectParquetWriter.write(catalog, db, b)
+        i += 1
+      }
+    } catch {
+      case e: Throwable =>
+        val rest = pending.drop(i)
+        synchronized {
+          buffer.prependAll(rest)
+          bufferedRows += rest.map(_._2.rowCount).sum
+          carriedSegs = (carriedSegs ++ segs).distinct
+        }
+        throw e
+    }
+    val toPurge = synchronized {
+      val all = carriedSegs ++ segs
+      carriedSegs = Nil
+      all
+    }
+    wal.purge(toPurge)
     pending.map { case (db, b) => (db, b.measurement) }.distinct
       .foreach { case (db, m) => onFlush(db, m) }
   }

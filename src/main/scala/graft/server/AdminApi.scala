@@ -94,13 +94,21 @@ final class AdminApi(srv: HttpServer) {
 
     def get(key: String): Option[ObjectNode] = {
       val p = new Path(dir, s"$key.json")
-      val f = fs
-      if (!f.exists(p)) None
-      else {
-        val in = f.open(p)
-        try Some(mapper.readTree(in.readAllBytes()).asInstanceOf[ObjectNode])
-        finally in.close()
+      def readOnce(): Option[ObjectNode] = {
+        val f = fs
+        if (!f.exists(p)) None
+        else {
+          val in = f.open(p)
+          try Some(mapper.readTree(in.readAllBytes()).asInstanceOf[ObjectNode])
+          finally in.close()
+        }
       }
+      // a reader can land inside another route's tmp+rename window: the
+      // local FS swaps the .json and its .crc sidecar non-atomically, so
+      // a concurrent read sees a transient ChecksumException — retry
+      // once against the settled file before failing for real
+      try readOnce()
+      catch { case _: java.io.IOException => Thread.sleep(10); readOnce() }
     }
 
     def put(key: String, node: ObjectNode): Unit = lock.synchronized {
@@ -129,6 +137,14 @@ final class AdminApi(srv: HttpServer) {
   }
 
   private val retentionStore = new Store("retention")
+
+  // retention executions are single-flight (the reference's scheduler
+  // runs them serially): concurrent trigger-all calls raced each other's
+  // deletes — one tick's footer census read files another tick had just
+  // deleted (FileNotFound 500s under the lifecycle soak), and concurrent
+  // last-execution writes to the same policy record raced readers into
+  // checksum errors. Contended calls get 409, like compaction's trigger.
+  private val retentionBusy = new java.util.concurrent.atomic.AtomicBoolean(false)
   private val cqStore = new Store("cq")
   private val tierPolicyStore = new Store("tiering_policies")
   private val mqttStore = new Store("mqtt")
@@ -480,6 +496,15 @@ final class AdminApi(srv: HttpServer) {
       case None => fail(ex, 404, s"retention policy not found: $id"); return
       case Some(p) => p
     }
+    if (!retentionBusy.compareAndSet(false, true)) {
+      fail(ex, 409, "retention execution already in progress"); return
+    }
+    try handleRetentionExecuteLocked(ex, id, pol, t0)
+    finally retentionBusy.set(false)
+  }
+
+  private def handleRetentionExecuteLocked(ex: HttpExchange, id: Long,
+      pol: ObjectNode, t0: Long): Unit = {
     val b = body(ex)
     val dryRun = oBool(b, "dry_run")
     val confirm = oBool(b, "confirm")
@@ -1006,6 +1031,14 @@ final class AdminApi(srv: HttpServer) {
   /** POST /api/v1/schedulers/retention/trigger — run every ACTIVE
     * retention policy now (scheduler.go handleRetentionTrigger). */
   private def handleRetentionTriggerAll(ex: HttpExchange): Unit = {
+    if (!retentionBusy.compareAndSet(false, true)) {
+      fail(ex, 409, "retention execution already in progress"); return
+    }
+    try handleRetentionTriggerAllLocked(ex)
+    finally retentionBusy.set(false)
+  }
+
+  private def handleRetentionTriggerAllLocked(ex: HttpExchange): Unit = {
     var deleted = 0L
     var executed = 0
     retentionStore.ids().flatMap(i => retentionStore.get(i.toString))

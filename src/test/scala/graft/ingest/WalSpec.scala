@@ -79,6 +79,31 @@ class WalSpec extends SparkSpec {
     ing2.close()
   }
 
+  test("flush failure re-buffers acknowledged rows; retry lands them exactly once") {
+    val root = tmpDir("wal_reflush_cat")
+    val walDir = new File(tmpDir("wal_reflush"))
+    val cat = new GraftCatalog(spark, root)
+    val ing = new DurableIngester(cat, walDir, flushRows = Int.MaxValue)
+    // transient failure injection: a plain FILE squats on the
+    // measurement's directory path, so the parquet write's mkdirs fails
+    // (the soak's real-world version: retention deleting an hour dir
+    // mid-write). The old flush dropped the swapped batches on error —
+    // acknowledged rows vanished until a restart replayed the WAL.
+    val block = new File(root, "default/blocked")
+    block.getParentFile.mkdirs()
+    assert(block.createNewFile())
+    ing.accept("default", lpBytes(s"blocked,host=a v=1.0 ${base * 1000L}"))
+    intercept[Exception] { ing.flush() }
+    assert(ing.pendingRows == 1, "failed batch must be re-buffered, not lost")
+    // the covering WAL segment must survive for crash replay
+    assert(walDir.listFiles().exists(_.length() > 0), "WAL segment purged early")
+    assert(block.delete())
+    ing.flush() // transient cleared: the retry lands the batch
+    assert(ing.pendingRows == 0)
+    assert(cat.table("default", "blocked").count() == 1, "exactly once")
+    ing.close()
+  }
+
   test("BatchCodec round-trips string values past the 64 KiB writeUTF cap") {
     // writeUTF throws UTFDataFormatException at 65536+ encoded bytes —
     // a large LP string field must survive the buffered path (r8 advice)
