@@ -133,9 +133,16 @@ object Bench {
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted; s(s.length / 2)
     }
+    // flag = 2x the cross-round median AND at least half a second of
+    // absolute excess: on a busy shared VM every sub-second query drifts
+    // 1.5-3x with the ambient load (observed: 10 flags, all mins
+    // 0.17-0.76 s, under sustained loadavg 2-7), and a 0.25s->0.55s
+    // wobble is JIT/GC jitter, not a regression worth a human look —
+    // the real r8 outliers were seconds of excess
     val flagged = results.collect {
       case (name, dt, false, _)
-          if history.get(name).exists(h => h.nonEmpty && dt > 2 * median(h)) =>
+          if history.get(name).exists(h => h.nonEmpty &&
+            dt > 2 * median(h) && dt - median(h) > 0.5) =>
         name
     }
     val qs = results.map { case (k, v, e, _) =>

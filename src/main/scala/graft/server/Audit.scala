@@ -66,6 +66,12 @@ final class Audit(root: String, hconf: Configuration) {
     ()
   }
 
+  /** Days of audit history kept; 0 = keep forever. Enforced whenever a
+    * segment is written (the reference's retentionLoop, audit.go:278 —
+    * a standing timer is pointless when segments only appear on
+    * writes). */
+  @volatile var retentionDays: Int = 30
+
   private def writeSegment(events: Seq[Event]): Unit = {
     if (events.isEmpty) return
     val fs = dir.getFileSystem(hconf)
@@ -75,6 +81,19 @@ final class Audit(root: String, hconf: Configuration) {
     val out = fs.create(new Path(dir, name), false)
     try events.foreach(e => out.write((e.json + "\n").getBytes(UTF_8)))
     finally out.close()
+    // age out whole segments past the retention window (segment name
+    // carries its write millis; a segment's newest event is younger
+    // than the NEXT segment's name, so name-age is a safe bound)
+    if (retentionDays > 0) {
+      val cutoff = System.currentTimeMillis() - retentionDays * 86400000L
+      fs.listStatus(dir).filter(_.isFile).map(_.getPath)
+        .filter(_.getName.endsWith(".jsonl"))
+        .foreach { p =>
+          "audit-([0-9]+)-".r.findFirstMatchIn(p.getName)
+            .map(_.group(1).toLong).filter(_ < cutoff)
+            .foreach(_ => fs.delete(p, false))
+        }
+    }
   }
 
   /** Drain the queue into the pending buffer; write a durable segment

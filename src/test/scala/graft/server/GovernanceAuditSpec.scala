@@ -172,6 +172,25 @@ class GovernanceAuditSpec extends SparkSpec {
     assert(!events.exists(e => e.get("method").asText() == "GET"))
   }
 
+  test("audit segments age out past the retention window") {
+    val aroot = tmpDir("graft_audit_ret")
+    val audit = new Audit(aroot, spark.sparkContext.hadoopConfiguration)
+    audit.flushBatchSize = 1
+    audit.record("POST", "/api/v1/query", 200, 1, "a", "", "")
+    audit.flush() // one young segment
+    val dir = new java.io.File(aroot, "_admin/audit")
+    val seg = dir.listFiles().filter(_.getName.endsWith(".jsonl")).head
+    // forge an expired sibling: same format, 40-day-old embedded millis
+    val oldMs = System.currentTimeMillis() - 40L * 86400000L
+    val old = new java.io.File(dir, f"audit-$oldMs%013d-000001.jsonl")
+    java.nio.file.Files.copy(seg.toPath, old.toPath)
+    audit.record("POST", "/api/v1/query", 200, 1, "a", "", "")
+    audit.flush() // write triggers the 30-day sweep
+    val names = dir.listFiles().map(_.getName).filter(_.endsWith(".jsonl"))
+    assert(!names.contains(old.getName), "expired segment must be deleted")
+    assert(names.length == 2, names.mkString(","))
+  }
+
   test("governance and audit routes are admin-gated") {
     val (tok, id) = fixture
     assert(req("GET", "/api/v1/governance/policies", Some(tok)).statusCode() == 403)
