@@ -296,9 +296,13 @@ object ServiceSoak {
       val seenOld = "\"data\":\\[\\[(\\d+)\\]\\]".r
         .findFirstMatchIn(new String(oldCount.body(), UTF_8)).map(_.group(1).toLong)
       println(s"[soak] post-retention soak_old visible=$seenOld")
-      if (!seenOld.forall(_ == 0L) && oldCount.statusCode() == 200) {
+      // fail-closed: a 500, an unparsable body, or a nonzero count all
+      // fail the audit — requiring 200 AND a parsed nonzero count let a
+      // broken verification query pass as "retention worked"
+      if (oldCount.statusCode() != 200 || !seenOld.contains(0L)) {
         ok = false
-        System.err.println("[soak] RETENTION FELL BEHIND: expired rows survived the final tick")
+        System.err.println("[soak] RETENTION FELL BEHIND: expired rows survived the final tick " +
+          s"(status=${oldCount.statusCode()}, count=$seenOld)")
       }
     }
 

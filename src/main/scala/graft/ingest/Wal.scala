@@ -378,6 +378,13 @@ final class DurableIngester(catalog: GraftCatalog, walDir: File,
           bufferedRows += rest.map(_._2.rowCount).sum
           carriedSegs = (carriedSegs ++ segs).distinct
         }
+        // batches written BEFORE the failure are on disk: their views
+        // must still refresh, or queries serve the pre-flush snapshot
+        // of those measurements until some later write flushes them
+        pending.take(i).map { case (db, b) => (db, b.measurement) }.distinct
+          .foreach { case (db, m) =>
+            try onFlush(db, m) catch { case _: Throwable => () }
+          }
         throw e
     }
     val toPurge = synchronized {

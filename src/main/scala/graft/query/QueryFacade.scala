@@ -126,41 +126,56 @@ final class QueryFacade(spark: SparkSession) {
     * then subtracts CTE names and function calls). The Spark-first
     * equivalent walks the PARSED tree: `UnresolvedRelation`s are exactly
     * the table refs (string literals, comments, and table-valued
-    * functions never produce one), and CTE definitions
-    * (`UnresolvedWith`) are subtracted by name, case-insensitively, as
-    * SQL resolves them. Subquery plans inside expressions are walked
-    * too — `WHERE x IN (SELECT … FROM secret)` is a read of `secret`. */
+    * functions never produce one), and CTE-defined names are excluded
+    * with PROPER SCOPE — a name is shadowed only inside the
+    * `UnresolvedWith` that defines it (its body, and each CTE definition
+    * only by the names preceding it, plus its own under recursion).
+    * Global subtraction would let `SELECT * FROM secret UNION ALL (WITH
+    * secret AS (SELECT 1) SELECT * FROM secret)` hide the OUTER real
+    * `secret` ref behind the inner CTE — an RBAC bypass. Subquery plans
+    * inside expressions are walked in their enclosing scope —
+    * `WHERE x IN (SELECT … FROM secret)` is a read of `secret`. */
   def tableReferences(session: org.apache.spark.sql.SparkSession,
       q: String): Seq[Seq[String]] = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
     import org.apache.spark.sql.catalyst.expressions.PlanExpression
     import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnresolvedWith}
 
-    val cteNames = scala.collection.mutable.Set.empty[String]
     val refs = scala.collection.mutable.LinkedHashSet.empty[Seq[String]]
+    def lower(s: String) = s.toLowerCase(java.util.Locale.ROOT)
 
-    def walk(plan: LogicalPlan): Unit = plan.foreach { node =>
-      node match {
+    def walk(plan: LogicalPlan, shadow: Set[String]): Unit = {
+      plan match {
         case w: UnresolvedWith =>
+          // each CTE body sees the names defined BEFORE it (backward
+          // refs only), plus its own when recursion is allowed
+          var seen = shadow
           w.cteRelations.foreach { rel =>
-            cteNames += rel._1.toLowerCase(java.util.Locale.ROOT); ()
+            val bodyScope =
+              if (w.allowRecursion) seen + lower(rel._1) else seen
+            walk(rel._2, bodyScope)
+            seen += lower(rel._1)
           }
+          walk(w.child, seen)
         case r: UnresolvedRelation =>
-          refs += r.multipartIdentifier; ()
-        case _ => ()
+          val id = r.multipartIdentifier
+          if (!(id.length == 1 && shadow.contains(lower(id.head))))
+            refs += id
+          ()
+        case other =>
+          other.children.foreach(walk(_, shadow))
       }
-      node.expressions.foreach(_.foreach {
+      plan.expressions.foreach(_.foreach {
         case pe: PlanExpression[_] => pe.plan match {
-          case lp: LogicalPlan => walk(lp)
+          case lp: LogicalPlan => walk(lp, shadow)
           case _ => ()
         }
         case _ => ()
       })
     }
 
-    walk(session.sessionState.sqlParser.parsePlan(q))
-    refs.toSeq.filterNot(id => id.length == 1 &&
-      cteNames.contains(id.head.toLowerCase(java.util.Locale.ROOT)))
+    walk(session.sessionState.sqlParser.parsePlan(q), Set.empty)
+    refs.toSeq
   }
 
   /** [[sqlWithShow]] with a custom runner for the non-SHOW branch (the

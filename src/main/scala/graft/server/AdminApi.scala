@@ -92,34 +92,12 @@ final class AdminApi(srv: HttpServer) {
 
     def ids(): Seq[Long] = keys().flatMap(_.toLongOption).sorted
 
-    def get(key: String): Option[ObjectNode] = {
-      val p = new Path(dir, s"$key.json")
-      def readOnce(): Option[ObjectNode] = {
-        val f = fs
-        if (!f.exists(p)) None
-        else {
-          val in = f.open(p)
-          try Some(mapper.readTree(in.readAllBytes()).asInstanceOf[ObjectNode])
-          finally in.close()
-        }
-      }
-      // a reader can land inside another route's tmp+rename window: the
-      // local FS swaps the .json and its .crc sidecar non-atomically, so
-      // a concurrent read sees a transient ChecksumException — retry
-      // once against the settled file before failing for real
-      try readOnce()
-      catch { case _: java.io.IOException => Thread.sleep(10); readOnce() }
-    }
+    def get(key: String): Option[ObjectNode] =
+      RecordFiles.read(hconf, new Path(dir, s"$key.json"))
+        .map(bytes => mapper.readTree(bytes).asInstanceOf[ObjectNode])
 
     def put(key: String, node: ObjectNode): Unit = lock.synchronized {
-      val f = fs
-      f.mkdirs(dir)
-      val p = new Path(dir, s"$key.json")
-      val tmp = new Path(dir, s".$key.json.tmp")
-      val out = f.create(tmp, true)
-      try out.write(mapper.writeValueAsBytes(node)) finally out.close()
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(f.getUri, hconf)
-      fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      RecordFiles.write(hconf, dir, s"$key.json", mapper.writeValueAsBytes(node))
     }
 
     def create(node: ObjectNode): Long = lock.synchronized {
@@ -1314,6 +1292,12 @@ final class AdminApi(srv: HttpServer) {
     val n = body(ex)
     val id = oText(n, "backup_id").getOrElse {
       fail(ex, 400, "backup_id is required"); return
+    }
+    // same charset the GET/DELETE path regex enforces — a traversal id
+    // ("../..") would resolve outside backupRoot and restore an
+    // arbitrary tree over the catalog (reference validBackupID)
+    if (!id.matches("[A-Za-z0-9_-]+")) {
+      fail(ex, 400, "Invalid backup ID format"); return
     }
     if (!oBool(n, "confirm")) {
       fail(ex, 400, "Restore requires confirm: true"); return

@@ -73,22 +73,20 @@ object Auth {
 final class AuthStore(root: String, hconf: Configuration) {
   private val mapper = new ObjectMapper()
   private val dir = new Path(root, "_admin/auth/tokens")
-  private def fs = dir.getFileSystem(hconf)
   private val lock = new Object
   // hash -> id index + id -> info cache, rebuilt from disk at startup
   private val byHash = TrieMap.empty[String, Long]
   private val byId = TrieMap.empty[Long, TokenInfo]
 
   locally {
-    val f = fs
-    if (f.exists(dir)) f.listStatus(dir).filter(_.isFile)
-      .map(_.getPath).filter(_.getName.endsWith(".json")).foreach { p =>
-        val in = f.open(p)
-        val node = try mapper.readTree(in.readAllBytes()) finally in.close()
+    RecordFiles.list(hconf, dir, ".json").foreach { p =>
+      RecordFiles.read(hconf, p).foreach { bytes =>
+        val node = mapper.readTree(bytes)
         val info = fromNode(node.asInstanceOf[ObjectNode])
         byId(info.id) = info
         byHash(node.get("token_hash").asText) = info.id
       }
+    }
   }
 
   private def fromNode(n: ObjectNode): TokenInfo = TokenInfo(
@@ -113,18 +111,19 @@ final class AuthStore(root: String, hconf: Configuration) {
     n.put("created_at", info.createdAt)
     info.expiresAt.fold { n.putNull("expires_at"); () } { e => n.put("expires_at", e); () }
     info.lastUsedAt.foreach(n.put("last_used_at", _))
-    val f = fs
-    f.mkdirs(dir)
-    val p = new Path(dir, s"${info.id}.json")
-    val tmp = new Path(dir, s".${info.id}.json.tmp")
-    val out = f.create(tmp, true)
-    try out.write(mapper.writeValueAsBytes(n)) finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(f.getUri, hconf)
-    fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    RecordFiles.write(hconf, dir, s"${info.id}.json", mapper.writeValueAsBytes(n))
   }
 
   private def hashOf(id: Long): Option[String] =
     byHash.collectFirst { case (h, i) if i == id => h }
+
+  private val highWaterPath = new Path(dir, "_next_id")
+  private def readHighWater(): Long =
+    try RecordFiles.read(hconf, highWaterPath)
+      .map(b => new String(b, UTF_8).trim.toLong).getOrElse(0L)
+    catch { case _: Throwable => 0L }
+  private def writeHighWater(id: Long): Unit =
+    RecordFiles.write(hconf, dir, "_next_id", id.toString.getBytes(UTF_8))
 
   def hasTokens: Boolean = byId.nonEmpty
 
@@ -145,7 +144,11 @@ final class AuthStore(root: String, hconf: Configuration) {
         ps
     }
     val value = Auth.newTokenValue()
-    val id = (byId.keys ++ Seq(0L)).max + 1
+    // monotonic across deletes AND restarts (persisted high-water mark):
+    // reusing a deleted token's id would hand its RBAC memberships and
+    // governance policy — keyed by token id — to an unrelated new token
+    val id = math.max((byId.keys ++ Seq(0L)).max, readHighWater()) + 1
+    writeHighWater(id)
     val info = TokenInfo(id, name, description, perms, enabled = true,
       createdAt = Instant.now().toString, expiresAt = expiresAt,
       lastUsedAt = None)
@@ -158,15 +161,20 @@ final class AuthStore(root: String, hconf: Configuration) {
   /** Hash-lookup verification: enabled and unexpired, else None
     * (reference VerifyToken). Stamps last_used_at in the index (memory
     * only — the reference batches these updates off the hot path too,
-    * auth.go lastUsedUpdate). */
+    * auth.go lastUsedUpdate). The stamp happens under the store lock,
+    * re-reading the current record: an unlocked read-modify-write here
+    * raced revoke/update and could write a stale enabled=true copy back
+    * over a concurrent revocation, resurrecting the token in memory. */
   def verify(value: String): Option[TokenInfo] =
     byHash.get(Auth.sha256Hex(value)).flatMap(verifyId)
 
-  private def verifyId(id: Long): Option[TokenInfo] = {
+  private def verifyId(id: Long): Option[TokenInfo] = lock.synchronized {
     byId.get(id).filter(_.enabled).filter { t =>
+      // unparseable expires_at fails CLOSED: a corrupt record must not
+      // become a never-expiring credential
       t.expiresAt.forall(e =>
         try Instant.parse(e).isAfter(Instant.now())
-        catch { case _: Throwable => true })
+        catch { case _: Throwable => false })
     }.map { t =>
       val used = t.copy(lastUsedAt = Some(Instant.now().toString))
       byId(id) = used
@@ -215,9 +223,7 @@ final class AuthStore(root: String, hconf: Configuration) {
     byId.remove(id) match {
       case Some(_) =>
         hashOf(id).foreach(byHash.remove)
-        val f = fs
-        val p = new Path(dir, s"$id.json")
-        if (f.exists(p)) f.delete(p, false)
+        RecordFiles.delete(hconf, new Path(dir, s"$id.json"))
         true
       case None => false
     }

@@ -150,9 +150,14 @@ final class AuthApi(srv: HttpServer) {
       }
       case ("PATCH", TokId(id)) => if (adminGate(ex)) handleUpdate(ex, id.toLong)
       case ("DELETE", TokId(id)) => if (adminGate(ex)) {
-        if (srv.tokens.delete(id.toLong))
+        if (srv.tokens.delete(id.toLong)) {
+          // cascade: RBAC memberships and the governance policy are
+          // keyed by token id — left behind they'd transfer to any
+          // future token reusing the id
+          srv.rbac.removeAllMemberships(id.toLong)
+          srv.governance.delete(id.toLong)
           ok(ex, 200, """{"success":true,"message":"Token deleted"}""")
-        else fail(ex, 404, "Token not found")
+        } else fail(ex, 404, "Token not found")
       }
       case ("POST", TokAct(id, "rotate")) => if (adminGate(ex)) {
         srv.tokens.rotate(id.toLong) match {
@@ -385,15 +390,24 @@ final class AuthApi(srv: HttpServer) {
     val tokenId = pathId.orElse(oLong(n, "token_id")).getOrElse {
       fail(ex, 400, "token_id is required"); return
     }
-    def i(f: String): Int =
-      Option(n.get(f)).filterNot(_.isNull).map(_.asInt).getOrElse(0)
+    // PUT merges over the existing policy (reference UpdatePolicy reads
+    // the existing record first, governance.go:178): an omitted field
+    // keeps its current value — defaulting it to 0 (= unlimited) would
+    // let a partial update silently wipe every other cap
+    val existing = srv.governance.get(tokenId)
+    def i(f: String, cur: Governance.Policy => Int): Int =
+      Option(n.get(f)).filterNot(_.isNull).map(_.asInt)
+        .orElse(existing.map(cur)).getOrElse(0)
     try {
       val p = srv.governance.set(tokenId,
-        oText(n, "token_name").orElse(srv.tokens.get(tokenId).map(_.name))
-          .getOrElse(""),
-        i("rate_limit_per_minute"), i("rate_limit_per_hour"),
-        i("max_queries_per_hour"), i("max_queries_per_day"),
-        i("max_rows_per_query"), i("max_scan_duration_sec"))
+        oText(n, "token_name").orElse(existing.map(_.tokenName).filter(_.nonEmpty))
+          .orElse(srv.tokens.get(tokenId).map(_.name)).getOrElse(""),
+        i("rate_limit_per_minute", _.rateLimitPerMinute),
+        i("rate_limit_per_hour", _.rateLimitPerHour),
+        i("max_queries_per_hour", _.maxQueriesPerHour),
+        i("max_queries_per_day", _.maxQueriesPerDay),
+        i("max_rows_per_query", _.maxRowsPerQuery),
+        i("max_scan_duration_sec", _.maxScanDurationSec))
       ok(ex, if (pathId.isEmpty) 201 else 200,
         s"""{"success":true,"policy":${p.json}}""")
     } catch {

@@ -130,7 +130,6 @@ final class Governance(root: String, hconf: Configuration,
 
   private val mapper = new ObjectMapper()
   private val dir = new Path(root, "_admin/governance")
-  private def fs = dir.getFileSystem(hconf)
   private val lock = new Object
 
   private val policies = TrieMap.empty[Long, Policy]
@@ -139,11 +138,9 @@ final class Governance(root: String, hconf: Configuration,
   private val quotas = TrieMap.empty[Long, QuotaTracker]
 
   locally {
-    val f = fs
-    if (f.exists(dir)) f.listStatus(dir).filter(_.isFile)
-      .map(_.getPath).filter(_.getName.endsWith(".json")).foreach { p =>
-        val in = f.open(p)
-        val n = try mapper.readTree(in.readAllBytes()) finally in.close()
+    RecordFiles.list(hconf, dir, ".json").foreach { p =>
+      RecordFiles.read(hconf, p).foreach { bytes =>
+        val n = mapper.readTree(bytes)
         val pol = Policy(
           n.get("token_id").asLong,
           Option(n.get("token_name")).map(_.asText).getOrElse(""),
@@ -156,18 +153,11 @@ final class Governance(root: String, hconf: Configuration,
           n.get("created_at").asText, n.get("updated_at").asText)
         policies(pol.tokenId) = pol
       }
+    }
   }
 
-  private def persist(p: Policy): Unit = {
-    val f = fs
-    f.mkdirs(dir)
-    val path = new Path(dir, s"${p.tokenId}.json")
-    val tmp = new Path(dir, s".${p.tokenId}.json.tmp")
-    val out = f.create(tmp, true)
-    try out.write(p.json.getBytes("UTF-8")) finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(f.getUri, hconf)
-    fc.rename(tmp, path, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-  }
+  private def persist(p: Policy): Unit =
+    RecordFiles.write(hconf, dir, s"${p.tokenId}.json", p.json.getBytes("UTF-8"))
 
   def set(tokenId: Long, tokenName: String, rateLimitPerMinute: Int,
       rateLimitPerHour: Int, maxQueriesPerHour: Int, maxQueriesPerDay: Int,
@@ -198,9 +188,7 @@ final class Governance(root: String, hconf: Configuration,
       case Some(_) =>
         minuteLimiters.remove(tokenId); hourLimiters.remove(tokenId)
         quotas.remove(tokenId)
-        val p = new Path(dir, s"$tokenId.json")
-        val f = fs
-        if (f.exists(p)) f.delete(p, false)
+        RecordFiles.delete(hconf, new Path(dir, s"$tokenId.json"))
         true
       case None => false
     }

@@ -1309,8 +1309,14 @@ final class HttpServer(
     * gate, which required the token for everything). */
   private def requiredPerm(method: String, path: String): Option[String] = {
     if (path.startsWith("/api/v1/query/estimate")) Some("read")
-    else if (path.startsWith("/api/v1/query") && method == "POST" &&
-      !path.endsWith("/cancel")) Some("read")
+    // registry listing + cancel are admin (reference
+    // query_management.go:36 RequireAdmin): a low-privilege token
+    // sweeping sequential ids could otherwise cancel other tenants'
+    // in-flight queries
+    else if (path.endsWith("/cancel") && path.startsWith("/api/v1/query/"))
+      Some("admin")
+    else if (path == "/api/v1/queries") Some("admin")
+    else if (path.startsWith("/api/v1/query") && method == "POST") Some("read")
     else if (path.startsWith("/api/v1/query/") && method == "GET") Some("read")
     else if (path == "/api/v1/measurements") Some("read")
     else if (path == "/api/v1/write/line-protocol/flush") Some("admin")

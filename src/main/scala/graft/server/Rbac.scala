@@ -68,39 +68,23 @@ final class Rbac(root: String, hconf: Configuration) {
   // ---- persistence ------------------------------------------------------
 
   private def dirOf(kind: String) = new Path(root, s"_admin/auth/$kind")
-  private def fs(p: Path) = p.getFileSystem(hconf)
 
   private def writeRec(kind: String, id: Long, fill: ObjectNode => Unit): Unit = {
     val n = mapper.createObjectNode()
     n.put("id", id)
     fill(n)
-    val dir = dirOf(kind)
-    val f = fs(dir)
-    f.mkdirs(dir)
-    val p = new Path(dir, s"$id.json")
-    val tmp = new Path(dir, s".$id.json.tmp")
-    val out = f.create(tmp, true)
-    try out.write(mapper.writeValueAsBytes(n)) finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(f.getUri, hconf)
-    fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    RecordFiles.write(hconf, dirOf(kind), s"$id.json", mapper.writeValueAsBytes(n))
   }
 
   private def dropRec(kind: String, id: Long): Unit = {
-    val p = new Path(dirOf(kind), s"$id.json")
-    val f = fs(p)
-    if (f.exists(p)) f.delete(p, false)
+    RecordFiles.delete(hconf, new Path(dirOf(kind), s"$id.json")); ()
   }
 
-  private def loadAll(kind: String)(f: ObjectNode => Unit): Unit = {
-    val dir = dirOf(kind)
-    val fsys = fs(dir)
-    if (fsys.exists(dir)) fsys.listStatus(dir).filter(_.isFile)
-      .map(_.getPath).filter(_.getName.endsWith(".json")).foreach { p =>
-        val in = fsys.open(p)
-        val node = try mapper.readTree(in.readAllBytes()) finally in.close()
-        f(node.asInstanceOf[ObjectNode])
-      }
-  }
+  private def loadAll(kind: String)(f: ObjectNode => Unit): Unit =
+    RecordFiles.list(hconf, dirOf(kind), ".json").foreach { p =>
+      RecordFiles.read(hconf, p).foreach(bytes =>
+        f(mapper.readTree(bytes).asInstanceOf[ObjectNode]))
+    }
 
   private def strs(n: ObjectNode, field: String): Seq[String] =
     Option(n.get(field)).toSeq.flatMap(a => (0 until a.size()).map(a.get(_).asText))
@@ -293,6 +277,16 @@ final class Rbac(root: String, hconf: Configuration) {
         case None => false
       }
     }
+  /** Cascade for token deletion: a removed token must not leave grants
+    * behind for a future holder of its id. */
+  def removeAllMemberships(tokenId: Long): Int = lock.synchronized {
+    val mine = memberships.values.filter(_.tokenId == tokenId).toSeq
+    mine.foreach { m =>
+      memberships.remove(m.id); dropRec("memberships", m.id)
+    }
+    mine.size
+  }
+
   def tokenTeams(tokenId: Long): Seq[Team] =
     memberships.values.filter(_.tokenId == tokenId).toSeq
       .flatMap(m => teams.get(m.teamId)).sortBy(_.id)

@@ -556,6 +556,9 @@ class AdminRoutesSpec extends SparkSpec {
     // restore without confirm is refused
     assert(post("/api/v1/backup/restore",
       j("backup_id" -> id)).statusCode() == 400)
+    // traversal ids are refused before any path resolution
+    assert(post("/api/v1/backup/restore",
+      j("backup_id" -> "../../etc", "confirm" -> true)).statusCode() == 400)
 
     // destroy the measurement, restore, and the count comes back
     server.admin.deleteEnabled = true

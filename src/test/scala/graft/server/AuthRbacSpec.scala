@@ -150,6 +150,60 @@ class AuthRbacSpec extends SparkSpec {
       .statusCode() == 200)
   }
 
+  test("CTE shadowing cannot hide a real table ref from the RBAC check") {
+    val c = fixture("c") // read db1.cpu only
+    // the OUTER mem ref is a real table read even though a same-named
+    // CTE exists in a sibling subtree — global name subtraction would
+    // wave it through (review finding: scope-insensitive bypass)
+    val bypass = query(c, "db1",
+      "SELECT count(*) AS n FROM mem UNION ALL " +
+        "(WITH mem AS (SELECT 1 AS host) SELECT count(*) FROM mem)")
+    assert(bypass.statusCode() == 403, bypass.body())
+    // chained CTEs referencing earlier CTEs still resolve as virtual
+    assert(query(c, "db1",
+      "WITH x AS (SELECT host FROM cpu), y AS (SELECT * FROM x) " +
+        "SELECT count(*) AS n FROM y").statusCode() == 200)
+    // a CTE body referencing the real denied table is still caught
+    assert(query(c, "db1",
+      "WITH x AS (SELECT host FROM mem) SELECT count(*) AS n FROM x")
+      .statusCode() == 403)
+  }
+
+  test("deleting a token cascades its memberships; new tokens never reuse the id") {
+    fixture
+    val r = req("POST", "/api/v1/auth/tokens", Root,
+      jb("name" -> "doomed", "permissions" -> Seq.empty[String]))
+    val all = jsonOf(req("GET", "/api/v1/auth/tokens", Root)).get("tokens")
+    val id = (0 until all.size()).map(all.get)
+      .find(_.get("name").asText() == "doomed").get.get("id").asLong()
+    // give it a team grant, then delete it
+    val org2 = jsonOf(req("POST", "/api/v1/rbac/organizations", Root,
+      jb("name" -> "cascade-org"))).get("organization").get("id").asLong()
+    val team2 = jsonOf(req("POST", s"/api/v1/rbac/organizations/$org2/teams",
+      Root, jb("name" -> "cascade-team"))).get("team").get("id").asLong()
+    assert(req("POST", s"/api/v1/auth/tokens/$id/teams", Root,
+      jb("team_id" -> team2)).statusCode() == 201)
+    assert(req("DELETE", s"/api/v1/auth/tokens/$id", Root).statusCode() == 200)
+    assert(server.rbac.tokenTeams(id).isEmpty,
+      "memberships must cascade with the token")
+    // a fresh token takes a HIGHER id — reuse would inherit any grant
+    // a stale record left behind
+    val r2 = req("POST", "/api/v1/auth/tokens", Root, jb("name" -> "successor"))
+    assert(r2.statusCode() == 201)
+    val all2 = jsonOf(req("GET", "/api/v1/auth/tokens", Root)).get("tokens")
+    val id2 = (0 until all2.size()).map(all2.get)
+      .find(_.get("name").asText() == "successor").get.get("id").asLong()
+    assert(id2 > id, s"id $id2 must not reuse deleted id $id")
+    assert(r.statusCode() == 201)
+  }
+
+  test("query cancel and registry listing are admin-only") {
+    val a = fixture("a")
+    assert(req("POST", "/api/v1/query/12345/cancel", Some(a)).statusCode() == 403)
+    assert(req("GET", "/api/v1/queries", Some(a)).statusCode() == 403)
+    assert(req("GET", "/api/v1/queries", Root).statusCode() == 200)
+  }
+
   test("writes: scoped writer 204 in its database, 403 elsewhere; readers cannot write") {
     val w = fixture("w"); val a = fixture("a")
     val lp = "cpu,host=b usage=2 1700000001000000000".getBytes(UTF_8)

@@ -116,6 +116,23 @@ class GovernanceAuditSpec extends SparkSpec {
     } finally req("DELETE", s"/api/v1/governance/policies/$id", Root)
   }
 
+  test("partial policy PUT merges over the existing caps (no silent wipe)") {
+    val (_, id) = fixture
+    assert(req("PUT", s"/api/v1/governance/policies/$id", Root,
+      jb("max_rows_per_query" -> 5, "max_queries_per_day" -> 500))
+      .statusCode() == 200)
+    try {
+      // adding a rate limit must not reset the other caps to unlimited
+      assert(req("PUT", s"/api/v1/governance/policies/$id", Root,
+        jb("rate_limit_per_minute" -> 100)).statusCode() == 200)
+      val p = jsonOf(req("GET", s"/api/v1/governance/policies/$id", Root))
+        .get("policy")
+      assert(p.get("rate_limit_per_minute").asInt() == 100)
+      assert(p.get("max_rows_per_query").asInt() == 5, p.toString)
+      assert(p.get("max_queries_per_day").asInt() == 500, p.toString)
+    } finally req("DELETE", s"/api/v1/governance/policies/$id", Root)
+  }
+
   test("query quota enforced and visible in usage") {
     val (tok, id) = fixture
     assert(req("PUT", s"/api/v1/governance/policies/$id", Root,
