@@ -707,19 +707,24 @@ object TimeseriesQueries {
           Seq("event_type"), "ad",
           Seq("mad" -> (n => GroupQuantile.rank(n, 2L))))
         .select(col("event_type"), col("mad"))
-      val params = med.join(mad, "event_type")
+      // per-series (n, med, h) is a 5-row frame: ship it IN the fold
+      // closure instead of joining it onto the event stream — the
+      // groupByKey shuffle then carries 4 columns, not 7 (same move as
+      // the query-side broadcast collects elsewhere; bounded by the
+      // series count, never the corpus)
+      val params: Map[String, (Long, Long, Long)] = med.join(mad, "event_type")
         .withColumn("h", greatest(lit(4L) * col("mad"), lit(1L)))
         .select(col("event_type"), col("n"), col("med"), col("h"))
-      val folded = ev.join(broadcast(params), "event_type")
-        .select(col("event_type"), col("tt"), col("event_id"), col("c"),
-          col("n"), col("med"), col("h"))
-        .as[(String, Long, Long, Long, Long, Long, Long)]
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val folded = ev
+        .select(col("event_type"), col("tt"), col("event_id"), col("c"))
+        .as[(String, Long, Long, Long)]
         .groupByKey(_._1)
         .flatMapSortedGroups(col("tt"), col("event_id")) { (et, it) =>
+          val (n, med, h) = params(et)
           var sp = 0L; var sm = 0L; var nh = 0L; var nl = 0L
-          var n = 0L; var med = 0L; var h = 0L
-          it.foreach { case (_, _, _, c, rn, rmed, rh) =>
-            n = rn; med = rmed; h = rh
+          it.foreach { case (_, _, _, c) =>
             val spn = math.max(0L, sp + (c - med))
             val smn = math.max(0L, sm + (med - c))
             if (spn > h) { nh += 1; sp = 0L } else sp = spn

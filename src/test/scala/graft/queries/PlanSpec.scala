@@ -553,14 +553,14 @@ class PlanSpec extends SparkSpec {
 
   test("cusum chart streams each series through a sorted-group fold") {
     val plan = explained("q144_cusum_alerts")
-    // med/MAD/h are a per-series frame: they broadcast into the event
-    // stream (shuffling the corpus to meet a 5-row frame is the
-    // anti-pattern), and the fold itself is MapGroups over the keyed
+    // med/MAD/h are a 5-row per-series map riding the fold CLOSURE
+    // (collected, never joined — the event stream shuffles only its 4
+    // fold columns), and the fold itself is MapGroups over the keyed
     // secondary sort — O(1) state, no per-series array, no collect_list
-    assert(count(plan, "BroadcastHashJoin") >= 1,
-      s"series params must broadcast into the event stream:\n$plan")
     assert(plan.contains("MapGroups"),
       s"fold must stream via flatMapSortedGroups:\n$plan")
+    assert(!plan.contains("Join"),
+      s"params ride the closure; no join belongs in the fold plan:\n$plan")
     assert(!plan.contains("collect_list"), plan)
   }
 
