@@ -14,7 +14,9 @@ object ProfileQ144 {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (q <- Seq("q128_robust_outliers", "q141_winsorize", "q144_cusum_alerts")) {
+    val qs = sys.env.get("PROF_QUERIES").map(_.split(",").toSeq)
+      .getOrElse(Seq("q128_robust_outliers", "q141_winsorize", "q144_cusum_alerts"))
+    for (q <- qs) {
       val fn = graft.SparkEntry.queries(q)
       fn(spark, dir).count() // warm
       val ts = (1 to 5).map { _ =>

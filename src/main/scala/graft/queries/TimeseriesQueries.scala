@@ -254,23 +254,25 @@ object TimeseriesQueries {
           col("n"), col("sum_value"))
         .orderBy(col("event_type"), col("ws"))),
 
-    // exact per-bucket quantiles by SELECTION (nearest-rank p50/p95 on
-    // the sorted bucket), so doubles match the oracle bit-for-bit —
-    // the exact complement of q34's sketches. Rank indexes in pure
-    // integer math ((n*95+99) div 100): a double 0.95*n flips ceil() at
-    // representation boundaries. The bucket materializes per group
-    // (sort_array over collect_list) — bounded by samples-per-(series,
-    // day), the natural bound of time-bucketed telemetry; unbounded
-    // groups take the q34 sketch path instead.
-    "q123_bucket_quantiles" -> ((s, dir) =>
-      t(s, dir, "events")
-        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
-        .agg(sort_array(collect_list(col("value"))).as("vs"),
-          count(lit(1)).as("n"))
-        .select(col("event_type"), col("day"), col("n"),
-          element_at(col("vs"), expr("cast((n + 1) div 2 as int)")).as("p50"),
-          element_at(col("vs"), expr("cast((n * 95 + 99) div 100 as int)")).as("p95"))
-        .orderBy(col("event_type"), col("day"))),
+    // exact per-bucket quantiles by SELECTION (nearest-rank p50/p95),
+    // so doubles match the oracle bit-for-bit — the exact complement of
+    // q34's sketches. Rank indexes in pure integer math
+    // ((n*95+99) div 100): a double 0.95*n flips ceil() at
+    // representation boundaries. Selection runs on GroupQuantile's
+    // spillable shuffle-sort ranks — no per-(series, day) value array,
+    // so even a pathological hot bucket spills instead of OOMing.
+    "q123_bucket_quantiles" -> ((s, dir) => {
+      import graft.operators.GroupQuantile
+      val byDay = t(s, dir, "events")
+        .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+          col("value"))
+      GroupQuantile.selectRanks(byDay, Seq("event_type", "day"), "value",
+        Seq(
+          "p50" -> (n => GroupQuantile.rank(n, 2L)),
+          "p95" -> (n => GroupQuantile.idiv(n * lit(95L) + lit(99L), lit(100L)))))
+        .select(col("event_type"), col("day"), col("n"), col("p50"), col("p95"))
+        .orderBy(col("event_type"), col("day"))
+    }),
 
     // gapfill by LINEAR INTERPOLATION (q27 is the LOCF sibling): hourly
     // integer-cent means on a per-type spine; missing buckets fill with
@@ -823,13 +825,16 @@ object TimeseriesQueries {
         .unionAll(f.where(col("t3").isNotNull)
           .select(lit("click>purchase").as("stage"),
             expr("(unix_micros(t3) - unix_micros(t2)) div 1000000").as("lat_s")))
-      stages.groupBy(col("stage"))
-        .agg(sort_array(collect_list(col("lat_s"))).as("vs"),
-          count(lit(1)).as("n"))
-        .select(col("stage"), col("n"),
-          element_at(col("vs"), expr("cast((n + 3) div 4 as int)")).as("p25_s"),
-          element_at(col("vs"), expr("cast((n + 1) div 2 as int)")).as("p50_s"),
-          element_at(col("vs"), expr("cast((3 * n + 3) div 4 as int)")).as("p75_s"))
+      // per-stage latency lists are one entry PER CONVERTING USER — a
+      // corpus-sized group at scale, so the quartiles take GroupQuantile's
+      // spillable shuffle-sort ranks, not a collect_list buffer
+      graft.operators.GroupQuantile.selectRanks(stages, Seq("stage"), "lat_s",
+        Seq(
+          "p25_s" -> (n => graft.operators.GroupQuantile.rank(n, 4L)),
+          "p50_s" -> (n => graft.operators.GroupQuantile.rank(n, 2L)),
+          "p75_s" -> (n => graft.operators.GroupQuantile.idiv(
+            lit(3L) * n + lit(3L), lit(4L)))))
+        .select(col("stage"), col("n"), col("p25_s"), col("p50_s"), col("p75_s"))
         .orderBy(col("stage"))
     }),
 

@@ -386,11 +386,16 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_"), s"bucket agg must partial:\n$plan")
   }
 
-  test("exact bucket quantiles aggregate once, no window, no join") {
+  test("exact bucket quantiles rank-select on a KEYED window (no global sort, no join)") {
     val plan = explained("q123_bucket_quantiles")
-    assert(!plan.contains("Window") && !plan.contains("Join"), plan)
-    assert(count(plan, "+- ShuffleQueryStage") <= 2,
-      s"quantiles = one agg shuffle + output sort:\n$plan")
+    // GroupQuantile small path: row_number + count over the (series, day)
+    // key — the window must be PARTITIONED (an empty PARTITION BY is the
+    // single-task global sort this rewrite exists to avoid)
+    val winLine = plan.linesIterator
+      .find(_.contains("windowspecdefinition")).getOrElse("")
+    assert(winLine.contains("windowspecdefinition(event_type"),
+      s"quantile window must partition by the group key:\n$winLine")
+    assert(!plan.contains("Join") && !plan.contains("collect_list"), plan)
   }
 
   test("lttb co-locates each series with exactly one repartition") {
@@ -519,11 +524,15 @@ class PlanSpec extends SparkSpec {
       s"top-k paths must not globally sort:\n$plan")
   }
 
-  test("funnel latency folds per user then aggregates 2 stages (no join chain)") {
+  test("funnel latency folds per user then rank-selects 2 stages (no join chain)") {
     val plan = explained("q147_funnel_latency")
     assert(!plan.contains("Join"),
       s"latencies come from q93's fold, not a join chain:\n$plan")
-    assert(!plan.contains("Window"), plan)
+    // the stage quartiles ride GroupQuantile's keyed window
+    val winLine = plan.linesIterator
+      .find(_.contains("windowspecdefinition")).getOrElse("")
+    assert(winLine.contains("windowspecdefinition(stage"),
+      s"stage quantile window must partition by stage:\n$winLine")
   }
 
   test("phrase search probes posting lists (filter below the adjacency joins)") {
@@ -761,10 +770,16 @@ class PlanSpec extends SparkSpec {
     // — a collect_list aggregation buffer never spills, so a hot series
     // at 100 TB is an executor OOM, not a slowdown (VERDICT r8 #1)
     for (q <- Seq("q128_robust_outliers", "q141_winsorize",
-        "q144_cusum_alerts")) {
+        "q144_cusum_alerts", "q123_bucket_quantiles")) {
       val plan = explained(q)
       assert(!plan.contains("collect_list"),
         s"$q must not materialize per-group value arrays:\n$plan")
     }
+    // q147 keeps its per-USER fold list (user-bounded) but the per-STAGE
+    // latency quartiles — one entry per converting user, corpus-sized —
+    // must come from rank selection, not a collected array
+    val funnel = explained("q147_funnel_latency")
+    assert(!funnel.contains("collect_list(lat_s"),
+      s"q147 stage quartiles must not collect the latency column:\n$funnel")
   }
 }
