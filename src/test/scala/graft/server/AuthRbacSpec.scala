@@ -129,6 +129,14 @@ class AuthRbacSpec extends SparkSpec {
     assert(jsonOf(rb).get("error").asText()
       .contains("no read permission for db1.cpu"))
     assert(query(b, "db2", "SELECT count(*) AS n FROM cpu").statusCode() == 200)
+    // the RBAC gate sits above the wire-format fork: arrow and msgpack
+    // deny identically
+    assert(req("POST", "/api/v1/query/arrow", Some(b),
+      sqlBody("SELECT count(*) AS n FROM cpu"),
+      Map("x-arc-database" -> "db1")).statusCode() == 403)
+    assert(req("POST", "/api/v1/query/msgpack", Some(b),
+      sqlBody("SELECT count(*) AS n FROM cpu"),
+      Map("x-arc-database" -> "db1")).statusCode() == 403)
   }
 
   test("measurement-scoped role: cpu readable, mem denied, join denied") {

@@ -189,6 +189,17 @@ class GovernanceAuditSpec extends SparkSpec {
     assert(!events.exists(e => e.get("method").asText() == "GET"))
   }
 
+  test("governance policies persist across instances") {
+    val (_, id) = fixture
+    assert(req("PUT", s"/api/v1/governance/policies/$id", Root,
+      jb("max_rows_per_query" -> 7)).statusCode() == 200)
+    try {
+      val g2 = new Governance(root, spark.sparkContext.hadoopConfiguration)
+      assert(g2.get(id).exists(_.maxRowsPerQuery == 7),
+        "a fresh instance must load the persisted policy")
+    } finally req("DELETE", s"/api/v1/governance/policies/$id", Root)
+  }
+
   test("audit segments age out past the retention window") {
     val aroot = tmpDir("graft_audit_ret")
     val audit = new Audit(aroot, spark.sparkContext.hadoopConfiguration)
