@@ -12,6 +12,33 @@ import org.apache.spark.sql.functions._
 object TextQueries {
 
   val queries: Map[String, Q] = Map(
+    // corpus length-distribution report: exact nearest-rank
+    // P50/P90/P99/P99.9 of per-document token counts + total/mean — the
+    // "what sequence length fits this corpus" one-pager every training
+    // pipeline opens with (truncation rate at a context length reads
+    // straight off the tail percentiles). GLOBAL quantiles are the
+    // degenerate one-group case of GroupQuantile: past the cutover the
+    // GlobalRank path range-partitions the single hot group across the
+    // cluster — the shape a corpus-sized ORDER BY needs — and selection
+    // stays exact (no approx-percentile sketch ambiguity in the oracle).
+    "q172_length_quantiles" -> ((s, dir) => {
+      import graft.operators.GroupQuantile
+      val d = t(s, dir, "documents")
+        .select(lit(1).as("g"),
+          size(tokens(col("text"))).cast("long").as("n_toks"))
+      val totals = d.agg(sum(col("n_toks")).as("total_tokens"))
+      GroupQuantile.selectRanks(d, Seq("g"), "n_toks", Seq(
+          "p50" -> (n => GroupQuantile.rank(n, 2L)),
+          "p90" -> (n => GroupQuantile.idiv(n * lit(90L) + lit(99L), lit(100L))),
+          "p99" -> (n => GroupQuantile.idiv(n * lit(99L) + lit(99L), lit(100L))),
+          "p999" -> (n => GroupQuantile.idiv(n * lit(999L) + lit(999L), lit(1000L)))),
+        nCol = "n_docs")
+        .crossJoin(broadcast(totals))
+        .select(col("n_docs"), col("p50"), col("p90"), col("p99"),
+          col("p999"), col("total_tokens"),
+          round6(col("total_tokens"), col("n_docs")).as("mean_toks"))
+    }),
+
     // token statistics per document
     "q60_text_tokens" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -695,6 +722,21 @@ object TextQueries {
 """.stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q172_length_quantiles" ->
+      s"""WITH d AS (SELECT CAST(len(string_split_regex(trim(text), '\\s+'))
+         |    AS BIGINT) AS n_toks FROM documents),
+         |r AS (SELECT n_toks, row_number() OVER (ORDER BY n_toks) AS rn,
+         |    CAST(count(*) OVER () AS BIGINT) AS n FROM d),
+         |tot AS (SELECT CAST(SUM(n_toks) AS BIGINT) AS total_tokens FROM d)
+         |SELECT max(n) AS n_docs,
+         |  CAST(max(CASE WHEN rn = (n + 1) // 2 THEN n_toks END) AS BIGINT) AS p50,
+         |  CAST(max(CASE WHEN rn = (n * 90 + 99) // 100 THEN n_toks END) AS BIGINT) AS p90,
+         |  CAST(max(CASE WHEN rn = (n * 99 + 99) // 100 THEN n_toks END) AS BIGINT) AS p99,
+         |  CAST(max(CASE WHEN rn = (n * 999 + 999) // 1000 THEN n_toks END) AS BIGINT) AS p999,
+         |  max(total_tokens) AS total_tokens,
+         |  ${oRound6("max(total_tokens)", "max(n)")} AS mean_toks
+         |FROM r, tot""".stripMargin,
+
     "q170_freq_spectrum" ->
       s"""WITH tk AS (SELECT unnest(string_split_regex(trim(text), '\\s+'))
          |    AS tok FROM documents),

@@ -770,7 +770,8 @@ class PlanSpec extends SparkSpec {
     // — a collect_list aggregation buffer never spills, so a hot series
     // at 100 TB is an executor OOM, not a slowdown (VERDICT r8 #1)
     for (q <- Seq("q128_robust_outliers", "q141_winsorize",
-        "q144_cusum_alerts", "q123_bucket_quantiles")) {
+        "q144_cusum_alerts", "q123_bucket_quantiles",
+        "q172_length_quantiles")) {
       val plan = explained(q)
       assert(!plan.contains("collect_list"),
         s"$q must not materialize per-group value arrays:\n$plan")
