@@ -1326,6 +1326,10 @@ final class HttpServer(
     else if (path == "/write" || path == "/api/v2/write") Some("write")
     else if (path.startsWith("/api/v1/import/") && path != "/api/v1/import/stats")
       Some("write")
+    // the log ring exposes internals — admin-gated like the reference
+    // (server.go:203 withAdminAuth; its note: deliberately not a
+    // default-open route)
+    else if (path == "/api/v1/logs") Some("admin")
     else if (path == "/api/v1/databases" && method == "POST") Some("admin")
     else if (path.startsWith("/api/v1/databases/") && method == "DELETE")
       Some("admin")

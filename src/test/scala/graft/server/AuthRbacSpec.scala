@@ -205,11 +205,13 @@ class AuthRbacSpec extends SparkSpec {
     assert(r.statusCode() == 201)
   }
 
-  test("query cancel and registry listing are admin-only") {
+  test("query cancel, registry listing, and the log ring are admin-only") {
     val a = fixture("a")
     assert(req("POST", "/api/v1/query/12345/cancel", Some(a)).statusCode() == 403)
     assert(req("GET", "/api/v1/queries", Some(a)).statusCode() == 403)
     assert(req("GET", "/api/v1/queries", Root).statusCode() == 200)
+    assert(req("GET", "/api/v1/logs", Some(a)).statusCode() == 403)
+    assert(req("GET", "/api/v1/logs", Root).statusCode() == 200)
   }
 
   test("writes: scoped writer 204 in its database, 403 elsewhere; readers cannot write") {
