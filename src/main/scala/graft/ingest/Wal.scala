@@ -167,12 +167,25 @@ object Wal {
   * unit-normalized timestamps and the tag-column set — instead of
   * re-running a source decoder whose parameters (LP precision, TLE
   * measurement header) lived only in the original HTTP request. The
-  * leading magic 0xC1 is the one byte the MessagePack spec reserves as
-  * never-used, and is not printable ASCII, so framed bodies can never
-  * be mistaken for a raw msgpack or Line Protocol payload. */
+  * leading magic is in MessagePack's never-used range (0xC1) and not
+  * printable ASCII, so framed bodies can never be mistaken for a raw
+  * msgpack or Line Protocol payload.
+  *
+  * The magic byte doubles as the codec version: 0xC1 frames carry
+  * writeUTF string values (the original framing, capped at 64 KiB per
+  * string), 0xC2 frames carry int-length raw-UTF-8 string values.
+  * Encode always writes the current version; decode accepts both, so a
+  * WAL written before the framing change replays cleanly after an
+  * upgrade instead of misparsing mid-constructor and stranding
+  * acknowledged rows. */
 object BatchCodec {
 
-  val Magic: Byte = 0xC1.toByte
+  /** Version-1 magic: string values framed with writeUTF. */
+  val MagicV1: Byte = 0xC1.toByte
+  /** Current magic: string values framed as int length + raw UTF-8. */
+  val Magic: Byte = 0xC2.toByte
+
+  def isFrame(b: Byte): Boolean = b == Magic || b == MagicV1
 
   private val TNull = 0; private val TLong = 1; private val TDouble = 2
   private val TString = 3; private val TBool = 4
@@ -228,7 +241,9 @@ object BatchCodec {
 
   def decode(body: Array[Byte]): Seq[ColumnarBatch] = {
     val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(body))
-    require(in.readByte() == Magic, "not a BatchCodec frame")
+    val magic = in.readByte()
+    require(isFrame(magic), "not a BatchCodec frame")
+    val v1 = magic == MagicV1
     (0 until in.readInt()).map { _ =>
       val m = in.readUTF()
       val dedup = in.readBoolean()
@@ -243,7 +258,7 @@ object BatchCodec {
             case 0 => null
             case 1 => in.readLong(): java.lang.Long
             case 2 => in.readDouble(): java.lang.Double
-            case 3 => readStr(in)
+            case 3 => if (v1) in.readUTF() else readStr(in)
             case 4 => in.readBoolean(): java.lang.Boolean
           }
         }
@@ -289,7 +304,7 @@ final class DurableIngester(catalog: GraftCatalog, walDir: File,
   private var bufferedRows = 0
 
   private def decodeBody(body: Array[Byte]): Seq[ColumnarBatch] =
-    if (body.nonEmpty && body(0) == BatchCodec.Magic) BatchCodec.decode(body)
+    if (body.nonEmpty && BatchCodec.isFrame(body(0))) BatchCodec.decode(body)
     else try MsgPack.decodePayload(body)
     catch {
       case _: Exception =>

@@ -57,11 +57,19 @@ object GroupQuantile {
     } else {
       val stamped = GlobalRank.withRowNumber(df, g :+ col(valueCol), "_grn")
       // one row per group; AQE broadcasts it when it is small (it is,
-      // by the op's contract — the final report is per-group too)
+      // by the op's contract — the final report is per-group too).
+      // Null-safe join keys (<=>): a plain equi-join would DROP rows
+      // whose group key is null while the window shape above keeps
+      // them — results must not diverge by input size.
       val offs = stamped.groupBy(g: _*)
         .agg(min(col("_grn")).as("_off"), count(lit(1)).as(nCol))
-      stamped.join(offs, groupCols)
+      val offsR = offs.select(
+        (groupCols.map(c => col(c).as(s"_r_$c")) :+
+          col("_off") :+ col(nCol)): _*)
+      val cond = groupCols.map(c => col(c) <=> col(s"_r_$c")).reduce(_ && _)
+      stamped.join(offsR, cond)
         .withColumn(rnkCol, col("_grn") - col("_off") + lit(1L))
+        .drop(groupCols.map(c => s"_r_$c"): _*)
         .drop("_grn", "_off")
     }
   }

@@ -724,7 +724,14 @@ object TimeseriesQueries {
         .as[(String, Long, Long, Long)]
         .groupByKey(_._1)
         .flatMapSortedGroups(col("tt"), col("event_id")) { (et, it) =>
-          val (n, med, h) = params(et)
+          // params.get, not apply: a null/unseen event_type group (the
+          // collected params frame came through an equi-join that drops
+          // null keys) must skip, not throw NoSuchElementException
+          // inside the task
+          params.get(et) match {
+            case None => Iterator.empty
+            case Some((n, med, h)) =>
+
           var sp = 0L; var sm = 0L; var nh = 0L; var nl = 0L
           it.foreach { case (_, _, _, c) =>
             val spn = math.max(0L, sp + (c - med))
@@ -733,6 +740,7 @@ object TimeseriesQueries {
             if (smn > h) { nl += 1; sm = 0L } else sm = smn
           }
           Iterator((et, n, med, h, nh, nl))
+          }
         }
         .toDF("event_type", "n", "med", "h", "n_alarms_hi", "n_alarms_lo")
       folded.select(col("event_type"), col("n"),

@@ -197,7 +197,12 @@ final class AuthStore(root: String, hconf: Configuration) {
         description = description.getOrElse(t.description),
         permissions = permissions.getOrElse(t.permissions),
         enabled = enabled.getOrElse(t.enabled))
-      persist(nt, hashOf(id).getOrElse(""))
+      // fail loudly if the byHash index has no entry for this id: a
+      // silent getOrElse("") would persist an empty token_hash and
+      // permanently brick the credential on the next restart
+      val hash = hashOf(id).getOrElse(throw new IllegalStateException(
+        s"token $id has no hash index entry; refusing to persist an empty token_hash"))
+      persist(nt, hash)
       byId(id) = nt
       nt
     }

@@ -419,21 +419,27 @@ final class HttpServer(
         (System.nanoTime() - t0) / 1000L)
       // audit off the response path: record is an O(1) enqueue, the
       // flush drains whatever accumulated (batching under load, like
-      // the reference's channel + writerLoop)
-      audit.record(method, path, math.max(ex.getResponseCode, 0),
-        (System.nanoTime() - t0) / 1000000L,
-        actor = tokenOf(ex).map(_.name).getOrElse("anonymous"),
-        database = Option(ex.getRequestHeaders.getFirst("x-arc-database"))
-          .orElse(queryParams(ex).get("db"))
-          .orElse(queryParams(ex).get("database")).getOrElse(""),
-        measurement =
-          Option(ex.getRequestHeaders.getFirst("x-arc-measurement"))
-            .getOrElse(path match {
-              case MeasQueryPath(m) => m
-              case _ => ""
-            }))
-      try audit.flush() catch { case _: Throwable => () }
-      currentToken.remove()
+      // the reference's channel + writerLoop). The record call is
+      // guarded on its own: queryParams throws on malformed
+      // percent-encoding ('?db=%zz'), and an escape here would skip
+      // flush() AND leak this request's identity in the pool thread's
+      // ThreadLocal, mis-attributing a later request on the thread.
+      try {
+        audit.record(method, path, math.max(ex.getResponseCode, 0),
+          (System.nanoTime() - t0) / 1000000L,
+          actor = tokenOf(ex).map(_.name).getOrElse("anonymous"),
+          database = Option(ex.getRequestHeaders.getFirst("x-arc-database"))
+            .orElse(queryParams(ex).get("db"))
+            .orElse(queryParams(ex).get("database")).getOrElse(""),
+          measurement =
+            Option(ex.getRequestHeaders.getFirst("x-arc-measurement"))
+              .getOrElse(path match {
+                case MeasQueryPath(m) => m
+                case _ => ""
+              }))
+        audit.flush()
+      } catch { case _: Throwable => ()
+      } finally currentToken.remove()
     }
   }
 
@@ -564,10 +570,13 @@ final class HttpServer(
     // per-table RBAC batch check over the PARSED plan's relations
     // (reference: query.go:1545 checkQueryPermissions before execution;
     // unparsable SQL yields zero refs here and fails with 400 in submit)
-    val refs =
-      try facade.tableReferences(sess, sql).map { ident =>
-        if (ident.length >= 2) (ident.head, ident.last) else (db, ident.head)
-      } catch { case _: Throwable => Nil }
+    val refs = tableRefsFor(ex, sess, sql, db) match {
+      case Some(r) => r
+      case None => // extraction failed for a scoped caller: fail CLOSED
+        mQueryErrors.incrementAndGet()
+        sendJson(ex, 400, err("could not resolve table references for permission check", ts))
+        return
+    }
     if (!checkResource(ex, refs, "read")) {
       mQueryErrors.incrementAndGet(); return
     }
@@ -694,10 +703,12 @@ final class HttpServer(
       facade.requireReadOnly(sessionFor(db)._1, sql)
     } catch { case e: Throwable => fail(403, e); return }
     // same per-table RBAC gate as /api/v1/query (reference query.go:3656)
-    val refs =
-      try facade.tableReferences(sessionFor(db)._1, sql).map { ident =>
-        if (ident.length >= 2) (ident.head, ident.last) else (db, ident.head)
-      } catch { case _: Throwable => Nil }
+    val refs = tableRefsFor(ex, sessionFor(db)._1, sql, db) match {
+      case Some(r) => r
+      case None =>
+        fail(400, new IllegalArgumentException(
+          "could not resolve table references for permission check")); return
+    }
     if (!checkResource(ex, refs, "read")) return
     try withSession(sessionFor(db)._1) {
       // one warning ladder, owned by the facade (query.go:3725-3740)
@@ -1344,6 +1355,26 @@ final class HttpServer(
     else None // /api/v1/auth + /api/v1/rbac gate themselves (AuthApi)
   }
 
+  /** Table refs for the per-table RBAC gate. Fails CLOSED for scoped
+    * callers: when extraction throws (StackOverflowError on a
+    * pathological expression tree, a future walker bug) and the caller
+    * actually has enabled RBAC memberships, returns None — the handler
+    * must 400 — instead of silently skipping the per-table check, which
+    * would let an RBAC-only token read any database its coarse route
+    * gate allows. Tokenless (auth off) and OSS-only tokens fall back to
+    * Nil: their enforcement IS the coarse gate, so there is nothing to
+    * bypass. */
+  private def tableRefsFor(ex: HttpExchange,
+      sess: org.apache.spark.sql.SparkSession, sql: String,
+      db: String): Option[Seq[(String, String)]] =
+    try Some(facade.tableReferences(sess, sql).map { ident =>
+      if (ident.length >= 2) (ident.head, ident.last) else (db, ident.head)
+    }) catch { case _: Throwable =>
+      val scoped = rbac.enabled &&
+        tokenOf(ex).exists(t => rbac.tokenTeams(t.id).exists(_.enabled))
+      if (scoped) None else Some(Nil)
+    }
+
   /** Per-resource RBAC gate shared by the read/write handlers. Sends the
     * 403 envelope and returns false on denial (reference:
     * query.go:1545-1548 / permissions.go CheckWritePermissions). */
@@ -1411,13 +1442,17 @@ final class HttpServer(
   private def headerDb(ex: HttpExchange): String =
     headerDbOpt(ex).getOrElse("default")
 
+  /** Pairs with malformed percent-encoding ('?db=%zz') are dropped
+    * rather than thrown: this runs in the route finally block for audit
+    * attribution, where an escape would drop the audit record. */
   private[server] def queryParams(ex: HttpExchange): Map[String, String] =
     Option(ex.getRequestURI.getRawQuery).getOrElse("").split('&')
       .filter(_.contains('='))
-      .map { kv =>
+      .flatMap { kv =>
         val i = kv.indexOf('=')
-        java.net.URLDecoder.decode(kv.substring(0, i), "UTF-8") ->
-          java.net.URLDecoder.decode(kv.substring(i + 1), "UTF-8")
+        try Some(java.net.URLDecoder.decode(kv.substring(0, i), "UTF-8") ->
+          java.net.URLDecoder.decode(kv.substring(i + 1), "UTF-8"))
+        catch { case _: IllegalArgumentException => None }
       }.toMap
 
   private[server] val mapper = new com.fasterxml.jackson.databind.ObjectMapper()

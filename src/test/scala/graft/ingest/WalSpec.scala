@@ -120,4 +120,32 @@ class WalSpec extends SparkSpec {
     assert(decoded.head.columns("s")(0) == big)
     assert(decoded.head.columns("u")(0) == multi)
   }
+
+  test("BatchCodec decodes version-1 (writeUTF) frames from a pre-upgrade WAL") {
+    // r9 advice: the string-framing change bumped the magic to 0xC2; a
+    // segment written by the previous build (0xC1, writeUTF values)
+    // must still replay instead of failing server startup mid-upgrade.
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeByte(BatchCodec.MagicV1)
+    out.writeInt(1) // one batch
+    out.writeUTF("m1"); out.writeBoolean(true)
+    out.writeInt(1); out.writeUTF("host") // one tag column
+    out.writeInt(2); out.writeInt(2)      // two cols, two rows
+    out.writeUTF("time")
+    out.writeByte(1); out.writeLong(base)
+    out.writeByte(1); out.writeLong(base + 1)
+    out.writeUTF("s")
+    out.writeByte(3); out.writeUTF("old-frame")
+    out.writeByte(0) // null
+    out.flush()
+    val decoded = BatchCodec.decode(bos.toByteArray)
+    assert(decoded.length == 1)
+    val b = decoded.head
+    assert(b.measurement == "m1" && b.dedupTime && b.tagColumns == Seq("host"))
+    assert(b.columns("s")(0) == "old-frame" && b.columns("s")(1) == null)
+    assert(b.columns("time")(0) == java.lang.Long.valueOf(base))
+    // and the current encoder stamps the new magic
+    assert(BatchCodec.encode(decoded)(0) == BatchCodec.Magic)
+  }
 }

@@ -65,4 +65,23 @@ class GroupQuantileSpec extends SparkSpec {
       assert(r.getLong(1) == 8L && r.getLong(2) == 4L)
     }
   }
+
+  test("null group keys survive BOTH shapes identically (r9 advice)") {
+    // the large-input shape joins stamped rows back to per-group
+    // offsets; a plain equi-join silently drops the null group, making
+    // results diverge by input size — the null-safe join must not
+    val df = Seq(
+      (Option("a"), 5L), (Option("a"), 1L), (Option("a"), 9L),
+      (Option.empty[String], 10L), (Option.empty[String], 30L),
+      (Option.empty[String], 20L)).toDF("g", "v")
+    val shapes = Seq(0L, GlobalRank.WindowCutoverBytes).map { cut =>
+      GroupQuantile.selectRanks(df, Seq("g"), "v", medPick, cutoverBytes = cut)
+        .collect().map(r =>
+          (Option(r.getString(0)), r.getLong(1), r.getLong(2))).toSet
+    }
+    assert(shapes.head == shapes.last)
+    assert(shapes.head == Set(
+      (Some("a"), 3L, 5L), (None, 3L, 20L)),
+      "null group must keep its median in both shapes")
+  }
 }
