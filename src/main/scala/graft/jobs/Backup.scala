@@ -194,7 +194,8 @@ object Backup {
     * files at the same relative paths are overwritten (restore.go
     * restoreDataFiles); files the backup doesn't know are left alone. */
   def restore(catalog: GraftCatalog, backupRoot: String, backupId: String,
-      restoreData: Boolean = true, restoreMetadata: Boolean = true): Result = {
+      restoreData: Boolean = true, restoreMetadata: Boolean = true,
+      restoreIceberg: Boolean = true): Result = {
     val conf = catalog.spark.sparkContext.hadoopConfiguration
     val src = new Path(backupRoot, backupId)
     val fs = fsOf(src, conf)
@@ -204,10 +205,13 @@ object Backup {
     val entries = listFilesRec(conf, filesRoot, _ => true).map(_._1)
       .map(p => (p, relOf(filesRoot.toString, p)))
       .filter { case (_, rel) =>
-        val isAdmin = rel.startsWith("_admin/")
-        val isIceberg = rel.startsWith("_iceberg/")
-        (restoreData && !isAdmin) || (restoreMetadata && isAdmin) ||
-          (restoreData && isIceberg)
+        // three disjoint trees, each under its own flag: the exported
+        // Iceberg catalog (`_iceberg/`) is metadata a restored table
+        // needs to resolve snapshots (RELEASE_NOTES_2026.09.1), so it
+        // must be restorable WITHOUT also copying the data tree back
+        if (rel.startsWith("_admin/")) restoreMetadata
+        else if (rel.startsWith("_iceberg/")) restoreIceberg
+        else restoreData
       }
     val copied = copyAll(catalog, entries, catalog.root)
     val manifest = {

@@ -44,6 +44,27 @@ final class QueryFacade(spark: SparkSession) {
   private val recentSlow =
     new java.util.concurrent.ConcurrentLinkedDeque[QueryFacade.SlowQuery]()
 
+  // completed/failed/cancelled queries, newest last (reference
+  // queryregistry/registry.go:55 ring buffer, default size 100)
+  private val history =
+    new java.util.concurrent.ConcurrentLinkedDeque[QueryFacade.HistoryEntry]()
+  private def addHistory(e: QueryFacade.HistoryEntry): Unit = {
+    history.addLast(e)
+    while (history.size() > QueryFacade.HistoryCap) history.pollFirst()
+  }
+
+  /** Most recent finished queries, NEWEST FIRST like the reference's
+    * GetHistory (registry.go:211), capped at `limit`. */
+  def recentHistory(limit: Int): Seq[QueryFacade.HistoryEntry] = {
+    val it = history.descendingIterator()
+    val b = Seq.newBuilder[QueryFacade.HistoryEntry]
+    var n = 0
+    while (it.hasNext && n < limit) { b += it.next(); n += 1 }
+    b.result()
+  }
+
+  def historyLen: Int = history.size()
+
   def sql(q: String): DataFrame = spark.sql(q)
 
   /** SHOW DATABASES / SHOW TABLES [FROM db] intercepted as storage
@@ -209,7 +230,11 @@ final class QueryFacade(spark: SparkSession) {
     try (id, run(q))
     catch {
       case e: Throwable =>
-        active.remove(id)
+        active.remove(id).foreach { case (_, sql, t0) =>
+          addHistory(QueryFacade.HistoryEntry(id, sql, "failed",
+            System.currentTimeMillis(), (System.nanoTime() - t0) / 1e6,
+            rows = -1L, error = Option(e.getMessage).getOrElse(e.toString)))
+        }
         spark.sparkContext.clearJobGroup()
         throw e
     }
@@ -217,7 +242,12 @@ final class QueryFacade(spark: SparkSession) {
 
   def cancel(id: Long): Boolean =
     active.remove(id) match {
-      case Some((group, _, _)) => spark.sparkContext.cancelJobGroup(group); true
+      case Some((group, sql, t0)) =>
+        spark.sparkContext.cancelJobGroup(group)
+        addHistory(QueryFacade.HistoryEntry(id, sql, "cancelled",
+          System.currentTimeMillis(), (System.nanoTime() - t0) / 1e6,
+          rows = -1L, error = ""))
+        true
       case None => false
     }
 
@@ -226,6 +256,8 @@ final class QueryFacade(spark: SparkSession) {
   def complete(id: Long, rows: Long = -1L): Unit = {
     active.remove(id).foreach { case (_, sql, t0) =>
       val ms = (System.nanoTime() - t0) / 1e6
+      addHistory(QueryFacade.HistoryEntry(id, sql, "completed",
+        System.currentTimeMillis(), ms, rows, error = ""))
       val thr = slowQueryThresholdMs
       if (thr > 0 && ms >= thr) {
         slowTotal.incrementAndGet()
@@ -428,6 +460,14 @@ object QueryFacade {
   /** One slow-query record: the reference logs sql, execution time and
     * row count (rows = -1 when the caller never counted them). */
   final case class SlowQuery(sql: String, ms: Double, rows: Long, atMillis: Long)
+
+  /** One finished query in the history ring (reference TrackedQuery,
+    * queryregistry/registry.go:24 — the post-completion fields). */
+  final case class HistoryEntry(id: Long, sql: String, status: String,
+    endMillis: Long, durationMs: Double, rows: Long, error: String)
+
+  /** History ring capacity (reference RegistryConfig default 100). */
+  val HistoryCap = 100
 
   /** Unresolved-statement name prefixes that are DML before analysis
     * turns them into Commands (InsertIntoStatement, InsertIntoDir,

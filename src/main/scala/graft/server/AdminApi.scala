@@ -1304,9 +1304,10 @@ final class AdminApi(srv: HttpServer) {
     }
     val data = oBool(n, "restore_data", d = true)
     val meta = oBool(n, "restore_metadata", d = true)
+    val ice = oBool(n, "restore_iceberg_metadata", d = true)
     runBackupOp(ex, "restore", id) {
       val res = graft.jobs.Backup.restore(catalog, backupRoot, id,
-        restoreData = data, restoreMetadata = meta)
+        restoreData = data, restoreMetadata = meta, restoreIceberg = ice)
       // restored files replace what live views may have snapshot-listed
       res.databases.foreach { db =>
         catalog.listTables(db).foreach(m => srv.invalidateView(db, m))

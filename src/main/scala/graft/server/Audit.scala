@@ -55,6 +55,28 @@ final class Audit(root: String, hconf: Configuration) {
   /** Events per durable segment write. */
   var flushBatchSize: Int = 256
 
+  /** Age-based durability bound (ms): a PARTIAL segment is written when
+    * the oldest pending event has waited this long, so a lone event on a
+    * quiet server becomes durable without needing 255 more requests
+    * (r9 verdict #4 — before this, a crash on an idle server lost up to
+    * flushBatchSize-1 acknowledged audit events). 0 disables. */
+  @volatile var flushMaxAgeMs: Long = 5000L
+  private var oldestPendingAtMs = 0L
+
+  // background age flusher: on a QUIET server nothing else calls
+  // flush(), so the age bound needs its own clock (the reference's
+  // writerLoop ticks on a timer for the same reason, audit.go:186)
+  private val ageFlusher = {
+    val t = new java.util.concurrent.ScheduledThreadPoolExecutor(1,
+      (r: Runnable) => {
+        val th = new Thread(r, "audit-age-flush"); th.setDaemon(true); th
+      })
+    t.scheduleWithFixedDelay(
+      () => try flush() catch { case _: Throwable => () },
+      1000L, 1000L, java.util.concurrent.TimeUnit.MILLISECONDS)
+    t
+  }
+
   /** Queue an event (request path: O(1), no IO). */
   def record(method: String, path: String, statusCode: Int, durationMs: Long,
       actor: String, database: String, measurement: String): Unit = {
@@ -100,9 +122,14 @@ final class Audit(root: String, hconf: Configuration) {
     * whenever a full batch accumulates (called after each request's
     * response closes — batching happens naturally under load). */
   def flush(): Unit = writeLock.synchronized {
+    val wasEmpty = pending.isEmpty
     var e = queue.poll()
     while (e != null) { pending :+= e; e = queue.poll() }
-    if (pending.length >= flushBatchSize) {
+    if (wasEmpty && pending.nonEmpty)
+      oldestPendingAtMs = System.currentTimeMillis()
+    val aged = flushMaxAgeMs > 0 && pending.nonEmpty &&
+      System.currentTimeMillis() - oldestPendingAtMs >= flushMaxAgeMs
+    if (pending.length >= flushBatchSize || aged) {
       writeSegment(pending)
       pending = Vector.empty
     }
@@ -143,11 +170,14 @@ final class Audit(root: String, hconf: Configuration) {
     }.map { case (k, vs) => k -> vs.length.toLong }
   }
 
-  def close(): Unit = writeLock.synchronized {
-    var e = queue.poll()
-    while (e != null) { pending :+= e; e = queue.poll() }
-    writeSegment(pending)
-    pending = Vector.empty
+  def close(): Unit = {
+    ageFlusher.shutdownNow()
+    writeLock.synchronized {
+      var e = queue.poll()
+      while (e != null) { pending :+= e; e = queue.poll() }
+      writeSegment(pending)
+      pending = Vector.empty
+    }
   }
 }
 

@@ -320,12 +320,13 @@ final class HttpServer(
           if (coarseDenied) return
       }
       (method, path) match {
-        case ("POST", "/api/v1/query") => handleQuery(ex, negotiated(ex))
-        case ("POST", "/api/v1/query/arrow") => handleQuery(ex, "arrow")
-        case ("POST", "/api/v1/query/msgpack") => handleQuery(ex, "msgpack")
-        case ("POST", "/api/v1/query/estimate") => handleEstimate(ex)
+        case ("POST", "/api/v1/query") => gated(ex)(handleQuery(ex, negotiated(ex)))
+        case ("POST", "/api/v1/query/arrow") => gated(ex)(handleQuery(ex, "arrow"))
+        case ("POST", "/api/v1/query/msgpack") => gated(ex)(handleQuery(ex, "msgpack"))
+        case ("POST", "/api/v1/query/estimate") => gated(ex)(handleEstimate(ex))
         case ("POST", CancelPath(id)) => handleCancel(ex, id.toLong)
         case ("GET", "/api/v1/queries") => handleActive(ex)
+        case ("GET", "/api/v1/queries/history") => handleHistory(ex)
         case ("POST", "/api/v1/write/msgpack") => handleWriteMsgPack(ex)
         case ("POST", "/write") | ("POST", "/api/v2/write") |
              ("POST", "/api/v1/write/line-protocol") => handleWriteLp(ex)
@@ -334,7 +335,7 @@ final class HttpServer(
         case ("POST", "/api/v1/import/parquet") => handleImport(ex, "parquet")
         case ("POST", "/api/v1/import/lp") => handleImport(ex, "lp")
         case ("POST", "/api/v1/import/tle") => handleImport(ex, "tle")
-        case ("GET", MeasQueryPath(m)) => handleQueryMeasurement(ex, m)
+        case ("GET", MeasQueryPath(m)) => gated(ex)(handleQueryMeasurement(ex, m))
         case ("GET", "/api/v1/measurements") => handleMeasurements(ex)
         case ("GET", "/api/v1/databases") => handleListDatabases(ex)
         case ("POST", "/api/v1/databases") => handleCreateDatabase(ex)
@@ -455,6 +456,8 @@ final class HttpServer(
         s""""active_queries":${facade.activeQueries.size},""" +
         s""""queries_total":${mQueries.get},""" +
         s""""query_errors_total":${mQueryErrors.get},""" +
+        s""""queries_shed_total":${overloadGate.shedTotal.get},""" +
+        s""""queries_in_flight":${overloadGate.inFlight},""" +
         s""""slow_queries_total":${facade.slowQueryCount},""" +
         s""""spark_active_jobs":${tracker.getActiveJobIds().length},""" +
         s""""spark_active_stages":${tracker.getActiveStageIds().length},""" +
@@ -731,6 +734,27 @@ final class HttpServer(
       s"""{"query_id":$id,"job_group":${q(group)}}"""
     }.mkString("[", ",", "]")
     sendJson(ex, 200, s"""{"success":true,"queries":$qs}""")
+  }
+
+  /** GET /api/v1/queries/history — recently completed/failed/cancelled
+    * queries, newest first (reference query_management.go:106
+    * listQueryHistory; ring semantics in queryregistry/registry.go).
+    * Admin-gated like the active list: the SQL text of other tenants'
+    * queries is sensitive. `limit` defaults to 50, capped at 1000 —
+    * non-numeric/zero/negative values fall back to the default, exactly
+    * like the reference's strconv+guard ladder. */
+  private def handleHistory(ex: HttpExchange): Unit = {
+    val limit = queryParams(ex).get("limit").flatMap(_.toIntOption)
+      .filter(_ > 0).map(math.min(_, 1000)).getOrElse(50)
+    val entries = facade.recentHistory(limit)
+    val rows = entries.map { e =>
+      s"""{"query_id":${e.id},"sql":${q(e.sql)},"status":${q(e.status)},""" +
+        s""""duration_ms":${e.durationMs},"row_count":${e.rows},""" +
+        s""""end_time":${q(java.time.Instant.ofEpochMilli(e.endMillis).toString)}""" +
+        (if (e.error.nonEmpty) s""","error":${q(e.error)}""" else "") + "}"
+    }.mkString("[", ",", "]")
+    sendJson(ex, 200,
+      s"""{"success":true,"queries":$rows,"count":${entries.size}}""")
   }
 
   // ---- writes ----------------------------------------------------------
@@ -1021,6 +1045,34 @@ final class HttpServer(
     None
   }
 
+  /** WHERE-clause validation for the simple-read endpoint (reference
+    * validateWhereClauseQuery, query.go:821): length cap, forbidden
+    * keyword/comment patterns, balanced quotes and parens. Interpolated
+    * user text needs the full denylist — unlike POST /query, this SQL
+    * is BUILT here, not parsed-then-gated. Returns the reason, None if
+    * valid. */
+  private val dangerousWherePatterns = Seq(
+    ";", "--", "/*", "*/", "DROP", "DELETE", "INSERT", "UPDATE",
+    "TRUNCATE", "ALTER", "CREATE", "EXEC", "EXECUTE", "XP_", "SP_",
+    "UNION")
+  private def invalidWhere(where: String): Option[String] =
+    if (where.isEmpty) None
+    else if (where.length > 4096) Some("where clause too long (max 4096 characters)")
+    else {
+      val up = where.toUpperCase
+      dangerousWherePatterns.find(up.contains) match {
+        case Some(p) => Some(s"where clause contains forbidden pattern: $p")
+        case None =>
+          if (where.count(_ == '\'') % 2 != 0)
+            Some("where clause has unmatched single quotes")
+          else if (where.count(_ == '"') % 2 != 0)
+            Some("where clause has unmatched double quotes")
+          else if (where.count(_ == '(') != where.count(_ == ')'))
+            Some("where clause has unmatched parentheses")
+          else None
+      }
+    }
+
   /** GET /api/v1/query/{measurement} — the reference's simple-read
     * endpoint (query.go:3923): SELECT * with validated limit / order_by
     * / where, returned as the JSON envelope. */
@@ -1034,18 +1086,28 @@ final class HttpServer(
     }
     val params = queryParams(ex)
     val db = params.getOrElse("database", headerDb(ex))
+    if (meas.length > 128) {
+      reject("Invalid measurement name: name too long (max 128 characters)")
+      return // pattern chars are enforced by the route regex
+    }
     val limit = params.getOrElse("limit", "100").toIntOption.getOrElse(-1)
     if (limit < 0 || limit > 1000000) {
       reject("Invalid limit: must be a non-negative integer up to 1000000")
       return
     }
+    val offset = params.getOrElse("offset", "0").toIntOption.getOrElse(-1)
+    if (offset < 0) {
+      reject("Invalid offset: must be a non-negative integer"); return
+    }
     val orderBy = params.getOrElse("order_by", "time DESC")
-    if (!orderBy.matches("[A-Za-z0-9_]+(\\s+(?i:ASC|DESC))?(\\s*,\\s*[A-Za-z0-9_]+(\\s+(?i:ASC|DESC))?)*")) {
+    if (orderBy.length > 256 ||
+      !orderBy.matches("[A-Za-z_][A-Za-z0-9_]*(\\s+(?i:ASC|DESC))?(\\s*,\\s*[A-Za-z_][A-Za-z0-9_]*(\\s+(?i:ASC|DESC))?)*")) {
       reject(s"invalid order_by: $orderBy"); return
     }
     val where = params.getOrElse("where", "")
-    if (where.contains(";") || where.contains("--")) {
-      reject("invalid where clause"); return
+    invalidWhere(where) match {
+      case Some(reason) => reject(s"Invalid where clause: $reason"); return
+      case None =>
     }
     if (!catalog.isValidDatabaseName(db)) {
       reject(s"invalid database name: $db"); return
@@ -1057,6 +1119,25 @@ final class HttpServer(
     if (!checkResource(ex, Seq((db, meas)), "read")) {
       mQueryErrors.incrementAndGet(); return
     }
+    // governance shares the POST /api/v1/query path: rate limits, hour/
+    // day quotas (429 + Retry-After), and the token's per-query row cap
+    val govRowCap: Long = tokenOf(ex) match {
+      case None => 0L
+      case Some(t) =>
+        val rate = governance.checkRateLimit(t.id)
+        if (!rate.allowed) {
+          ex.getResponseHeaders.set("Retry-After", rate.retryAfterSec.toString)
+          mQueryErrors.incrementAndGet()
+          sendJson(ex, 429, err(rate.reason)); return
+        }
+        val quota = governance.checkQuota(t.id)
+        if (!quota.allowed) {
+          mQueryErrors.incrementAndGet()
+          sendJson(ex, 429, err(quota.reason)); return
+        }
+        quota.maxRows.toLong
+    }
+    val effMaxRows = if (govRowCap > 0) math.min(maxRows, govRowCap) else maxRows
     // backtick-quote identifiers: MeasName allows '-', which unquoted
     // would parse as subtraction
     val orderSql = orderBy.split(",").map(_.trim).map { part =>
@@ -1065,7 +1146,8 @@ final class HttpServer(
     }.mkString(", ")
     val sql = s"SELECT * FROM `$meas`" +
       (if (where.nonEmpty) s" WHERE $where" else "") +
-      s" ORDER BY $orderSql LIMIT $limit"
+      s" ORDER BY $orderSql LIMIT $limit" +
+      (if (offset > 0) s" OFFSET $offset" else "")
     val ts = now()
     // same registry/cancel path as POST /api/v1/query — a slow
     // simple-read must be listable, cancellable, and must never run
@@ -1086,7 +1168,7 @@ final class HttpServer(
       ex.getResponseHeaders.set("Content-Type", "application/json")
       ex.sendResponseHeaders(200, 0)
       val out = new java.io.BufferedOutputStream(ex.getResponseBody, 1 << 20)
-      rows = facade.writeJsonEnvelope(df, out, maxRows,
+      rows = facade.writeJsonEnvelope(df, out, effMaxRows,
         headExtra = s""""success":true,"timestamp":${q(ts)},""")
       out.flush()
       ex.getResponseBody.close()
@@ -1326,7 +1408,8 @@ final class HttpServer(
     // in-flight queries
     else if (path.endsWith("/cancel") && path.startsWith("/api/v1/query/"))
       Some("admin")
-    else if (path == "/api/v1/queries") Some("admin")
+    else if (path == "/api/v1/queries" ||
+      path == "/api/v1/queries/history") Some("admin")
     else if (path.startsWith("/api/v1/query") && method == "POST") Some("read")
     else if (path.startsWith("/api/v1/query/") && method == "GET") Some("read")
     else if (path == "/api/v1/measurements") Some("read")
@@ -1354,6 +1437,29 @@ final class HttpServer(
       path.startsWith("/api/v1/mqtt")) Some("admin")
     else None // /api/v1/auth + /api/v1/rbac gate themselves (AuthApi)
   }
+
+  /** Overload shed on the query surfaces (reference circuitbreaker.go +
+    * the catch-up gate's 503 envelope, query.go:968). Exposed for specs
+    * and ops tuning. */
+  val overloadGate = new OverloadGate()
+
+  /** Run a query-route handler under the overload gate: reject-fast 503
+    * with Retry-After when the server is saturated, release on ANY exit
+    * path so a thrown handler can't leak an in-flight slot. */
+  private def gated(ex: HttpExchange)(handler: => Unit): Unit =
+    overloadGate.tryAcquire() match {
+      case Some(reason) =>
+        // deliberately NOT mQueries/mQueryErrors: the reference's gate
+        // tracks sheds in its own counter (gate503Total), keeping the
+        // query success/error arithmetic intact
+        if (overloadGate.shouldWarn())
+          org.slf4j.LoggerFactory.getLogger(classOf[HttpServer]).warn(
+            s"query gate fired (shed_total=${overloadGate.shedTotal.get}): $reason")
+        ex.getResponseHeaders.set("Retry-After", "5")
+        sendJson(ex, 503, err(reason))
+      case None =>
+        try handler finally overloadGate.release()
+    }
 
   /** Table refs for the per-table RBAC gate. Fails CLOSED for scoped
     * callers: when extraction throws (StackOverflowError on a

@@ -96,6 +96,31 @@ class BackupSpec extends SparkSpec {
     assert(!fs.exists(adminRec), "metadata must not be restored when opted out")
   }
 
+  test("iceberg metadata restores under its own flag, without the data tree") {
+    val root = tmpDir("graft_bak_cat4")
+    val bak = tmpDir("graft_bak_dest4")
+    val cat = new GraftCatalog(spark, root)
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    writeRows(cat, "default", "cpu", 6)
+    IcebergExport.reconcile(cat, "default", "cpu")
+    val hint = new Path(root, "_iceberg/default/cpu/metadata/version-hint.text")
+    assert(fs.exists(hint))
+    Backup.create(cat, bak, "backup-t4")
+    val before = snapshot(cat, "default", "cpu")
+    fs.delete(new Path(root, "_iceberg"), true)
+    // metadata-only restore: _iceberg/ comes back, data untouched
+    Backup.restore(cat, bak, "backup-t4",
+      restoreData = false, restoreMetadata = false)
+    assert(fs.exists(hint), "iceberg tree must restore without the data tree")
+    assert(snapshot(cat, "default", "cpu") == before,
+      "restored catalog must still resolve the table")
+    // and the flag opts OUT independently
+    fs.delete(new Path(root, "_iceberg"), true)
+    Backup.restore(cat, bak, "backup-t4", restoreIceberg = false)
+    assert(!fs.exists(hint), "restore_iceberg_metadata=false must skip _iceberg/")
+    assert(cat.table("default", "cpu").count() == 6)
+  }
+
   test("backups under the catalog root never back themselves up") {
     val root = tmpDir("graft_bak_cat3")
     val cat = new GraftCatalog(spark, root)

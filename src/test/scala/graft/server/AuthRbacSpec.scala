@@ -205,11 +205,15 @@ class AuthRbacSpec extends SparkSpec {
     assert(r.statusCode() == 201)
   }
 
-  test("query cancel, registry listing, and the log ring are admin-only") {
+  test("query cancel, registry listing, history, and the log ring are admin-only") {
     val a = fixture("a")
     assert(req("POST", "/api/v1/query/12345/cancel", Some(a)).statusCode() == 403)
     assert(req("GET", "/api/v1/queries", Some(a)).statusCode() == 403)
     assert(req("GET", "/api/v1/queries", Root).statusCode() == 200)
+    // history exposes other tenants' SQL text — same gate as the
+    // active list (reference query_management.go:36 RequireAdmin)
+    assert(req("GET", "/api/v1/queries/history", Some(a)).statusCode() == 403)
+    assert(req("GET", "/api/v1/queries/history", Root).statusCode() == 200)
     assert(req("GET", "/api/v1/logs", Some(a)).statusCode() == 403)
     assert(req("GET", "/api/v1/logs", Root).statusCode() == 200)
   }

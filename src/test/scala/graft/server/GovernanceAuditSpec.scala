@@ -219,6 +219,33 @@ class GovernanceAuditSpec extends SparkSpec {
     assert(names.length == 2, names.mkString(","))
   }
 
+  test("age-based flush: a lone event becomes durable without further traffic") {
+    val aroot = tmpDir("graft_audit_age")
+    val audit = new Audit(aroot, spark.sparkContext.hadoopConfiguration)
+    audit.flushMaxAgeMs = 500L // default 5 s, shortened for the spec
+    audit.record("POST", "/api/v1/query", 200, 1, "solo", "", "")
+    audit.flush() // enqueue -> pending; far below flushBatchSize (256)
+    val dir = new java.io.File(aroot, "_admin/audit")
+    assert(dir.listFiles() == null ||
+      !dir.listFiles().exists(_.getName.endsWith(".jsonl")),
+      "young single event must still be pending")
+    // NO further record/flush calls: the background age flusher must
+    // write the partial segment on its own (r9 verdict #4)
+    val deadline = System.currentTimeMillis() + 10000L
+    while (System.currentTimeMillis() < deadline &&
+      (dir.listFiles() == null ||
+        !dir.listFiles().exists(_.getName.endsWith(".jsonl"))))
+      Thread.sleep(100)
+    val segs = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".jsonl"))
+    assert(segs.length == 1, "aged partial segment must be durable")
+    // crash-replay: a FRESH instance reads the segment back
+    val replay = new Audit(aroot, spark.sparkContext.hadoopConfiguration)
+    val lines = replay.query(actor = Some("solo"))
+    assert(lines.size == 1 && lines.head.contains("data.query"))
+    audit.close(); replay.close()
+  }
+
   test("governance and audit routes are admin-gated") {
     val (tok, id) = fixture
     assert(req("GET", "/api/v1/governance/policies", Some(tok)).statusCode() == 403)

@@ -298,6 +298,76 @@ class HttpServerSpec extends SparkSpec {
     assert(get("/api/v1/query/cpug?where=1%3D1;DELETE").statusCode() == 400)
   }
 
+  test("GET measurement query: offset pages, full where denylist, identifier caps") {
+    post("/api/v1/write/msgpack", cpuPayload(6, "cpuo"))
+    val all = json(get("/api/v1/query/cpuo?limit=10&order_by=time%20ASC"))
+    assert(all.get("row_count").asInt() == 6)
+    val page = json(get("/api/v1/query/cpuo?limit=2&offset=2&order_by=time%20ASC"))
+    assert(page.get("row_count").asInt() == 2)
+    assert(page.get("data").get(0).toString == all.get("data").get(2).toString,
+      "offset must skip exactly `offset` rows of the same ordering")
+    assert(get("/api/v1/query/cpuo?offset=-5").statusCode() == 400)
+    assert(get("/api/v1/query/cpuo?offset=abc").statusCode() == 400)
+    // reference validateWhereClauseQuery denylist (query.go:753)
+    assert(get("/api/v1/query/cpuo?where=1%3D1%20UNION%20SELECT%201").statusCode() == 400)
+    assert(get("/api/v1/query/cpuo?where=usage%3D1%20/*x*/").statusCode() == 400)
+    assert(get("/api/v1/query/cpuo?where=host%3D%27x").statusCode() == 400) // odd quotes
+    assert(get("/api/v1/query/cpuo?where=(usage%3E0").statusCode() == 400) // unbalanced parens
+    // identifier/order_by caps (reference validateIdentifier max 128)
+    assert(get("/api/v1/query/" + "m" * 129 + "?limit=1").statusCode() == 400)
+    assert(get("/api/v1/query/cpuo?order_by=1col").statusCode() == 400)
+  }
+
+  test("query history records completed and failed queries, newest first, limit capped") {
+    post("/api/v1/write/msgpack", cpuPayload(2, "cpuhist"))
+    assert(post("/api/v1/query",
+      sqlBody("SELECT count(*) AS n FROM cpuhist")).statusCode() == 200)
+    assert(post("/api/v1/query",
+      sqlBody("SELECT nope_col FROM cpuhist")).statusCode() == 400)
+    val h = json(get("/api/v1/queries/history"))
+    assert(h.get("success").asBoolean())
+    val qs = h.get("queries")
+    assert(h.get("count").asInt() == qs.size() && qs.size() >= 2)
+    // newest first: the failed query came last
+    val newest = qs.get(0)
+    assert(newest.get("status").asText() == "failed")
+    assert(newest.get("sql").asText().contains("nope_col"))
+    assert(newest.get("error").asText().nonEmpty)
+    val completed = (0 until qs.size()).map(qs.get)
+      .find(_.get("sql").asText().contains("count(*) AS n FROM cpuhist"))
+    assert(completed.exists(_.get("status").asText() == "completed"))
+    assert(completed.exists(_.get("row_count").asLong() == 1L))
+    assert(completed.exists(_.get("duration_ms").asDouble() >= 0))
+    val lim = json(get("/api/v1/queries/history?limit=1"))
+    assert(lim.get("queries").size() == 1 && lim.get("count").asInt() == 1)
+    // non-numeric limit falls back to the default instead of failing
+    assert(get("/api/v1/queries/history?limit=abc").statusCode() == 200)
+  }
+
+  test("overload gate sheds queries with 503 + Retry-After and recovers after drain") {
+    post("/api/v1/write/msgpack", cpuPayload(2, "cpushed"))
+    val gate = server.overloadGate
+    val before = gate.maxInFlight
+    try {
+      gate.maxInFlight = 1
+      assert(gate.tryAcquire().isEmpty, "hold the only slot")
+      val shed = post("/api/v1/query", sqlBody("SELECT count(*) AS n FROM cpushed"))
+      assert(shed.statusCode() == 503, new String(shed.body(), UTF_8))
+      assert(shed.headers().firstValue("Retry-After").orElse("") == "5")
+      val env = json(shed)
+      assert(!env.get("success").asBoolean())
+      assert(env.get("error").asText().contains("overloaded"))
+      assert(gate.shedTotal.get() >= 1)
+      // GET measurement + estimate ride the same gate
+      assert(get("/api/v1/query/cpushed?limit=1").statusCode() == 503)
+      assert(post("/api/v1/query/estimate",
+        sqlBody("SELECT * FROM cpushed")).statusCode() == 503)
+      gate.release() // drain
+      val ok = post("/api/v1/query", sqlBody("SELECT count(*) AS n FROM cpushed"))
+      assert(ok.statusCode() == 200, "gate must recover immediately after drain")
+    } finally { gate.maxInFlight = before }
+  }
+
   test("metrics surface counts queries and ingest; Prometheus + JSON forms") {
     post("/api/v1/write/msgpack", cpuPayload(3, "cpum"))
     post("/api/v1/query", sqlBody("SELECT count(*) AS n FROM cpum"))
