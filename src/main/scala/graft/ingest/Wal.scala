@@ -60,7 +60,18 @@ object Wal {
       written = HeaderSize.toLong
     }
 
-    def append(db: String, body: Array[Byte]): Unit = synchronized {
+    // group-commit state: appends stamp a monotone sequence under the
+    // write lock; fsyncs coalesce under a SEPARATE lock so concurrent
+    // appenders share one fsync instead of queueing N of them (the
+    // classic group-commit shape — at 12 ingest workers this collapses
+    // ~12 fsyncs into 1-2 per batch wave while keeping the contract
+    // that append() returns only after ITS bytes are durable).
+    // Lock order is always syncLock -> this, never the reverse.
+    private var writeSeq = 0L
+    private var syncedSeq = 0L
+    private val syncLock = new Object
+
+    def append(db: String, body: Array[Byte]): Unit = {
       require(body.length <= MaxPayloadSize, "WAL payload exceeds maximum size")
       val dbBytes = db.getBytes("UTF-8")
       val payload = ByteBuffer.allocate(3 + dbBytes.length + body.length)
@@ -72,14 +83,42 @@ object Wal {
       head.putInt(p.length)
         .putLong(System.currentTimeMillis() * 1000L)
         .putInt(crc.getValue.toInt)
-      out.write(head.array()); out.write(p)
-      if (syncMode == SyncEvery) out.getFD.sync() else out.flush()
-      written += EntryHeaderSize + p.length
-      if (written >= maxSegmentBytes) rotate()
+      val mySeq = synchronized {
+        out.write(head.array()); out.write(p)
+        if (syncMode != SyncEvery) out.flush()
+        writeSeq += 1
+        written += EntryHeaderSize + p.length
+        // rotate() fsyncs the old segment first (SyncEvery), so bytes
+        // in a rotated segment are durable before my group-sync runs
+        if (written >= maxSegmentBytes) rotate()
+        writeSeq
+      }
+      if (syncMode == SyncEvery) syncLock.synchronized {
+        if (syncedSeq < mySeq) {
+          // capture the stream + high-water mark, then one fsync covers
+          // every append written so far — followers see syncedSeq and
+          // return without their own fsync
+          val (o, upTo) = synchronized { (out, writeSeq) }
+          try o.getFD.sync()
+          catch { case e: java.io.IOException =>
+            // a rotation may close the captured stream under us; its
+            // fsync-before-close already made every byte <= upTo
+            // durable, so only a failure on the still-current stream
+            // is a real error
+            val rotated = synchronized { out ne o }
+            if (!rotated) throw e
+          }
+          syncedSeq = math.max(syncedSeq, upTo)
+        }
+      }
     }
 
-    /** Seal the current segment and start a new one. */
+    /** Seal the current segment and start a new one. In SyncEvery mode
+      * the outgoing segment is fsynced before close: group-committed
+      * appenders whose bytes landed here may not have run their own
+      * sync yet, and close() alone does not force data to disk. */
     def rotate(): Unit = synchronized {
+      if (syncMode == SyncEvery) out.getFD.sync()
       out.close()
       sealedSegs += segFile
       openSegment()

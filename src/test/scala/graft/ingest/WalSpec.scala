@@ -104,6 +104,30 @@ class WalSpec extends SparkSpec {
     ing.close()
   }
 
+  test("group-committed concurrent appends all survive a readAll, across rotations") {
+    val dir = java.nio.file.Files.createTempDirectory("wal_group").toFile
+    // tiny segment cap forces rotations WHILE group syncs race them
+    val w = new Wal.Writer(dir, Wal.SyncEvery, maxSegmentBytes = 64 * 1024)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val perThread = 50
+    val tasks = (0 until 8).map { t =>
+      pool.submit(new Runnable {
+        def run(): Unit = (0 until perThread).foreach { i =>
+          w.append("db" + (t % 3), Array.fill(512 + i)((t * 31 + i).toByte))
+        }
+      })
+    }
+    tasks.foreach(_.get())
+    pool.shutdown()
+    w.close()
+    val entries = Wal.readAll(dir)
+    assert(entries.length == 8 * perThread,
+      s"every group-committed append must be intact, got ${entries.length}")
+    assert(entries.map(_.db).toSet == Set("db0", "db1", "db2"))
+    assert(dir.listFiles().count(_.getName.endsWith(".log")) > 1,
+      "the segment cap must have forced at least one rotation")
+  }
+
   test("BatchCodec round-trips string values past the 64 KiB writeUTF cap") {
     // writeUTF throws UTFDataFormatException at 65536+ encoded bytes —
     // a large LP string field must survive the buffered path (r8 advice)
