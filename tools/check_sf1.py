@@ -24,6 +24,113 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 CC_QUERIES = {"q75_dedup_clusters", "q100_leakfree_split",
               "q168_split_leak_audit"}
 
+# oracles whose recursive/self-join SQL is super-linear at sf1 but whose
+# semantics have a linear exact equivalent (computed below in Python and
+# validated bit-identical against the SQL at sf0.01)
+PY_ORACLES = {"q113_dedup_containment", "q166_bestfit_pack"}
+
+P_MOD = 1000000007
+
+
+def _token_hash(tok: str) -> int:
+    h = 0
+    for ch in tok:
+        h = (h * 31 + ord(ch)) % P_MOD
+    return h
+
+
+def _shingle_set(text: str):
+    """Distinct 2-shingle hashes, mirroring the oracle's hs CTE: 1-indexed
+    i in [1, max(len-1,1)], out-of-range token hash coalesces to 0."""
+    import re
+    th = [_token_hash(t) for t in re.split(r"\s+", text.strip())]
+    n = len(th)
+    out = set()
+    for i in range(1, max(n - 1, 1) + 1):
+        a = th[i - 1] if i - 1 < n else 0
+        b = th[i] if i < n else 0
+        out.add((a * 1000003 + b) % P_MOD)
+    return out
+
+
+def q113_oracle(con) -> pd.DataFrame:
+    """Containment pairs >= 0.8 — the SQL self-joins on the shingle
+    column, which explodes to (docs-per-shingle)^2 x shingles rows over
+    the tiny synthetic vocab. Equivalent: n_common is a binary
+    doc x shingle matrix product (universe <= vocab^2 shingles, counts
+    < 2^24 so float32 BLAS is exact)."""
+    import numpy as np
+    rows = con.execute(
+        "SELECT doc_id, text FROM documents ORDER BY doc_id").fetchall()
+    ids = [r[0] for r in rows]
+    sets = [_shingle_set(r[1]) for r in rows]
+    univ = {}
+    for s in sets:
+        for h in s:
+            univ.setdefault(h, len(univ))
+    M = np.zeros((len(ids), len(univ)), dtype=np.float32)
+    for i, s in enumerate(sets):
+        for h in s:
+            M[i, univ[h]] = 1.0
+    sizes = np.array([len(s) for s in sets], dtype=np.int64)
+    out = {"doc1": [], "doc2": [], "n_common": [], "containment": []}
+    B = 2048
+    for lo in range(0, len(ids), B):
+        hi = min(lo + B, len(ids))
+        common = np.rint(M[lo:hi] @ M.T).astype(np.int64)
+        m = np.minimum(sizes[lo:hi, None], sizes[None, :])
+        cint = (common * 2000000 + m) // (2 * m)
+        ii, jj = np.nonzero(cint >= 800000)
+        for a, b in zip(ii, jj):
+            gi = lo + int(a)
+            if gi < int(b):  # doc1 < doc2, ids are the sorted doc_ids
+                out["doc1"].append(ids[gi])
+                out["doc2"].append(ids[int(b)])
+                out["n_common"].append(int(common[a, b]))
+                out["containment"].append(float(cint[a, b]) / 1e6)
+    return pd.DataFrame(out)
+
+
+def q166_oracle(con) -> pd.DataFrame:
+    """Best-fit-decreasing packing per source — the SQL simulates it
+    with a recursive CTE that re-copies every placement per step
+    (O(chunks^2) rows). Direct simulation is O(chunks x bins)."""
+    import re
+    rows = con.execute(
+        "SELECT source, doc_id, text FROM documents ORDER BY doc_id").fetchall()
+    per_source = {}
+    for src, doc, text in rows:
+        w = len(re.split(r"\s+", text.strip()))
+        if w <= 0:
+            continue
+        for c in range((w - 1) // 256 + 1):
+            sz = min(256, w - c * 256)
+            per_source.setdefault(src, []).append((doc, c, sz))
+    out = {"source": [], "doc_id": [], "chunk_id": [], "n_toks": [],
+           "bin_id": [], "bin_off": []}
+    for src in sorted(per_source):
+        chunks = sorted(per_source[src], key=lambda t: (-t[2], t[0], t[1]))
+        bins = []  # fill per bin_id
+        for doc, c, sz in chunks:
+            # best fit: min remaining >= sz, tie by bin_id
+            best, best_rem = -1, None
+            for b, fill in enumerate(bins):
+                rem = 256 - fill
+                if rem >= sz and (best_rem is None or rem < best_rem):
+                    best, best_rem = b, rem
+            if best < 0:
+                best = len(bins)
+                bins.append(0)
+            off = bins[best]
+            bins[best] += sz
+            out["source"].append(src)
+            out["doc_id"].append(doc)
+            out["chunk_id"].append(c)
+            out["n_toks"].append(sz)
+            out["bin_id"].append(best)
+            out["bin_off"].append(off)
+    return pd.DataFrame(out)
+
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     # identical to tools/check.py:canon — keep the two in sync
@@ -122,6 +229,10 @@ def run_oracle(sf_dir, name, sql, q):
         con = connect(sf_dir)
         if name in CC_QUERIES:
             df = cc_oracle(name, sql, con)
+        elif name == "q113_dedup_containment":
+            df = q113_oracle(con)
+        elif name == "q166_bestfit_pack":
+            df = q166_oracle(con)
         else:
             df = con.execute(sql).df()
         q.put(("ok", df))
