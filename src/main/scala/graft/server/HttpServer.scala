@@ -340,6 +340,7 @@ final class HttpServer(
         case ("GET", "/api/v1/databases") => handleListDatabases(ex)
         case ("POST", "/api/v1/databases") => handleCreateDatabase(ex)
         case ("GET", DbMeasPath(name)) => handleDbMeasurements(ex, name)
+        case ("GET", DbPath(name)) => handleGetDatabase(ex, name)
         case ("DELETE", DbPath(name)) => handleDeleteDatabase(ex, name)
         case ("GET", "/health") =>
           val up = (System.nanoTime() - startedAt) / 1e9
@@ -1217,6 +1218,17 @@ final class HttpServer(
     }
     sendJson(ex, 200,
       s"""{"databases":${infos.mkString("[", ",", "]")},"count":${infos.size}}""")
+  }
+
+  /** GET /api/v1/databases/{name} — single-database detail (reference
+    * databases.go:193 handleGet: 404 when absent, else name +
+    * measurement count). */
+  private def handleGetDatabase(ex: HttpExchange, name: String): Unit = {
+    if (!catalog.listDatabases().contains(name)) {
+      sendJson(ex, 404, err(s"Database '$name' not found")); return
+    }
+    sendJson(ex, 200,
+      s"""{"name":${q(name)},"measurement_count":${catalog.listTables(name).size}}""")
   }
 
   private def handleCreateDatabase(ex: HttpExchange): Unit =

@@ -444,6 +444,17 @@ class HttpServerSpec extends SparkSpec {
     assert(countIn("dbx") == 3) // and back again — no view-slot theft
   }
 
+  test("GET single-database detail: 200 with measurement count, 404 when absent") {
+    post("/api/v1/write/msgpack", cpuPayload(2, "det_a"),
+      Map("x-arc-database" -> "dbdetail"))
+    post("/api/v1/write/msgpack", cpuPayload(2, "det_b"),
+      Map("x-arc-database" -> "dbdetail"))
+    val r = json(get("/api/v1/databases/dbdetail"))
+    assert(r.get("name").asText() == "dbdetail")
+    assert(r.get("measurement_count").asInt() == 2)
+    assert(get("/api/v1/databases/db_never_created").statusCode() == 404)
+  }
+
   test("unregisterable measurement doesn't poison its database; unknown db 404s") {
     // dash name: MeasName allows it on the write path, but Spark's view
     // identifier parser rejects it at registration — the failure must
