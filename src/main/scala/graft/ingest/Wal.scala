@@ -71,7 +71,16 @@ object Wal {
     private var syncedSeq = 0L
     private val syncLock = new Object
 
-    def append(db: String, body: Array[Byte]): Unit = {
+    def append(db: String, body: Array[Byte]): Unit = syncTo(write(db, body))
+
+    /** Phase 1 — frame and write WITHOUT the durability sync; returns
+      * the append's sequence. The caller MUST follow with [[syncTo]]
+      * before acknowledging the payload. Split out so a caller that
+      * holds its own buffer lock (DurableIngester journals and buffers
+      * atomically) can write UNDER that lock but fsync OUTSIDE it —
+      * group commit only coalesces when multiple syncers reach
+      * [[syncTo]] concurrently. */
+    def write(db: String, body: Array[Byte]): Long = {
       require(body.length <= MaxPayloadSize, "WAL payload exceeds maximum size")
       val dbBytes = db.getBytes("UTF-8")
       val payload = ByteBuffer.allocate(3 + dbBytes.length + body.length)
@@ -83,7 +92,7 @@ object Wal {
       head.putInt(p.length)
         .putLong(System.currentTimeMillis() * 1000L)
         .putInt(crc.getValue.toInt)
-      val mySeq = synchronized {
+      synchronized {
         out.write(head.array()); out.write(p)
         if (syncMode != SyncEvery) out.flush()
         writeSeq += 1
@@ -93,8 +102,13 @@ object Wal {
         if (written >= maxSegmentBytes) rotate()
         writeSeq
       }
+    }
+
+    /** Phase 2 — make every byte up to `seq` durable (no-op below the
+      * group high-water mark, and in SyncAsync mode). */
+    def syncTo(seq: Long): Unit =
       if (syncMode == SyncEvery) syncLock.synchronized {
-        if (syncedSeq < mySeq) {
+        if (syncedSeq < seq) {
           // capture the stream + high-water mark, then one fsync covers
           // every append written so far — followers see syncedSeq and
           // return without their own fsync
@@ -111,7 +125,6 @@ object Wal {
           syncedSeq = math.max(syncedSeq, upTo)
         }
       }
-    }
 
     /** Seal the current segment and start a new one. In SyncEvery mode
       * the outgoing segment is fsynced before close: group-committed
@@ -147,7 +160,12 @@ object Wal {
       * flush itself (DurableIngester does); otherwise use seal + purge. */
     def checkpoint(): Unit = purge(seal())
 
-    def close(): Unit = synchronized { out.close() }
+    def close(): Unit = synchronized {
+      // written-but-not-yet-group-synced bytes must not be lost by a
+      // clean shutdown (close() does not force data to disk)
+      if (syncMode == SyncEvery) out.getFD.sync()
+      out.close()
+    }
 
     private[ingest] def currentSegment: File = segFile
   }
@@ -374,11 +392,20 @@ final class DurableIngester(catalog: GraftCatalog, walDir: File,
 
   private def journal(db: String, body: Array[Byte],
       batches: Seq[ColumnarBatch]): Int = {
-    val drain = synchronized {
-      wal.append(db, body)
+    // WAL write + buffer insert stay ATOMIC under this lock (a flush's
+    // seal() must never cover a WAL entry whose rows aren't in the
+    // buffer it drains), but the fsync runs OUTSIDE it so concurrent
+    // accepts group-commit instead of serializing on the sync. Safe to
+    // buffer before the fsync returns: the 204 isn't sent until syncTo
+    // completes, and a flush that races in between makes the rows
+    // durable in PARQUET before checkpoint purges their segment — the
+    // stronger form of the same guarantee.
+    val (drain, seq) = synchronized {
+      val s = wal.write(db, body)
       batches.foreach { b => buffer += db -> b; bufferedRows += b.rowCount }
-      bufferedRows >= flushRows
+      (bufferedRows >= flushRows, s)
     }
+    wal.syncTo(seq)
     if (drain) flush()
     batches.map(_.rowCount).sum
   }

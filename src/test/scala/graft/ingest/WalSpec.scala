@@ -104,6 +104,41 @@ class WalSpec extends SparkSpec {
     ing.close()
   }
 
+  test("concurrent accepts racing flushes: exactly-once, no row lost to a seal") {
+    // journal buffers under the ingester lock but fsyncs outside it —
+    // this hammers the window where a flush's seal() could race an
+    // accept whose sync hasn't returned (the group-commit split)
+    val root = tmpDir("wal_race_cat")
+    val walDir = java.nio.file.Files.createTempDirectory("wal_race").toFile
+    val cat = new GraftCatalog(spark, root)
+    val ing = new DurableIngester(cat, walDir, Wal.SyncEvery, flushRows = 50)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val perThread = 25
+    val accepted = new java.util.concurrent.atomic.AtomicLong(0)
+    val tasks = (0 until 8).map { t =>
+      pool.submit(new Runnable {
+        def run(): Unit = (0 until perThread).foreach { i =>
+          val ts = base + (t.toLong * perThread + i) * 1000000L
+          ing.accept("default", lpBytes(s"race,host=h$t v=${i}i ${ts * 1000L}"))
+          accepted.incrementAndGet()
+          if (i % 7 == 0) ing.flush() // flushes interleave with accepts
+        }
+      })
+    }
+    tasks.foreach(_.get())
+    pool.shutdown()
+    ing.flush()
+    assert(accepted.get() == 200L)
+    assert(cat.table("default", "race").count() == 200L,
+      "every accepted row must be visible exactly once after quiesce")
+    ing.close()
+    // nothing left to replay: a fresh ingester recovers zero rows
+    val ing2 = new DurableIngester(cat, walDir, Wal.SyncEvery)
+    assert(ing2.recoveredRows == 0L, "checkpoint must have purged covered segments")
+    assert(cat.table("default", "race").count() == 200L)
+    ing2.close()
+  }
+
   test("group-committed concurrent appends all survive a readAll, across rotations") {
     val dir = java.nio.file.Files.createTempDirectory("wal_group").toFile
     // tiny segment cap forces rotations WHILE group syncs race them
