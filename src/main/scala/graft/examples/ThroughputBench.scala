@@ -150,7 +150,7 @@ object ThroughputBench {
     println(f"[tp] result_json: ${1000000 / jSec / 1e6}%.2f M rows/s (${json.length / 1e6}%.1f MB, $jSec%.2f s)")
     // wire bytes (what an HTTP layer writes) — the String re-decode is a
     // client-side convenience, not part of the serving path
-    val (jsonD, jdSec) = bench(facade.toJsonEnvelopeBytesDistributed(result, preserveOrder = false))
+    val (jsonD, jdSec) = bench(facade.toJsonEnvelopeBytesDistributed(result, maxRows = 1000000, preserveOrder = false))
     println(f"[tp] result_json_distributed: ${1000000 / jdSec / 1e6}%.2f M rows/s (${jsonD.length / 1e6}%.1f MB, $jdSec%.2f s)")
     // streamed (bounded driver memory) variants: one wave of chunks
     // resident at a time — should track the distributed numbers

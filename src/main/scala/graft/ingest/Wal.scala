@@ -106,8 +106,16 @@ object Wal {
 
     /** Phase 2 — make every byte up to `seq` durable (no-op below the
       * group high-water mark, and in SyncAsync mode). */
+    // test-only fault injection: simulate an fsync failure (disk full,
+    // volume gone) so specs can pin the accept path's error contract
+    @volatile private[ingest] var failNextSync = false
+
     def syncTo(seq: Long): Unit =
       if (syncMode == SyncEvery) syncLock.synchronized {
+        if (failNextSync) {
+          failNextSync = false
+          throw new java.io.IOException("injected fsync failure (test)")
+        }
         if (syncedSeq < seq) {
           // capture the stream + high-water mark, then one fsync covers
           // every append written so far — followers see syncedSeq and
@@ -357,6 +365,7 @@ final class DurableIngester(catalog: GraftCatalog, walDir: File,
   }
 
   private val wal = new Wal.Writer(walDir, syncMode)
+  private[ingest] def walWriter: Wal.Writer = wal // spec fault injection
   private val buffer = mutable.ArrayBuffer.empty[(String, ColumnarBatch)]
   private var bufferedRows = 0
 
@@ -405,7 +414,36 @@ final class DurableIngester(catalog: GraftCatalog, walDir: File,
       batches.foreach { b => buffer += db -> b; bufferedRows += b.rowCount }
       (bufferedRows >= flushRows, s)
     }
-    wal.syncTo(seq)
+    try wal.syncTo(seq)
+    catch {
+      case e: Throwable =>
+        // the client is about to see an error response — the buffered
+        // rows must not flush to parquet later (a write reported as
+        // failed becoming durably visible is a phantom write, and a
+        // duplicate on client retry with dedup off). Best-effort
+        // retraction by batch identity: if a flush already swapped the
+        // buffer between the insert and this failure, the rows are (or
+        // are becoming) durable in parquet and cannot be unwritten —
+        // that residual window is the documented at-least-once edge of
+        // the group-commit design.
+        synchronized {
+          // identity set, NOT structural: ColumnarBatch is a case class,
+          // and a concurrent request with byte-identical rows must not
+          // have ITS buffered batch retracted by this failure
+          val mine = java.util.Collections.newSetFromMap(
+            new java.util.IdentityHashMap[ColumnarBatch, java.lang.Boolean]())
+          batches.foreach(mine.add)
+          var i = buffer.length - 1
+          while (i >= 0) {
+            if (mine.contains(buffer(i)._2)) {
+              bufferedRows -= buffer(i)._2.rowCount
+              buffer.remove(i)
+            }
+            i -= 1
+          }
+        }
+        throw e
+    }
     if (drain) flush()
     batches.map(_.rowCount).sum
   }

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Token-set Jaccard near-dup with LOSSLESS prefix-filter candidate
+  * generation (PPJoin family — Xiao et al., WWW'08) — the scale-safe
+  * replacement for blocked all-pairs.
+  *
+  * The naive shape (q65's original plan, kept as [[pairsNaiveBlocked]]
+  * for the parity spec) equi-joins docs on a block key and runs
+  * within-block all-pairs `array_intersect`. Block width is unbounded:
+  * on a realistic corpus, millions of same-language ~N-token documents
+  * land in one block and the join emits quadratically (the sf1 step-up
+  * measured 33.7× time at 10× data on the dense fixture). The prefix
+  * filter bounds candidates by rare-token posting lists instead:
+  *
+  *  - rank each doc's distinct tokens rarest-first by global document
+  *    frequency (ties by token — one total order for the whole corpus);
+  *  - a pair with Jaccard ≥ t over sets of sizes n1, n2 must share
+  *    ≥ ⌈t·max(n1,n2)⌉ ≥ ⌈t·n_own⌉ tokens, so EACH side must expose one
+  *    of its first p = n − ⌊t·n⌋ + 1 rarest tokens to any qualifying
+  *    partner: had the partner missed the whole prefix, at most
+  *    n − p = ⌊t·n⌋ − 1 < ⌈t·n⌉ tokens remain to overlap. ⌊·⌋ (not ⌈·⌉)
+  *    guards double rounding — a one-longer prefix is safe, a
+  *    one-shorter prefix drops true pairs.
+  *  - prefix-filtering principle: because BOTH prefixes are taken under
+  *    the SAME total order, any qualifying pair's prefixes themselves
+  *    intersect — so candidates come from a prefix × prefix equi-join,
+  *    never prefix × all. An every-doc boilerplate token is by
+  *    definition the most frequent, lands at the END of the rank order,
+  *    and never enters a prefix at all — no cap needed, no accuracy
+  *    loss.
+  *
+  * Candidates are verified exactly with the ORIGINAL string-set
+  * intersection (`array_intersect`/`array_union` over the distinct
+  * token arrays), so the output is bit-identical to the naive plan —
+  * including the 6-dp rounded jaccard — by construction. The verify
+  * join is bounded by the true near-dup candidate rate, not the corpus
+  * size; AQE broadcasts it dynamically when small.
+  *
+  * Block columns (q65: lang, n_tokens) participate as candidate-join
+  * keys, so cross-block pairs are pruned before the distinct, not
+  * after verification.
+  *
+  * Reference analog: dedup has no native operator there (SURVEY §2.L2);
+  * the oracle is the naive SQL join, unchanged.
+  */
+object JaccardDedup {
+
+  /** Prefix-filtered Jaccard pairs. `docs` must carry `idCol`, the
+    * block columns, and `toksCol` — an ALREADY-DISTINCT token array.
+    * Output: (doc1, doc2, jaccard), doc1 < doc2, jaccard rounded to
+    * 6 dp, only pairs with equal block-column values. */
+  def pairs(docs: DataFrame, idCol: String, toksCol: String,
+      blockCols: Seq[String], minJaccard: Double): DataFrame = {
+    require(minJaccard > 0.0 && minJaccard <= 1.0,
+      s"minJaccard must be in (0, 1], got $minJaccard")
+    val parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    val base = docs
+      .select((col(idCol).as("doc") +: blockCols.map(col) :+
+        col(toksCol).as("toks")): _*)
+      .repartition(parallelism)
+      .withColumn("n", size(col("toks")))
+    val ex = base.select((col("doc") +: blockCols.map(col) :+ col("n") :+
+      explode(col("toks")).as("tok")): _*)
+    // global document-frequency census: the hot key is one aggregate
+    // row per token, never a member list
+    val dfc = ex.groupBy(col("tok")).agg(count(lit(1)).as("_df"))
+    // rarest-first rank within each doc (window partitions are
+    // doc-sized), keep only the prefix. Materialized once: it feeds
+    // both sides of the candidate self-join.
+    val byDoc = Window.partitionBy(col("doc"))
+    val prefix = ex.join(dfc, Seq("tok"))
+      .withColumn("pos",
+        row_number().over(byDoc.orderBy(col("_df"), col("tok"))))
+      .where(col("pos") <= col("n") - floor(col("n") * lit(minJaccard)) + 1)
+      .drop("_df", "pos", "n")
+      .localCheckpoint()
+    val a = prefix.select((col("doc").as("d1") +: blockCols.map(col) :+
+      col("tok")): _*)
+    val b = prefix.select((col("doc").as("d2") +: blockCols.map(col) :+
+      col("tok")): _*)
+    val cands = a.join(b, "tok" +: blockCols)
+      .where(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"))
+      .distinct()
+    // exact verification on the candidate list only — same formula as
+    // the naive plan, so the output (and its 6-dp rounding) is
+    // bit-identical
+    val s1 = base.select(col("doc").as("d1"), col("toks").as("toks1"))
+    val s2 = base.select(col("doc").as("d2"), col("toks").as("toks2"))
+    cands.join(s1, Seq("d1")).join(s2, Seq("d2"))
+      .withColumn("inter", size(array_intersect(col("toks1"), col("toks2"))))
+      .withColumn("uni", size(array_union(col("toks1"), col("toks2"))))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / col("uni"), 6))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("d1").as("doc1"), col("d2").as("doc2"), col("jaccard"))
+  }
+
+  /** The original blocked all-pairs shape — QUADRATIC in block width,
+    * kept only as the parity oracle for JaccardDedupSpec. Do not use in
+    * production plans. */
+  private[operators] def pairsNaiveBlocked(docs: DataFrame, idCol: String,
+      toksCol: String, blockCols: Seq[String],
+      minJaccard: Double): DataFrame = {
+    val a = docs.select((col(idCol).as("doc1") +: blockCols.map(col) :+
+      col(toksCol).as("toks1")): _*)
+    val b = docs.select((col(idCol).as("doc2") +: blockCols.map(col) :+
+      col(toksCol).as("toks2")): _*)
+    a.join(b, blockCols)
+      .where(col("doc1") < col("doc2"))
+      .withColumn("inter", size(array_intersect(col("toks1"), col("toks2"))))
+      .withColumn("uni", size(array_union(col("toks1"), col("toks2"))))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / col("uni"), 6))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("doc1"), col("doc2"), col("jaccard"))
+  }
+}

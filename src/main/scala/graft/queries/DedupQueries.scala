@@ -60,23 +60,22 @@ object DedupQueries {
         .where(col("n_copies") > 1)
         .orderBy(col("key3"))),
 
-    // n-gram (token-set) Jaccard near-dup, blocked on (lang, n_tokens)
+    // token-set Jaccard near-dup, (lang, n_tokens)-blocked semantics.
+    // Candidate generation is the LOSSLESS prefix filter (PPJoin) — the
+    // old blocked all-pairs join emitted quadratically in block width
+    // (the sf1 step-up measured 33.7× time at 10× data); rare-token
+    // prefix postings bound candidates regardless of how many
+    // same-language ~N-token docs the corpus holds. Output (incl. 6-dp
+    // rounding) is bit-identical to the naive join — JaccardDedupSpec
+    // pins parity on dense and sparse fixtures; the oracle is the
+    // unchanged naive SQL.
     "q65_dedup_jaccard" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
           tokenCount(col("text")).as("n_tokens"),
           array_distinct(tokens(col("text"))).as("toks"))
-      val a = docs.select(col("doc_id").as("doc1"), col("lang"),
-        col("n_tokens"), col("toks").as("toks1"))
-      val b = docs.select(col("doc_id").as("doc2"), col("lang"),
-        col("n_tokens"), col("toks").as("toks2"))
-      a.join(b, Seq("lang", "n_tokens"))
-        .where(col("doc1") < col("doc2"))
-        .withColumn("inter", size(array_intersect(col("toks1"), col("toks2"))))
-        .withColumn("uni", size(array_union(col("toks1"), col("toks2"))))
-        .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 6))
-        .where(col("jaccard") >= 0.5)
-        .select(col("doc1"), col("doc2"), col("jaccard"))
+      graft.operators.JaccardDedup.pairs(docs, "doc_id", "toks",
+          Seq("lang", "n_tokens"), minJaccard = 0.5)
         .orderBy(col("doc1"), col("doc2"))
     }),
 

@@ -227,6 +227,18 @@ final class QueryFacade(spark: SparkSession) {
     val group = s"graft-query-$id"
     active.put(id, (group, q, System.nanoTime()))
     spark.sparkContext.setJobGroup(group, q, interruptOnCancel = true)
+    // per-query FAIR pool from a FIXED hashed set: under
+    // spark.scheduler.mode=FAIR, pools materialize on demand with
+    // weight 1 each, so concurrent queries round-robin task slots
+    // instead of FIFO-queueing behind the first long scan (the
+    // reference serves 12 concurrent workers — a full scan must not
+    // starve a COUNT(*)). The set is fixed at 16 because Spark never
+    // removes a pool from the scheduler: a pool per query id would leak
+    // one registry entry per query for the life of the context. In FIFO
+    // mode the property is inert, so library users who keep the default
+    // lose nothing.
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool",
+      s"graft-pool-${id % QueryFacade.SchedulerPools}")
     try (id, run(q))
     catch {
       case e: Throwable =>
@@ -236,6 +248,7 @@ final class QueryFacade(spark: SparkSession) {
             rows = -1L, error = Option(e.getMessage).getOrElse(e.toString)))
         }
         spark.sparkContext.clearJobGroup()
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
         throw e
     }
   }
@@ -269,6 +282,7 @@ final class QueryFacade(spark: SparkSession) {
       }
     }
     spark.sparkContext.clearJobGroup()
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
   }
 
   /** Total queries that crossed the slow threshold (the counter metric). */
@@ -340,7 +354,7 @@ final class QueryFacade(spark: SparkSession) {
     * the encode cost parallelizes across cores/executors instead of
     * serializing through one driver thread. Preferred for large results;
     * `toJsonEnvelope` remains the constant-memory streaming fallback. */
-  def toJsonEnvelopeDistributed(df: DataFrame, maxRows: Long = Long.MaxValue,
+  def toJsonEnvelopeDistributed(df: DataFrame, maxRows: Long,
       preserveOrder: Boolean = true): String =
     new String(toJsonEnvelopeBytesDistributed(df, maxRows, preserveOrder),
       java.nio.charset.StandardCharsets.UTF_8)
@@ -350,14 +364,20 @@ final class QueryFacade(spark: SparkSession) {
     * each — no 50 MB String concat). HTTP layers write these bytes
     * straight to the socket; [[toJsonEnvelopeDistributed]] re-decodes
     * for callers that need text. */
-  def toJsonEnvelopeBytesDistributed(df: DataFrame, maxRows: Long = Long.MaxValue,
+  def toJsonEnvelopeBytesDistributed(df: DataFrame, maxRows: Long,
       preserveOrder: Boolean = true): Array[Byte] = {
     import java.nio.charset.StandardCharsets.UTF_8
+    // this variant collects every encoded chunk on the driver before
+    // splicing — safe ONLY under a finite cap. The serving routes use
+    // the wave-streaming writeJsonEnvelope; callers here (bench, tests,
+    // embedded use) must state their bound explicitly.
+    require(maxRows > 0 && maxRows < Long.MaxValue,
+      "toJsonEnvelopeBytesDistributed requires a finite row cap; " +
+        "use writeJsonEnvelope for unbounded streaming")
     val t0 = System.nanoTime()
     val columns = df.columns
     val nCols = columns.length
-    val limited =
-      if (maxRows < Long.MaxValue) df.limit(maxRows.min(Int.MaxValue).toInt) else df
+    val limited = df.limit(maxRows.min(Int.MaxValue).toInt)
     // a LIMIT/ORDER BY result is a single partition; when the caller
     // doesn't need row order on the wire, spread the encode across cores.
     // Only pay the shuffle when the plan is actually narrow — an
@@ -456,6 +476,12 @@ final class QueryFacade(spark: SparkSession) {
 
 /** Serializable JSON scalar encoding (shared by driver + executors). */
 object QueryFacade {
+
+  /** Size of the fixed FAIR-pool set queries hash into. 16 > the
+    * reference's 12-worker concurrency target, so simultaneous queries
+    * almost always land in distinct pools, while the scheduler registry
+    * stays bounded (Spark never deletes a pool). */
+  val SchedulerPools: Int = 16
 
   /** One slow-query record: the reference logs sql, execution time and
     * row count (rows = -1 when the caller never counted them). */

@@ -422,17 +422,18 @@ final class HttpServer(
       // audit off the response path: record is an O(1) enqueue, the
       // flush drains whatever accumulated (batching under load, like
       // the reference's channel + writerLoop). The record call is
-      // guarded on its own: queryParams throws on malformed
-      // percent-encoding ('?db=%zz'), and an escape here would skip
-      // flush() AND leak this request's identity in the pool thread's
-      // ThreadLocal, mis-attributing a later request on the thread.
+      // guarded on its own (and uses the lenient auditParams — the
+      // strict queryParams throws on malformed percent-encoding): an
+      // escape here would skip flush() AND leak this request's identity
+      // in the pool thread's ThreadLocal, mis-attributing a later
+      // request on the thread.
       try {
         audit.record(method, path, math.max(ex.getResponseCode, 0),
           (System.nanoTime() - t0) / 1000000L,
           actor = tokenOf(ex).map(_.name).getOrElse("anonymous"),
           database = Option(ex.getRequestHeaders.getFirst("x-arc-database"))
-            .orElse(queryParams(ex).get("db"))
-            .orElse(queryParams(ex).get("database")).getOrElse(""),
+            .orElse(auditParams(ex).get("db"))
+            .orElse(auditParams(ex).get("database")).getOrElse(""),
           measurement =
             Option(ex.getRequestHeaders.getFirst("x-arc-measurement"))
               .getOrElse(path match {
@@ -1149,6 +1150,25 @@ final class HttpServer(
       (if (where.nonEmpty) s" WHERE $where" else "") +
       s" ORDER BY $orderSql LIMIT $limit" +
       (if (offset > 0) s" OFFSET $offset" else "")
+    // defense-in-depth over the coarse (db, meas) gate above: the
+    // denylist (reference-parity) does not block SELECT/EXISTS/IN
+    // subqueries, so a where clause can smuggle relations from OTHER
+    // databases past the per-table check. Re-check every relation in
+    // the parsed plan exactly like the POST path; extraction failure
+    // for an RBAC-scoped token fails CLOSED with 400.
+    if (where.nonEmpty) {
+      tableRefsFor(ex, sessionFor(db)._1, sql, db) match {
+        case Some(refs) =>
+          if (!checkResource(ex, refs, "read")) {
+            mQueryErrors.incrementAndGet(); return
+          }
+        case None =>
+          mQueryErrors.incrementAndGet()
+          sendJson(ex, 400,
+            err("could not resolve table references for permission check"))
+          return
+      }
+    }
     val ts = now()
     // same registry/cancel path as POST /api/v1/query — a slow
     // simple-read must be listable, cancellable, and must never run
@@ -1519,13 +1539,40 @@ final class HttpServer(
     // 8 KiB-seeded BAOS otherwise re-copies a multi-MB body ~10 times
     // (the JDK server bounds the stream at Content-Length, so a lying
     // client cannot overread past the declared size)
+    // the fast path is only safe when Transfer-Encoding is absent: on a
+    // malformed-but-deliverable request carrying BOTH chunked and a
+    // Content-Length, the JDK server honors chunked and ignores CL, so
+    // readNBytes(CL) would silently truncate the body
     val declared = Option(ex.getRequestHeaders.getFirst("Content-Length"))
+      .filter(_ => ex.getRequestHeaders.getFirst("Transfer-Encoding") == null)
       .flatMap(_.toLongOption).filter(_ > 0)
     declared match {
       case Some(n) =>
         require(n <= maxPayloadBytes,
           s"Payload too large (max $maxPayloadBytes bytes); batch smaller requests")
-        in.readNBytes(n.toInt)
+        val exact = in.readNBytes(n.toInt)
+        // defense-in-depth: the stream must be at EOF now (the JDK
+        // server bounds a CL-framed body at CL). If not, the framing
+        // was not what the header claimed — fall back to draining the
+        // remainder rather than truncating.
+        val probe = in.read()
+        if (probe < 0) exact
+        else {
+          val out = new java.io.ByteArrayOutputStream(exact.length + 65536)
+          out.write(exact)
+          out.write(probe)
+          val buf = new Array[Byte](65536)
+          var total = exact.length.toLong + 1
+          var m = in.read(buf)
+          while (m >= 0) {
+            total += m
+            require(total <= maxPayloadBytes,
+              s"Payload too large (max $maxPayloadBytes bytes); batch smaller requests")
+            out.write(buf, 0, m)
+            m = in.read(buf)
+          }
+          out.toByteArray
+        }
       case None => // chunked: fall back to the bounded grow loop
         val out = new java.io.ByteArrayOutputStream(8192)
         val buf = new Array[Byte](65536)
@@ -1574,10 +1621,25 @@ final class HttpServer(
   private def headerDb(ex: HttpExchange): String =
     headerDbOpt(ex).getOrElse("default")
 
-  /** Pairs with malformed percent-encoding ('?db=%zz') are dropped
-    * rather than thrown: this runs in the route finally block for audit
-    * attribution, where an escape would drop the audit record. */
+  /** Handler-path query params: malformed percent-encoding ('?db=%zz')
+    * THROWS (IllegalArgumentException → 400 at the route wrapper). A
+    * silent drop here would fall back to headerDb/'default' and
+    * acknowledge a write into the wrong database instead of rejecting
+    * the request. */
   private[server] def queryParams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).getOrElse("").split('&')
+      .filter(_.contains('='))
+      .map { kv =>
+        val i = kv.indexOf('=')
+        java.net.URLDecoder.decode(kv.substring(0, i), "UTF-8") ->
+          java.net.URLDecoder.decode(kv.substring(i + 1), "UTF-8")
+      }.toMap
+
+  /** Audit-attribution variant: pairs with malformed percent-encoding
+    * are dropped rather than thrown — this runs in the route finally
+    * block, where an escape would skip the audit flush and leak this
+    * request's identity into the pool thread's ThreadLocal. */
+  private[server] def auditParams(ex: HttpExchange): Map[String, String] =
     Option(ex.getRequestURI.getRawQuery).getOrElse("").split('&')
       .filter(_.contains('='))
       .flatMap { kv =>

@@ -14,6 +14,10 @@ object TestSpark {
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .config("spark.ui.enabled", "false")
+      // FAIR so the per-query scheduler pools QueryFacade assigns are
+      // live in tests — a long scan must not starve a concurrent small
+      // query (FairSchedulerSpec)
+      .config("spark.scheduler.mode", "FAIR")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

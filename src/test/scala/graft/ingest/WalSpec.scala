@@ -65,6 +65,31 @@ class WalSpec extends SparkSpec {
     ing2.close()
   }
 
+  test("fsync failure retracts the buffered rows: no phantom write") {
+    val root = tmpDir("wal_fsfail_cat")
+    val walDir = new File(tmpDir("wal_fsfail"))
+    val cat = new GraftCatalog(spark, root)
+    val ing = new DurableIngester(cat, walDir, flushRows = Int.MaxValue)
+    // a successful accept first, so the retraction must be SELECTIVE —
+    // only the failed request's batches leave the buffer
+    assert(ing.accept("default", lpBytes(
+      s"cpu,host=ok v=1.0 ${base * 1000L}")) == 1)
+    ing.walWriter.failNextSync = true
+    intercept[java.io.IOException] {
+      ing.accept("default", lpBytes(
+        s"cpu,host=ghost v=9.0 ${(base + 5) * 1000L}"))
+    }
+    // the failed write's rows must NOT flush to parquet later: the
+    // client saw an error, so durably materializing them would be a
+    // phantom write (and a duplicate on client retry)
+    assert(ing.pendingRows == 1, "only the acknowledged row may remain")
+    ing.flush()
+    val df = cat.table("default", "cpu")
+    assert(df.count() == 1)
+    assert(df.head().getAs[String]("host") == "ok")
+    ing.close()
+  }
+
   test("checkpoint after flush: nothing to replay, no duplicates") {
     val root = tmpDir("wal_ckpt_cat")
     val walDir = new File(tmpDir("wal_ckpt"))

@@ -24,7 +24,7 @@ class QueryFacadeSpec extends SparkSpec {
     val df = spark.sql(
       "SELECT id AS k, CONCAT('v', id) AS s FROM range(50) ORDER BY k")
     val a = f.toJsonEnvelope(df)
-    val b = f.toJsonEnvelopeDistributed(df)
+    val b = f.toJsonEnvelopeDistributed(df, maxRows = 1000)
     def stripTime(j: String) = j.replaceAll("\"execution_time_ms\":[0-9.]+", "")
     assert(stripTime(a) == stripTime(b))
     val capped = f.toJsonEnvelopeDistributed(df, maxRows = 5)
@@ -64,7 +64,7 @@ class QueryFacadeSpec extends SparkSpec {
       assert(rows == 2000)
       assert(jobs.get() == 4, s"expected 4 wave jobs, saw ${jobs.get()}")
       val streamed = out.toString("UTF-8")
-      val collected = f.toJsonEnvelopeDistributed(df)
+      val collected = f.toJsonEnvelopeDistributed(df, maxRows = 1000000)
       def stripTime(j: String) = j.replaceAll("\"execution_time_ms\":[0-9.]+", "")
       assert(stripTime(streamed) == stripTime(collected))
     } finally df.unpersist()

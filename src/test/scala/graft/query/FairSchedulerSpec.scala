@@ -1,0 +1,62 @@
+package graft.query
+
+import graft.SparkSpec
+
+/** Concurrent-query fairness: the reference serves its headline numbers
+  * at 12 concurrent workers; with Spark's default FIFO scheduler a long
+  * full scan monopolizes every task slot and a concurrent COUNT(*)
+  * waits for the whole job. QueryFacade assigns one FAIR pool per
+  * submitted query (spark.scheduler.pool = the query's job group), so
+  * under spark.scheduler.mode=FAIR concurrent queries round-robin task
+  * slots. This spec pins the contract end-to-end: a small query's
+  * latency under a saturating long scan stays within a small factor of
+  * its solo latency — instead of the long job's multi-second runtime. */
+class FairSchedulerSpec extends SparkSpec {
+
+  private lazy val facade = new QueryFacade(spark)
+
+  private def runTimed(sql: String): Long = {
+    val t0 = System.nanoTime()
+    val (id, df) = facade.submit(sql)
+    df.collect()
+    facade.complete(id)
+    (System.nanoTime() - t0) / 1000000L
+  }
+
+  private val smallSql = "SELECT count(*) AS n FROM range(0, 2000000, 1, 4)"
+  // md5-per-row keeps each of the 96 tasks busy for real CPU time, so
+  // the long job saturates all local[4] slots for several seconds
+  private val longSql =
+    "SELECT count(DISTINCT substr(md5(cast(id AS string)), 1, 2)) AS n " +
+      "FROM range(0, 60000000, 1, 96)"
+
+  test("per-query FAIR pools: a saturating scan does not starve a small count") {
+    assert(spark.sparkContext.getConf.get("spark.scheduler.mode", "FIFO")
+      .equalsIgnoreCase("FAIR"), "test session must run FAIR")
+    // warm both plans (JIT + codegen + first-job overheads out of band)
+    runTimed(smallSql)
+    val soloMs = (1 to 5).map(_ => runTimed(smallSql)).sorted.apply(2)
+
+    @volatile var longDone = false
+    val longThread = new Thread(() => {
+      runTimed(longSql); longDone = true
+    })
+    longThread.start()
+    try {
+      // let the long job occupy the cluster before measuring
+      Thread.sleep(1000)
+      assert(!longDone, "long query finished before measurement — enlarge it")
+      val underLoad = (1 to 5).map(_ => runTimed(smallSql)).sorted.apply(2)
+      val stillRunning = !longDone
+      // generous bound: fairness means the small query gets task slots
+      // within a round-robin wave, not after the long job's thousands of
+      // task-seconds. FIFO measures SECONDS here; FAIR measures ~solo.
+      val bound = math.max(soloMs * 4, soloMs + 1500)
+      assert(stillRunning,
+        "long query must still be running while smalls are measured")
+      assert(underLoad <= bound,
+        s"small query p50 under load ${underLoad}ms vs solo ${soloMs}ms " +
+          s"(bound ${bound}ms) — FAIR pools not taking effect")
+    } finally longThread.join()
+  }
+}

@@ -158,6 +158,29 @@ class AuthRbacSpec extends SparkSpec {
       .statusCode() == 200)
   }
 
+  test("simple-read where clause cannot smuggle a denied table past RBAC") {
+    val c = fixture("c") // read db1.cpu only — db1.mem is denied
+    // baseline: the plain simple-read on the granted measurement works
+    val ok = req("GET", "/api/v1/query/cpu?database=db1&limit=5", Some(c))
+    assert(ok.statusCode() == 200, ok.body())
+    // the denylist (reference-parity) does not block SELECT/EXISTS —
+    // without the parsed-plan re-check an EXISTS subquery is a boolean
+    // oracle over db1.mem for a token that only holds db1.cpu
+    val probe = req("GET",
+      "/api/v1/query/cpu?database=db1&limit=5&where=" +
+        java.net.URLEncoder.encode("EXISTS(SELECT host FROM mem)", "UTF-8"),
+      Some(c))
+    assert(probe.statusCode() == 403, probe.body())
+    assert(jsonOf(probe).get("error").asText()
+      .contains("no read permission for db1.mem"))
+    // a where clause touching only the granted table still works
+    val fine = req("GET",
+      "/api/v1/query/cpu?database=db1&limit=5&where=" +
+        java.net.URLEncoder.encode("host IS NOT NULL", "UTF-8"),
+      Some(c))
+    assert(fine.statusCode() == 200, fine.body())
+  }
+
   test("CTE shadowing cannot hide a real table ref from the RBAC check") {
     val c = fixture("c") // read db1.cpu only
     // the OUTER mem ref is a real table read even though a same-named

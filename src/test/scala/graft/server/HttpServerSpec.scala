@@ -298,6 +298,32 @@ class HttpServerSpec extends SparkSpec {
     assert(get("/api/v1/query/cpug?where=1%3D1;DELETE").statusCode() == 400)
   }
 
+  test("malformed percent-encoding in params is a 400, not a silent fallback") {
+    // a write with ?db=%zz must be rejected — the previous lenient
+    // parse dropped the pair and acknowledged the rows into 'default'.
+    // The JDK HttpClient validates URIs client-side, so drive a raw
+    // socket (the malformed escape is exactly what a buggy or hostile
+    // client would put on the wire).
+    val body = "cpu_pctenc usage=1.5 1700000000000000000\n".getBytes(UTF_8)
+    val port = base.substring(base.lastIndexOf(':') + 1).toInt
+    val sock = new java.net.Socket("127.0.0.1", port)
+    try {
+      val out = sock.getOutputStream
+      out.write(("POST /api/v1/write/line-protocol?db=%zz HTTP/1.1\r\n" +
+        "Host: 127.0.0.1\r\nContent-Type: text/plain\r\n" +
+        s"Content-Length: ${body.length}\r\nConnection: close\r\n\r\n")
+        .getBytes(UTF_8))
+      out.write(body)
+      out.flush()
+      val resp = new String(sock.getInputStream.readAllBytes(), UTF_8)
+      assert(resp.startsWith("HTTP/1.1 400"), resp.linesIterator.next())
+    } finally sock.close()
+    // the rows must NOT have been acknowledged into 'default'
+    val probe = post("/api/v1/query",
+      sqlBody("SELECT count(*) AS n FROM cpu_pctenc"))
+    assert(probe.statusCode() == 400) // table never created
+  }
+
   test("GET measurement query: offset pages, full where denylist, identifier caps") {
     post("/api/v1/write/msgpack", cpuPayload(6, "cpuo"))
     val all = json(get("/api/v1/query/cpuo?limit=10&order_by=time%20ASC"))
