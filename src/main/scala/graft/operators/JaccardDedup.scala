@@ -49,6 +49,47 @@ import org.apache.spark.sql.functions._
   */
 object JaccardDedup {
 
+  /** Naive-join cardinality above which the prefix filter wins. The
+    * block census gives Σ_block width² — the EXACT row count the
+    * blocked join must verify. Measured on the synthetic documents
+    * fixtures (local[32]): the naive join runs ≈4.5 µs/row of
+    * array-intersect work (6.8 M rows → 31 s at sf1; 76 k rows →
+    * 1.3 s at sf0.1), while the prefix path's fixed overhead — census,
+    * rarest-first rank window, candidate distinct, verify join-back,
+    * ~6 extra stages — costs ~3 s flat at these sizes. Cutover at 1e6
+    * join rows ≈ the point where the naive join's per-row work exceeds
+    * the prefix path's stage overhead; below it a mis-pick costs
+    * seconds, above it the naive join grows quadratically in block
+    * width while prefix candidates track rare-token postings. */
+  private val NaiveJoinRowCutover = 1e6
+
+  /** Census-driven dispatch between [[pairs]] (lossless prefix filter)
+    * and the blocked all-pairs join — identical output either way
+    * (JaccardDedupSpec pins parity on both regimes). The census is one
+    * groupBy over the DOC-level frame (one row per block — cheap at any
+    * corpus size) and computes the naive join's exact cardinality, so
+    * the decision is data-driven the way ContainmentDedup.pairsAuto's
+    * is: a 100 TB corpus with million-wide (lang, length) blocks goes to
+    * the prefix filter; a small corpus skips its fixed stage cost. */
+  def pairsAuto(docs: DataFrame, idCol: String, toksCol: String,
+      blockCols: Seq[String], minJaccard: Double): DataFrame = {
+    // materialize the prepped projection ONCE: the tokenize/distinct
+    // exprs feeding toksCol are the dominant per-row cost at corpus
+    // scale, and without this both the census and the chosen arm would
+    // re-run them over the full input
+    val slim = docs
+      .select((col(idCol) +: blockCols.map(col) :+ col(toksCol)): _*)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .localCheckpoint()
+    val naiveRows = slim.groupBy(blockCols.map(col): _*)
+      .agg(count(lit(1)).cast("double").as("c"))
+      .agg(coalesce(sum(col("c") * col("c")), lit(0.0)))
+      .head().getDouble(0)
+    if (naiveRows > NaiveJoinRowCutover)
+      pairs(slim, idCol, toksCol, blockCols, minJaccard)
+    else pairsNaiveBlocked(slim, idCol, toksCol, blockCols, minJaccard)
+  }
+
   /** Prefix-filtered Jaccard pairs. `docs` must carry `idCol`, the
     * block columns, and `toksCol` — an ALREADY-DISTINCT token array.
     * Output: (doc1, doc2, jaccard), doc1 < doc2, jaccard rounded to
@@ -100,10 +141,10 @@ object JaccardDedup {
       .select(col("d1").as("doc1"), col("d2").as("doc2"), col("jaccard"))
   }
 
-  /** The original blocked all-pairs shape — QUADRATIC in block width,
-    * kept only as the parity oracle for JaccardDedupSpec. Do not use in
-    * production plans. */
-  private[operators] def pairsNaiveBlocked(docs: DataFrame, idCol: String,
+  /** The blocked all-pairs shape — QUADRATIC in block width, so safe
+    * ONLY below [[NaiveJoinRowCutover]] (where [[pairsAuto]] dispatches
+    * to it) and as the parity oracle for JaccardDedupSpec. */
+  private[graft] def pairsNaiveBlocked(docs: DataFrame, idCol: String,
       toksCol: String, blockCols: Seq[String],
       minJaccard: Double): DataFrame = {
     val a = docs.select((col(idCol).as("doc1") +: blockCols.map(col) :+

@@ -61,20 +61,22 @@ object DedupQueries {
         .orderBy(col("key3"))),
 
     // token-set Jaccard near-dup, (lang, n_tokens)-blocked semantics.
-    // Candidate generation is the LOSSLESS prefix filter (PPJoin) — the
-    // old blocked all-pairs join emitted quadratically in block width
-    // (the sf1 step-up measured 33.7× time at 10× data); rare-token
-    // prefix postings bound candidates regardless of how many
-    // same-language ~N-token docs the corpus holds. Output (incl. 6-dp
-    // rounding) is bit-identical to the naive join — JaccardDedupSpec
-    // pins parity on dense and sparse fixtures; the oracle is the
-    // unchanged naive SQL.
+    // Candidate generation dispatches on the block census: wide blocks
+    // (Σ width² > 1e6 — the r10 sf1 step-up measured the blocked
+    // all-pairs join at 33.7× time for 10× data) go to the LOSSLESS
+    // prefix filter (PPJoin), whose candidates track rare-token
+    // postings instead of block width (measured sf1: 9.6 s vs 31 s,
+    // ratio 2.7× vs 24× — sub-output growth); small corpora keep the
+    // naive join and skip the prefix path's fixed stage cost. Output
+    // (incl. 6-dp rounding) is bit-identical either way —
+    // JaccardDedupSpec pins parity on dense and sparse fixtures; the
+    // oracle is the unchanged naive SQL.
     "q65_dedup_jaccard" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
           tokenCount(col("text")).as("n_tokens"),
           array_distinct(tokens(col("text"))).as("toks"))
-      graft.operators.JaccardDedup.pairs(docs, "doc_id", "toks",
+      graft.operators.JaccardDedup.pairsAuto(docs, "doc_id", "toks",
           Seq("lang", "n_tokens"), minJaccard = 0.5)
         .orderBy(col("doc1"), col("doc2"))
     }),

@@ -91,6 +91,27 @@ class JaccardDedupSpec extends SparkSpec {
     assert(pf == naive)
   }
 
+  test("pairsAuto: both dispatch regimes produce the naive output") {
+    val rnd = new scala.util.Random(41)
+    // small corpus (sum width^2 well under the cutover) -> naive arm
+    val small = prep((0 until 30).map { i =>
+      (i.toLong, "en", (0 until 6).map(_ => s"s${rnd.nextInt(40)}").mkString(" "))
+    })
+    // one 1100-doc block -> sum width^2 = 1.21e6 > 1e6 -> prefix arm
+    val wide = prep((0 until 1100).map { i =>
+      (i.toLong, "en", (0 until 6).map(_ => s"w${rnd.nextInt(900)}").mkString(" "))
+    })
+    def s(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    for (docs <- Seq(small, wide)) {
+      val auto = s(JaccardDedup.pairsAuto(docs, "doc_id", "toks",
+        Seq("lang", "n_tokens"), 0.5))
+      val naive = s(JaccardDedup.pairsNaiveBlocked(docs, "doc_id", "toks",
+        Seq("lang", "n_tokens"), 0.5))
+      assert(auto == naive, s"auto=${auto.size} naive=${naive.size}")
+    }
+  }
+
   test("threshold edge: pairs exactly at the 6-dp rounded boundary survive") {
     // jaccard = 4/8 = 0.5 exactly — must be kept by BOTH paths (>= t)
     val docs = prep(Seq(
