@@ -5,11 +5,11 @@ import org.apache.spark.sql.functions._
 
 /** Measure the recall curves that AnnRecallSpec pins (VERDICT r3 #1):
   * IVF recall@10 vs nProbe, PQ-ADC recall@10 vs m, IVF-PQ recall@10,
-  * and the SemDeDup prune-rate at a few thresholds — all on the sf0.01
-  * fixture with the seeds the specs use. Exact top-k is computed
-  * driver-side (500×64 floats), independent of the Spark paths under
-  * test. Run:
-  *   sbt "runMain graft.examples.RecallCurve"
+  * and the SemDeDup prune-rate at a few thresholds — on any fixture
+  * (arg 1: sf dir, default sf0.01; arg 2: IVF nLists, default 16 —
+  * use ~sqrt(N), e.g. 64 at the 8k-vector sf1). Exact top-k is computed
+  * driver-side, independent of the Spark paths under test. Run:
+  *   sbt "runMain graft.examples.RecallCurve [dir] [nLists]"
   */
 object RecallCurve {
 
@@ -22,7 +22,10 @@ object RecallCurve {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val dir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    val nLists = args.lift(1).map(_.toInt).getOrElse(16)
+    println(s"[recall] dir=$dir nLists=$nLists")
     val emb = graft.queries.t(spark, dir, "embeddings")
     val all = emb.select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
@@ -55,10 +58,13 @@ object RecallCurve {
     val exactCos = exactTop(cos, desc = true)
     val exactL2 = exactTop(l2, desc = false)
 
+    var lastMs = 0.0
     def recall(got: DataFrame, exact: Map[Long, Set[Long]]): Double = {
+      val t0 = System.nanoTime()
       val g = got.select(col("query_id"), col("cand_id")).collect()
         .map(r => (r.getLong(0), r.getLong(1)))
         .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      lastMs = (System.nanoTime() - t0) / 1e6
       exact.map { case (q, ex) =>
         ex.count(g.getOrElse(q, Set.empty).contains).toDouble / ex.size
       }.sum / exact.size
@@ -68,12 +74,12 @@ object RecallCurve {
     val queriesDf = emb.where(col("vec_id") < NQ)
       .select(col("vec_id"), col("embedding"))
 
-    // IVF: nLists=16, sweep nProbe
-    val ivf = graft.operators.IvfIndex.build(corpusDf, "vec_id", "embedding", nLists = 16)
-    for (nProbe <- Seq(1, 2, 4, 8, 16)) {
+    // IVF: sweep nProbe up to nLists
+    val ivf = graft.operators.IvfIndex.build(corpusDf, "vec_id", "embedding", nLists = nLists)
+    for (nProbe <- Seq(1, 2, 4, 8, 16, 32, 64).filter(_ <= nLists)) {
       val r = recall(graft.operators.IvfIndex.search(
         ivf, queriesDf, "vec_id", "embedding", k = K, nProbe = nProbe), exactCos)
-      println(f"IVF nLists=16 nProbe=$nProbe%2d recall@$K = $r%.4f")
+      println(f"IVF nLists=$nLists nProbe=$nProbe%2d recall@$K = $r%.4f (${lastMs}%.0f ms)")
     }
 
     // PQ: sweep m at ksub=16, pure ADC vs shortlist re-rank
@@ -82,26 +88,26 @@ object RecallCurve {
         corpusDf, "vec_id", "embedding", dim = 64, m = m, ksub = 16)
       val r = recall(graft.operators.PqIndex.search(
         pq, queriesDf, "vec_id", "embedding", k = K), exactL2)
-      println(f"PQ m=$m%2d ksub=16 recall@$K = $r%.4f")
+      println(f"PQ m=$m%2d ksub=16 recall@$K = $r%.4f (${lastMs}%.0f ms)")
       for (l <- Seq(25, 50, 100)) {
         val rr = recall(graft.operators.PqIndex.searchRerank(
           pq, corpusDf, "vec_id", "embedding", queriesDf, "vec_id", "embedding",
           k = K, shortlist = l), exactL2)
-        println(f"PQ m=$m%2d ksub=16 rerank L=$l%3d recall@$K = $rr%.4f")
+        println(f"PQ m=$m%2d ksub=16 rerank L=$l%3d recall@$K = $rr%.4f (${lastMs}%.0f ms)")
       }
     }
 
-    // IVF-PQ: nLists=16, m=8, sweep nProbe
+    // IVF-PQ: m=8, sweep nProbe up to nLists
     val ivfpq = graft.operators.IvfPq.build(
-      corpusDf, "vec_id", "embedding", dim = 64, nLists = 16, m = 8, ksub = 16)
-    for (nProbe <- Seq(2, 4, 8, 16)) {
+      corpusDf, "vec_id", "embedding", dim = 64, nLists = nLists, m = 8, ksub = 16)
+    for (nProbe <- Seq(2, 4, 8, 16, 32, 64).filter(_ <= nLists)) {
       val r = recall(graft.operators.IvfPq.search(
         ivfpq, queriesDf, "vec_id", "embedding", k = K, nProbe = nProbe), exactL2)
-      println(f"IVF-PQ nLists=16 m=8 nProbe=$nProbe%2d recall@$K = $r%.4f")
+      println(f"IVF-PQ nLists=$nLists m=8 nProbe=$nProbe%2d recall@$K = $r%.4f (${lastMs}%.0f ms)")
       val rr = recall(graft.operators.IvfPq.searchRerank(
         ivfpq, queriesDf, "vec_id", "embedding", k = K, nProbe = nProbe,
         shortlist = 50), exactL2)
-      println(f"IVF-PQ nLists=16 m=8 nProbe=$nProbe%2d rerank L=50 recall@$K = $rr%.4f")
+      println(f"IVF-PQ nLists=$nLists m=8 nProbe=$nProbe%2d rerank L=50 recall@$K = $rr%.4f (${lastMs}%.0f ms)")
     }
 
     // SemDeDup prune rate at a few thresholds (nLists=8, full table)
