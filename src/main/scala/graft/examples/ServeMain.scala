@@ -36,6 +36,10 @@ object ServeMain {
       .appName("graft-serve")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // FAIR scheduling: QueryFacade assigns each query a pool from a
+      // fixed hashed set, so concurrent queries share task slots
+      // instead of FIFO-queueing behind the first long scan
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

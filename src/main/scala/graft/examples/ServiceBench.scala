@@ -44,6 +44,9 @@ object ServiceBench {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      // FAIR: QueryFacade hashes each query into one of 16 pools so 12
+      // concurrent readers round-robin task slots (the deployment shape)
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -187,6 +190,46 @@ object ServiceBench {
         ("query_msgpack_http", "application/x-msgpack"))) {
       val (bytes, sec) = bench(q(sql, accept))
       println(f"[svc] $label%s: ${nRows / sec / 1e6}%.2f M rows/s ($nRows rows, ${bytes / 1e6}%.1f MB, $sec%.2f s)")
+    }
+
+    // --- 12 concurrent readers (the reference's headline concurrency,
+    // README.md:98-100): aggregate drain throughput, plus a small-query
+    // fairness probe — under FAIR pools a COUNT(*) must not queue
+    // behind 12 full drains (r10 verdict #5)
+    locally {
+      val readers = 12
+      val client = java.net.http.HttpClient.newHttpClient()
+      def smallMs(): Double = {
+        val t0 = System.nanoTime()
+        val req = java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"http://127.0.0.1:$port/api/v1/query"))
+          .timeout(java.time.Duration.ofSeconds(120))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+            """{"sql":"SELECT count(*) AS n FROM global_temp.li_svc"}"""))
+          .build()
+        val r = client.send(req,
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        require(r.statusCode() == 200, s"small query -> ${r.statusCode()}")
+        (System.nanoTime() - t0) / 1e6
+      }
+      def p50(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+      smallMs() // warm
+      val solo = p50((1 to 5).map(_ => smallMs()))
+      val cpool = java.util.concurrent.Executors.newFixedThreadPool(readers)
+      val t0 = System.nanoTime()
+      val futs = (0 until readers).map(_ =>
+        cpool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = q(sql, "")
+        }))
+      Thread.sleep(500) // let the drains saturate the executor first
+      val under = p50((1 to 5).map(_ => smallMs()))
+      val bytes12 = futs.map(_.get()).sum
+      val csec = (System.nanoTime() - t0) / 1e9
+      cpool.shutdown()
+      println(f"[svc] query_json_12conc: ${nRows.toDouble * readers / csec / 1e6}%.2f M rows/s aggregate " +
+        f"(${readers} readers x $nRows rows, ${bytes12 / 1e6}%.0f MB, $csec%.2f s)")
+      println(f"[svc] small_query_fairness: solo p50 $solo%.0f ms, " +
+        f"under 12 drains p50 $under%.0f ms (${under / solo}%.1fx)")
     }
 
     server.stop()

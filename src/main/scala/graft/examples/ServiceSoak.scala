@@ -31,6 +31,12 @@ object ServiceSoak {
     // (serving didn't degrade under accumulating files + maintenance) —
     // the 100x-scale-up confidence check from the r7 verdict, item 8.
     val compact = sys.env.get("SOAK_COMPACT").contains("1")
+    // SOAK_STAMPEDE=1: mid-soak, 4x maxInFlight clients slam the query
+    // route with heavy scans — the overload gate must shed with clean
+    // 503 + Retry-After envelopes, never corrupt a 200, and recover
+    // fully once the stampede drains (r10 verdict stretch #9: the
+    // OverloadGateSpec contract under real traffic)
+    val stampede = sys.env.get("SOAK_STAMPEDE").contains("1")
     val spark = SparkSession.builder()
       .master("local[16]")
       .config("spark.sql.shuffle.partitions", "16")
@@ -46,6 +52,7 @@ object ServiceSoak {
     if (buffered) server.enableBufferedIngest(
       java.nio.file.Files.createTempDirectory("graft_soak_wal").toFile,
       flushRows = 100000, flushMillis = 250L)
+    if (stampede) server.overloadGate.maxInFlight = 8
     val base = s"http://127.0.0.1:${server.start()}"
     val client = HttpClient.newHttpClient()
 
@@ -78,6 +85,7 @@ object ServiceSoak {
       (0 until n).map(i => s"soak,host=h${i % 4} v=${i}i ${t0 + i * 1000L}")
         .mkString("\n").getBytes(UTF_8)
 
+    val shedOk: Set[Int] = if (stampede) Set(503) else Set.empty
     val rnd = new java.util.Random(42)
     val t0 = 1700000000000000000L
     val nextTs = new AtomicLong(t0)
@@ -106,7 +114,7 @@ object ServiceSoak {
         val r = post("/api/v1/query",
           """{"sql":"SELECT count(*) AS n FROM soak"}""".getBytes(UTF_8))
         queryLatencies.add((System.nanoTime(), (System.nanoTime() - q0) / 1e6))
-        note("query", r.statusCode(), Set(200, 400))
+        note("query", r.statusCode(), Set(200, 400) ++ shedOk)
         if (r.statusCode() == 200) {
           try {
             val env = jsonMapper.readTree(r.body())
@@ -121,18 +129,18 @@ object ServiceSoak {
       // arrow reader
       () => note("arrow", post("/api/v1/query",
         """{"sql":"SELECT host, count(*) c FROM soak GROUP BY host"}""".getBytes(UTF_8),
-        "Accept" -> "application/vnd.apache.arrow.stream").statusCode(), Set(200, 400)),
+        "Accept" -> "application/vnd.apache.arrow.stream").statusCode(), Set(200, 400) ++ shedOk),
       // msgpack reader
       () => note("msgpack", post("/api/v1/query/msgpack",
-        """{"sql":"SELECT max(v) m FROM soak"}""".getBytes(UTF_8)).statusCode(), Set(200, 400)),
+        """{"sql":"SELECT max(v) m FROM soak"}""".getBytes(UTF_8)).statusCode(), Set(200, 400) ++ shedOk),
       // GET simple read
-      () => note("getread", get("/api/v1/query/soak?limit=50").statusCode(), Set(200, 400)),
+      () => note("getread", get("/api/v1/query/soak?limit=50").statusCode(), Set(200, 400) ++ shedOk),
       // estimate
       () => note("estimate", post("/api/v1/query/estimate",
-        """{"sql":"SELECT * FROM soak"}""".getBytes(UTF_8)).statusCode(), Set(200, 400)),
+        """{"sql":"SELECT * FROM soak"}""".getBytes(UTF_8)).statusCode(), Set(200, 400) ++ shedOk),
       // SHOW + metrics + measurements pollers
       () => note("show", post("/api/v1/query",
-        """{"sql":"SHOW TABLES FROM default"}""".getBytes(UTF_8)).statusCode(), Set(200)),
+        """{"sql":"SHOW TABLES FROM default"}""".getBytes(UTF_8)).statusCode(), Set(200) ++ shedOk),
       () => note("metrics", get("/metrics").statusCode(), Set(200)),
       () => note("meas", get("/api/v1/measurements?database=default").statusCode(), Set(200)),
       // second measurement writer+reader in another db
@@ -144,7 +152,7 @@ object ServiceSoak {
       },
       () => note("query2", post("/api/v1/query",
         """{"sql":"SELECT count(*) n FROM soak"}""".getBytes(UTF_8),
-        "x-arc-database" -> "soakdb2").statusCode(), Set(200, 400, 404)),
+        "x-arc-database" -> "soakdb2").statusCode(), Set(200, 400, 404) ++ shedOk),
       // canceller: a definitely-stale id — exercises the cancel route
       // under load without victimizing a live query (a live-victim
       // cancel makes the VICTIM's failure expected, which would blind
@@ -231,6 +239,86 @@ object ServiceSoak {
         } catch { case e: Throwable => backupFailed = Some(e.toString) }
       }, "soak-live-backup")
       t.setDaemon(true); t.start()
+    }
+
+    // stampede phase: fire at 50%% of the soak, run for ~25%% of it
+    val stampedeFail = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val stampedeThread: Option[Thread] = if (!stampede) None else Some {
+      val t = new Thread(() => {
+        try {
+          Thread.sleep(seconds * 500L)
+          val nClients = server.overloadGate.maxInFlight * 4
+          val shed = new AtomicInteger; val okQ = new AtomicInteger
+          val badQ = new AtomicInteger
+          val badSamples = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+          def noteBad(r: HttpResponse[Array[Byte]]): Unit = {
+            badQ.incrementAndGet()
+            if (badSamples.size < 5) badSamples.add(
+              s"${r.statusCode()} retry=${r.headers().firstValue("Retry-After")} " +
+                new String(r.body(), UTF_8).take(200))
+          }
+          val spool = Executors.newFixedThreadPool(nClients)
+          val sDeadline = System.nanoTime() + (seconds * 250L) * 1000000L
+          (0 until nClients).foreach { _ =>
+            spool.submit(new Runnable { def run(): Unit = {
+              while (System.nanoTime() < sDeadline) {
+                // CPU-heavy but overflow-free (summing raw xxhash64
+                // longs trips ANSI ARITHMETIC_OVERFLOW)
+                val r = post("/api/v1/query",
+                  """{"sql":"SELECT count(DISTINCT substr(md5(cast(id AS string)), 1, 4)) AS h FROM range(1500000)"}"""
+                    .getBytes(UTF_8))
+                r.statusCode() match {
+                  case 200 =>
+                    // a shed must never corrupt a served response: 200
+                    // bodies parse in full or the phase fails
+                    try {
+                      val env = jsonMapper.readTree(r.body())
+                      if (env.get("success").asBoolean()) okQ.incrementAndGet()
+                      else badQ.incrementAndGet()
+                    } catch { case _: Exception => noteBad(r) }
+                  case 503 =>
+                    val retry = r.headers().firstValue("Retry-After").isPresent
+                    val clean = try {
+                      !jsonMapper.readTree(r.body()).get("success").asBoolean()
+                    } catch { case _: Exception => false }
+                    if (retry && clean) shed.incrementAndGet()
+                    else noteBad(r)
+                  case _ => noteBad(r)
+                }
+              }
+            }})
+          }
+          spool.shutdown()
+          spool.awaitTermination(seconds.toLong, TimeUnit.SECONDS)
+          // recovery after drain: a fresh query is served and the gate
+          // is back under capacity. (The zero-in-flight slot-leak check
+          // happens at QUIESCE in the audit — the 12 soak workers are
+          // still running here, so a nonzero in-flight is THEIR live
+          // query, not a leaked slot.)
+          var waited = 0
+          while (server.overloadGate.inFlight > server.overloadGate.maxInFlight / 2
+              && waited < 400) {
+            Thread.sleep(50); waited += 1
+          }
+          val probe = post("/api/v1/query",
+            """{"sql":"SELECT 1 AS one"}""".getBytes(UTF_8))
+          val recovered = probe.statusCode() == 200
+          println(s"[soak] stampede: served=${okQ.get} shed=${shed.get} " +
+            s"bad=${badQ.get} recovered=$recovered " +
+            s"shed_total=${server.overloadGate.shedTotal.get}")
+          badSamples.forEach(b => System.err.println(s"[soak] stampede bad sample: $b"))
+          if (shed.get == 0)
+            stampedeFail.set("gate never shed under 4x maxInFlight clients")
+          else if (badQ.get > 0)
+            stampedeFail.set(s"${badQ.get} corrupted/unexpected stampede responses")
+          else if (okQ.get == 0)
+            stampedeFail.set("gate served nothing during the stampede")
+          else if (!recovered)
+            stampedeFail.set(s"no recovery after drain (probe=${probe.statusCode()}, " +
+              s"inFlight=${server.overloadGate.inFlight})")
+        } catch { case e: Throwable => stampedeFail.set(e.toString) }
+      }, "soak-stampede")
+      t.start(); t
     }
 
     val pool = Executors.newFixedThreadPool(12)
@@ -413,6 +501,21 @@ object ServiceSoak {
       }
     }
 
+    stampedeThread.foreach(_.join(120000))
+    if (stampede) {
+      Option(stampedeFail.get).foreach { why =>
+        ok = false; System.err.println(s"[soak] STAMPEDE FAILED: $why")
+      }
+      // slot-leak check at quiesce: every worker is done, so any
+      // remaining in-flight count is a leaked gate slot
+      var w = 0
+      while (server.overloadGate.inFlight > 0 && w < 100) { Thread.sleep(100); w += 1 }
+      if (server.overloadGate.inFlight != 0) {
+        ok = false
+        System.err.println(s"[soak] GATE SLOT LEAK: inFlight=" +
+          s"${server.overloadGate.inFlight} at quiesce")
+      }
+    }
     println(if (ok) "[soak] PASS" else "[soak] FAIL")
     server.stop(); spark.stop()
     if (!ok) sys.exit(1)
