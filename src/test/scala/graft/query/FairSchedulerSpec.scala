@@ -35,7 +35,7 @@ class FairSchedulerSpec extends SparkSpec {
       .equalsIgnoreCase("FAIR"), "test session must run FAIR")
     // warm both plans (JIT + codegen + first-job overheads out of band)
     runTimed(smallSql)
-    val soloMs = (1 to 5).map(_ => runTimed(smallSql)).sorted.apply(2)
+    val soloMs = (1 to 5).map(_ => runTimed(smallSql)).min
 
     @volatile var longDone = false
     val longThread = new Thread(() => {
@@ -46,12 +46,17 @@ class FairSchedulerSpec extends SparkSpec {
       // let the long job occupy the cluster before measuring
       Thread.sleep(1000)
       assert(!longDone, "long query finished before measurement — enlarge it")
-      val underLoad = (1 to 5).map(_ => runTimed(smallSql)).sorted.apply(2)
+      // MIN of 5, not median: under FIFO every sample waits for the
+      // whole long job (min stays seconds-large), while under FAIR at
+      // least one sample lands a clean round-robin wave even when the
+      // full parallel test suite loads the VM — the median wobbled
+      // across suite runs for exactly that ambient-load reason.
+      val underLoad = (1 to 5).map(_ => runTimed(smallSql)).min
       val stillRunning = !longDone
       // generous bound: fairness means the small query gets task slots
       // within a round-robin wave, not after the long job's thousands of
       // task-seconds. FIFO measures SECONDS here; FAIR measures ~solo.
-      val bound = math.max(soloMs * 4, soloMs + 1500)
+      val bound = math.max(soloMs * 4, soloMs + 2000)
       assert(stillRunning,
         "long query must still be running while smalls are measured")
       assert(underLoad <= bound,

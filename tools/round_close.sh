@@ -1,0 +1,51 @@
+#!/usr/bin/env bash
+# Standing per-round close-out gate (round-11 VERDICT #2): the sf1
+# step-up is no longer a one-round event — every round runs the full
+# inventory at BOTH sf0.1 (driver parity) and sf1 (10x), plus the full
+# per-query bench JSON artifact (VERDICT #3), so a regression at 10x
+# can't hide behind the small-SF gate.
+#
+# Usage: tools/round_close.sh <round-number>
+# Produces (committed by the caller):
+#   CORRECTNESS_sf1_r<N>.json  — per-query pass/fail at sf1
+#   BENCH_sf1_r<N>.json        — full per-query bench at sf1
+#   bench_full_r<N>.json       — full per-query bench at sf0.1
+set -euo pipefail
+cd "$(dirname "$0")/.."
+R="${1:?usage: tools/round_close.sh <round>}"
+SF1_DIR="${SF1_DIR:-/root/repo/testdata_sf1}"
+SF01_DIR="${SF01_DIR:-/root/testdata/sf0.1}"
+
+if [ ! -d "$SF1_DIR" ]; then
+  echo "[round_close] generating sf1 fixture at $SF1_DIR"
+  python3 tools/gen_sf1.py "$SF1_DIR" 1
+fi
+
+echo "[round_close] 1/3 Verify + oracle at sf1"
+VOUT="$(mktemp -d /tmp/graft_verify_sf1.XXXX)"
+sbt -batch "runMain graft.Verify $SF1_DIR $VOUT" >/dev/null
+python3 tools/check_sf1.py "$SF1_DIR" "$VOUT" | tee /tmp/check_sf1_r"$R".txt
+python3 - "$R" </tmp/check_sf1_r"$R".txt >"CORRECTNESS_sf1_r$R.json" <<'EOF'
+import sys, json, re
+rows = {}
+for line in sys.stdin:
+    m = re.match(r"(PASS|FAIL|TIMEOUT|NO_ORACLE) (\S+)", line.strip())
+    if m: rows[m.group(2)] = m.group(1).lower()
+summary = {"round": int(sys.argv[1]), "sf": "sf1",
+           "pass": sum(v == "pass" for v in rows.values()),
+           "fail": sum(v == "fail" for v in rows.values()),
+           "timeout": sum(v == "timeout" for v in rows.values()),
+           "no_oracle": sum(v == "no_oracle" for v in rows.values()),
+           "queries": rows}
+print(json.dumps(summary, indent=1, sort_keys=True))
+EOF
+
+echo "[round_close] 2/3 Bench at sf1"
+SPARK_GRAFT_SF_DIR="$SF1_DIR" SPARK_GRAFT_BENCH_OUT="BENCH_sf1_r$R.json" \
+  sbt -batch "runMain graft.Bench" | tail -1
+
+echo "[round_close] 3/3 full Bench at sf0.1"
+SPARK_GRAFT_SF_DIR="$SF01_DIR" SPARK_GRAFT_BENCH_OUT="bench_full_r$R.json" \
+  sbt -batch "runMain graft.Bench" | tail -1
+
+echo "[round_close] artifacts: CORRECTNESS_sf1_r$R.json BENCH_sf1_r$R.json bench_full_r$R.json"
