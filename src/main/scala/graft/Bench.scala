@@ -106,9 +106,20 @@ object Bench {
           try files.iterator().asScala
             .filter(_.getFileName.toString.matches("BENCH_r\\d+\\.json")).toSeq
           finally files.close()
+        // history must be SAME-SF: the official records are sf0.1, and
+        // an sf1 run compared against them flags every data-bound query
+        // as a 3x "regression" (observed: 19 bogus flags on the first
+        // sf1 bench artifact). A record missing "sf" (old tail-only
+        // rounds) is kept — those are all sf0.1, the driver's scale.
+        val sfBase = new java.io.File(sfDir).getName
         rounds.flatMap { f =>
           try {
             val node = mapper.readTree(java.nio.file.Files.readAllBytes(f))
+            val recSf = Seq(node, node.get("parsed")).filter(_ != null)
+              .map(_.get("sf")).find(n => n != null && n.isTextual)
+              .map(n => new java.io.File(n.asText).getName)
+            if (!recSf.contains(sfBase) && !(recSf.isEmpty && sfBase == "sf0.1"))
+              throw new RuntimeException("sf mismatch — skip record")
             // the driver wraps the bench line under "parsed" in some rounds
             val qn = Seq(node, node.get("parsed")).filter(_ != null)
               .map(_.get("queries")).find(n => n != null && !n.isNull)

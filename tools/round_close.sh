@@ -25,17 +25,19 @@ echo "[round_close] 1/3 Verify + oracle at sf1"
 VOUT="$(mktemp -d /tmp/graft_verify_sf1.XXXX)"
 sbt -batch "runMain graft.Verify $SF1_DIR $VOUT" >/dev/null
 python3 tools/check_sf1.py "$SF1_DIR" "$VOUT" | tee /tmp/check_sf1_r"$R".txt
-python3 - "$R" </tmp/check_sf1_r"$R".txt >"CORRECTNESS_sf1_r$R.json" <<'EOF'
+# NB: the report lines come in by PATH (argv), not stdin — `python3 -`
+# reads the PROGRAM from stdin, so a second stdin redirect would feed
+# the heredoc to the parser and silently produce an empty summary
+python3 - "$R" /tmp/check_sf1_r"$R".txt >"CORRECTNESS_sf1_r$R.json" <<'EOF'
 import sys, json, re
 rows = {}
-for line in sys.stdin:
-    m = re.match(r"(PASS|FAIL|TIMEOUT|NO_ORACLE) (\S+)", line.strip())
-    if m: rows[m.group(2)] = m.group(1).lower()
+for line in open(sys.argv[2]):
+    m = re.match(r"(PASS|FAIL|TIMEOUT) (\S+?):?\s", line.strip() + " ")
+    if m: rows[m.group(2).rstrip(':')] = m.group(1).lower()
 summary = {"round": int(sys.argv[1]), "sf": "sf1",
            "pass": sum(v == "pass" for v in rows.values()),
            "fail": sum(v == "fail" for v in rows.values()),
            "timeout": sum(v == "timeout" for v in rows.values()),
-           "no_oracle": sum(v == "no_oracle" for v in rows.values()),
            "queries": rows}
 print(json.dumps(summary, indent=1, sort_keys=True))
 EOF
