@@ -223,13 +223,18 @@ object ServiceBench {
         }))
       Thread.sleep(500) // let the drains saturate the executor first
       val under = p50((1 to 5).map(_ => smallMs()))
+      // the probes only measure fairness if the drains were still live
+      // while they ran — on a machine fast enough to finish 12 drains
+      // inside the probe window, the row is meaningless and says so
+      val drainsLive = futs.exists(!_.isDone)
       val bytes12 = futs.map(_.get()).sum
       val csec = (System.nanoTime() - t0) / 1e9
       cpool.shutdown()
       println(f"[svc] query_json_12conc: ${nRows.toDouble * readers / csec / 1e6}%.2f M rows/s aggregate " +
         f"(${readers} readers x $nRows rows, ${bytes12 / 1e6}%.0f MB, $csec%.2f s)")
       println(f"[svc] small_query_fairness: solo p50 $solo%.0f ms, " +
-        f"under 12 drains p50 $under%.0f ms (${under / solo}%.1fx)")
+        f"under 12 drains p50 $under%.0f ms (${under / solo}%.1fx)" +
+        (if (drainsLive) "" else " [INVALID: drains finished before probes]"))
     }
 
     server.stop()

@@ -202,7 +202,7 @@ object ServiceSoak {
         // mid-scan delete a transient, never a 5xx)
         () => note("query_old", post("/api/v1/query",
           """{"sql":"SELECT count(*) AS n FROM soak_old"}""".getBytes(UTF_8))
-          .statusCode(), Set(200, 400))
+          .statusCode(), Set(200, 400) ++ shedOk)
       )
     })).map(f => new Runnable { def run(): Unit = f() })
 
@@ -300,8 +300,18 @@ object ServiceSoak {
               && waited < 400) {
             Thread.sleep(50); waited += 1
           }
-          val probe = post("/api/v1/query",
+          // the 12 soak workers are still live against the lowered
+          // maxInFlight, so a single one-shot probe can race into a
+          // legitimately-full gate and 503 — retry a few waves; FAILED
+          // recovery means EVERY probe sheds, not one unlucky one
+          var probe = post("/api/v1/query",
             """{"sql":"SELECT 1 AS one"}""".getBytes(UTF_8))
+          var tries = 0
+          while (probe.statusCode() != 200 && tries < 20) {
+            Thread.sleep(250); tries += 1
+            probe = post("/api/v1/query",
+              """{"sql":"SELECT 1 AS one"}""".getBytes(UTF_8))
+          }
           val recovered = probe.statusCode() == 200
           println(s"[soak] stampede: served=${okQ.get} shed=${shed.get} " +
             s"bad=${badQ.get} recovered=$recovered " +

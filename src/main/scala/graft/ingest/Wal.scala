@@ -40,6 +40,17 @@ object Wal {
 
   final case class Entry(timestampUs: Long, db: String, body: Array[Byte])
 
+  /** Where an append physically landed — the handle [[Writer.abort]]
+    * needs to retract it if the group-commit fsync fails. */
+  final case class Pos(seq: Long, seg: String, off: Long)
+
+  /** Envelope markers (first payload byte). 0x01 = write entry (the
+    * reference's only kind, wal.go:44-58); 0x02 = abort marker — its
+    * body names a (segment, offset) whose entry must be SKIPPED on
+    * replay because the client was told the write failed. */
+  val MarkerWrite: Byte = 0x01
+  val MarkerAbort: Byte = 0x02
+
   /** Single-threaded appender with size-based rotation. */
   final class Writer(dir: File, syncMode: SyncMode = SyncEvery,
       maxSegmentBytes: Long = 100L * 1024 * 1024) {
@@ -71,7 +82,7 @@ object Wal {
     private var syncedSeq = 0L
     private val syncLock = new Object
 
-    def append(db: String, body: Array[Byte]): Unit = syncTo(write(db, body))
+    def append(db: String, body: Array[Byte]): Unit = syncTo(write(db, body).seq)
 
     /** Phase 1 — frame and write WITHOUT the durability sync; returns
       * the append's sequence. The caller MUST follow with [[syncTo]]
@@ -80,11 +91,15 @@ object Wal {
       * atomically) can write UNDER that lock but fsync OUTSIDE it —
       * group commit only coalesces when multiple syncers reach
       * [[syncTo]] concurrently. */
-    def write(db: String, body: Array[Byte]): Long = {
+    def write(db: String, body: Array[Byte]): Pos =
+      writeMarked(MarkerWrite, db, body)
+
+    private def writeMarked(marker: Byte, db: String,
+        body: Array[Byte]): Pos = {
       require(body.length <= MaxPayloadSize, "WAL payload exceeds maximum size")
       val dbBytes = db.getBytes("UTF-8")
       val payload = ByteBuffer.allocate(3 + dbBytes.length + body.length)
-      payload.put(0x01.toByte).putShort(dbBytes.length.toShort)
+      payload.put(marker).putShort(dbBytes.length.toShort)
         .put(dbBytes).put(body)
       val p = payload.array()
       val crc = new CRC32(); crc.update(p)
@@ -93,6 +108,7 @@ object Wal {
         .putLong(System.currentTimeMillis() * 1000L)
         .putInt(crc.getValue.toInt)
       synchronized {
+        val pos = Pos(writeSeq + 1, segFile.getName, written)
         out.write(head.array()); out.write(p)
         if (syncMode != SyncEvery) out.flush()
         writeSeq += 1
@@ -100,7 +116,38 @@ object Wal {
         // rotate() fsyncs the old segment first (SyncEvery), so bytes
         // in a rotated segment are durable before my group-sync runs
         if (written >= maxSegmentBytes) rotate()
-        writeSeq
+        pos
+      }
+    }
+
+    /** Retract an entry whose durability sync FAILED after the bytes
+      * were written: the client is being told the write failed, so
+      * crash-restart replay must not resurrect it (a phantom write —
+      * the buffered-rows retraction in DurableIngester.journal covers
+      * the live process; this covers the restart path).
+      *
+      * When no later append landed in the same segment the entry's
+      * bytes are physically truncated away; otherwise an abort marker
+      * is framed (CRC-protected like any entry) naming the (segment,
+      * offset) for replay to skip. Best-effort by nature: if the disk
+      * is so broken that the truncate/marker write ALSO fails, replay
+      * may still see the entry — that residual window is the documented
+      * at-least-once edge of a failed-fsync world (the entry itself may
+      * or may not have reached the platter either). */
+    def abort(pos: Pos): Unit = synchronized {
+      if (segFile.getName == pos.seg && writeSeq == pos.seq) {
+        // ours is the segment's last entry — remove the bytes outright
+        out.flush()
+        out.getChannel.truncate(pos.off)
+        out.getChannel.position(pos.off)
+        written = pos.off
+        // persist the shrunken length too — an un-synced truncate could
+        // itself be lost to the crash this retraction defends against
+        if (syncMode == SyncEvery) out.getFD.sync()
+      } else {
+        writeMarked(MarkerAbort, "",
+          s"${pos.seg}:${pos.off}".getBytes("UTF-8"))
+        if (syncMode == SyncEvery) out.getFD.sync()
       }
     }
 
@@ -180,23 +227,34 @@ object Wal {
 
   /** Read every intact entry across the directory's segments (oldest
     * first — segment names sort by creation time). Stops a segment at
-    * the first torn or corrupt frame. */
+    * the first torn or corrupt frame. Entries retracted by an abort
+    * marker (a failed-fsync write the client saw error on — possibly
+    * marked from a LATER segment) are skipped. */
   def readAll(dir: File): Seq[Entry] = {
     val segs = Option(dir.listFiles())
       .getOrElse(Array.empty[File])
       .filter(f => f.isFile && f.getName.startsWith("wal_") && f.getName.endsWith(".log"))
       .sortBy(_.getName)
-    segs.toSeq.flatMap(readSegment)
+    val read = segs.toSeq.map(f => f.getName -> readSegment(f))
+    val aborted: Set[(String, Long)] =
+      read.flatMap(_._2._2).toSet
+    read.flatMap { case (seg, (entries, _)) =>
+      entries.collect { case (e, off) if !aborted((seg, off)) => e }
+    }
   }
 
-  private def readSegment(f: File): Seq[Entry] = {
+  /** One segment's intact frames: (write entries with their offsets,
+    * abort-marker targets). */
+  private def readSegment(
+      f: File): (Seq[(Entry, Long)], Seq[(String, Long)]) = {
     val raf = new RandomAccessFile(f, "r")
     try {
-      val out = mutable.ArrayBuffer.empty[Entry]
+      val out = mutable.ArrayBuffer.empty[(Entry, Long)]
+      val aborts = mutable.ArrayBuffer.empty[(String, Long)]
       val magic = new Array[Byte](4)
-      if (raf.length() < HeaderSize) return Nil
+      if (raf.length() < HeaderSize) return (Nil, Nil)
       raf.readFully(magic)
-      if (!magic.sameElements(Magic)) return Nil
+      if (!magic.sameElements(Magic)) return (Nil, Nil)
       raf.readShort(); raf.readByte() // version + checksum type
       var pos = HeaderSize.toLong
       var ok = true
@@ -213,16 +271,23 @@ object Wal {
           if (crc.getValue.toInt != crcStored) ok = false // corrupt frame
           else {
             val bb = ByteBuffer.wrap(p)
-            bb.get() // envelope marker
+            val marker = bb.get()
             val dbLen = bb.getShort & 0xffff
             val dbBytes = new Array[Byte](dbLen); bb.get(dbBytes)
             val body = new Array[Byte](p.length - 3 - dbLen); bb.get(body)
-            out += Entry(ts, new String(dbBytes, "UTF-8"), body)
+            if (marker == MarkerAbort) {
+              new String(body, "UTF-8").split(":", 2) match {
+                case Array(seg, off) if off.forall(_.isDigit) =>
+                  aborts += ((seg, off.toLong))
+                case _ => // malformed abort — ignore (never lose data over it)
+              }
+            } else
+              out += ((Entry(ts, new String(dbBytes, "UTF-8"), body), pos))
             pos += EntryHeaderSize + len
           }
         }
       }
-      out.toSeq
+      (out.toSeq, aborts.toSeq)
     } finally raf.close()
   }
 }
@@ -409,12 +474,12 @@ final class DurableIngester(catalog: GraftCatalog, walDir: File,
     // completes, and a flush that races in between makes the rows
     // durable in PARQUET before checkpoint purges their segment — the
     // stronger form of the same guarantee.
-    val (drain, seq) = synchronized {
-      val s = wal.write(db, body)
+    val (drain, pos) = synchronized {
+      val p = wal.write(db, body)
       batches.foreach { b => buffer += db -> b; bufferedRows += b.rowCount }
-      (bufferedRows >= flushRows, s)
+      (bufferedRows >= flushRows, p)
     }
-    try wal.syncTo(seq)
+    try wal.syncTo(pos.seq)
     catch {
       case e: Throwable =>
         // the client is about to see an error response — the buffered
@@ -426,6 +491,12 @@ final class DurableIngester(catalog: GraftCatalog, walDir: File,
         // are becoming) durable in parquet and cannot be unwritten —
         // that residual window is the documented at-least-once edge of
         // the group-commit design.
+        // the WAL entry itself must ALSO be retracted — buffer removal
+        // covers the live process, but crash-restart replay would
+        // resurrect the rejected rows from the surviving entry (the
+        // restart half of the same phantom write)
+        try wal.abort(pos)
+        catch { case _: Throwable => /* disk gone — documented residual */ }
         synchronized {
           // identity set, NOT structural: ColumnarBatch is a case class,
           // and a concurrent request with byte-identical rows must not

@@ -47,6 +47,21 @@ object Backup {
 
   private def fsOf(p: Path, conf: Configuration) = p.getFileSystem(conf)
 
+  /** True when any path component is a transient work dir (compaction /
+    * targeted-delete staging) — leaf-name checks alone let part files
+    * INSIDE those dirs leak into backups and snapshots. */
+  private[jobs] def hasTmpComponent(p: Path): Boolean = {
+    var cur = p.getParent
+    var found = false
+    while (cur != null && !found) {
+      val n = cur.getName
+      found = n.startsWith("_compact_tmp_") || n.startsWith("_delete_tmp_") ||
+        n.startsWith("_flush_tmp_")
+      cur = cur.getParent
+    }
+    found
+  }
+
   private def listFilesRec(conf: Configuration, dir: Path,
       keep: Path => Boolean): Seq[(String, Long)] = {
     val fs = fsOf(dir, conf)
@@ -119,11 +134,23 @@ object Backup {
       includeMetadata: Boolean = true): Result = {
     val conf = catalog.spark.sparkContext.hadoopConfiguration
 
-    // inventory: per-database/measurement parquet (manifest.go DatabaseInfo)
+    // inventory: per-database/measurement parquet (manifest.go DatabaseInfo).
+    // BOTH tiers: after daily compaction, everything older than ~a day
+    // lives in the {m}__daily sibling tree — a backup blind to it loses
+    // all historical rows on restore. The _graft_meta.properties sidecar
+    // rides along too (tag/dedup/sort layout — without it a restored
+    // catalog compacts with last-write-wins dedup silently OFF). In-flight
+    // _compact_tmp_*/_delete_tmp_* trees are excluded by PATH component,
+    // not just leaf name: their part files are transient state.
     val dbs = catalog.listDatabases().sorted.map { db =>
       val meas = catalog.listTables(db).sorted.map { m =>
-        val files = listFilesRec(conf, new Path(catalog.tablePath(db, m)),
-          p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
+        val keep = (p: Path) =>
+          (p.getName.endsWith(".parquet") || p.getName == "_graft_meta.properties") &&
+            (p.getName == "_graft_meta.properties" || !p.getName.startsWith("_")) &&
+            !hasTmpComponent(p)
+        val files =
+          listFilesRec(conf, new Path(catalog.tablePath(db, m)), keep) ++
+            listFilesRec(conf, new Path(catalog.dailyPath(db, m)), keep)
         (m, files)
       }
       (db, meas)

@@ -459,6 +459,23 @@ object Compaction {
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("_compact_tmp_"))
         .foreach { s => fs.delete(s.getPath, true); actions += s.getPath.toString }
     }
+    // abandoned targeted-delete staging dirs: journaled swaps were
+    // replayed above, so any `_delete_tmp_*` older than the abandonment
+    // cutoff is a crash-before-begin leftover (the original file is
+    // intact in that window — the tmp is pure garbage). Age-gated so a
+    // LIVE HTTP-triggered delete racing this recover keeps its staging.
+    locally {
+      val cutoff = System.currentTimeMillis() - 3600000L
+      (catalog.listHourPartitions(db, m) ++ catalog.listDailyTierDays(db, m))
+        .foreach { dir =>
+          val fs = dir.getFileSystem(conf)
+          fs.listStatus(dir)
+            .filter(s => s.isDirectory &&
+              s.getPath.getName.startsWith("_delete_tmp_") &&
+              s.getModificationTime < cutoff)
+            .foreach { s => fs.delete(s.getPath, true); actions += s.getPath.toString }
+        }
+    }
     // abandoned flush-tmp trees: a failed HourPartitionedWriter.write
     // leaves its tmp tree in place for the caller's retry (every ingest
     // path re-submits the batch: MQTT restores its buffer, streaming

@@ -51,13 +51,20 @@ object ContinuousQuery {
       else result0.withColumn("time", timestamp_micros(lit(windowStartUs)))
 
     val meta = catalog.readMeta(cq.destDb, cq.destMeasurement)
-    catalog.writeMeta(cq.destDb, cq.destMeasurement, meta.copy(
+    val want = meta.copy(
       dedupTime = true,
       tagColumns =
-        if (meta.tagColumns.nonEmpty) meta.tagColumns else cq.tagColumns))
+        if (meta.tagColumns.nonEmpty) meta.tagColumns else cq.tagColumns)
+    // skip the sidecar rewrite when nothing changed — every window of
+    // every CQ otherwise re-writes an identical file each tick
+    if (want != meta) catalog.writeMeta(cq.destDb, cq.destMeasurement, want)
 
-    val n = result.count()
-    HourPartitionedWriter.write(catalog, cq.destDb, cq.destMeasurement, result)
+    // ONE execution per window: the writer counts the landed rows from
+    // the moved files' parquet footers — a separate result.count() would
+    // run the aggregation twice (2N scans per catch-up) and could even
+    // disagree with what was written under concurrent source ingest
+    val n = HourPartitionedWriter.write(catalog, cq.destDb,
+      cq.destMeasurement, result, countRows = true)
     Execution(windowStartUs, windowEndUs, n)
   }
 

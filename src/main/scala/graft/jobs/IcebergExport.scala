@@ -74,8 +74,15 @@ object IcebergExport {
 
     // current data files (recursive through hour partitions); the listing
     // already carries lengths, so the no-op check below costs exactly one
-    // recursive listing — no footer reads, no per-file status RPCs
-    val files = listParquet(fs, tableDir)
+    // recursive listing — no footer reads, no per-file status RPCs.
+    // BOTH tiers: daily compaction moves data >24h old into the
+    // {m}__daily sibling — a snapshot listing only the hourly tree loses
+    // every historical row from external readers. (The daily files carry
+    // `hour` as a data column; it is not in the Iceberg schema — which
+    // drops year/month/day/hour for BOTH tiers — so name-mapped readers
+    // simply don't project it.)
+    val files = listParquet(fs, tableDir) ++
+      listParquet(fs, new Path(catalog.dailyPath(db, m)))
 
     val prev = readCurrent(fs, metaDir)
     // no-op reconcile: a scheduler tick with an unchanged file set must
@@ -412,13 +419,19 @@ object IcebergExport {
   /** (path, length) per data file, path-sorted — lengths come from the
     * one recursive listing, no extra status calls. */
   private def listParquet(fs: FileSystem, dir: Path): Seq[(String, Long)] = {
+    if (!fs.exists(dir)) return Nil
     val it = fs.listFiles(dir, true)
     val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     while (it.hasNext) {
       val f = it.next()
       val p = f.getPath
+      // Backup.hasTmpComponent: part files INSIDE an in-flight
+      // _compact_tmp_/_delete_tmp_ staging dir must not be snapshotted —
+      // the swap deletes them, and external readers would 404 (plus the
+      // covered rows would be double-counted against the originals)
       if (f.isFile && p.getName.endsWith(".parquet") &&
-        !p.toString.contains("/metadata/") && !p.getName.startsWith("_"))
+        !p.toString.contains("/metadata/") && !p.getName.startsWith("_") &&
+        !Backup.hasTmpComponent(p))
         buf += ((p.toString, f.getLen))
     }
     buf.sortBy(_._1).toSeq

@@ -57,7 +57,15 @@ object TargetedDelete {
 
     // per-file rewrites are independent (distinct target files, distinct
     // tmp dirs): run them from a bounded pool — a wide delete touching
-    // hundreds of files pays one overlapped job latency, not the sum
+    // hundreds of files pays one overlapped job latency, not the sum.
+    // Each rewrite swap is journaled in the same per-table manifest as
+    // compaction (begin → rename-in under a NEW name → delete original →
+    // complete), so a crash at any point is repaired by Compaction
+    // .recover: output present ⇒ finish deleting the original; output
+    // absent ⇒ roll back, original intact. The old delete-original-
+    // then-rename order had a window where the kept rows existed ONLY
+    // in the "_"-hidden tmp dir — a crash there silently lost them.
+    val tablePath = catalog.tablePath(db, m)
     val deleted = BoundedParallel.run(affected) { fm =>
       val p = new Path(new java.net.URI(fm.path))
       val fs = p.getFileSystem(conf)
@@ -66,19 +74,49 @@ object TargetedDelete {
       } else {
         val tmp = new Path(p.getParent, s"_delete_tmp_${p.getName}")
         fs.delete(tmp, true)
-        spark.read.parquet(p.toString)
+        // read with the tier's basePath so a predicate over the
+        // partition columns (year/month/day/hour) resolves — preview
+        // sees them through catalog.table, so the rewrite must too; the
+        // path-derived columns are dropped again before writing (they
+        // are directory segments, never file data)
+        val base =
+          if (p.toString.contains(GraftCatalog.DailySuffix + "/"))
+            catalog.dailyPath(db, m)
+          else tablePath
+        val rel = p.toUri.getPath
+          .stripPrefix(new Path(base).toUri.getPath).stripPrefix("/")
+        val pathCols = rel.split("/").filter(_.contains("="))
+          .map(_.split("=")(0)).toSeq
+        spark.read.option("basePath", base).parquet(p.toString)
           .where(!coalesce(predicate, lit(false)))
+          .drop(pathCols: _*)
           .coalesce(1)
           .write.mode("overwrite").option("compression", "zstd")
           .parquet(tmp.toString)
         val rewritten = fs.listStatus(tmp)
           .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-        fs.delete(p, false)
-        if (!fs.rename(rewritten.head.getPath, p))
+        require(rewritten.length == 1,
+          s"delete rewrite produced ${rewritten.length} files, expected 1")
+        // the new name keeps the original's RELATIVE recency position
+        // (last-write-wins dedup at compaction orders by file path):
+        // same stem, a ".d<ts>" marker before the extension — prior
+        // markers from repeated deletes of one file are collapsed first
+        val finalName = p.getName.stripSuffix(".parquet")
+          .replaceAll("(\\.d\\d+)+$", "") +
+          s".d${System.currentTimeMillis()}.parquet"
+        val finalPath = new Path(p.getParent, finalName)
+        val entryId = s"delete:$p:$finalName"
+        CompactionManifest.begin(tablePath, conf, CompactionManifest.Entry(
+          id = entryId, tier = "delete", partition = p.getParent.toString,
+          tmpDir = tmp.toString, inputs = Seq(p.toString),
+          outputs = Seq(finalPath.toString)))
+        if (!fs.rename(rewritten.head.getPath, finalPath))
           throw new java.io.IOException(
-            s"delete-rewrite rename failed: ${rewritten.head.getPath} -> $p " +
-              s"(rewritten rows preserved in $tmp)")
+            s"delete-rewrite rename failed: ${rewritten.head.getPath} -> " +
+              s"$finalPath (recover() will roll back; original intact)")
+        fs.delete(p, false)
         fs.delete(tmp, true)
+        CompactionManifest.complete(tablePath, conf, entryId)
       }
       fm.matches
     }.sum

@@ -86,7 +86,8 @@ object JaccardDedup {
       .agg(coalesce(sum(col("c") * col("c")), lit(0.0)))
       .head().getDouble(0)
     if (naiveRows > NaiveJoinRowCutover)
-      pairs(slim, idCol, toksCol, blockCols, minJaccard)
+      pairsImpl(slim, idCol, toksCol, blockCols, minJaccard,
+        reshuffle = false) // slim is already repartitioned + checkpointed
     else pairsNaiveBlocked(slim, idCol, toksCol, blockCols, minJaccard)
   }
 
@@ -95,14 +96,22 @@ object JaccardDedup {
     * Output: (doc1, doc2, jaccard), doc1 < doc2, jaccard rounded to
     * 6 dp, only pairs with equal block-column values. */
   def pairs(docs: DataFrame, idCol: String, toksCol: String,
-      blockCols: Seq[String], minJaccard: Double): DataFrame = {
+      blockCols: Seq[String], minJaccard: Double): DataFrame =
+    pairsImpl(docs, idCol, toksCol, blockCols, minJaccard, reshuffle = true)
+
+  /** `reshuffle = false` when the caller (pairsAuto) already spread the
+    * prepped projection across the cluster — a second repartition of
+    * the same width would be a full no-op shuffle of the corpus. */
+  private def pairsImpl(docs: DataFrame, idCol: String, toksCol: String,
+      blockCols: Seq[String], minJaccard: Double,
+      reshuffle: Boolean): DataFrame = {
     require(minJaccard > 0.0 && minJaccard <= 1.0,
       s"minJaccard must be in (0, 1], got $minJaccard")
     val parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    val base = docs
+    val sel = docs
       .select((col(idCol).as("doc") +: blockCols.map(col) :+
         col(toksCol).as("toks")): _*)
-      .repartition(parallelism)
+    val base = (if (reshuffle) sel.repartition(parallelism) else sel)
       .withColumn("n", size(col("toks")))
     val ex = base.select((col("doc") +: blockCols.map(col) :+ col("n") :+
       explode(col("toks")).as("tok")): _*)

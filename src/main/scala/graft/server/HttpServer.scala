@@ -1627,26 +1627,30 @@ final class HttpServer(
     * acknowledge a write into the wrong database instead of rejecting
     * the request. */
   private[server] def queryParams(ex: HttpExchange): Map[String, String] =
-    Option(ex.getRequestURI.getRawQuery).getOrElse("").split('&')
-      .filter(_.contains('='))
-      .map { kv =>
-        val i = kv.indexOf('=')
-        java.net.URLDecoder.decode(kv.substring(0, i), "UTF-8") ->
-          java.net.URLDecoder.decode(kv.substring(i + 1), "UTF-8")
-      }.toMap
+    parseParams(ex, dropBadEscapes = false)
 
   /** Audit-attribution variant: pairs with malformed percent-encoding
     * are dropped rather than thrown — this runs in the route finally
     * block, where an escape would skip the audit flush and leak this
     * request's identity into the pool thread's ThreadLocal. */
   private[server] def auditParams(ex: HttpExchange): Map[String, String] =
+    parseParams(ex, dropBadEscapes = true)
+
+  /** One parser, two decode-failure policies — so '+' handling,
+    * duplicate-key policy etc. can never silently diverge between the
+    * handler path (throws → 400) and the audit path (drops). */
+  private def parseParams(ex: HttpExchange,
+      dropBadEscapes: Boolean): Map[String, String] =
     Option(ex.getRequestURI.getRawQuery).getOrElse("").split('&')
       .filter(_.contains('='))
       .flatMap { kv =>
         val i = kv.indexOf('=')
         try Some(java.net.URLDecoder.decode(kv.substring(0, i), "UTF-8") ->
           java.net.URLDecoder.decode(kv.substring(i + 1), "UTF-8"))
-        catch { case _: IllegalArgumentException => None }
+        catch {
+          case e: IllegalArgumentException =>
+            if (dropBadEscapes) None else throw e
+        }
       }.toMap
 
   private[server] val mapper = new com.fasterxml.jackson.databind.ObjectMapper()

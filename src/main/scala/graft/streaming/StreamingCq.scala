@@ -51,6 +51,17 @@ object StreamingCq {
       // convention: re-emission of a window produces identical rows)
       .withColumn("time", col("window.start"))
       .drop("window")
+    // exactly-once is foreachBatch-at-least-once + compaction dedup on
+    // (tags, time): a micro-batch replayed after a crash re-emits
+    // IDENTICAL rows (time = window start), and the destination meta
+    // below is what arms compaction's dedup guard — without it the
+    // replayed duplicates would survive forever (same contract as the
+    // batch sibling ContinuousQuery.execute, which writes this meta)
+    val meta = catalog.readMeta(db, measurement)
+    catalog.writeMeta(db, measurement, meta.copy(
+      dedupTime = true,
+      tagColumns =
+        if (meta.tagColumns.nonEmpty) meta.tagColumns else groupCols))
     windowed.writeStream
       .outputMode(OutputMode.Append()) // only watermark-finalized windows
       .option("checkpointLocation", checkpointDir)

@@ -44,13 +44,22 @@ object StreamingDrift {
   private val HourMs = 3600000L
   private val HourUs = 3600000000L
 
+  /** The NULL bin's sentinel key in the state map: real bins are
+    * |cents/5000| < 2e14, so Long.MinValue can never collide. */
+  val NullBin: Long = Long.MinValue
+
   /** Spark's `cast(cast(v as decimal(18,2)) * 100 as bigint) div 5000`,
-    * replicated exactly (HALF_UP at 2 dp, truncating div). */
+    * replicated exactly (HALF_UP at 2 dp, truncating div) — INCLUDING
+    * the non-ANSI null semantics: NaN/Infinity and values overflowing
+    * decimal(18,2) cast to NULL in batch, so here they land in
+    * [[NullBin]] instead of throwing. A throwing bin function inside
+    * flatMapGroupsWithState is a poison pill: the query dies, restarts
+    * replay the same checkpointed batch, and it dies again, forever. */
   def binOf(value: Double): Long = {
-    val cents = BigDecimal(value)
-      .setScale(2, BigDecimal.RoundingMode.HALF_UP)
-      .*(BigDecimal(100)).toLongExact
-    cents / 5000L
+    if (value.isNaN || value.isInfinite) return NullBin
+    val scaled = BigDecimal(value).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    if (scaled.precision > 18) return NullBin // decimal(18,2) overflow -> NULL
+    scaled.*(BigDecimal(100)).toLongExact / 5000L
   }
 
   /** round6(num, den) — the engine-shared 6-dp HALF-UP rational.

@@ -90,6 +90,66 @@ class WalSpec extends SparkSpec {
     ing.close()
   }
 
+  test("abort truncates a tail entry: replay never sees it") {
+    val dir = new File(tmpDir("wal_abort_tail"))
+    val w = new Wal.Writer(dir)
+    w.append("d", Array[Byte](1, 1))
+    val pos = w.write("d", Array[Byte](2, 2)) // written, sync 'failed'
+    w.abort(pos)
+    w.append("d", Array[Byte](3, 3)) // writer keeps working after truncate
+    w.close()
+    val got = Wal.readAll(dir).map(_.body(0))
+    assert(got == Seq(1, 3), s"aborted entry must be gone, got $got")
+  }
+
+  test("abort marks a non-tail entry: replay skips exactly it") {
+    val dir = new File(tmpDir("wal_abort_mark"))
+    val w = new Wal.Writer(dir)
+    val pos = w.write("d", Array[Byte](1, 1))
+    w.append("d", Array[Byte](2, 2)) // a later append — truncate unsafe
+    w.abort(pos)
+    w.close()
+    val got = Wal.readAll(dir).map(_.body(0))
+    assert(got == Seq(2), s"only the aborted entry may be skipped, got $got")
+  }
+
+  test("abort after rotation: marker in a later segment retracts the old entry") {
+    val dir = new File(tmpDir("wal_abort_rot"))
+    val w = new Wal.Writer(dir, Wal.SyncEvery, maxSegmentBytes = 128)
+    val pos = w.write("d", Array.fill(64)(7.toByte)) // rotates the segment
+    w.append("d", Array.fill(64)(8.toByte))
+    w.abort(pos) // different segment now -> abort-marker path
+    w.close()
+    assert(dir.listFiles().count(_.getName.endsWith(".log")) > 1)
+    val got = Wal.readAll(dir).map(_.body(0))
+    assert(got == Seq(8), s"rotated-away entry must still be retracted, got $got")
+  }
+
+  test("fsync failure: crash-restart replay does not resurrect the rejected write") {
+    val root = tmpDir("wal_fsfail_restart_cat")
+    val walDir = new File(tmpDir("wal_fsfail_restart"))
+    val cat = new GraftCatalog(spark, root)
+    val ing = new DurableIngester(cat, walDir, flushRows = Int.MaxValue)
+    assert(ing.accept("default", lpBytes(
+      s"cpu,host=ok v=1.0 ${base * 1000L}")) == 1)
+    ing.walWriter.failNextSync = true
+    intercept[java.io.IOException] {
+      ing.accept("default", lpBytes(
+        s"cpu,host=ghost v=9.0 ${(base + 5) * 1000L}"))
+    }
+    // crash WITHOUT flushing: the live-process buffer retraction is
+    // irrelevant now — only the WAL decides what a restart replays.
+    // The rejected entry was written before its fsync failed; without
+    // the abort retraction, replay would durably materialize it.
+    val ing2 = new DurableIngester(cat, walDir, flushRows = Int.MaxValue)
+    assert(ing2.recoveredRows == 1, "only the acknowledged row may replay")
+    val df = cat.table("default", "cpu")
+    assert(df.count() == 1)
+    assert(df.head().getAs[String]("host") == "ok")
+    ing2.close()
+    ing.close()
+  }
+
   test("checkpoint after flush: nothing to replay, no duplicates") {
     val root = tmpDir("wal_ckpt_cat")
     val walDir = new File(tmpDir("wal_ckpt"))

@@ -56,6 +56,14 @@ class StreamingCqSpec extends SparkSpec {
     assert(out == Set(
       (base, "a", 3L, 7.0),
       (base, "b", 1L, 5.0)), out)
+
+    // exactly-once contract: foreachBatch is at-least-once, so the
+    // destination meta MUST be armed for compaction's (tags, time)
+    // dedup — without it a replayed micro-batch's duplicates survive
+    // forever (the batch CQ writes the same meta)
+    val meta = cat.readMeta("default", "cq_out")
+    assert(meta.dedupTime && meta.tagColumns == Seq("host"),
+      s"StreamingCq must arm the dedup meta, got $meta")
   }
 
   test("streaming dedup drops cross-batch duplicate (key, time) rows") {

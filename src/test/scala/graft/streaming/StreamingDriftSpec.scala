@@ -110,4 +110,24 @@ class StreamingDriftSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(vals.map(StreamingDrift.binOf) == engine)
   }
+
+  test("pathological values bin like the engine's try_cast NULL, never throw") {
+    import spark.implicits._
+    // NaN / ±Inf / decimal(18,2)-overflow: under ANSI (Spark 4 default)
+    // the batch CAST throws per-row, which a batch query surfaces as a
+    // query error — but a throwing binOf inside flatMapGroupsWithState
+    // is a poison pill: the checkpointed batch replays and kills the
+    // query forever. The streaming kernel therefore takes try_cast's
+    // NULL semantics for the pathological tail (a dedicated NullBin),
+    // staying bit-identical to the batch cast everywhere it succeeds.
+    val vals = Seq(Double.NaN, Double.PositiveInfinity,
+      Double.NegativeInfinity, 1e17, -1e17, 9.9e15, 42.125)
+    val engine = vals.toDF("v")
+      .select(expr(
+        "cast(try_cast(v as decimal(18,2)) * 100 as bigint) div 5000"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
+    val stream = vals.map(StreamingDrift.binOf)
+      .map(b => if (b == StreamingDrift.NullBin) None else Some(b))
+    assert(stream == engine, s"stream=$stream engine=$engine")
+  }
 }
