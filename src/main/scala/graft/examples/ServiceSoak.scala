@@ -301,9 +301,14 @@ object ServiceSoak {
             Thread.sleep(50); waited += 1
           }
           // the 12 soak workers are still live against the lowered
-          // maxInFlight, so a single one-shot probe can race into a
-          // legitimately-full gate and 503 — retry a few waves; FAILED
-          // recovery means EVERY probe sheds, not one unlucky one
+          // maxInFlight (and in compact mode their queries are slower),
+          // so ANY single probe can keep losing the slot race to the
+          // standing oversubscription — that is correct gate behavior,
+          // not a recovery failure. Recovery oracle: a probe gets
+          // through, OR the gate keeps ADMITTING the regular workers
+          // (admittedTotal advancing) — a wedged gate (leaked slots)
+          // fails both arms.
+          val admitted0 = server.overloadGate.admittedTotal.get()
           var probe = post("/api/v1/query",
             """{"sql":"SELECT 1 AS one"}""".getBytes(UTF_8))
           var tries = 0
@@ -312,7 +317,9 @@ object ServiceSoak {
             probe = post("/api/v1/query",
               """{"sql":"SELECT 1 AS one"}""".getBytes(UTF_8))
           }
-          val recovered = probe.statusCode() == 200
+          val admitting =
+            server.overloadGate.admittedTotal.get() - admitted0 >= 5
+          val recovered = probe.statusCode() == 200 || admitting
           println(s"[soak] stampede: served=${okQ.get} shed=${shed.get} " +
             s"bad=${badQ.get} recovered=$recovered " +
             s"shed_total=${server.overloadGate.shedTotal.get}")

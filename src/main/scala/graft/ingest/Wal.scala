@@ -134,21 +134,32 @@ object Wal {
       * may still see the entry — that residual window is the documented
       * at-least-once edge of a failed-fsync world (the entry itself may
       * or may not have reached the platter either). */
-    def abort(pos: Pos): Unit = synchronized {
-      if (segFile.getName == pos.seg && writeSeq == pos.seq) {
-        // ours is the segment's last entry — remove the bytes outright
-        out.flush()
-        out.getChannel.truncate(pos.off)
-        out.getChannel.position(pos.off)
-        written = pos.off
-        // persist the shrunken length too — an un-synced truncate could
-        // itself be lost to the crash this retraction defends against
-        if (syncMode == SyncEvery) out.getFD.sync()
-      } else {
-        writeMarked(MarkerAbort, "",
-          s"${pos.seg}:${pos.off}".getBytes("UTF-8"))
-        if (syncMode == SyncEvery) out.getFD.sync()
+    def abort(pos: Pos): Unit = {
+      val o = synchronized {
+        if (segFile.getName == pos.seg && writeSeq == pos.seq) {
+          // ours is the segment's last entry — remove the bytes outright
+          out.flush()
+          out.getChannel.truncate(pos.off)
+          out.getChannel.position(pos.off)
+          written = pos.off
+        } else {
+          writeMarked(MarkerAbort, "",
+            s"${pos.seg}:${pos.off}".getBytes("UTF-8"))
+        }
+        out
       }
+      // persist the truncated length / marker OUTSIDE the append
+      // monitor — this runs exactly when the disk is degraded, and a
+      // multi-second fsync under the lock would serialize every
+      // concurrent accept behind it (the same write-under/sync-outside
+      // split as the group-commit path). If a rotation closed the
+      // captured stream, its fsync-before-close already persisted it.
+      if (syncMode == SyncEvery)
+        try o.getFD.sync()
+        catch { case e: java.io.IOException =>
+          val rotated = synchronized { out ne o }
+          if (!rotated) throw e
+        }
     }
 
     /** Phase 2 — make every byte up to `seq` durable (no-op below the
@@ -180,6 +191,11 @@ object Wal {
           syncedSeq = math.max(syncedSeq, upTo)
         }
       }
+
+    // test-only: frame an abort marker with an arbitrary body so specs
+    // can pin that recovery IGNORES malformed markers instead of dying
+    private[ingest] def abortMarkerForTest(body: String): Unit =
+      writeMarked(MarkerAbort, "", body.getBytes("UTF-8"))
 
     /** Seal the current segment and start a new one. In SyncEvery mode
       * the outgoing segment is fsynced before close: group-committed
@@ -276,9 +292,13 @@ object Wal {
             val dbBytes = new Array[Byte](dbLen); bb.get(dbBytes)
             val body = new Array[Byte](p.length - 3 - dbLen); bb.get(body)
             if (marker == MarkerAbort) {
+              // toLongOption, not a digit test: "" and over-Long digit
+              // strings both pass forall(isDigit) and would throw out of
+              // recovery — permanently failing server startup over one
+              // malformed marker, the opposite of ignore-and-keep-data
               new String(body, "UTF-8").split(":", 2) match {
-                case Array(seg, off) if off.forall(_.isDigit) =>
-                  aborts += ((seg, off.toLong))
+                case Array(seg, off) =>
+                  off.toLongOption.foreach(o => aborts += ((seg, o)))
                 case _ => // malformed abort — ignore (never lose data over it)
               }
             } else
@@ -515,7 +535,24 @@ final class DurableIngester(catalog: GraftCatalog, walDir: File,
         }
         throw e
     }
-    if (drain) flush()
+    if (drain) {
+      // the accept CONTRACT is WAL-durable: this request's rows are
+      // journaled and fsynced above, so a failure of the opportunistic
+      // inline flush (a batching optimization — e.g. transient FS
+      // contention, retention racing a partition delete) must not 500
+      // the client. flush() already re-buffered the batches and carried
+      // the covering segments forward; the background ticker or the next
+      // drain retries. Billing the flush error to whichever request
+      // happened to trip the row threshold produced PHANTOM writes:
+      // a 500-reported request whose rows land with the retry anyway.
+      try flush()
+      catch {
+        case e: Throwable =>
+          org.slf4j.LoggerFactory.getLogger(classOf[DurableIngester])
+            .warn(s"inline flush failed (rows stay buffered + WAL-covered, " +
+              s"will retry): $e")
+      }
+    }
     batches.map(_.rowCount).sum
   }
 

@@ -47,12 +47,22 @@ object Retention {
     old.foreach { p =>
       val fs = p.getFileSystem(conf)
       fs.delete(p, true)
-      // prune now-empty day/month/year parents
+      // prune now-empty day/month/year parents. The isEmpty check and
+      // the non-recursive delete race concurrent ingest into the same
+      // old partition (live traffic can legally write event times here
+      // until retention's NEXT tick): a write landing in the gap makes
+      // delete throw "Directory is not empty" — that's a concurrent
+      // re-population, not an error; stop the upward walk and let the
+      // next tick reconsider.
       var parent = p.getParent
       while (parent != null && parent.getName.contains("=") &&
         fs.exists(parent) && fs.listStatus(parent).isEmpty) {
-        fs.delete(parent, false)
-        parent = parent.getParent
+        try {
+          fs.delete(parent, false)
+          parent = parent.getParent
+        } catch {
+          case _: java.io.IOException => parent = null
+        }
       }
     }
     Result(old.map(_.toString), keptCount)

@@ -32,6 +32,11 @@ final class OverloadGate(
 
   private val inFlightCtr = new AtomicInteger(0)
   val shedTotal = new AtomicLong(0)
+  /** Admissions since start — with [[shedTotal]] the pair gives the ops
+    * metric AND a liveness oracle: a gate that keeps admitting under
+    * saturation is healthy even when any single probe loses the slot
+    * race to the standing load. */
+  val admittedTotal = new AtomicLong(0)
   private val lastWarnNanos = new AtomicLong(0)
 
   def inFlight: Int = inFlightCtr.get()
@@ -58,7 +63,7 @@ final class OverloadGate(
       inFlightCtr.decrementAndGet()
       shedTotal.incrementAndGet()
       Some(s"server overloaded: heap usage above $heapCriticalPct%")
-    } else None
+    } else { admittedTotal.incrementAndGet(); None }
   }
 
   def release(): Unit = { inFlightCtr.decrementAndGet(); () }

@@ -125,6 +125,21 @@ class WalSpec extends SparkSpec {
     assert(got == Seq(8), s"rotated-away entry must still be retracted, got $got")
   }
 
+  test("malformed abort markers are ignored, never crash recovery") {
+    val dir = new File(tmpDir("wal_abort_bad"))
+    val w = new Wal.Writer(dir)
+    w.append("d", Array[Byte](1, 1))
+    // CRC-valid abort frames with pathological bodies: empty offset,
+    // over-Long digits, no separator — recovery must keep the data and
+    // keep STARTING (a throw here would permanently fail the server's
+    // constructor-time replay until the WAL is hand-deleted)
+    for (bad <- Seq("seg:", "seg:92233720368547758080", "nocolon", ""))
+      w.abortMarkerForTest(bad)
+    w.close()
+    val got = Wal.readAll(dir).map(_.body(0))
+    assert(got == Seq(1), s"data must survive malformed aborts, got $got")
+  }
+
   test("fsync failure: crash-restart replay does not resurrect the rejected write") {
     val root = tmpDir("wal_fsfail_restart_cat")
     val walDir = new File(tmpDir("wal_fsfail_restart"))
