@@ -192,10 +192,6 @@ object TextFunctions {
 
   val SimHashBits = 32
 
-  /** 2^b literals (the base hash has ~30 bits of entropy, so 32-bit
-    * SimHash; bit b of h extracted as floor(h / 2^b) % 2 — exact, since
-    * h < 2^30 << 2^53). */
-  private def pow2: Column = array((0 until SimHashBits).map(b => lit(1L << b)): _*)
 
   /** 32-bit SimHash over the token multiset: per bit, sum +1/-1 by that
     * bit of each token's polynomial hash; bit set iff the sum > 0.

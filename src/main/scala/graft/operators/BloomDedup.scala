@@ -36,13 +36,21 @@ import org.apache.spark.sql.functions._
   */
 object BloomDedup {
 
-  /** Batch rows whose content fingerprint does not occur in history.
+  /** Batch rows whose content FINGERPRINT does not occur in history —
+    * fingerprint-identity, not byte-exact identity: the fingerprint is
+    * the shared cross-engine PolyHash mod 1e9+7 (the oracle computes
+    * the identical value in DuckDB, so the contract is symmetric), and
+    * its ~2^30 space means distinct texts collide with birthday
+    * probability ~n²/2e9 — material past ~10^4.5 docs. Callers needing
+    * byte-exact semantics at corpus scale should join back on the text
+    * after this filter (the candidate set is already tiny); the
+    * fingerprint form is what the paired oracle pins.
     * Output: (doc_id-col, fp), ordered by caller.
     *
     * @param expectedItems Bloom sizing (history cardinality); <= 0 means
     *        "count history first" (one extra metadata-cheap scan).
-    * @param fpp target false-positive rate; only cost, never results,
-    *        depends on it.
+    * @param fpp target false-positive rate; only cost, never results
+    *        (at fingerprint granularity), depends on it.
     */
   def newDocs(history: DataFrame, batch: DataFrame,
       idCol: String, textCol: String,

@@ -89,7 +89,13 @@ object GroupQuantile {
         when(col("_rnk") === f(col("_n")), col(valueCol)))
     }
     tagged
-      .where(picks.map(p => col(p._1).isNotNull).reduce(_ || _))
+      // keep a row because its RANK was picked, not because the tagged
+      // value is non-null — with nulls sorting first, a null-heavy
+      // group's nearest-rank row can hold null, and filtering on the
+      // value would erase the whole group from the report instead of
+      // emitting its row with a null pick (one row per group is the
+      // contract)
+      .where(picks.map(p => col("_rnk") === p._2(col("_n"))).reduce(_ || _))
       .groupBy(groupCols.map(col): _*)
       .agg(max(col("_n")).as(nCol),
         picks.map(p => max(col(p._1)).as(p._1)): _*)

@@ -81,16 +81,23 @@ object HeavyHitters {
             }
         }
       }
-      counters.keysIterator.map(t => (t, 0L)) ++ Iterator((null: String, n))
-    }.toDF("item", "local_n").localCheckpoint()
+      // an explicit sentinel FLAG, not a null item: null is a legal item
+      // value (the naive groupBy this operator replaces reports it), so
+      // using it as the count-row marker would silently drop a
+      // null-heavy hitter from the result
+      counters.keysIterator.map(t => (t, 0L, false)) ++
+        Iterator((null: String, n, true))
+    }.toDF("item", "local_n", "sentinel").localCheckpoint()
 
-    val total = sketch.agg(sum("local_n").as("n_total"))
-    val cands = sketch.where(col("item").isNotNull).select("item").distinct()
+    val total = sketch.where(col("sentinel")).agg(sum("local_n").as("n_total"))
+    val cands = sketch.where(!col("sentinel")).select("item").distinct()
 
     // Pass 2: exact recount restricted to candidates. The broadcast
     // semi join keeps the big side streaming; partial aggregation
-    // bounds the exchange at |candidates| rows per task.
-    toks.join(broadcast(cands), Seq("item"), "left_semi")
+    // bounds the exchange at |candidates| rows per task. Null-safe join
+    // (<=>) so a null candidate matches its occurrences.
+    toks.join(broadcast(cands.withColumnRenamed("item", "_cand")),
+        col("item") <=> col("_cand"), "left_semi")
       .groupBy("item").agg(count(lit(1)).as("cnt"))
       .crossJoin(broadcast(total))
       .where(col("cnt") * lit(1000000L) >= lit(minFreqPpm) * col("n_total"))

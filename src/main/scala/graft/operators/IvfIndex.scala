@@ -51,7 +51,15 @@ object IvfIndex {
 
   /** Exact top-k within the probed lists. `queries` must be small (it is
     * collected to compute probe lists and broadcast into the join);
-    * `idCol`/`vecCol` name the QUERY side's columns. */
+    * `idCol`/`vecCol` name the QUERY side's columns.
+    *
+    * Inputs are expected UNIT-NORMALIZED (standard IVF-cosine practice,
+    * and what the embeddings fixture provides): centroids are probed by
+    * squared L2 but candidates rank by cosine, and the two orders agree
+    * only on the unit sphere — an unnormalized corpus vector with a
+    * large magnitude can sit in an unprobed L2 cell despite a high
+    * cosine, a loss beyond the documented nProbe approximation.
+    * Callers with raw vectors must normalize before build AND search. */
   def search(model: Model, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nProbe: Int): DataFrame = {
     val spark = queries.sparkSession

@@ -282,38 +282,49 @@ object Multimodal {
     * Partition count comes from Catalyst's size estimate for the input
     * plan (file-scan bytes for tables) — metadata only, no `count()`
     * scan of the media table just to size partitions. */
-  def extractFeatures(media: DataFrame,
-      targetBytesPerPartition: Long = 128L * 1024 * 1024,
-      batchRows: Int = 64): DataFrame = {
+  /** Spread a bytes-heavy media frame so the CPU-bound decode runs at
+    * cluster width, not input-split width (a 100 GB table loaded from a
+    * few parquet splits would otherwise decode on a handful of tasks). */
+  private def byBytesBudget(media: DataFrame,
+      targetBytesPerPartition: Long): DataFrame = {
     val estBytes = media.queryExecution.optimizedPlan.stats.sizeInBytes
     // stats report defaultSizeInBytes (Long.MaxValue) when unknown (e.g.
     // RDD-backed frames) — keep the input partitioning in that case
-    val repartitioned =
-      if (estBytes <= 0 || estBytes >= BigInt(Long.MaxValue)) media
-      else {
-        val parts = math.max(1, (estBytes / math.max(1L, targetBytesPerPartition))
-          .min(BigInt(1 << 20)).toInt)
-        if (parts > media.rdd.getNumPartitions) media.repartition(parts) else media
-      }
+    if (estBytes <= 0 || estBytes >= BigInt(Long.MaxValue)) media
+    else {
+      val parts = math.max(1, (estBytes / math.max(1L, targetBytesPerPartition))
+        .min(BigInt(1 << 20)).toInt)
+      if (parts > media.rdd.getNumPartitions) media.repartition(parts) else media
+    }
+  }
+
+  def extractFeatures(media: DataFrame,
+      targetBytesPerPartition: Long = 128L * 1024 * 1024,
+      batchRows: Int = 64): DataFrame = {
+    val repartitioned = byBytesBudget(media, targetBytesPerPartition)
     val enc = RowEncoder.encoderFor(FeatureSchema)
+    // plain streaming map: one row in, one row out, never more than one
+    // decoded raster live per task. (batchRows is retained in the
+    // signature for source compatibility; an earlier grouped() layer
+    // materialized each batch as a Seq only to re-flatten it — pure
+    // allocation, no vectorization to amortize.)
+    val _ = batchRows
     repartitioned.select("media_id", "bytes", "format").mapPartitions { it =>
-      it.grouped(batchRows).flatMap { batch =>
-        batch.iterator.map { r =>
-          val id = r.getLong(0)
-          val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
-          val fmt = r.getString(2)
-          // real JDK codecs for image + PCM-audio + MJPEG-AVI formats
-          // (corrupt bytes degrade to the stub instead of failing the
-          // task); stub for the rest (mp4/mkv — codecs not in the JDK)
-          val fmtL = if (fmt == null) "" else fmt.toLowerCase
-          val (w, h, checksum, feats) =
-            (if (ImageFormats.contains(fmtL)) decodeImage(bytes)
-             else if (AudioFormats.contains(fmtL)) decodeAudio(bytes)
-             else if (VideoFormats.contains(fmtL)) decodeAviMjpeg(bytes)
-             else None)
-              .getOrElse(decodeStub(bytes))
-          Row(id, fmt, bytes.length.toLong, w, h, checksum, feats.toSeq)
-        }
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        val fmt = r.getString(2)
+        // real JDK codecs for image + PCM-audio + MJPEG-AVI formats
+        // (corrupt bytes degrade to the stub instead of failing the
+        // task); stub for the rest (mp4/mkv — codecs not in the JDK)
+        val fmtL = if (fmt == null) "" else fmt.toLowerCase
+        val (w, h, checksum, feats) =
+          (if (ImageFormats.contains(fmtL)) decodeImage(bytes)
+           else if (AudioFormats.contains(fmtL)) decodeAudio(bytes)
+           else if (VideoFormats.contains(fmtL)) decodeAviMjpeg(bytes)
+           else None)
+            .getOrElse(decodeStub(bytes))
+        Row(id, fmt, bytes.length.toLong, w, h, checksum, feats.toSeq)
       }
     }(enc)
   }
@@ -464,15 +475,16 @@ object Multimodal {
       StructField("doc_id", LongType, nullable = false),
       StructField("sh", LongType, nullable = false)))
     val enc = RowEncoder.encoderFor(schema)
-    media.select("media_id", "bytes", "format").mapPartitions { it =>
-      it.flatMap { r =>
-        val fmtL = Option(r.getString(2)).map(_.toLowerCase).getOrElse("")
-        if (!ImageFormats.contains(fmtL)) Iterator.empty
-        else averageHash(Option(r.getAs[Array[Byte]](1))
-            .getOrElse(Array.emptyByteArray))
-          .map(hsh => Row(r.getLong(0), hsh)).iterator
-      }
-    }(enc)
+    byBytesBudget(media, targetBytesPerPartition)
+      .select("media_id", "bytes", "format").mapPartitions { it =>
+        it.flatMap { r =>
+          val fmtL = Option(r.getString(2)).map(_.toLowerCase).getOrElse("")
+          if (!ImageFormats.contains(fmtL)) Iterator.empty
+          else averageHash(Option(r.getAs[Array[Byte]](1))
+              .getOrElse(Array.emptyByteArray))
+            .map(hsh => Row(r.getLong(0), hsh)).iterator
+        }
+      }(enc)
   }
 
   /** Image near-duplicate pairs: aHash signatures through the SHARED

@@ -45,7 +45,7 @@ object TopKPerGroup {
     // order and silently drop correct top-k rows. Integrals compare as
     // longs, decimals via BigDecimal.compareTo; only true floats take
     // the double path.
-    val cmpOrder: (Row, Row) => Int = schema(oIdx).dataType match {
+    val cmpOrderNonNull: (Row, Row) => Int = schema(oIdx).dataType match {
       case _: org.apache.spark.sql.types.LongType |
            _: org.apache.spark.sql.types.IntegerType |
            _: org.apache.spark.sql.types.ShortType |
@@ -59,14 +59,34 @@ object TopKPerGroup {
         (a, b) => java.lang.Double.compare(
           a.getAs[Number](oIdx).doubleValue(), b.getAs[Number](oIdx).doubleValue())
     }
+    // phase-2 is `orderCol DESC` = nulls LAST (Spark's desc default), so
+    // phase-1 must rank a null orderCol below every non-null — not NPE
+    val cmpOrder: (Row, Row) => Int = { (a, b) =>
+      val an = a.isNullAt(oIdx); val bn = b.isNullAt(oIdx)
+      if (an && bn) 0
+      else if (an) Int.MinValue // null sorts below every value under DESC
+      else if (bn) Int.MaxValue
+      else cmpOrderNonNull(a, b)
+    }
+    // tie columns: ASC = nulls FIRST (Spark's asc default)
+    def cmpTie(a: Row, b: Row, i: Int): Int = {
+      val an = a.isNullAt(i); val bn = b.isNullAt(i)
+      if (an && bn) 0
+      else if (an) -1 // null sorts first under ASC
+      else if (bn) 1
+      else a.getAs[Comparable[Any]](i).compareTo(b.get(i))
+    }
 
-    // row ordering: orderCol DESC, tieCols ASC — "a beats b" = a sorts first
+    // row ordering: orderCol DESC, tieCols ASC — "a beats b" = a sorts
+    // STRICTLY first. Must be strict (equal rows beat neither way):
+    // sortWith builds an Ordering, and a non-strict predicate makes
+    // TimSort throw 'Comparison method violates its general contract!'
+    // once buffers pass its merge threshold.
     val beats: (Row, Row) => Boolean = { (a, b) =>
       val c = cmpOrder(a, b)
       if (c != 0) c > 0 // larger orderCol sorts first
-      else tIdx.iterator.map(i =>
-        a.getAs[Comparable[Any]](i).compareTo(b.get(i))).find(_ != 0)
-        .forall(_ < 0)
+      else tIdx.iterator.map(i => cmpTie(a, b, i)).find(_ != 0)
+        .exists(_ < 0)
     }
 
     val enc = RowEncoder.encoderFor(schema)

@@ -243,14 +243,21 @@ object CorpusPipeline {
         base.join(hits, Seq("doc_id"), "left_anti")
     }
 
-    // 2. exact dedup: normalized 3-token-prefix key, min-id survivor
-    val exactKey = array_join(slice(TextFunctions.tokens(col("text")), 1, 3), " ")
+    // 2. exact dedup: whitespace-normalized FULL text, min-id survivor.
+    // The window partitions on (fingerprint, normalized text): the
+    // fingerprint narrows the shuffle key hash, the text term makes the
+    // identity truly exact (fingerprint-only would silently merge
+    // 2^30-birthday collisions; a 3-token-prefix key — an earlier
+    // shape of this stage — deleted DISTINCT docs sharing an opener).
+    val normText = array_join(TextFunctions.tokens(col("text")), " ")
     val exactSurvivors = decontaminated
-      .withColumn("_k", exactKey)
+      .withColumn("_k", TextFunctions.charFingerprint(normText))
+      .withColumn("_t", normText)
       .withColumn("_keeper", min(col("doc_id"))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("_k"))))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("_k"), col("_t"))))
       .where(col("doc_id") === col("_keeper"))
-      .drop("_k", "_keeper")
+      .drop("_k", "_t", "_keeper")
 
     // 3. near-dup dedup: LSH pairs → components → keeper-only
     val pairs = MinHashDedup.candidatePairs(exactSurvivors, "doc_id", "text",

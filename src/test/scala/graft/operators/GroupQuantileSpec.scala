@@ -23,6 +23,21 @@ class GroupQuantileSpec extends SparkSpec {
     assert(got.toSeq == Seq(("a", 5L, 5L), ("b", 4L, 20L), ("c", 1L, 2L)))
   }
 
+  test("a group whose picked rank lands on a null still reports one row") {
+    import spark.implicits._
+    // nulls sort first: group g = [null, null, 5] has median rank 2 ->
+    // a null row. The group must appear with a null median, not vanish
+    // from the per-group report.
+    val df = Seq(("g", None: Option[Double]), ("g", None), ("g", Some(5.0)),
+      ("h", Some(1.0))).toDF("g", "v")
+    val r = GroupQuantile.selectRanks(df, Seq("g"), "v", medPick)
+      .orderBy("g").collect()
+    assert(r.length == 2, s"one row per group, got ${r.toSeq}")
+    assert(r(0).getString(0) == "g" && r(0).isNullAt(2),
+      s"null-heavy group must report a null median: ${r(0)}")
+    assert(r(1).getString(0) == "h" && r(1).getDouble(2) == 1.0)
+  }
+
   test("GlobalRank path (cutover 0) agrees with the window path") {
     val big = GroupQuantile.selectRanks(sample, Seq("g"), "v", medPick,
       cutoverBytes = 0L).orderBy("g").collect()

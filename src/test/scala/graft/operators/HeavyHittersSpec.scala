@@ -50,6 +50,18 @@ class HeavyHittersSpec extends SparkSpec {
     }
   }
 
+  test("a frequent null item is reported, matching the naive groupBy") {
+    import spark.implicits._
+    val items = Seq.fill(40)(null: String) ++ Seq.fill(55)("a") ++
+      (0 until 5).map(i => "rare" + i)
+    val got = HeavyHitters.exact(
+        items.toDF("item").repartition(3), "item", minFreqPpm = 200000L)
+      .select("item", "cnt").collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1))).toMap
+    // null (40%) and "a" (55%) both clear 20%; rare items do not
+    assert(got == Map(Option.empty[String] -> 40L, Some("a") -> 55L), got)
+  }
+
   test("exact threshold boundary is inclusive") {
     // 4000 items; "edge" has exactly 40 = 1% = 10000 ppm
     val items = Seq.fill(40)("edge") ++ (0 until 3960).map(i => s"u$i")
