@@ -133,7 +133,11 @@ object Wal {
       * is so broken that the truncate/marker write ALSO fails, replay
       * may still see the entry — that residual window is the documented
       * at-least-once edge of a failed-fsync world (the entry itself may
-      * or may not have reached the platter either). */
+      * or may not have reached the platter either). In SyncAsync mode
+      * the retraction is deliberately NOT fsynced here (see below): it
+      * is only as durable as the page cache, exactly like the entries
+      * it retracts — a crash before the OS flushes can replay the
+      * retracted entry, which is SyncAsync's stated weaker contract. */
     def abort(pos: Pos): Unit = {
       val o = synchronized {
         if (segFile.getName == pos.seg && writeSeq == pos.seq) {

@@ -72,7 +72,14 @@ object TargetedDelete {
       if (fm.matches == fm.rows) {
         fs.delete(p, false) // whole file matches: drop it, no rewrite
       } else {
-        val tmp = new Path(p.getParent, s"_delete_tmp_${p.getName}")
+        // uniquifier shared by the tmp dir and the final name: two
+        // concurrent deletes of the same file (or a same-millisecond
+        // repeat) must never share a staging dir or journal an output
+        // path that already exists — recover() "completing" such an
+        // entry would delete the input while the output belongs to the
+        // other invocation, losing kept rows
+        val uniq = s"${System.currentTimeMillis()}n${System.nanoTime()}"
+        val tmp = new Path(p.getParent, s"_delete_tmp_${uniq}_${p.getName}")
         fs.delete(tmp, true)
         // read with the tier's basePath so a predicate over the
         // partition columns (year/month/day/hour) resolves — preview
@@ -102,9 +109,10 @@ object TargetedDelete {
         // same stem, a ".d<ts>" marker before the extension — prior
         // markers from repeated deletes of one file are collapsed first
         val finalName = p.getName.stripSuffix(".parquet")
-          .replaceAll("(\\.d\\d+)+$", "") +
-          s".d${System.currentTimeMillis()}.parquet"
+          .replaceAll("(\\.d\\w+)+$", "") + s".d$uniq.parquet"
         val finalPath = new Path(p.getParent, finalName)
+        require(!fs.exists(finalPath),
+          s"delete-rewrite target already exists: $finalPath")
         val entryId = s"delete:$p:$finalName"
         CompactionManifest.begin(tablePath, conf, CompactionManifest.Entry(
           id = entryId, tier = "delete", partition = p.getParent.toString,

@@ -46,9 +46,15 @@ object Tiering {
       // fail with 'Unable to infer schema'
       var cur = src.getParent
       val stop = new Path(hotBase).toUri.getPath
-      while (cur != null && cur.toUri.getPath != stop &&
+      var walking = true
+      while (walking && cur != null && cur.toUri.getPath != stop &&
         srcFs.exists(cur) && srcFs.listStatus(cur).isEmpty) {
-        srcFs.delete(cur, false)
+        // same isEmpty/delete race as Retention.apply: concurrent ingest
+        // can repopulate the dir between the check and the non-recursive
+        // delete ("Directory is not empty") — that's a stop-the-walk
+        // signal, not a migration failure
+        try srcFs.delete(cur, false)
+        catch { case _: java.io.IOException => walking = false }
         cur = cur.getParent
       }
     }
@@ -80,7 +86,11 @@ object Tiering {
       d <- v(p.getName)
       mo <- v(p.getParent.getName)
       y <- v(p.getParent.getParent.getName)
-    } yield java.time.LocalDate.of(y, mo, d).toEpochDay
+      // a stray month=13 / day=32 directory must be skipped like a
+      // non-numeric one, not crash the whole migrate() pass
+      epoch <- scala.util.Try(
+        java.time.LocalDate.of(y, mo, d).toEpochDay).toOption
+    } yield epoch
   }
 
   /** One logical table over both storage tiers AND both layout tiers

@@ -60,7 +60,8 @@ object HeavyHitters {
     val toks = items.select(col(itemCol).cast("string").as("item"))
 
     // Pass 1: per-partition MG candidates + the partition's item count
-    // (sentinel row with a null item), in the same scan.
+    // (one sentinel-flagged row per partition — an explicit boolean
+    // column, because null is a legal item value), in the same scan.
     val sketch = toks.as[String].mapPartitions { it =>
       val counters = mutable.HashMap.empty[String, Long]
       var n = 0L

@@ -48,6 +48,18 @@ object Mmr {
       shortlistN: Int, k: Int): DataFrame = {
     require(shortlistN > 0 && k > 0 && k <= shortlistN,
       s"need 0 < k <= shortlistN, got k=$k N=$shortlistN")
+    // enforce the driver-side budget BEFORE any collect: the shortlist
+    // is ≤ queries·N rows by construction, but a large query batch
+    // scales that silently — counting the (small, broadcast-by-
+    // contract) query frame up front turns the assumed bound into an
+    // enforced one (r11 advice; same pattern as BudgetSelect/GlobalRank)
+    val nQueries = queries.count()
+    require(nQueries * shortlistN <= MaxShortlistRows,
+      s"query batch $nQueries x shortlistN=$shortlistN exceeds the " +
+        s"$MaxShortlistRows driver shortlist budget — split the query batch")
+    require(nQueries * shortlistN.toLong * (shortlistN - 1) <= MaxSimRows,
+      s"pairwise sim frame ~${nQueries * shortlistN.toLong * (shortlistN - 1)} " +
+        s"rows exceeds $MaxSimRows — lower shortlistN")
     val spark = queries.sparkSession
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("rel").desc, col("cand_id"))

@@ -1156,6 +1156,23 @@ final class HttpServer(
     // databases past the per-table check. Re-check every relation in
     // the parsed plan exactly like the POST path; extraction failure
     // for an RBAC-scoped token fails CLOSED with 400.
+    //
+    // THREAT MODEL — residual surface of the interpolation (r11 watch
+    // item #5): the `where` text is spliced into a SQL string, so the
+    // guarantees are exactly (a) the single-statement shape enforced by
+    // the denylist (no `;`, no comments, no UNION/DML keywords, balanced
+    // quotes/parens — a second STATEMENT cannot be injected), and (b)
+    // this parsed-plan RBAC re-check (every relation the final plan
+    // touches must be readable by the token). What is deliberately NOT
+    // prevented: a well-formed scalar/EXISTS/IN subquery referencing a
+    // SECOND measurement in a database the token can already read —
+    // RBAC passes because the token may read that table anyway, and the
+    // result is a join-like read the "simple read" name doesn't suggest.
+    // That is an authorization non-event (no privilege is exceeded) but
+    // a semantic surprise; it is pinned by HttpServerSpec ("correlated
+    // subquery in the same database…") so any future tightening is a
+    // deliberate contract change, not drift. POST /api/v1/query is the
+    // documented path for multi-relation reads.
     if (where.nonEmpty) {
       tableRefsFor(ex, sessionFor(db)._1, sql, db) match {
         case Some(refs) =>

@@ -114,6 +114,19 @@ class MmrSpec extends SparkSpec {
     }
   }
 
+  test("a large query batch is rejected up front (r11 advice)") {
+    // each query is within budget alone; 700 x 128 = 89,600 shortlist
+    // rows breaches the 65,536 driver cap and must be refused BEFORE
+    // the scoring pass runs, by the pre-collect queries.count() guard
+    val queries = (0L until 700L).map(i => (i, Array(1f, 0f)))
+      .toDF("query_id", "qv")
+    val corpus = (1L to 10L).map(i => (i, Array(1f, 0f))).toDF("cand_id", "cv")
+    val e = intercept[IllegalArgumentException] {
+      Mmr.rerank(queries, corpus, shortlistN = 128, k = 1)
+    }
+    assert(e.getMessage.contains("query batch"), e.getMessage)
+  }
+
   test("the pairwise sim collect is bounded too (r8 advice)") {
     // a shortlist that passes the rel-rows guard can still imply a
     // quadratic sims frame (worst case ~4.3e9 rows at N=65536) — must

@@ -344,6 +344,24 @@ class HttpServerSpec extends SparkSpec {
     assert(get("/api/v1/query/cpuo?order_by=1col").statusCode() == 400)
   }
 
+  test("correlated subquery in the same database passes denylist + RBAC (documented residual)") {
+    // THREAT-MODEL PIN (r11 watch item #5, HttpServer simple-read): a
+    // where clause that is valid single-statement SQL and references a
+    // SECOND measurement the token can already read is NOT blocked —
+    // the denylist stops statement injection (`;`, comments, UNION,
+    // DML), and the parsed-plan RBAC re-check only fails relations the
+    // token can't read. The cross-table read here exceeds no privilege;
+    // it is a semantic surprise only, and this pin makes any future
+    // tightening a deliberate contract change.
+    post("/api/v1/write/msgpack", cpuPayload(4, "subq_a"))
+    post("/api/v1/write/msgpack", cpuPayload(4, "subq_b"))
+    val where = java.net.URLEncoder.encode(
+      "usage >= (SELECT min(usage) FROM subq_b)", "UTF-8")
+    val r = json(get(s"/api/v1/query/subq_a?limit=10&where=$where"))
+    assert(r.get("success").asBoolean(), r.toString)
+    assert(r.get("row_count").asInt() == 4, r.toString)
+  }
+
   test("query history records completed and failed queries, newest first, limit capped") {
     post("/api/v1/write/msgpack", cpuPayload(2, "cpuhist"))
     assert(post("/api/v1/query",
