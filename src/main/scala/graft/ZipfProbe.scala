@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dedup-family scale probe on the realistic Zipf-vocabulary corpus
+  * (round-12 verdict #1). The driver's 31-word-vocab documents table
+  * makes dedup pair OUTPUT grow ~quadratically with corpus size, so the
+  * standard bench cannot distinguish "output got bigger" from "the
+  * candidate generator exploded". This main runs the dedup family on
+  * `tools/gen_zipf_docs.py` fixtures (constant planted near-dup rate →
+  * true pairs grow LINEARLY) and reports, per query: wall seconds,
+  * output rows, and — for the census-dispatched operators — the census
+  * numbers and which arm was picked.
+  *
+  * Usage: runMain graft.ZipfProbe <docsDir> [label]
+  * Prints one JSON line (same contract as graft.Bench).
+  */
+object ZipfProbe {
+
+  private val Family = Seq(
+    "q65_dedup_jaccard", "q66_dedup_minhash", "q67_dedup_simhash",
+    "q113_dedup_containment", "q114_dedup_editverify",
+    "q127_dedup_sortneighbor", "q132_cooccurrence_lift")
+
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val label = if (args.length > 1) args(1) else dir
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.max(4, Runtime.getRuntime.availableProcessors).toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftFunctions.registerAll(spark)
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val nDocs = docs.count()
+
+    // --- census diagnostics (dispatch inputs, measured up front so the
+    // probe's JSON is self-contained evidence of WHICH arm ran) -------
+    val q65docs = docs.select(col("doc_id"), col("lang"),
+      functions.TextFunctions.tokenCount(col("text")).as("n_tokens"),
+      array_distinct(functions.TextFunctions.tokens(col("text"))).as("toks"))
+    val q65naive = operators.JaccardDedup.naiveJoinRows(
+      q65docs, Seq("lang", "n_tokens"))
+    val q65arm =
+      if (q65naive > operators.JaccardDedup.cutover) "prefix" else "naive"
+    val q65cands =
+      if (q65arm == "prefix")
+        operators.JaccardDedup.prefixCandidates(q65docs, "doc_id", "toks",
+          Seq("lang", "n_tokens"), 0.5).count()
+      else q65naive.toLong // the naive arm verifies the whole block join
+
+    val est = operators.ContainmentDedup.estimate(
+      docs, "doc_id", "text", shingleK = 2, minContainment = 0.8)
+    val q113arm = if (est.usePrefix) "prefix" else "naive"
+
+    // --- timed family runs ------------------------------------------
+    val results = Family.map { name =>
+      val t0 = System.nanoTime()
+      val rows = SparkEntry.queries(name)(spark, dir).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      name -> (sec, rows)
+    }
+
+    val qjson = results.map { case (n, (s, r)) =>
+      f""""$n":{"sec":$s%.3f,"rows":$r}"""
+    }.mkString(",")
+    println(
+      s"""{"metric":"zipf_dedup_probe","label":"$label","docs":$nDocs,""" +
+      f""""q65_census":{"naive_join_rows":$q65naive%.0f,"arm":"$q65arm","candidates":$q65cands},""" +
+      f""""q113_census":{"naive_join_rows":${est.naiveJoinRows}%.0f,"prefix_join_rows":${est.prefixJoinRows}%.0f,"postings":${est.postings},"vocab":${est.vocab},"arm":"$q113arm"},""" +
+      s""""queries":{$qjson}}""")
+    spark.stop()
+  }
+}

@@ -81,10 +81,7 @@ object JaccardDedup {
       .select((col(idCol) +: blockCols.map(col) :+ col(toksCol)): _*)
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .localCheckpoint()
-    val naiveRows = slim.groupBy(blockCols.map(col): _*)
-      .agg(count(lit(1)).cast("double").as("c"))
-      .agg(coalesce(sum(col("c") * col("c")), lit(0.0)))
-      .head().getDouble(0)
+    val naiveRows = naiveJoinRows(slim, blockCols)
     if (naiveRows > NaiveJoinRowCutover)
       pairsImpl(slim, idCol, toksCol, blockCols, minJaccard,
         reshuffle = false) // slim is already repartitioned + checkpointed
@@ -113,6 +110,28 @@ object JaccardDedup {
         col(toksCol).as("toks")): _*)
     val base = (if (reshuffle) sel.repartition(parallelism) else sel)
       .withColumn("n", size(col("toks")))
+    val cands = candidatesFromBase(base, blockCols, minJaccard)
+    // exact verification on the candidate list only — same formula as
+    // the naive plan, so the output (and its 6-dp rounding) is
+    // bit-identical
+    val s1 = base.select(col("doc").as("d1"), col("toks").as("toks1"))
+    val s2 = base.select(col("doc").as("d2"), col("toks").as("toks2"))
+    cands.join(s1, Seq("d1")).join(s2, Seq("d2"))
+      .withColumn("inter", size(array_intersect(col("toks1"), col("toks2"))))
+      .withColumn("uni", size(array_union(col("toks1"), col("toks2"))))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / col("uni"), 6))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("d1").as("doc1"), col("d2").as("doc2"), col("jaccard"))
+  }
+
+  /** Prefix-filtered candidate (d1, d2) pairs only — the frame the
+    * verify join runs on. Factored out of [[pairsImpl]] so the scale
+    * probe (graft.ZipfProbe / SCALE.md "Zipf fixture" table) can count
+    * candidates without paying the verify stage; `base` carries
+    * doc / blockCols / toks / n. */
+  private def candidatesFromBase(base: DataFrame, blockCols: Seq[String],
+      minJaccard: Double): DataFrame = {
     val ex = base.select((col("doc") +: blockCols.map(col) :+ col("n") :+
       explode(col("toks")).as("tok")): _*)
     // global document-frequency census: the hot key is one aggregate
@@ -132,23 +151,35 @@ object JaccardDedup {
       col("tok")): _*)
     val b = prefix.select((col("doc").as("d2") +: blockCols.map(col) :+
       col("tok")): _*)
-    val cands = a.join(b, "tok" +: blockCols)
+    a.join(b, "tok" +: blockCols)
       .where(col("d1") < col("d2"))
       .select(col("d1"), col("d2"))
       .distinct()
-    // exact verification on the candidate list only — same formula as
-    // the naive plan, so the output (and its 6-dp rounding) is
-    // bit-identical
-    val s1 = base.select(col("doc").as("d1"), col("toks").as("toks1"))
-    val s2 = base.select(col("doc").as("d2"), col("toks").as("toks2"))
-    cands.join(s1, Seq("d1")).join(s2, Seq("d2"))
-      .withColumn("inter", size(array_intersect(col("toks1"), col("toks2"))))
-      .withColumn("uni", size(array_union(col("toks1"), col("toks2"))))
-      .withColumn("jaccard",
-        round(col("inter").cast("double") / col("uni"), 6))
-      .where(col("jaccard") >= minJaccard)
-      .select(col("d1").as("doc1"), col("d2").as("doc2"), col("jaccard"))
   }
+
+  /** Probe-facing candidate count entry (same prep as [[pairs]]). */
+  private[graft] def prefixCandidates(docs: DataFrame, idCol: String,
+      toksCol: String, blockCols: Seq[String],
+      minJaccard: Double): DataFrame = {
+    val base = docs
+      .select((col(idCol).as("doc") +: blockCols.map(col) :+
+        col(toksCol).as("toks")): _*)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("n", size(col("toks")))
+    candidatesFromBase(base, blockCols, minJaccard)
+  }
+
+  /** Naive-join cardinality Σ_block width² — the census [[pairsAuto]]
+    * dispatches on, exposed for the scale probe. */
+  private[graft] def naiveJoinRows(docs: DataFrame,
+      blockCols: Seq[String]): Double =
+    docs.groupBy(blockCols.map(col): _*)
+      .agg(count(lit(1)).cast("double").as("c"))
+      .agg(coalesce(sum(col("c") * col("c")), lit(0.0)))
+      .head().getDouble(0)
+
+  /** The census cutover, exposed for the probe's arm report. */
+  private[graft] def cutover: Double = NaiveJoinRowCutover
 
   /** The blocked all-pairs shape — QUADRATIC in block width, so safe
     * ONLY below [[NaiveJoinRowCutover]] (where [[pairsAuto]] dispatches

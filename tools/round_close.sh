@@ -50,8 +50,12 @@ echo "[round_close] 2/3 Bench at sf1"
 SPARK_GRAFT_SF_DIR="$SF1_DIR" SPARK_GRAFT_BENCH_OUT="BENCH_sf1_r$R.json" \
   sbt -batch "runMain graft.Bench" | tail -1
 
+# The sf0.1 record IS the round's bench artifact (r11 verdict #4):
+# one self-contained file with the full per-query map + per-iteration
+# times/load/gc, machine-diffable against the previous round. No more
+# separate bench_full_r<N>.json, no stale bench_out.json in the repo.
 echo "[round_close] 3/3 full Bench at sf0.1"
-SPARK_GRAFT_SF_DIR="$SF01_DIR" SPARK_GRAFT_BENCH_OUT="bench_full_r$R.json" \
+SPARK_GRAFT_SF_DIR="$SF01_DIR" SPARK_GRAFT_BENCH_OUT="BENCH_r$R.json" \
   sbt -batch "runMain graft.Bench" | tail -1
 
-echo "[round_close] artifacts: CORRECTNESS_sf1_r$R.json BENCH_sf1_r$R.json bench_full_r$R.json"
+echo "[round_close] artifacts: CORRECTNESS_sf1_r$R.json BENCH_sf1_r$R.json BENCH_r$R.json"
