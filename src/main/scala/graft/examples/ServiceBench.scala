@@ -50,7 +50,17 @@ object ServiceBench {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val root = java.nio.file.Files.createTempDirectory("graft_svc").toString
+    // GRAFT_BENCH_ROOT relocates the data root (and the WAL below) —
+    // e.g. /dev/shm for the tmpfs regime that isolates the parser/HTTP
+    // path from this VM's disk-writeback noise (r10 triage; the 100 TB
+    // deployment writes to object storage, not a local ext4, so the
+    // tmpfs row is the one that bounds the CODE rather than the disk)
+    val rootBase = sys.env.get("GRAFT_BENCH_ROOT")
+      .map(java.nio.file.Paths.get(_))
+      .getOrElse(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")))
+    java.nio.file.Files.createDirectories(rootBase)
+    val root = java.nio.file.Files.createTempDirectory(rootBase, "graft_svc").toString
     val server = new HttpServer(spark, root)
     // GRAFT_BENCH_BUFFERED=true measures the reference's accept regime
     // (WAL + buffer before 204, background flush) instead of the
@@ -58,7 +68,7 @@ object ServiceBench {
     // reference's no-per-request-fsync accept-only numbers
     val buffered = sys.env.get("GRAFT_BENCH_BUFFERED").exists(_.toBoolean)
     if (buffered) server.enableBufferedIngest(
-      java.nio.file.Files.createTempDirectory("graft_svc_wal").toFile,
+      java.nio.file.Files.createTempDirectory(rootBase, "graft_svc_wal").toFile,
       flushRows = 2000000, flushMillis = 500L,
       syncMode =
         if (sys.env.get("GRAFT_BENCH_BUFFERED_ASYNC").exists(_.toBoolean))

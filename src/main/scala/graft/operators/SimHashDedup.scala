@@ -18,6 +18,17 @@ import org.apache.spark.sql.functions._
   * (native SimHashBits expression), explode to (band, key) rows, shuffle
   * on the band key into small buckets, pairwise only within buckets,
   * exact Hamming verification, distinct. No cartesian anywhere.
+  *
+  * Threshold guidance at corpus scale (measured, SCALE.md round-12
+  * "Zipf-vocabulary dedup scale study"): UNWEIGHTED token features
+  * saturate on open-vocabulary corpora — every document's bit-majority
+  * vote is dominated by the same few hundred Zipf-head words, so
+  * signatures cluster and hd ≤ 2 over 32 bits flags ~40% of ALL pairs
+  * (2.0e9 pairs at 100k docs; the join stays output-bound, the ANSWER
+  * is what degenerates). For such corpora weight each token's ±1 vote
+  * by idf (rare tokens drive bits) or widen the signature; the
+  * closed-vocabulary oracle fixture keeps the unweighted 32-bit form
+  * meaningful because it has no frequency tail.
   */
 object SimHashDedup {
 
