@@ -60,8 +60,14 @@ object StreamStateSoak {
     }
 
     /** Drive one operator over the same batch schedule; returns the
-      * per-batch state samples. `interBatchMs` must exceed nothing —
-      * the TTL horizon comes from wall time across batches. */
+      * per-batch state samples. NOTE deliberately NOT
+      * `processAllAvailable`: with ProcessingTimeTimeout the engine
+      * schedules timeout-servicing batches continuously and
+      * processAllAvailable never quiesces (measured: 1,900+ empty
+      * commits, main parked forever). We instead wait until the
+      * query's source offset reaches the addData watermark — data is
+      * processed; empty timeout batches keep running in the
+      * background, which is exactly the regime being measured. */
     def drive(label: String, ttl: String, interBatchMs: Long,
         build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Dataset[_])
         : Seq[Sample] = {
@@ -70,11 +76,24 @@ object StreamStateSoak {
       val q = build(mem.toDF().toDF("doc_id", "text"))
         .writeStream.format("memory").queryName(name)
         .outputMode("append").start()
+      def waitFor(targetOffset: Long): Unit = {
+        val deadline = System.currentTimeMillis() + 60000
+        var done = false
+        while (!done && System.currentTimeMillis() < deadline) {
+          val p = q.lastProgress
+          done = p != null && p.sources.nonEmpty &&
+            Option(p.sources(0).endOffset)
+              .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+              .exists(_ >= targetOffset)
+          if (!done) Thread.sleep(50)
+        }
+        require(done, s"$label: batch not processed within 60s")
+      }
       val out = Seq.newBuilder[Sample]
       try {
         (0 until nBatches).foreach { b =>
-          mem.addData(docs(b): _*)
-          q.processAllAvailable()
+          val off = mem.addData(docs(b): _*)
+          waitFor(scala.util.Try(off.json.trim.toLong).getOrElse(b + 1L))
           stateSamples(q).foreach { case (r, m) => out += Sample(b, r, m) }
           if (interBatchMs > 0) Thread.sleep(interBatchMs)
         }
