@@ -67,7 +67,16 @@ object ZipfProbe {
       name -> (sec, rows)
     }
 
-    val qjson = results.map { case (n, (s, r)) =>
+    // the weighted-fingerprint form of q67 (not a SparkEntry query —
+    // the oracle fixture's closed vocabulary keeps the unweighted form
+    // meaningful there; THIS corpus is where the weighting matters)
+    val tw = System.nanoTime()
+    val wRows = operators.SimHashDedup.weightedCandidatePairs(
+      docs, "doc_id", "text", maxHd = 2).count()
+    val wSec = (System.nanoTime() - tw) / 1e9
+
+    val qjson = (results :+
+      ("q67_weighted_simhash" -> ((wSec, wRows)))).map { case (n, (s, r)) =>
       f""""$n":{"sec":$s%.3f,"rows":$r}"""
     }.mkString(",")
     println(

@@ -111,4 +111,86 @@ object SimHashDedup {
       .where(col("hd") <= maxHd)
       .select(col("doc1"), col("doc2"), col("hd"))
   }
+
+  /** Idf-WEIGHTED SimHash signatures — the open-vocabulary-corpus form
+    * (Charikar's original weighted features; Manku et al., WWW'07 use
+    * the same shape for web dedup). Each token occurrence votes
+    * ±idf(token) instead of ±1, idf = ln((N+1)/df): on a Zipf corpus
+    * the head words that dominate every document carry ~ln(1+1/N) ≈ 0
+    * weight while rare content words carry ~ln N, so fingerprints are
+    * driven by what DISTINGUISHES documents. The unweighted form
+    * saturates there — hd ≤ 2 flags ~40% of ALL pairs at every scale
+    * (SCALE.md round-12 study); on an equal-df corpus the two forms
+    * produce IDENTICAL signatures (WeightedSimHashSpec pins both).
+    *
+    * Scale shape: one df census (aggregate row per token — never a
+    * member list), one broadcast-or-shuffle join of the token stream
+    * against it, then 32 conditional-sum aggregates per doc — all
+    * codegen'd built-ins, no UDF, linear in corpus size. Docs with no
+    * tokens drop out (no rows to vote); callers needing them keep the
+    * unweighted form's convention of signature 0.
+    */
+  def weightedSignatures(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    weightedSignaturesImpl(docs, idCol, textCol,
+      TextFunctions.SimHashBits, TextFunctions.tokenHash)
+
+  /** 64-bit idf-weighted fingerprints over `xxhash64` token features —
+    * the Manku et al. (WWW'07) web-dedup configuration. The 32-bit form
+    * keeps parity with the native unweighted expression but its
+    * polynomial base hash carries only ~30 bits of entropy (its two top
+    * bits are structurally 0), which floors the resolution: on the
+    * round-12 Zipf fixture, weighting cut hd≤2 saturation 19× (40% →
+    * 2.1% of all pairs) but the residual mid-frequency cosine baseline
+    * still collides in a 30-bit space. 64 real bits push random-pair
+    * collisions at hd≤3 below the birthday floor for corpus-scale N. */
+  def weightedSignatures64(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    weightedSignaturesImpl(docs, idCol, textCol, 64, xxhash64(_))
+
+  private def weightedSignaturesImpl(docs: DataFrame, idCol: String,
+      textCol: String, bits: Int, hashOf: Column => Column): DataFrame = {
+    val spark = docs.sparkSession
+    graft.GraftFunctions.registerAll(spark)
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("_t"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .localCheckpoint() // feeds the census AND the vote stream
+    val toks = base.select(col("doc_id"),
+      explode(TextFunctions.tokens(col("_t"))).as("tok"))
+      .withColumn("h", hashOf(col("tok")))
+    val dfc = toks.select(col("doc_id"), col("tok")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("_df"))
+    val nDocs = base.count()
+    val voted = toks.join(dfc, Seq("tok"))
+      .withColumn("w", log(lit(nDocs + 1.0) / col("_df")))
+    val bitSums = (0 until bits).map { b =>
+      // shiftrightunsigned: xxhash64 values are full-range longs, and a
+      // SIGNED shift of a negative hash drags the sign bit across every
+      // vote above the tested bit
+      sum(when(shiftrightunsigned(col("h"), b).bitwiseAND(lit(1L)) === 1L,
+        col("w")).otherwise(-col("w"))).as(s"_b$b")
+    }
+    val agg = voted.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sh = (0 until bits).foldLeft(lit(0L)) { (acc, b) =>
+      acc + when(col(s"_b$b") > 0d, lit(1L << b)).otherwise(lit(0L))
+    }
+    agg.select(col("doc_id"), sh.as("sh"))
+  }
+
+  /** Weighted-fingerprint near-dup pairs through the same
+    * pigeonhole-exact banding kernel as the unweighted form. */
+  def weightedCandidatePairs(docs: DataFrame, idCol: String,
+      textCol: String, maxHd: Int = DefaultMaxHammingDistance): DataFrame =
+    pairsFromSignatures(
+      weightedSignatures(docs, idCol, textCol).localCheckpoint(),
+      TextFunctions.SimHashBits, maxHd)
+
+  /** 64-bit variant of [[weightedCandidatePairs]] (hd semantics over
+    * 64 real entropy bits; default radius 3 per the web-dedup
+    * literature). */
+  def weightedCandidatePairs64(docs: DataFrame, idCol: String,
+      textCol: String, maxHd: Int = 3): DataFrame =
+    pairsFromSignatures(
+      weightedSignatures64(docs, idCol, textCol).localCheckpoint(),
+      64, maxHd)
 }
