@@ -40,27 +40,45 @@ object ZipfProbe {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val nDocs = docs.count()
 
+    // ZIPF_ONLY: comma-separated substring filter for re-probing one
+    // operator after a rewrite without paying the whole family (the
+    // census diagnostics are skipped with their query)
+    val only: String => Boolean = sys.env.get("ZIPF_ONLY") match {
+      case Some(f) if f.nonEmpty =>
+        val subs = f.split(',').map(_.trim).filter(_.nonEmpty)
+        name => subs.exists(name.contains)
+      case _ => _ => true
+    }
+
     // --- census diagnostics (dispatch inputs, measured up front so the
     // probe's JSON is self-contained evidence of WHICH arm ran) -------
-    val q65docs = docs.select(col("doc_id"), col("lang"),
-      functions.TextFunctions.tokenCount(col("text")).as("n_tokens"),
-      array_distinct(functions.TextFunctions.tokens(col("text"))).as("toks"))
-    val q65naive = operators.JaccardDedup.naiveJoinRows(
-      q65docs, Seq("lang", "n_tokens"))
-    val q65arm =
-      if (q65naive > operators.JaccardDedup.cutover) "prefix" else "naive"
-    val q65cands =
-      if (q65arm == "prefix")
-        operators.JaccardDedup.prefixCandidates(q65docs, "doc_id", "toks",
-          Seq("lang", "n_tokens"), 0.5).count()
-      else q65naive.toLong // the naive arm verifies the whole block join
+    val (q65naive, q65arm, q65cands) = if (!only("q65")) (0.0, "skipped", 0L)
+    else {
+      val q65docs = docs.select(col("doc_id"), col("lang"),
+        functions.TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        array_distinct(functions.TextFunctions.tokens(col("text"))).as("toks"))
+      val naive = operators.JaccardDedup.naiveJoinRows(
+        q65docs, Seq("lang", "n_tokens"))
+      val arm =
+        if (naive > operators.JaccardDedup.cutover) "prefix" else "naive"
+      val cands =
+        if (arm == "prefix")
+          operators.JaccardDedup.prefixCandidates(q65docs, "doc_id", "toks",
+            Seq("lang", "n_tokens"), 0.5).count()
+        else naive.toLong // the naive arm verifies the whole block join
+      (naive, arm, cands)
+    }
 
-    val est = operators.ContainmentDedup.estimate(
-      docs, "doc_id", "text", shingleK = 2, minContainment = 0.8)
-    val q113arm = if (est.usePrefix) "prefix" else "naive"
+    val est =
+      if (!only("q113"))
+        operators.ContainmentDedup.StrategyEstimate(0L, 0L, 0.0, 0.0, 0L)
+      else operators.ContainmentDedup.estimate(
+        docs, "doc_id", "text", shingleK = 2, minContainment = 0.8)
+    val q113arm =
+      if (!only("q113")) "skipped" else if (est.usePrefix) "prefix" else "naive"
 
     // --- timed family runs ------------------------------------------
-    val results = Family.map { name =>
+    val results = Family.filter(only).map { name =>
       val t0 = System.nanoTime()
       val rows = SparkEntry.queries(name)(spark, dir).count()
       val sec = (System.nanoTime() - t0) / 1e9
@@ -70,13 +88,17 @@ object ZipfProbe {
     // the weighted-fingerprint form of q67 (not a SparkEntry query —
     // the oracle fixture's closed vocabulary keeps the unweighted form
     // meaningful there; THIS corpus is where the weighting matters)
-    val tw = System.nanoTime()
-    val wRows = operators.SimHashDedup.weightedCandidatePairs(
-      docs, "doc_id", "text", maxHd = 2).count()
-    val wSec = (System.nanoTime() - tw) / 1e9
+    val weighted =
+      if (!only("q67_weighted_simhash")) Nil
+      else {
+        val tw = System.nanoTime()
+        val wRows = operators.SimHashDedup.weightedCandidatePairs(
+          docs, "doc_id", "text", maxHd = 2).count()
+        Seq("q67_weighted_simhash" ->
+          (((System.nanoTime() - tw) / 1e9, wRows)))
+      }
 
-    val qjson = (results :+
-      ("q67_weighted_simhash" -> ((wSec, wRows)))).map { case (n, (s, r)) =>
+    val qjson = (results ++ weighted).map { case (n, (s, r)) =>
       f""""$n":{"sec":$s%.3f,"rows":$r}"""
     }.mkString(",")
     println(

@@ -222,33 +222,20 @@ object SampleQueries {
     // token co-occurrence lift mining (PMI's rational twin, log-free and
     // int64-exact like q117's DSIR ratio): lift(a,b) =
     // P(a,b)/(P(a)P(b)) = c_ab·N / (c_a·c_b) over doc-level
-    // co-occurrence. Pairs are generated MAP-SIDE from each doc's
-    // sorted distinct-token array (a nested-transform HOF — no
-    // self-join, so the token stream is never shuffled raw; the pair
-    // stream partial-aggregates straight into (a,b) counts). Doc
-    // frequencies are a vocab-sized broadcast. The oracle spells the
-    // naive self-join.
+    // co-occurrence. operators.CoocLift mines the qualified pairs:
+    // lossless a-priori df≥support prune, map-side pair generation from
+    // each doc's sorted token array (no self-join), hash-dictionary
+    // (long, long) pair keys with a collision-guarded exact fallback.
+    // The oracle spells the naive self-join.
     "q132_cooccurrence_lift" -> ((s, dir) => {
       val div = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
         call_function("div", a, b)
       val docs = t(s, dir, "documents")
         .select(col("doc_id"),
-          sort_array(array_distinct(TextFunctions.tokens(col("text"))))
-            .as("tk"))
-        .localCheckpoint() // two consumers: pair stream + doc freq
-      val pairs = docs.select(explode(expr(
-        """flatten(transform(tk, (x, i) ->
-          |  transform(slice(tk, i + 2, size(tk)), y -> struct(x AS a, y AS b))))"""
-          .stripMargin)).as("p"))
-        .select(col("p.a").as("a"), col("p.b").as("b"))
-      val cab = pairs.groupBy(col("a"), col("b"))
-        .agg(count(lit(1)).as("c_ab"))
-        .where(col("c_ab") >= MinSupport)
-      val dfreq = docs.select(explode(col("tk")).as("w"))
-        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+          array_distinct(TextFunctions.tokens(col("text"))).as("tk"))
+        .localCheckpoint() // two consumers: pair mining + the N census
       val n = broadcast(docs.agg(count(lit(1)).as("n_docs")))
-      cab.join(broadcast(dfreq.toDF("a", "c_a")), "a")
-        .join(broadcast(dfreq.toDF("b", "c_b")), "b")
+      graft.operators.CoocLift.pairsAuto(docs, "doc_id", "tk", MinSupport)
         .crossJoin(n)
         .select(col("a"), col("b"), col("c_ab"),
           (div(mulGuard(mulGuard(col("c_ab"), col("n_docs"), "lift num"),
