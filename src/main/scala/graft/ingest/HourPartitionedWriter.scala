@@ -28,11 +28,41 @@ object HourPartitionedWriter {
 
   val PartitionCols: Seq[String] = Seq("year", "month", "day", "hour")
 
-  def withPartitionColumns(df: DataFrame): DataFrame =
-    df.withColumn("year", year(col("time")))
-      .withColumn("month", month(col("time")))
-      .withColumn("day", dayofmonth(col("time")))
-      .withColumn("hour", hour(col("time")))
+  /** UTC partition coords from the µs epoch — deliberately NOT the
+    * session-TZ `year()/month()/dayofmonth()/hour()` timestamp
+    * functions: a partition path must mean the same instant no matter
+    * what `spark.sql.session.timeZone` an embedding application sets,
+    * because everything downstream interprets the path as UTC — the
+    * pruning rule converts time bounds to coords via UTC
+    * (plans/TimePartitionPruning.hourCoords), retention/tiering parse
+    * dirs as UTC day epochs, and the reference's layout is UTC
+    * (arrow_writer.go:3504-3519). Epoch arithmetic (floor-exact for
+    * pre-1970 rows too; `div` stays in int64 where a double division
+    * would lose exactness past year ~2255), then TZ-free DATE-typed
+    * field extraction. */
+  def withPartitionColumns(df: DataFrame): DataFrame = {
+    val d = utcDate(col("time"))
+    df.withColumn("year", year(d))
+      .withColumn("month", month(d))
+      .withColumn("day", dayofmonth(d))
+      .withColumn("hour", utcHour(col("time")))
+  }
+
+  /** UTC calendar date of a µs timestamp, session-TZ-independent. */
+  def utcDate(time: Column): Column = {
+    val us = unix_micros(time)
+    val dayUs = lit(86400000000L)
+    val epochDay = call_function("div", us - pmod(us, dayUs), dayUs)
+    date_add(lit(java.time.LocalDate.ofEpochDay(0)), epochDay.cast("int"))
+  }
+
+  /** UTC hour-of-day (0–23) of a µs timestamp, session-TZ-independent. */
+  def utcHour(time: Column): Column = {
+    val us = unix_micros(time)
+    val hourUs = lit(3600000000L)
+    val hourIdx = call_function("div", us - pmod(us, hourUs), hourUs)
+    pmod(hourIdx, lit(24L)).cast("int")
+  }
 
   def applyDecimals(df: DataFrame, meta: TableMeta): DataFrame =
     meta.decimals.foldLeft(df) { case (d, (c, (p, s))) =>

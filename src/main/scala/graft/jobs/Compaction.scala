@@ -299,7 +299,9 @@ object Compaction {
         Seq(graft.operators.ZOrder.zvalue(zRanges), col("time"))
       else (meta.sortKeys.filter(deduped.columns.contains) :+ "time").map(col)
     val out = deduped.drop("_src", "_src_name")
-      .withColumn("hour", hour(col("time"))) // path segment -> data column
+      // path segment -> data column; UTC like the writer's partition
+      // derivation, NOT the session-TZ hour() function
+      .withColumn("hour", graft.ingest.HourPartitionedWriter.utcHour(col("time")))
       .orderBy(orderCols: _*).coalesce(1)
 
     val tmp = new Path(dailyDay.getParent, s"_compact_tmp_day_${dailyDay.getName}")

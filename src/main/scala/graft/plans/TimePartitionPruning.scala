@@ -40,22 +40,37 @@ object TimePartitionPruning extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, child) =>
-      val out = child.output
-      val partAttrs = PartCols.flatMap(n =>
-        out.find(a => a.name.equalsIgnoreCase(n) && a.dataType == IntegerType))
-      val timeAttr = out.find(a =>
-        a.name.equalsIgnoreCase("time") && a.dataType == TimestampType)
-      if (partAttrs.length != 4 || timeAttr.isEmpty) f
-      else {
-        val conjuncts = splitAnd(cond)
-        val (lo, hi) = bounds(conjuncts, timeAttr.get)
-        val newPreds = Seq(
-          lo.map(l => atLeast(partAttrs, hourCoords(l))),
-          hi.map(h => atMost(partAttrs, hourCoords(h)))
-        ).flatten.filterNot(p => conjuncts.exists(_.semanticEquals(p)))
-        if (newPreds.isEmpty) f
-        else Filter(newPreds.foldLeft(cond)(And), child)
-      }
+      val conjuncts = splitAnd(cond)
+      val visible = child.outputSet
+      // candidate (time, partition-cols) groups are resolved PER LEAF
+      // relation, never from the Filter child's merged output: above a
+      // join, the merged output could pair one table's `time` with
+      // another table's `year/month/day/hour` (e.g. a rollup table that
+      // carries those ints but no time column), and a bound derived
+      // from table A must never constrain table B's partitions — that
+      // conjunct is not implied by the filter and silently drops rows.
+      // Catalyst's pushdown usually separates the conjuncts first, but
+      // the rule must be correct on any Filter it sees, not just
+      // post-pushdown shapes.
+      val newPreds = child.collectLeaves().flatMap { leaf =>
+        val out = leaf.output
+        val partAttrs = PartCols.flatMap(n =>
+          out.find(a => a.name.equalsIgnoreCase(n) && a.dataType == IntegerType))
+        val timeAttr = out.find(a =>
+          a.name.equalsIgnoreCase("time") && a.dataType == TimestampType)
+        if (partAttrs.length != 4 || timeAttr.isEmpty ||
+          !(timeAttr.get +: partAttrs).forall(visible.contains))
+          Nil
+        else {
+          val (lo, hi) = bounds(conjuncts, timeAttr.get)
+          Seq(
+            lo.map(l => atLeast(partAttrs, hourCoords(l))),
+            hi.map(h => atMost(partAttrs, hourCoords(h)))
+          ).flatten
+        }
+      }.filterNot(p => conjuncts.exists(_.semanticEquals(p)))
+      if (newPreds.isEmpty) f
+      else Filter(newPreds.foldLeft(cond)(And), child)
   }
 
   private def splitAnd(e: Expression): Seq[Expression] = e match {

@@ -23,12 +23,19 @@ object MsgPackEncoder {
       extends java.io.OutputStream {
     private var buf = new Array[Byte](initial)
     private var len = 0
-    private def ensure(n: Int): Unit =
-      if (len + n > buf.length) {
-        var cap = buf.length << 1
-        while (cap < len + n) cap <<= 1
-        buf = java.util.Arrays.copyOf(buf, cap)
+    private def ensure(n: Int): Unit = {
+      // long arithmetic: `len + n` and the doubling both overflow Int
+      // past 1 GiB, turning an over-cap envelope into an infinite loop
+      // or a negative-size allocation instead of a clear error
+      val need = len.toLong + n
+      if (need > buf.length) {
+        val max = Int.MaxValue - 16L // JVM array-size ceiling
+        require(need <= max, s"msgpack envelope too large: $need bytes")
+        var cap = buf.length.toLong << 1
+        while (cap < need) cap <<= 1
+        buf = java.util.Arrays.copyOf(buf, math.min(cap, max).toInt)
       }
+    }
     override def write(b: Int): Unit = { ensure(1); buf(len) = b.toByte; len += 1 }
     override def write(bs: Array[Byte], off: Int, n: Int): Unit = {
       ensure(n); System.arraycopy(bs, off, buf, len, n); len += n
@@ -202,7 +209,12 @@ object MsgPackEncoder {
     val n = parts.map(_._2).sum
     require(n <= Int.MaxValue, s"result too large for one envelope: $n rows")
     val runBytes = parts.map(_._1.map(_.length.toLong).sum).sum
-    val out = new FastByteBuffer(math.min(runBytes + 1024, Int.MaxValue.toLong).toInt)
+    // same finite-envelope contract as the JSON path (QueryFacade): the
+    // serving routes always pass a row cap, but the BYTE total is what
+    // a single Array[Byte] envelope actually bounds
+    require(runBytes + 1024 <= Int.MaxValue - 16L,
+      s"msgpack envelope too large: $runBytes bytes")
+    val out = new FastByteBuffer((runBytes + 1024).toInt)
     val p = new Packer(out)
     p.packMapHeader(3)
     p.packString("columns")

@@ -42,6 +42,49 @@ class TimePartitionPruningSpec extends SparkSpec {
     assert(df.count() == 3)
   }
 
+  test("rule never pairs one table's time bound with another table's partition columns") {
+    TimePartitionPruning.install(spark)
+    import spark.implicits._
+    // measurement: a real catalog table (leaf carries time + partition
+    // coords as relation attributes — the shape the rule fires on)
+    val cat = new GraftCatalog(spark, tmpDir("prunejoin"))
+    val lp = (0 until 48).map(h => s"m,host=a v=$h.0 ${base + h * H}").mkString("\n")
+    val (pts, _) = LineProtocol.parse(lp, "us")
+    ColumnarBatch.fromPoints(pts).foreach(HourPartitionedWriter.ingest(cat, "default", _))
+    val m = cat.table("default", "m")
+    // rollup: partition-coord ints but NO time column — and coords from
+    // a different era than the filter below. Parquet round-trip so its
+    // leaf also exposes the ints as relation attributes.
+    val rollupPath = tmpDir("rollup")
+    Seq((2020, 1, 1, 0, "a", 10L))
+      .toDF("year", "month", "day", "hour", "host", "cnt")
+      .write.mode("overwrite").parquet(rollupPath)
+    val rollup = spark.read.parquet(rollupPath)
+    val joined = rollup.join(m, "host")
+      .where(m("time") >= lit("2024-06-01 05:00:00").cast("timestamp") &&
+             m("time") < lit("2024-06-01 08:00:00").cast("timestamp"))
+
+    // apply the RULE DIRECTLY to the analyzed plan (before pushdown has
+    // separated the conjuncts): a bound on m.time must not generate a
+    // predicate over the rollup's year/month/day/hour
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    val analyzed = joined.queryExecution.analyzed
+    val rollupLeafAttrs = rollup.queryExecution.analyzed.output
+      .filter(a => Seq("year", "month", "day", "hour").contains(a.name))
+      .map(_.exprId).toSet
+    assert(rollupLeafAttrs.size == 4, "fixture: rollup attrs not found")
+    val rewritten = TimePartitionPruning(analyzed)
+    val referenced = rewritten.collect {
+      case Filter(c, _) => c.references.map(_.exprId).toSet
+    }.foldLeft(Set.empty[org.apache.spark.sql.catalyst.expressions.ExprId])(_ ++ _)
+    assert(referenced.intersect(rollupLeafAttrs).isEmpty,
+      "rule constrained the rollup's partition columns from m's time bound")
+
+    // and end-to-end: the 2020-era rollup row must still join the 3
+    // in-range measurement rows
+    assert(joined.count() == 3)
+  }
+
   test("rule leaves results identical and is idempotent") {
     TimePartitionPruning.install(spark)
     TimePartitionPruning.install(spark) // second install is a no-op
