@@ -43,7 +43,12 @@ object CsvImport {
       F.when(a < 100000000000L, asLong * 1000000L)
         .when(a < 100000000000000L, asLong * 1000L)
         .when(a < 100000000000000000L, asLong)
-        .otherwise(F.floor(asLong / 1000).cast("long")))
+        // ns → µs via INTEGER floor division (TimestampUnits.Nanos'
+        // Math.floorDiv): `floor(x / 1000)` divides in double, and a
+        // modern ns epoch (~1.7e18) carries a 512 ns double ULP — every
+        // imported ns timestamp would land up to ±1 µs off
+        .otherwise(F.call_function("div",
+          asLong - F.pmod(asLong, F.lit(1000L)), F.lit(1000L))))
     val normalized = df.schema(timeCol).dataType.typeName match {
       case "timestamp" => c
       case "long" | "integer" => fromEpoch

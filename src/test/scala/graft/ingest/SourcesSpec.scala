@@ -158,4 +158,23 @@ class LineProtocolPropsSpec extends AnyFunSuite {
       assert(TimestampUnits.toMicros(s) == us, s"seconds $s must scale to $us")
     }
   }
+
+  test("vectorized ns->µs normalization is integer-exact (matches floorDiv)") {
+    val spark = graft.TestSpark.spark
+    import org.apache.spark.sql.functions._
+    // ns epochs ~1.7e18 carry a 512 ns double ULP: a double-division
+    // normalize lands ±1 µs off exactly where the residue straddles the
+    // rounding direction — these values are chosen to catch that
+    val ns = Seq(1717200000000001999L, 1717200000000000123L,
+      1717200000000999501L, 9223372036854775000L)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(ns.map(org.apache.spark.sql.Row(_)), 2),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("t",
+          org.apache.spark.sql.types.LongType))))
+    val got = CsvImport.normalizeTimeColumn(df, "t")
+      .select(unix_micros(col("t"))).collect().map(_.getLong(0)).sorted
+    val expect = ns.map(TimestampUnits.Nanos.toMicros).sorted
+    assert(got.toSeq === expect)
+  }
 }
