@@ -173,7 +173,7 @@ class LineProtocolPropsSpec extends AnyFunSuite {
         org.apache.spark.sql.types.StructField("t",
           org.apache.spark.sql.types.LongType))))
     val got = CsvImport.normalizeTimeColumn(df, "t")
-      .select(unix_micros(col("t"))).collect().map(_.getLong(0)).sorted
+      .select(unix_micros(col("time"))).collect().map(_.getLong(0)).sorted
     val expect = ns.map(TimestampUnits.Nanos.toMicros).sorted
     assert(got.toSeq === expect)
   }
