@@ -38,17 +38,7 @@ object CsvImport {
   def normalizeTimeColumn(df: DataFrame, timeCol: String): DataFrame = {
     val c = F.col(timeCol)
     val asLong = c.cast("long")
-    val a = F.abs(asLong)
-    val fromEpoch = F.timestamp_micros(
-      F.when(a < 100000000000L, asLong * 1000000L)
-        .when(a < 100000000000000L, asLong * 1000L)
-        .when(a < 100000000000000000L, asLong)
-        // ns → µs via INTEGER floor division (TimestampUnits.Nanos'
-        // Math.floorDiv): `floor(x / 1000)` divides in double, and a
-        // modern ns epoch (~1.7e18) carries a 512 ns double ULP — every
-        // imported ns timestamp would land up to ±1 µs off
-        .otherwise(F.call_function("div",
-          asLong - F.pmod(asLong, F.lit(1000L)), F.lit(1000L))))
+    val fromEpoch = F.timestamp_micros(TimestampUnits.toMicrosCol(asLong))
     val normalized = df.schema(timeCol).dataType.typeName match {
       case "timestamp" => c
       case "long" | "integer" => fromEpoch
@@ -102,7 +92,8 @@ object CsvImport {
         }
         val c = F.col(timeCol).cast("long")
         val micros = if (mult > 0) c * mult
-          else F.floor(c / 1000).cast("long")
+          else TimestampUnits.nanosToMicrosCol(c) // int64 floor, not double
+
         val withTime = raw.withColumn("time", F.timestamp_micros(micros))
         if (timeCol == "time") withTime else withTime.drop(timeCol)
     }

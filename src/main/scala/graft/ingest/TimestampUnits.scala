@@ -34,6 +34,27 @@ object TimestampUnits {
   /** Normalize one value, auto-detecting its unit. */
   def toMicros(v: Long): Long = detect(v).toMicros(v)
 
+  /** ns → µs as a Column, INTEGER floor division (the vectorized twin of
+    * [[Nanos]].toMicros): `floor(x / 1000)` divides in double, whose
+    * 512 ns ULP at modern ns epochs (~1.7e18) puts the result up to
+    * ±1 µs off — every vectorized ns path must use this instead. */
+  def nanosToMicrosCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{call_function, lit, pmod}
+    call_function("div", c - pmod(c, lit(1000L)), lit(1000L))
+  }
+
+  /** Magnitude-based unit detection as a Column expression — the
+    * vectorized [[detect]]+[[toMicros]] (shared by the compaction
+    * REPLACE coercion and the bulk-import time normalizer). */
+  def toMicrosCol(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{abs, when}
+    val a = abs(v)
+    when(a < SecondsMax, v * 1000000L)
+      .when(a < MillisMax, v * 1000L)
+      .when(a < MicrosMax, v)
+      .otherwise(nanosToMicrosCol(v))
+  }
+
   /** Normalize a column in place using the unit detected from the first
     * value (one batch = one unit, as in the reference's columnar path). */
   def normalizeColumn(vs: Array[Long]): Array[Long] = {

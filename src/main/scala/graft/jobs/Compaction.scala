@@ -404,15 +404,11 @@ object Compaction {
       case _ => df.withColumn("time", col("time").cast("timestamp"))
     }
 
-  /** Magnitude-based unit detection as a Column expression
-    * (TimestampUnits.detect, vectorized). */
-  private def normalizeMicrosExpr(v: org.apache.spark.sql.Column) = {
-    val a = abs(v)
-    when(a < 100000000000L, v * 1000000L)
-      .when(a < 100000000000000L, v * 1000L)
-      .when(a < 100000000000000000L, v)
-      .otherwise(floor(v / 1000).cast("long"))
-  }
+  /** Magnitude-based unit detection as a Column expression — shared
+    * vectorized TimestampUnits (int64-exact in the ns band; the old
+    * floor(v/1000) divided in double and drifted ±1 µs at ns epochs). */
+  private def normalizeMicrosExpr(v: org.apache.spark.sql.Column) =
+    graft.ingest.TimestampUnits.toMicrosCol(v)
 
   /** Bounded driver-side fan-out: partitions compact independently, so
     * their (small) Spark jobs run concurrently — Spark's scheduler

@@ -165,8 +165,12 @@ class LineProtocolPropsSpec extends AnyFunSuite {
     // ns epochs ~1.7e18 carry a 512 ns double ULP: a double-division
     // normalize lands ±1 µs off exactly where the residue straddles the
     // rounding direction — these values are chosen to catch that
+    // ns-band discriminators plus one value from each other band, so the
+    // shared TimestampUnits.toMicrosCol (compaction REPLACE coercion +
+    // both import paths) is pinned to the scalar toMicros everywhere
     val ns = Seq(1717200000000001999L, 1717200000000000123L,
-      1717200000000999501L, 9223372036854775000L)
+      1717200000000999501L, 9223372036854775000L,
+      1717200000L /*s*/, 1717200000123L /*ms*/, 1717200000123456L /*µs*/)
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(ns.map(org.apache.spark.sql.Row(_)), 2),
       org.apache.spark.sql.types.StructType(Seq(
@@ -174,7 +178,7 @@ class LineProtocolPropsSpec extends AnyFunSuite {
           org.apache.spark.sql.types.LongType))))
     val got = CsvImport.normalizeTimeColumn(df, "t")
       .select(unix_micros(col("time"))).collect().map(_.getLong(0)).sorted
-    val expect = ns.map(TimestampUnits.Nanos.toMicros).sorted
+    val expect = ns.map(TimestampUnits.toMicros).sorted
     assert(got.toSeq === expect)
   }
 }
