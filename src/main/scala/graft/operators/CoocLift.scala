@@ -105,7 +105,15 @@ object CoocLift {
     * a < b lexicographically, c_ab ≥ minSupport. `docs` must carry
     * `idCol` and `tkCol` — an already-distinct token array. */
   def pairs(docs: DataFrame, idCol: String, tkCol: String,
-      minSupport: Int): DataFrame = {
+      minSupport: Int): DataFrame =
+    pairs(docs, idCol, tkCol, minSupport, forceStringFallback = false)
+
+  /** [[pairs]] with the collision fallback forceable — the fallback arm
+    * is otherwise reachable only on an actual xxhash64 collision inside
+    * the kept vocab (never seen on test-sized vocabs), so its spec pins
+    * parity and the support floor through this hook. */
+  private[graft] def pairs(docs: DataFrame, idCol: String, tkCol: String,
+      minSupport: Int, forceStringFallback: Boolean): DataFrame = {
     require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
     val ex = docs.select(col(idCol).as("doc"), explode(col(tkCol)).as("w"))
     val dfreq = ex.groupBy(col("w")).agg(count(lit(1)).as("c"))
@@ -116,21 +124,12 @@ object CoocLift {
     val Array(nKeep, nHash) = keep
       .agg(count(lit(1)), countDistinct(col("h"))).head()
       .toSeq.map(_.asInstanceOf[Long]).toArray
-    val hashInjective = nKeep == nHash
+    val hashInjective = !forceStringFallback && nKeep == nHash
     val bcast = nKeep <= BroadcastVocabCutover
     def side(f: DataFrame): DataFrame = if (bcast) broadcast(f) else f
 
-    if (!hashInjective) {
-      // xxhash64 collided inside the kept vocab — string keys are the
-      // exact path; the a-priori prune still applies
-      val exk = ex.join(side(keep.select(col("w"))), Seq("w"))
-      val arrs = exk.groupBy(col("doc"))
-        .agg(sort_array(collect_list(col("w"))).as("tk"))
-      pairsStrings(arrs, "tk")
-        .join(side(keep.select(col("w").as("a"), col("c").as("c_a"))), Seq("a"))
-        .join(side(keep.select(col("w").as("b"), col("c").as("c_b"))), Seq("b"))
-        .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"))
-    } else {
+    if (!hashInjective) pairsFallback(ex, keep, side, minSupport)
+    else {
       val exk = ex.join(side(keep.select(col("w"), col("h"))), Seq("w"))
       val arrs = exk.groupBy(col("doc"))
         .agg(sort_array(collect_list(col("h"))).as("hk"))
@@ -154,6 +153,25 @@ object CoocLift {
           when(col("wx") < col("wy"), col("cx")).otherwise(col("cy")).as("c_a"),
           when(col("wx") < col("wy"), col("cy")).otherwise(col("cx")).as("c_b"))
     }
+  }
+
+  /** The xxhash64-collision fallback: string pair keys — always exact.
+    * The a-priori prune (`keep`) still applies, and so does the support
+    * floor: without the c_ab filter a collision would silently return
+    * sub-floor pairs, violating the documented c_ab ≥ minSupport
+    * contract (r12 ADVICE). `ex` is the exploded (doc, w) frame; `side`
+    * is the caller's broadcast-or-shuffle dispatch for vocab-sized
+    * frames. */
+  private def pairsFallback(ex: DataFrame, keep: DataFrame,
+      side: DataFrame => DataFrame, minSupport: Int): DataFrame = {
+    val exk = ex.join(side(keep.select(col("w"))), Seq("w"))
+    val arrs = exk.groupBy(col("doc"))
+      .agg(sort_array(collect_list(col("w"))).as("tk"))
+    pairsStrings(arrs, "tk")
+      .where(col("c_ab") >= minSupport)
+      .join(side(keep.select(col("w").as("a"), col("c").as("c_a"))), Seq("a"))
+      .join(side(keep.select(col("w").as("b"), col("c").as("c_b"))), Seq("b"))
+      .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"))
   }
 
   /** All unordered within-row pairs of a SORTED array column, as

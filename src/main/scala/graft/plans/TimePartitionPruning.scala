@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{IntegerType, TimestampType}
 
@@ -52,7 +52,16 @@ object TimePartitionPruning extends Rule[LogicalPlan] {
       // Catalyst's pushdown usually separates the conjuncts first, but
       // the rule must be correct on any Filter it sees, not just
       // post-pushdown shapes.
-      val newPreds = child.collectLeaves().flatMap { leaf =>
+      //
+      // Set operations get the same treatment as joins but need an
+      // explicit stop: Union (and logical Intersect/Except, which reuse
+      // the left child's output exprIds POSITIONALLY) would let the
+      // first child's leaf attributes pass the visible-output check
+      // while the derived conjunct constrains rows from EVERY branch —
+      // and another branch's columns at those positions need not be
+      // partition coords of its time column (r12 ADVICE). The conjunct
+      // is only an optimization, so leaves below a set op are skipped.
+      val newPreds = leavesNotUnderSetOp(child).flatMap { leaf =>
         val out = leaf.output
         val partAttrs = PartCols.flatMap(n =>
           out.find(a => a.name.equalsIgnoreCase(n) && a.dataType == IntegerType))
@@ -72,6 +81,18 @@ object TimePartitionPruning extends Rule[LogicalPlan] {
       if (newPreds.isEmpty) f
       else Filter(newPreds.foldLeft(cond)(And), child)
   }
+
+  /** Leaf relations reachable without crossing a set operation (Union /
+    * Intersect / Except) — those reuse child exprIds positionally, so a
+    * predicate derived from one branch's leaf would constrain all
+    * branches. */
+  private def leavesNotUnderSetOp(p: LogicalPlan): Seq[LogicalPlan] =
+    p match {
+      case _: Union => Nil
+      case _: org.apache.spark.sql.catalyst.plans.logical.SetOperation => Nil
+      case leaf if leaf.children.isEmpty => Seq(leaf)
+      case other => other.children.flatMap(leavesNotUnderSetOp)
+    }
 
   private def splitAnd(e: Expression): Seq[Expression] = e match {
     case And(l, r) => splitAnd(l) ++ splitAnd(r)

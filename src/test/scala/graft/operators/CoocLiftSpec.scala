@@ -65,6 +65,19 @@ class CoocLiftSpec extends SparkSpec {
     assert(viaHash === comparable)
   }
 
+  test("forced collision fallback enforces the support floor and matches " +
+    "the driver fold") {
+    for (support <- Seq(2, 3)) {
+      val got = asMap(
+        CoocLift.pairs(docs, "doc_id", "tk", support, forceStringFallback = true))
+      // the fixture has pairs of df≥support tokens whose co-count sits
+      // BELOW the floor (e.g. mat+ran co-occur once, both df≥2) — the
+      // r12 ADVICE bug returned those from this branch
+      assert(got.values.forall(_._1 >= support), s"sub-floor pair leaked at support=$support")
+      assert(got === reference(support), s"support=$support")
+    }
+  }
+
   test("empty and single-token docs contribute no pairs") {
     val d = Seq((1L, Seq.empty[String]), (2L, Seq("solo")),
       (3L, Seq("x", "y")), (4L, Seq("x", "y"))).toDF("doc_id", "tk")

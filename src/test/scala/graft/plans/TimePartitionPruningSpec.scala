@@ -85,6 +85,40 @@ class TimePartitionPruningSpec extends SparkSpec {
     assert(joined.count() == 3)
   }
 
+  test("rule never derives predicates through a Union (positional exprId reuse)") {
+    TimePartitionPruning.install(spark)
+    import spark.implicits._
+    // Union.output reuses the FIRST child's exprIds and is POSITIONAL,
+    // so a conjunct derived from child A's leaf (honest hour-partition
+    // coords) would, after pushdown remapping, constrain child B's
+    // columns at those positions — which here are not partition coords
+    // at all (version/room/floor/slot ints). The buggy rule silently
+    // dropped B's rows when applied above the Union (r12 ADVICE).
+    val ts = new java.sql.Timestamp((base + 6 * H) / 1000L) // 2024-06-01T06Z
+    val pathA = tmpDir("unionA")
+    Seq((ts, 2024, 6, 1, 6, 1L))
+      .toDF("time", "year", "month", "day", "hour", "v")
+      .write.mode("overwrite").parquet(pathA)
+    val a = spark.read.parquet(pathA)
+    val pathB = tmpDir("unionB")
+    Seq((ts, 3, 0, 0, 0, 2L))
+      .toDF("time", "version", "room", "floor", "slot", "v")
+      .write.mode("overwrite").parquet(pathB)
+    val b = spark.read.parquet(pathB)
+    val unioned = a.union(b)
+      .where(col("time") >= lit("2024-06-01 05:00:00").cast("timestamp") &&
+             col("time") < lit("2024-06-01 08:00:00").cast("timestamp"))
+    // end-to-end: both rows are in the time range, both must survive
+    assert(unioned.count() == 2,
+      "Union branch rows dropped by a predicate derived from the other branch")
+    // and DIRECT application above the Union (pre-pushdown, where the
+    // merged output pairs A's coord names with B's positional columns)
+    // must add nothing
+    val analyzed = unioned.queryExecution.analyzed
+    assert(TimePartitionPruning(analyzed).fastEquals(analyzed),
+      "rule must leave Filters above set operations untouched")
+  }
+
   test("rule leaves results identical and is idempotent") {
     TimePartitionPruning.install(spark)
     TimePartitionPruning.install(spark) // second install is a no-op
