@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,11 +6,7 @@ object Bench {
     // env var remains the local-iteration override
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.max(4, Runtime.getRuntime.availableProcessors).toString)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = HarnessSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm up codegen/JIT/file-index paths before timing; q90/q19 also
     // perform their one-time layout builds (engine write, bucket

@@ -13,11 +13,15 @@ import org.apache.spark.sql.DataFrame
 object ModelCheckpoint {
   private val pinned = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
 
-  /** localCheckpoint `df` and pin the resulting blocks. The persisted
-    * RDD id is discovered by before/after diff (localCheckpoint persists
-    * an internal RDD whose id isn't otherwise exposed); queries run
-    * sequentially in the harnesses, so the diff is race-free there. */
+  /** Barrier `df` (see [[Materialize]]) and pin the resulting blocks.
+    * In the local arm the persisted RDD id is discovered by before/after
+    * diff (localCheckpoint persists an internal RDD whose id isn't
+    * otherwise exposed); queries run sequentially in the harnesses, so
+    * the diff is race-free there. In the reliable arm (non-local master)
+    * checkpoint files live outside the block manager and [[sweep]] can't
+    * touch them, so the barrier alone already pins. */
   def pin(df: DataFrame): DataFrame = {
+    if (Materialize.isReliable(df.sparkSession)) return Materialize(df)
     val sc = df.sparkSession.sparkContext
     val before = sc.getPersistentRDDs.keySet
     val cp = df.localCheckpoint()

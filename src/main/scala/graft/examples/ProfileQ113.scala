@@ -1,5 +1,7 @@
 package graft.examples
 
+import graft.Materialize._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -68,7 +70,7 @@ object ProfileQ113 {
     }
 
     profile("dense", spark.read.parquet(s"$sfDir/documents.parquet"), 0.8)
-    profile("sparse", sparseCorpus(spark, 10000L, 300000L).localCheckpoint(), 0.8)
+    profile("sparse", sparseCorpus(spark, 10000L, 300000L).materialize(), 0.8)
     spark.stop()
   }
 }

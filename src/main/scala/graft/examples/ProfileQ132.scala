@@ -1,5 +1,7 @@
 package graft.examples
 
+import graft.Materialize._
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -37,7 +39,7 @@ object ProfileQ132 {
       .select(col("doc_id"),
         sort_array(array_distinct(graft.functions.TextFunctions.tokens(col("text"))))
           .as("tk"))
-      .localCheckpoint()
+      .materialize()
     val nDocs = docs.count()
     val nTok = docs.select(sum(size(col("tk")))).head.getLong(0)
     println(s"[q132prof] docs=$nDocs distinctTokenInstances=$nTok")
@@ -65,12 +67,12 @@ object ProfileQ132 {
     val ex = docs.select(col("doc_id").as("doc"), explode(col("tk")).as("w"))
     val keep = ex.groupBy(col("w")).agg(count(lit(1)).as("c"))
       .where(col("c") >= 5).withColumn("h", xxhash64(col("w")))
-      .localCheckpoint()
+      .materialize()
     println(s"[q132prof] keptVocab=${keep.count()}")
     val arrs = ex.join(broadcast(keep.select(col("w"), col("h"))), Seq("w"))
       .groupBy(col("doc"))
       .agg(sort_array(collect_list(col("h"))).as("hk"))
-      .localCheckpoint()
+      .materialize()
     val prunedPairsExpr =
       """flatten(transform(hk, (x, i) ->
         |  transform(slice(hk, i + 2, size(hk)), y -> struct(x AS a, y AS b))))"""

@@ -1,5 +1,7 @@
 package graft.examples
 
+import graft.Materialize._
+
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
@@ -25,7 +27,7 @@ object ProfileQ86 {
       .select(col("doc_id"),
         explode(graft.operators.MinHashDedup
           .shingleHashesFromTokens(col("text"), 8)).as("sh"))
-      .localCheckpoint()
+      .materialize()
 
     def windowForm = {
       val w = Window.partitionBy(col("sh"))

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.Materialize._
+
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -113,7 +115,7 @@ object BudgetSelect {
     val sorted = narrow
       .repartitionByRange(p, col("_g") +: nOrd: _*)
       .sortWithinPartitions(col("_g") +: nOrd: _*)
-      .localCheckpoint() // pins partition contents across the two jobs
+      .materialize() // pins partition contents across the two jobs
     // one small job: weight per (physical partition, group) — p×G rows
     val sums = sorted
       .groupBy(spark_partition_id().as("_pid"), col("_g"))

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.Materialize._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -185,7 +187,7 @@ object ContainmentDedup {
     * aggregation itself. */
   def pairsAuto(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int, minContainment: Double): DataFrame = {
-    val sets = shingleSets(docs, idCol, textCol, shingleK).localCheckpoint()
+    val sets = shingleSets(docs, idCol, textCol, shingleK).materialize()
     // nDocs from the RAW table (column-pruned scan): the exploded frame
     // silently drops zero-shingle docs, which would skew the estimate's
     // +D prefix-mass term on short-doc-heavy corpora
@@ -220,7 +222,7 @@ object ContainmentDedup {
   /** Spec-facing wrapper: bitmask path from raw docs (parity pins). */
   private[operators] def pairsBitmask(docs: DataFrame, idCol: String,
       textCol: String, shingleK: Int, minContainment: Double): DataFrame = {
-    val sets = shingleSets(docs, idCol, textCol, shingleK).localCheckpoint()
+    val sets = shingleSets(docs, idCol, textCol, shingleK).materialize()
     val vocab = sets.select(col("sh")).distinct().count().toInt
     pairsBitmaskFromSets(sets, idCol, minContainment, vocab)
   }
@@ -311,7 +313,7 @@ object ContainmentDedup {
     val byDoc = Window.partitionBy(col("doc"))
     val ranked = ex.join(dfc, Seq("sh"))
       .withColumn("pos", row_number().over(byDoc.orderBy(col("_df"), col("sh"))))
-      .localCheckpoint()
+      .materialize()
     val prefixLen = col("n") - floor(col("n") * lit(minContainment)) + 1
     val pre = ranked.where(col("pos") <= prefixLen)
       .select(col("doc").as("d1"), col("n").as("m1"), col("sh"))

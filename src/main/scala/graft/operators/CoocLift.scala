@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.Materialize._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -120,7 +122,7 @@ object CoocLift {
     // a-priori prune + hash dictionary; vocab-sized, reused three times
     val keep = dfreq.where(col("c") >= minSupport)
       .withColumn("h", xxhash64(col("w")))
-      .localCheckpoint()
+      .materialize()
     val Array(nKeep, nHash) = keep
       .agg(count(lit(1)), countDistinct(col("h"))).head()
       .toSeq.map(_.asInstanceOf[Long]).toArray

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.Materialize._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -55,7 +57,7 @@ object DedupClusters {
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint()
+      .materialize()
 
     if (driverCutoverEdges > 0 && e.count() < driverCutoverEdges)
       return driverComponents(e)
@@ -64,7 +66,7 @@ object DedupClusters {
     var iter = 0
     var fp = fingerprint(e)
     while (!converged && iter < maxIterations) {
-      e = smallStar(largeStar(e)).localCheckpoint()
+      e = smallStar(largeStar(e)).materialize()
       val fp2 = fingerprint(e)
       converged = fp2 == fp
       fp = fp2

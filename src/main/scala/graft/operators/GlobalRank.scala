@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.Materialize._
+
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
@@ -63,7 +65,7 @@ object GlobalRank {
       else df.sparkSession.sparkContext.defaultParallelism
     df.repartitionByRange(p, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
-      .localCheckpoint() // pins partition contents/order across the
+      .materialize() // pins partition contents/order across the
                          // counts job and the stamp job
   }
 

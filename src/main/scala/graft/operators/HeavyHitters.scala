@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.Materialize._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -88,7 +90,7 @@ object HeavyHitters {
       // null-heavy hitter from the result
       counters.keysIterator.map(t => (t, 0L, false)) ++
         Iterator((null: String, n, true))
-    }.toDF("item", "local_n", "sentinel").localCheckpoint()
+    }.toDF("item", "local_n", "sentinel").materialize()
 
     val total = sketch.where(col("sentinel")).agg(sum("local_n").as("n_total"))
     val cands = sketch.where(!col("sentinel")).select("item").distinct()

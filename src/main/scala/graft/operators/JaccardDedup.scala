@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.Materialize._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -80,7 +82,7 @@ object JaccardDedup {
     val slim = docs
       .select((col(idCol) +: blockCols.map(col) :+ col(toksCol)): _*)
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      .localCheckpoint()
+      .materialize()
     val naiveRows = naiveJoinRows(slim, blockCols)
     if (naiveRows > NaiveJoinRowCutover)
       pairsImpl(slim, idCol, toksCol, blockCols, minJaccard,
@@ -146,7 +148,7 @@ object JaccardDedup {
         row_number().over(byDoc.orderBy(col("_df"), col("tok"))))
       .where(col("pos") <= col("n") - floor(col("n") * lit(minJaccard)) + 1)
       .drop("_df", "pos", "n")
-      .localCheckpoint()
+      .materialize()
     val a = prefix.select((col("doc").as("d1") +: blockCols.map(col) :+
       col("tok")): _*)
     val b = prefix.select((col("doc").as("d2") +: blockCols.map(col) :+

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.Materialize._
+
 import graft.functions.TextFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -70,7 +72,7 @@ object MinHashDedup {
       .select(col(idCol),
         TextFunctions.minhashSignature(
           shingleHashesFromTokens(col(textCol), shingleK), numHashes).as("sig"))
-      .localCheckpoint()
+      .materialize()
   }
 
   /** Candidate near-duplicate pairs via LSH banding.

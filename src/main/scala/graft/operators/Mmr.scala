@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.Materialize._
+
 import graft.functions.VectorFunctions.cosine
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -48,18 +50,6 @@ object Mmr {
       shortlistN: Int, k: Int): DataFrame = {
     require(shortlistN > 0 && k > 0 && k <= shortlistN,
       s"need 0 < k <= shortlistN, got k=$k N=$shortlistN")
-    // enforce the driver-side budget BEFORE any collect: the shortlist
-    // is ≤ queries·N rows by construction, but a large query batch
-    // scales that silently — counting the (small, broadcast-by-
-    // contract) query frame up front turns the assumed bound into an
-    // enforced one (r11 advice; same pattern as BudgetSelect/GlobalRank)
-    val nQueries = queries.count()
-    require(nQueries * shortlistN <= MaxShortlistRows,
-      s"query batch $nQueries x shortlistN=$shortlistN exceeds the " +
-        s"$MaxShortlistRows driver shortlist budget — split the query batch")
-    require(nQueries * shortlistN.toLong * (shortlistN - 1) <= MaxSimRows,
-      s"pairwise sim frame ~${nQueries * shortlistN.toLong * (shortlistN - 1)} " +
-        s"rows exceeds $MaxSimRows — lower shortlistN")
     val spark = queries.sparkSession
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("rel").desc, col("cand_id"))
@@ -70,7 +60,7 @@ object Mmr {
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= shortlistN)
       .select(col("query_id"), col("cand_id"), col("rel"), col("cv"))
-      .localCheckpoint()
+      .materialize()
     // pairwise candidate sims WITHIN each query's shortlist — computed
     // distributed so both rel and sim round through the one native
     // vec_cosine kernel; ≤ queries·N² rows
@@ -80,10 +70,20 @@ object Mmr {
       .select(col("query_id"), col("i"), col("j"),
         cosine(col("ci"), col("cj")).as("sim"))
 
-    val relRows = short.select(col("query_id"), col("cand_id"), col("rel")).collect()
+    // driver budget enforced AT the collect, not via a pre-count job on
+    // the queries frame: the limit bounds what can ever reach the driver
+    // (budget+1 rows), so overflow fails exactly like the r11 pre-count
+    // did — without the fixed extra Spark job per call, which r12
+    // measured as a 1.3-1.4x regression on sub-second reranks (q162; the
+    // queries frame is tiny by contract, so the count was pure
+    // scheduling overhead). CollectLimit also makes the guard itself
+    // cheap on the materialized shortlist.
+    val relRows = short.select(col("query_id"), col("cand_id"), col("rel"))
+      .limit(MaxShortlistRows + 1).collect()
     require(relRows.length <= MaxShortlistRows,
-      s"shortlist ${relRows.length} rows exceeds $MaxShortlistRows — " +
-        s"lower shortlistN or the query-batch size")
+      s"shortlist exceeds the $MaxShortlistRows driver budget " +
+        s"(query batch x shortlistN=$shortlistN) — split the query batch " +
+        s"or lower shortlistN")
     // sims is ≤ shortlist × (N−1) rows: bound it BEFORE collecting — a
     // single query at shortlistN=65536 passes the rel guard yet its
     // pairwise frame is ~4.3e9 rows, a driver OOM (r8 advice)

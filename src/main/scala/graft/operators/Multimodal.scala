@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.Materialize._
+
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
@@ -463,7 +465,7 @@ object Multimodal {
   /** Audio near-duplicate pairs through the shared banded kernel. */
   def nearDupAudioPairs(media: DataFrame, maxHd: Int = 6): DataFrame =
     SimHashDedup.pairsFromSignatures(
-      audioHashes(media).localCheckpoint(), bits = 64, maxHd = maxHd)
+      audioHashes(media).materialize(), bits = 64, maxHd = maxHd)
 
   /** (media_id, sh) perceptual-hash frame over the decodable image rows
     * (non-images and corrupt bytes drop out — near-dup over a stub hash
@@ -495,7 +497,7 @@ object Multimodal {
     * verify. */
   def nearDupImagePairs(media: DataFrame, maxHd: Int = 6): DataFrame =
     SimHashDedup.pairsFromSignatures(
-      imageHashes(media).localCheckpoint(), bits = 64, maxHd = maxHd)
+      imageHashes(media).materialize(), bits = 64, maxHd = maxHd)
 
   /** Frame-sampling pipeline: one row per sampled frame. MJPEG-AVI rows
     * emit REAL evenly-spaced JPEG frame payloads (each independently

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.Materialize._
+
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -74,7 +76,7 @@ object ShardPack {
         coalesce(weightCol.cast("long"), lit(0L)).as("_w"))
       .repartitionByRange(p, col("_k"))
       .sortWithinPartitions(col("_k"))
-      .localCheckpoint() // pins partition contents across the two jobs
+      .materialize() // pins partition contents across the two jobs
     // one small job: total weight per physical partition (p result rows)
     val sums: Map[Int, Long] = narrow
       .groupBy(spark_partition_id().as("_pid"))

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.Materialize._
+
 import graft.functions.TextFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -71,7 +73,7 @@ object SimHashDedup {
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col(idCol).as("doc_id"),
         TextFunctions.simhash(col(textCol)).as("sh"))
-      .localCheckpoint() // signatures are CPU-heavy: compute exactly once
+      .materialize() // signatures are CPU-heavy: compute exactly once
     pairsFromSignatures(sigs, TextFunctions.SimHashBits, maxHd)
   }
 
@@ -154,7 +156,7 @@ object SimHashDedup {
     graft.GraftFunctions.registerAll(spark)
     val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("_t"))
       .repartition(spark.sparkContext.defaultParallelism)
-      .localCheckpoint() // feeds the census AND the vote stream
+      .materialize() // feeds the census AND the vote stream
     val toks = base.select(col("doc_id"),
       explode(TextFunctions.tokens(col("_t"))).as("tok"))
       .withColumn("h", hashOf(col("tok")))
@@ -182,7 +184,7 @@ object SimHashDedup {
   def weightedCandidatePairs(docs: DataFrame, idCol: String,
       textCol: String, maxHd: Int = DefaultMaxHammingDistance): DataFrame =
     pairsFromSignatures(
-      weightedSignatures(docs, idCol, textCol).localCheckpoint(),
+      weightedSignatures(docs, idCol, textCol).materialize(),
       TextFunctions.SimHashBits, maxHd)
 
   /** 64-bit variant of [[weightedCandidatePairs]] (hd semantics over
@@ -191,6 +193,6 @@ object SimHashDedup {
   def weightedCandidatePairs64(docs: DataFrame, idCol: String,
       textCol: String, maxHd: Int = 3): DataFrame =
     pairsFromSignatures(
-      weightedSignatures64(docs, idCol, textCol).localCheckpoint(),
+      weightedSignatures64(docs, idCol, textCol).materialize(),
       64, maxHd)
 }

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.Materialize._
+
 import graft.functions.TextFunctions
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -87,7 +89,7 @@ object SpanDedup {
     val flagged = spanHashes(newDocs, idCol, textCol, k)
       .join(seen, Seq("h"), "left")
       .withColumn("_hit", coalesce(col("_hit"), lit(false)))
-      .localCheckpoint()
+      .materialize()
     val hits = flagged.where(col("_hit"))
     val misses = flagged.where(!col("_hit"))
     val owners = misses.groupBy(col("h"))

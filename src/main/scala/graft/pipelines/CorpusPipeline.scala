@@ -1,5 +1,7 @@
 package graft.pipelines
 
+import graft.Materialize._
+
 import graft.functions.TextFunctions
 import graft.operators.{DedupClusters, MinHashDedup}
 import org.apache.spark.sql.DataFrame
@@ -231,7 +233,7 @@ object CorpusPipeline {
         // both the probe and the anti-join left consume the gated frame;
         // materialize it once or the whole upstream chain (scan, scrub,
         // boilerplate window, annotate kernels, classifier) runs twice
-        val base = blockGated.localCheckpoint()
+        val base = blockGated.materialize()
         val hits = base
           .select(col("doc_id"),
             explode(MinHashDedup.shingleHashesFromTokens(col("text"), k)).as("_sh"))
@@ -271,7 +273,7 @@ object CorpusPipeline {
     val nearSurvivors = exactSurvivors
       .join(clustered.where(col("is_keeper") === 1).select(col("doc_id"), col("cluster_id")),
         "doc_id")
-      .localCheckpoint()
+      .materialize()
 
     // 4. mixture rebalance: downsample every stratum toward the smallest
     val cnts = nearSurvivors.groupBy(col("stratum")).agg(count(lit(1)).as("_cnt"))

@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.Materialize._
+
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
@@ -165,7 +167,7 @@ object DedupQueries {
       val pairs = graft.operators.MinHashDedup.candidatePairs(
           docs, "doc_id", "text", shingleK = 2, numHashes = MinHashK,
           bands = Bands)
-        .localCheckpoint() // feeds the audit AND the clustering below
+        .materialize() // feeds the audit AND the clustering below
       val asg = graft.operators.DedupClusters
         .clusters(docs, "doc_id", pairs, "doc1", "doc2")
         .select(col("doc_id"), splitOf(col("cluster_id")).as("csplit"))
@@ -176,7 +178,7 @@ object DedupQueries {
           "doc1")
         .join(asg.select(col("doc_id").as("doc2"), col("csplit").as("c2")),
           "doc2")
-        .localCheckpoint() // one pair-frame pass feeds both rule rows
+        .materialize() // one pair-frame pass feeds both rule rows
       def row(rule: String, cross: Column) = audited
         .agg(count(lit(1)).as("n_pairs"),
           sum(when(cross, 1L).otherwise(0L)).as("n_cross"))
@@ -246,7 +248,7 @@ object DedupQueries {
           .shingleHashesFromTokens(col("text"), 3)).as("sh"))
         .groupBy(col("sh"))
         .agg(sort_array(collect_set(col("source"))).as("srcs"))
-        .localCheckpoint() // sizes + pairs both read it; built once
+        .materialize() // sizes + pairs both read it; built once
       val sz = grouped.select(explode(col("srcs")).as("source"))
         .groupBy(col("source")).agg(count(lit(1)).as("n"))
       grouped.where(size(col("srcs")) >= 2)
@@ -282,7 +284,7 @@ object DedupQueries {
       val sh = t(s, dir, "documents").select(col("doc_id"),
         explode(graft.operators.MinHashDedup
           .shingleHashesFromTokens(col("text"), 3)).as("sh"))
-        .localCheckpoint()
+        .materialize()
       val evalSet = sh.where(col("doc_id") % 97 === 0)
         .select(col("sh")).distinct()
       sh.where(col("doc_id") % 97 =!= 0)
@@ -351,7 +353,7 @@ object DedupQueries {
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), explode(graft.operators.MinHashDedup
           .shingleHashesFromTokens(col("text"), NoveltyK)).as("sh"))
-        .localCheckpoint() // two consumers; shingling is the wide scan
+        .materialize() // two consumers; shingling is the wide scan
       val firsts = pairs.groupBy("sh").agg(min("doc_id").as("first_doc"))
       val novel = firsts.groupBy(col("first_doc").as("doc_id"))
         .agg(count(lit(1)).as("n_novel"))
@@ -421,7 +423,7 @@ object DedupQueries {
         // core otherwise). The frame is pairs+texts — small by the same
         // pairs << corpus argument that justifies the broadcasts.
         .repartition(s.sparkContext.defaultParallelism)
-        .localCheckpoint()
+        .materialize()
       candidates
         .withColumn("dist", levenshtein(col("t1"), col("t2")))
         // den = max(len) <= ~600 chars on this corpus but unbounded in

@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.Materialize._
+
 import graft.functions.TextFunctions.tokens
 import graft.functions.VectorFunctions.{cosine, cosineSql}
 import org.apache.spark.sql.Column
@@ -78,7 +80,7 @@ object RetrievalQueries {
       val model = toks.groupBy(col("w"))
         .agg(count(lit(1)).as("c_c"),
           sum(when(col("is_t"), 1L).otherwise(0L)).as("c_t"))
-        .localCheckpoint()
+        .materialize()
       val norms = broadcast(model.agg(
         sum(col("c_c")).as("big_c"), sum(col("c_t")).as("big_t"),
         count(lit(1)).as("v")))
@@ -159,7 +161,7 @@ object RetrievalQueries {
       val toks = t(s, dir, "documents")
         .select(col("doc_id"), posexplode(tokens(col("text"))))
         .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("tok"))
-        .localCheckpoint()
+        .materialize()
       val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       val top = toks
         .withColumn("t2", lead(col("tok"), 1).over(w))

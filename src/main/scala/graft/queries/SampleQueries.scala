@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.Materialize._
+
 import graft.functions.TextFunctions
 import org.apache.spark.sql.functions._
 
@@ -136,7 +138,7 @@ object SampleQueries {
         .select(col("source"), col("doc_id"),
           TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"),
           TextFunctions.qualityScore(col("text")).as("quality"))
-        .localCheckpoint()
+        .materialize()
       val budgets = d.groupBy(col("source"))
         .agg(expr("(sum(n_tok) * 2) div 5").as("budget"))
       graft.operators.BudgetSelect.distributedSelect(
@@ -185,7 +187,7 @@ object SampleQueries {
         .select(col("source"), col("lang"),
           TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"),
           TextFunctions.qualityScore(col("text")).as("q"), fp.as("fp"))
-        .localCheckpoint() // two consumers: stats + dup census
+        .materialize() // two consumers: stats + dup census
       val dup = d.groupBy(col("source"), col("fp"))
         .agg(count(lit(1)).as("c")).where(col("c") >= 2)
         .groupBy(col("source")).agg(sum(col("c")).as("n_dup_docs"))
@@ -233,7 +235,7 @@ object SampleQueries {
       val docs = t(s, dir, "documents")
         .select(col("doc_id"),
           array_distinct(TextFunctions.tokens(col("text"))).as("tk"))
-        .localCheckpoint() // two consumers: pair mining + the N census
+        .materialize() // two consumers: pair mining + the N census
       val n = broadcast(docs.agg(count(lit(1)).as("n_docs")))
       graft.operators.CoocLift.pairsAuto(docs, "doc_id", "tk", MinSupport)
         .crossJoin(n)

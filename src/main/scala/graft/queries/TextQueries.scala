@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.Materialize._
+
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -274,7 +276,7 @@ object TextQueries {
       // to the corpus) — c1 and V roll up from it; without this Spark
       // re-derives the whole count chain per consumer (4 corpus scans)
       val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-        .localCheckpoint()
+        .materialize()
       val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
       val v = broadcast(c1.agg(count(lit(1)).as("v")))
       bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1")).crossJoin(v)
@@ -357,7 +359,7 @@ object TextQueries {
       val cnts = t(s, dir, "documents")
         .select(col("source"), explode(tokens(col("text"))).as("tok"))
         .groupBy("source", "tok").agg(count(lit(1)).as("c"))
-        .localCheckpoint() // consumed 3x; the corpus scan happens once
+        .materialize() // consumed 3x; the corpus scan happens once
       val totals = cnts.groupBy("source").agg(sum("c").as("n"))
       val wt = cnts.join(broadcast(totals), "source")
       val l = wt.select(col("tok"), col("source").as("src_a"),
@@ -580,7 +582,7 @@ object TextQueries {
       val st = t(s, dir, "documents")
         .select(col("source"), explode(tokens(col("text"))).as("tok"))
         .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c_st"))
-        .localCheckpoint() // feeds the three totals + the scored frame
+        .materialize() // feeds the three totals + the scored frame
       val srcTot = st.groupBy(col("source")).agg(sum(col("c_st")).as("tot_s"))
       val tokTot = st.groupBy(col("tok")).agg(sum(col("c_st")).as("c_t"))
       val grand = st.agg(sum(col("c_st")).as("tot"))

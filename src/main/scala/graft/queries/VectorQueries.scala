@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.Materialize._
+
 import graft.functions.VectorFunctions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -290,7 +292,7 @@ object VectorQueries {
           floor(col("col").cast("double") * QScale).cast("decimal(38,0)").as("q"))
       val byLabel = qv.groupBy(col("label"), col("dim"))
         .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
-        .localCheckpoint() // labels×dims rows feed TWO consumers — one
+        .materialize() // labels×dims rows feed TWO consumers — one
       // corpus scan total, not one per consumer
       val global = byLabel.groupBy(col("dim"))
         .agg(sum(col("s")).as("g"))

@@ -285,15 +285,18 @@ final class QueryFacade(spark: SparkSession) {
     spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
     // NOTE on checkpoint-block lifetime in a long-lived serving session:
     // operators (JaccardDedup, ContainmentDedup, GroupQuantile, …)
-    // localCheckpoint intermediates, and those blocks outlive the query.
-    // They are reclaimed by Spark's ContextCleaner once the driver-side
-    // RDD objects are GC'd — an EXPLICIT ModelCheckpoint.sweep here is
-    // deliberately NOT done: the sweep is session-global, and a swept
-    // localCheckpoint cannot be recomputed (lineage truncated), so it
-    // would race ANY concurrent checkpoint user outside this facade's
-    // registry (compaction jobs, pipelines, a second facade). The
-    // sequential harnesses (Bench/Verify) sweep between queries, where
-    // quiescence is structural.
+    // barrier intermediates via Materialize (localCheckpoint on local
+    // masters, reliable checkpoint files otherwise), and those outlive
+    // the query. They are reclaimed by Spark's ContextCleaner once the
+    // driver-side RDD objects are GC'd (checkpoint files too, with
+    // spark.cleaner.referenceTracking.cleanCheckpoints=true) — an
+    // EXPLICIT ModelCheckpoint.sweep here is deliberately NOT done: the
+    // sweep is session-global, and a swept localCheckpoint cannot be
+    // recomputed (lineage truncated), so it would race ANY concurrent
+    // checkpoint user outside this facade's registry (compaction jobs,
+    // pipelines, a second facade). The sequential harnesses
+    // (Bench/Verify) sweep between queries, where quiescence is
+    // structural.
   }
 
   /** Total queries that crossed the slow threshold (the counter metric). */

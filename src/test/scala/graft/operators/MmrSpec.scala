@@ -114,13 +114,16 @@ class MmrSpec extends SparkSpec {
     }
   }
 
-  test("a large query batch is rejected up front (r11 advice)") {
+  test("a large query batch is rejected at the bounded collect (r11/r12)") {
     // each query is within budget alone; 700 x 128 = 89,600 shortlist
-    // rows breaches the 65,536 driver cap and must be refused BEFORE
-    // the scoring pass runs, by the pre-collect queries.count() guard
+    // rows breaches the 65,536 driver cap. r12's pre-collect
+    // queries.count() guard cost a fixed job per call (q162 regressed
+    // 1.3-1.4x); the guard now lives IN the collect — limit(budget+1)
+    // means the driver can never receive more than budget+1 rows, and
+    // overflow still refuses with the same contract
     val queries = (0L until 700L).map(i => (i, Array(1f, 0f)))
       .toDF("query_id", "qv")
-    val corpus = (1L to 10L).map(i => (i, Array(1f, 0f))).toDF("cand_id", "cv")
+    val corpus = (1L to 128L).map(i => (i, Array(1f, 0f))).toDF("cand_id", "cv")
     val e = intercept[IllegalArgumentException] {
       Mmr.rerank(queries, corpus, shortlistN = 128, k = 1)
     }
