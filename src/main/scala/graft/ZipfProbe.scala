@@ -69,6 +69,37 @@ object ZipfProbe {
       (naive, arm, cands)
     }
 
+    // q114's census governor: the chosen cap, the admitted-vs-full band
+    // pair volume, and — the recall evidence — how many of the q65
+    // ground-truth pairs (exact Jaccard >= 0.5, the planted population)
+    // survive in the governed candidates vs the uncapped candidates.
+    val q114diag = if (!only("q114")) "" else {
+      val sigs = operators.MinHashDedup.signatures(
+        docs, "doc_id", "text", shingleK = 2,
+        numHashes = queries.DedupQueries.MinHashK)
+      val census = operators.MinHashDedup.bandCensus(
+        sigs, queries.DedupQueries.MinHashK, queries.DedupQueries.Bands,
+        queries.DedupQueries.EditVerifyBudget)
+      val gov = operators.MinHashDedup.candidatePairsFromSignatures(
+        sigs, "doc_id", queries.DedupQueries.MinHashK,
+        queries.DedupQueries.Bands, census.cap)
+      val unc = operators.MinHashDedup.candidatePairsFromSignatures(
+        sigs, "doc_id", queries.DedupQueries.MinHashK,
+        queries.DedupQueries.Bands, 0)
+      val truth = SparkEntry.queries("q65_dedup_jaccard")(spark, dir)
+        .select(col("doc1"), col("doc2"))
+      val truthN = truth.count()
+      val inGov = truth.join(gov, Seq("doc1", "doc2"), "left_semi").count()
+      val inUnc = truth.join(unc, Seq("doc1", "doc2"), "left_semi").count()
+      s""""q114_census":{"full_pairs":${census.fullPairs},""" +
+        s""""budget":${census.budget},"cap":${census.cap},""" +
+        s""""capped_pairs":${census.cappedPairs},""" +
+        s""""governed_candidates":${gov.count()},""" +
+        s""""uncapped_candidates":${unc.count()},""" +
+        s""""truth_pairs":$truthN,"truth_in_governed":$inGov,""" +
+        s""""truth_in_uncapped":$inUnc},"""
+    }
+
     val est =
       if (!only("q113"))
         operators.ContainmentDedup.StrategyEstimate(0L, 0L, 0.0, 0.0, 0L)
@@ -105,6 +136,7 @@ object ZipfProbe {
       s"""{"metric":"zipf_dedup_probe","label":"$label","docs":$nDocs,""" +
       f""""q65_census":{"naive_join_rows":$q65naive%.0f,"arm":"$q65arm","candidates":$q65cands},""" +
       f""""q113_census":{"naive_join_rows":${est.naiveJoinRows}%.0f,"prefix_join_rows":${est.prefixJoinRows}%.0f,"postings":${est.postings},"vocab":${est.vocab},"arm":"$q113arm"},""" +
+      q114diag +
       s""""queries":{$qjson}}""")
     spark.stop()
   }

@@ -94,6 +94,84 @@ object MinHashDedup {
       signatures(docs, idCol, textCol, shingleK, numHashes),
       idCol, numHashes, bands, maxBucketSize)
 
+  /** The census behind [[candidatePairsAuto]]'s cap choice, exposed so
+    * the scale probe and specs can assert WHICH regime ran.
+    *
+    * @param cap 0 = the full census fits the budget, no cap applied
+    * @param cappedPairs band-pair volume the chosen cap admits (= full
+    *        when cap == 0; may exceed budget only in the floored case) */
+  case class BandCensus(nDocs: Long, fullPairs: Long, budget: Long,
+      cap: Int, cappedPairs: Long)
+
+  /** Bucket-size-histogram census over the banded signatures: the EXACT
+    * number of within-bucket pairs the band join would emit, and the
+    * largest hot-bucket cap whose admitted pair volume fits
+    * `budgetPairsPerDoc * nDocs`. One two-level aggregate (the histogram
+    * has one row per DISTINCT bucket size — tiny) over the materialized
+    * signatures; no pair is ever generated to be counted. */
+  def bandCensus(sigs: DataFrame, numHashes: Int, bands: Int,
+      budgetPairsPerDoc: Int): BandCensus = {
+    require(budgetPairsPerDoc >= 1,
+      s"budgetPairsPerDoc must be >= 1, got $budgetPairsPerDoc")
+    val nDocs = sigs.count()
+    val hist = sigs
+      .select(explode(bandStructs(col("sig"), numHashes, bands)).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("n"))
+      .where(col("n") >= 2) // size-1 buckets pair nothing, define no cap
+      .groupBy(col("n")).agg(count(lit(1)).as("k"))
+      .orderBy(col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val budget = budgetPairsPerDoc.toLong * nDocs
+    def vol(nk: (Long, Long)): Long = nk._2 * nk._1 * (nk._1 - 1) / 2
+    val full = hist.map(vol).sum
+    if (full <= budget) BandCensus(nDocs, full, budget, 0, full)
+    else {
+      // largest histogram size whose INCLUSIVE ascending prefix volume
+      // fits the budget, floored at 2 (size-2 buckets always pair —
+      // dropping them would zero recall; their volume is <= bands*n/2,
+      // linear by construction). The oracle SQL (DedupQueries
+      // minhashGovernedPairsCtes) spells this same rule.
+      val prefix = hist.scanLeft(0L)(_ + vol(_)).drop(1)
+      val qualifying = hist.zip(prefix).filter(_._2 <= budget).map(_._1._1)
+      val cap = math.max(2L, if (qualifying.isEmpty) 2L else qualifying.max)
+      val capped = hist.filter(_._1 <= cap).map(vol).sum
+      BandCensus(nDocs, full, budget, cap.toInt, capped)
+    }
+  }
+
+  /** Census-governed candidate generation — [[candidatePairs]] whose
+    * hot-bucket cap is CHOSEN from the measured bucket-size histogram
+    * instead of fixed by the caller (same dispatch idiom as
+    * [[JaccardDedup.pairsAuto]] / [[CoocLift.pairsAuto]], r12 verdict #2).
+    *
+    * Why: the LSH-then-verify composition (q114) pays O(len²)
+    * Levenshtein per CANDIDATE, so its scale contract is "verify work
+    * linear in corpus size" — but with static banding the candidate
+    * count is whatever the corpus's bucket structure yields, and on a
+    * fixed-vocabulary corpus it grows super-linearly as dfs saturate
+    * (measured: Zipf 200k→400k full census 3.6×, wall 2.9× at 2× docs).
+    * The governor bounds admitted band pairs to `budgetPairsPerDoc`·n by
+    * capping only the largest buckets — the ones saturated boilerplate
+    * keys produce, where a bucket member pairs with hundreds of
+    * strangers. A planted near-dup pair loses nothing unless EVERY band
+    * it collides in is over the cap; its other bands, and cluster
+    * transitivity downstream, keep recall. Measured (SCALE.md round 13,
+    * budget 2): the governor halves 400k-doc candidates (705k vs 1.41M)
+    * while losing 4 of the 23,209 banding-recoverable ground-truth
+    * pairs (99.98%); q114 wall 200k→400k = 2.12× at 2× docs (was 2.9×
+    * ungoverned), admitted volume budget-pinned linear from there.
+    *
+    * Budget default 2: generous vs any plausible true-dup rate (a 5%
+    * planted rate is 0.05 pairs/doc) while keeping the verify stage
+    * within ~2× of the corpus scan. */
+  def candidatePairsAuto(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 2, numHashes: Int = 16, bands: Int = 4,
+      budgetPairsPerDoc: Int = 2): DataFrame = {
+    val sigs = signatures(docs, idCol, textCol, shingleK, numHashes)
+    val census = bandCensus(sigs, numHashes, bands, budgetPairsPerDoc)
+    candidatePairsFromSignatures(sigs, idCol, numHashes, bands, census.cap)
+  }
+
   /** Pair generation over precomputed `(id, sig)` signatures — split out
     * so alternate signature sources (and the spec's crafted-collision
     * cases) reuse the exact banding/emission logic. */

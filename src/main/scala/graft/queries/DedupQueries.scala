@@ -19,8 +19,8 @@ import org.apache.spark.sql.functions._
   */
 object DedupQueries {
 
-  private val MinHashK = 16
-  private val Bands = 4
+  private[graft] val MinHashK = 16
+  private[graft] val Bands = 4
   private val RowsPerBand = MinHashK / Bands
 
   /** The deterministic 90/5/5 split bucket (q100/q168). The id is
@@ -396,13 +396,19 @@ object DedupQueries {
     // edit-distance-verified near-dup: the VERIFY stage after LSH —
     // MinHash banding proposes candidates (same params as q66), then
     // relative Levenshtein distance confirms or rejects each pair.
-    // The quadratic-cost distance runs ONLY on candidate pairs (bounded
-    // by collision rate), never corpus-wide; texts join to the pair list
-    // through broadcast hash joins (pairs << corpus at any scale).
+    // The quadratic-cost distance runs ONLY on candidate pairs, never
+    // corpus-wide; texts join to the pair list through broadcast hash
+    // joins (pairs << corpus at any scale). r13: candidates are CENSUS-
+    // GOVERNED (candidatePairsAuto) — static banding let the per-doc
+    // candidate count drift up with df saturation (Zipf 200k: wall 2.9x
+    // at 2x docs, candidate-driven), so the bucket-size histogram now
+    // picks a hot-bucket cap that bounds admitted band pairs to
+    // EditVerifyBudget per doc; the oracle spells the same cap rule.
     "q114_dedup_editverify" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = graft.operators.MinHashDedup.candidatePairs(
-        docs, "doc_id", "text", shingleK = 2, numHashes = MinHashK, bands = Bands)
+      val pairs = graft.operators.MinHashDedup.candidatePairsAuto(
+        docs, "doc_id", "text", shingleK = 2, numHashes = MinHashK,
+        bands = Bands, budgetPairsPerDoc = EditVerifyBudget)
       val a = docs.select(col("doc_id").as("doc1"), col("text").as("t1"))
       val b = docs.select(col("doc_id").as("doc2"), col("text").as("t2"))
       val den = greatest(length(col("t1")), length(col("t2")))
@@ -538,6 +544,10 @@ object DedupQueries {
     * enough to reject coincidental band collisions. */
   private val EditRelMax = 0.6
 
+  /** q114: admitted band pairs per doc — the census governor's budget
+    * (MinHashDedup.candidatePairsAuto scaladoc for the rationale). */
+  private[graft] val EditVerifyBudget = 2
+
   private val toks = "string_split_regex(trim(text), '\\s+')"
 
   // q127 sorted-neighborhood window width (the classic small constant;
@@ -559,6 +569,40 @@ object DedupQueries {
        |bands AS ($bandRows),
        |pairs AS (SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
        |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)""".stripMargin
+  }
+
+  /** CTE chain ending in `pairs(doc1, doc2)` under the CENSUS-GOVERNED
+    * hot-bucket cap — the exact rule MinHashDedup.bandCensus implements:
+    * cap = NULL (uncapped) when the full within-bucket pair volume fits
+    * budget·n; else the largest bucket size whose inclusive ascending
+    * prefix volume fits, floored at 2. Spelled for q114's oracle so the
+    * governed operator stays hash-exact against DuckDB. */
+  private def minhashGovernedPairsCtes(budgetPerDoc: Int): String = {
+    val hashes = graft.operators.MinHashDedup.shingleHashesFromTokensSql("text", 2)
+    val sig = minhashSignatureSql("hs", MinHashK)
+    val bandRows = (0 until Bands).map(bnd =>
+      s"SELECT doc_id, $bnd AS band, array_to_string(list_slice(sig, " +
+        s"${bnd * RowsPerBand + 1}, ${(bnd + 1) * RowsPerBand}), ',') AS key FROM sigs")
+      .mkString(" UNION ALL ")
+    s"""hsx AS (SELECT doc_id, $hashes AS hs FROM documents),
+       |sigs AS (SELECT doc_id, $sig AS sig FROM hsx),
+       |bands AS ($bandRows),
+       |bsz AS (SELECT band, key, COUNT(*) AS n FROM bands GROUP BY band, key),
+       |hist AS (SELECT n, COUNT(*) AS k FROM bsz WHERE n >= 2 GROUP BY n),
+       |capsel AS (SELECT CASE
+       |    WHEN COALESCE((SELECT SUM(k*n*(n-1)//2) FROM hist), 0)
+       |         <= $budgetPerDoc * (SELECT COUNT(*) FROM documents) THEN NULL
+       |    ELSE GREATEST(2, COALESCE((
+       |      SELECT MAX(n) FROM (
+       |        SELECT n, SUM(k*n*(n-1)//2) OVER (ORDER BY n) AS cum FROM hist) t
+       |      WHERE cum <= $budgetPerDoc * (SELECT COUNT(*) FROM documents)), 2))
+       |  END AS cap),
+       |kept AS (SELECT b.doc_id, b.band, b.key FROM bands b
+       |  JOIN bsz USING (band, key), capsel c
+       |  WHERE c.cap IS NULL OR bsz.n <= c.cap),
+       |pairs AS (SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+       |  FROM kept x JOIN kept y
        |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)""".stripMargin
   }
 
@@ -817,9 +861,9 @@ object DedupQueries {
          |HAVING ${oRound6("COUNT(*)", "least(a.n, b.n)")} >= $ContainMin
          |ORDER BY doc1, doc2""".stripMargin,
 
-    // LSH candidates (q66's CTE chain) verified by relative Levenshtein
+    // census-governed LSH candidates verified by relative Levenshtein
     "q114_dedup_editverify" ->
-      s"""WITH $minhashPairsCtes
+      s"""WITH ${minhashGovernedPairsCtes(EditVerifyBudget)}
          |SELECT p.doc1, p.doc2, levenshtein(a.text, b.text) AS dist,
          |  ${oRound6("levenshtein(a.text, b.text)",
                       "greatest(length(a.text), length(b.text))")} AS rel_dist

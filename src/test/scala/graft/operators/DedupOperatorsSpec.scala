@@ -52,6 +52,76 @@ class DedupOperatorsSpec extends SparkSpec {
     assert(capped.contains((0L, 1L)))
   }
 
+  test("census governor: uncapped regime is the identity (cap = 0)") {
+    val sigs = MinHashDedup.signatures(corpus, "doc_id", "text",
+      shingleK = 2, numHashes = 16)
+    val census = MinHashDedup.bandCensus(sigs, 16, 8, budgetPairsPerDoc = 2)
+    assert(census.cap == 0 && census.fullPairs == census.cappedPairs)
+    assert(census.fullPairs <= census.budget)
+    val auto = MinHashDedup.candidatePairsAuto(corpus, "doc_id", "text",
+        shingleK = 2, numHashes = 16, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val static = MinHashDedup.candidatePairs(corpus, "doc_id", "text",
+        shingleK = 2, numHashes = 16, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == static)
+  }
+
+  test("census governor: over-budget histogram picks the largest fitting cap") {
+    import spark.implicits._
+    // 30 identical boilerplate docs saturate one bucket per band (size
+    // 30 ⇒ 435 pairs per band x 8 bands = 3480 band pairs) on top of the
+    // 6-doc distinct corpus — budget 2/doc = 72 admits only the small
+    // buckets, so the governor must cap below 30 and keep the planted
+    // pair, which collides in its own size-2 buckets
+    val boiler = (100 until 130).map(i => (i.toLong, "empty empty empty empty"))
+    val docs = corpus.union(boiler.toDF("doc_id", "text"))
+    val sigs = MinHashDedup.signatures(docs, "doc_id", "text",
+      shingleK = 2, numHashes = 16)
+    val census = MinHashDedup.bandCensus(sigs, 16, 8, budgetPairsPerDoc = 2)
+    assert(census.fullPairs > census.budget, "fixture must exceed budget")
+    assert(census.cap >= 2 && census.cap < 30, s"cap=${census.cap}")
+    assert(census.cappedPairs <= census.budget)
+    val auto = MinHashDedup.candidatePairsAuto(docs, "doc_id", "text",
+        shingleK = 2, numHashes = 16, bands = 8, budgetPairsPerDoc = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto.contains((0L, 1L)), "planted pair lost to the governor")
+    assert(auto.forall { case (a, b) => a < 100L && b < 100L },
+      "boilerplate bucket pairs must be capped away")
+    // the governed result equals the static cap it chose
+    val static = MinHashDedup.candidatePairs(docs, "doc_id", "text",
+        shingleK = 2, numHashes = 16, bands = 8, maxBucketSize = census.cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == static)
+  }
+
+  test("census governor: cap floors at 2 when even size-2 buckets blow the budget") {
+    import spark.implicits._
+    // 4 identical-pair groups (each a size-2 bucket family) but a budget
+    // of 1 pair TOTAL (1 per doc x ... forced tiny by many singletons):
+    // with budget below the size-2 volume the cap still floors at 2 —
+    // size-2 buckets are linear by construction and dropping them would
+    // zero recall
+    // disjoint vocabularies per group: every bucket is exactly one
+    // dup pair (size 2), never a cross-group collision
+    val docs = (0 until 8).map { i =>
+      val g = i / 2 // 4 duplicate pairs
+      (i.toLong, (1 to 7).map(w => s"g${g}w$w").mkString(" "))
+    }.toDF("doc_id", "text")
+    val sigs = MinHashDedup.signatures(docs, "doc_id", "text",
+      shingleK = 2, numHashes = 16)
+    // bands=8 -> each dup pair collides in 8 size-2 buckets = 32 band
+    // pairs total; budget 1/doc = 8 < 32
+    val census = MinHashDedup.bandCensus(sigs, 16, 8, budgetPairsPerDoc = 1)
+    assert(census.fullPairs > census.budget, "fixture must exceed budget")
+    assert(census.cap == 2, s"cap=${census.cap}")
+    val auto = MinHashDedup.candidatePairsAuto(docs, "doc_id", "text",
+        shingleK = 2, numHashes = 16, bands = 8, budgetPairsPerDoc = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((0 until 4).forall(g =>
+      auto.contains((2L * g, 2L * g + 1))), s"dup pairs lost: $auto")
+  }
+
   test("pair whose FIRST matching band is capped away still emits from a later surviving band") {
     import spark.implicits._
     // crafted signatures (numHashes=8, bands=4 ⇒ 2 rows/band):
