@@ -21,8 +21,12 @@ import org.apache.spark.sql.types._
   *  - MJPEG video in AVI (RIFF container parsed directly, frames are
   *    plain JPEGs ImageIO decodes): header dimensions plus an 8-point
   *    temporal brightness profile; frame sampling emits REAL JPEG
-  *    payloads.
-  * Rows with any other format (mp4/mkv, compressed audio — those codecs
+  *    payloads;
+  *  - ISO-BMFF containers (MP4/MOV/M4A, via `parseMp4Meta`'s box walk):
+  *    true video dimensions, presentation duration, and per-handler
+  *    track tallies — container METADATA only; frame decode of those
+  *    codecs (H.264/AAC) stays stubbed.
+  * Rows with any other format (mkv, compressed audio — those codecs
   * are not in the JDK and ffmpeg is not in this container), and corrupt
   * bytes of a claimed format, fall back to the clearly-marked
   * deterministic STUB (`decodeStub`), which derives stable
@@ -242,6 +246,109 @@ object Multimodal {
         frames(math.min(frames.length - 1, i * frames.length / math.max(1, n)))))
     }
 
+  /** Formats routed to the ISO-BMFF container-metadata parser. */
+  val Mp4Formats: Set[String] = Set("mp4", "m4a", "m4v", "mov")
+
+  /** Container-level metadata of an ISO-BMFF (MP4/QuickTime) file. */
+  case class Mp4Meta(timescale: Long, durationMs: Long, nTracks: Int,
+      nVideo: Int, nAudio: Int, width: Int, height: Int)
+
+  /** Pure-JDK ISO-BMFF box walk (ISO/IEC 14496-12): size/type box
+    * framing with 64-bit `largesize` and size-0 (to-EOF) handled,
+    * recursing through moov/trak/mdia/minf/stbl. Yields presentation
+    * duration (mvhd timescale + duration), track count, per-handler
+    * (vide/soun hdlr) track tallies, and the video track's pixel
+    * dimensions (tkhd 16.16 fixed-point width/height). No codec is
+    * touched — this is the metadata a 100 TB media-curation pass
+    * filters/shards on (duration buckets, resolution floors, audio-only
+    * detection) without decoding a single frame. None on anything
+    * malformed (truncated box, size overrunning its parent, missing
+    * moov/mvhd) — the caller degrades to the labeled stub exactly like
+    * the image/audio paths. FRAME decode for these containers remains
+    * stubbed: the codecs (H.264/AAC/…) are not in the JDK. */
+  private[graft] def parseMp4Meta(bytes: Array[Byte]): Option[Mp4Meta] = {
+    val len = bytes.length.toLong
+    def u32(at: Long): Long =
+      ((bytes(at.toInt) & 0xffL) << 24) | ((bytes(at.toInt + 1) & 0xffL) << 16) |
+        ((bytes(at.toInt + 2) & 0xffL) << 8) | (bytes(at.toInt + 3) & 0xffL)
+    def u64(at: Long): Long = (u32(at) << 32) | u32(at + 4)
+    def cc(at: Long): String =
+      new String(bytes, at.toInt, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (len < 16) return None
+    val containers = Set("moov", "trak", "mdia", "minf", "stbl", "edts")
+    var timescale = 0L; var duration = -1L
+    var nTracks = 0; var nVideo = 0; var nAudio = 0
+    var width = 0; var height = 0
+    var sawMoov = false
+    final class Trk { var w = 0; var h = 0; var handler = "" }
+    def walk(from: Long, until: Long, trk: Trk): Boolean = {
+      var at = from
+      while (at + 8 <= until) {
+        var size = u32(at); var hdr = 8L
+        val typ = cc(at + 4)
+        if (size == 1) {
+          if (at + 16 > until) return false
+          size = u64(at + 8); hdr = 16
+        } else if (size == 0) size = until - at
+        if (size < hdr || at + size > until) return false
+        val body = at + hdr
+        typ match {
+          case "moov" =>
+            sawMoov = true
+            if (!walk(body, at + size, trk)) return false
+          case "trak" =>
+            val t = new Trk
+            nTracks += 1
+            if (!walk(body, at + size, t)) return false
+            if (t.handler == "vide") {
+              nVideo += 1
+              if (t.w > 0) { width = t.w; height = t.h }
+            } else if (t.handler == "soun") nAudio += 1
+          case c if containers(c) =>
+            if (!walk(body, at + size, trk)) return false
+          case "mvhd" =>
+            if (size - hdr < 4) return false
+            if ((bytes(body.toInt) & 0xff) == 1) { // v1: 64-bit times
+              if (size - hdr < 32) return false
+              timescale = u32(body + 20); duration = u64(body + 24)
+            } else {
+              if (size - hdr < 20) return false
+              timescale = u32(body + 12); duration = u32(body + 16)
+            }
+          case "tkhd" => // width/height: trailing 8 bytes, 16.16 fixed
+            if (size - hdr >= 8) {
+              trk.w = (u32(at + size - 8) >>> 16).toInt
+              trk.h = (u32(at + size - 4) >>> 16).toInt
+            }
+          case "hdlr" => // handler 4cc after version/flags + pre_defined
+            if (size - hdr >= 12) trk.handler = cc(body + 8)
+          case _ => ()
+        }
+        at += size
+      }
+      true
+    }
+    try {
+      if (!walk(0, len, new Trk) || !sawMoov || timescale <= 0 || duration < 0)
+        None
+      else Some(Mp4Meta(timescale,
+        // round-half-up ms; duration is in mvhd timescale units
+        (duration * 1000 + timescale / 2) / timescale,
+        nTracks, nVideo, nAudio, width, height))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** [[parseMp4Meta]] in the feature-row shape: (width, height,
+    * checksum, features) with features = real container metadata
+    * [duration_s, n_tracks, n_video, n_audio, timescale, 0, 0, 0] —
+    * the same 8-float arity as the decoding paths. */
+  def decodeMp4Meta(bytes: Array[Byte]): Option[(Int, Int, Long, Array[Float])] =
+    parseMp4Meta(bytes).map { m =>
+      (m.width, m.height, byteChecksum(bytes),
+        Array(m.durationMs / 1000f, m.nTracks.toFloat, m.nVideo.toFloat,
+          m.nAudio.toFloat, m.timescale.toFloat, 0f, 0f, 0f))
+    }
+
   /** Polynomial byte checksum — shared by both decode paths so the
     * lineage column is comparable regardless of which decoder ran. */
   def byteChecksum(bytes: Array[Byte]): Long = {
@@ -316,14 +423,17 @@ object Multimodal {
         val id = r.getLong(0)
         val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
         val fmt = r.getString(2)
-        // real JDK codecs for image + PCM-audio + MJPEG-AVI formats
-        // (corrupt bytes degrade to the stub instead of failing the
-        // task); stub for the rest (mp4/mkv — codecs not in the JDK)
+        // real JDK codecs for image + PCM-audio + MJPEG-AVI formats,
+        // real container metadata for ISO-BMFF (mp4/mov — dimensions,
+        // duration, track tallies; frame decode stays stubbed, the
+        // codecs are not in the JDK); corrupt bytes degrade to the stub
+        // instead of failing the task; stub for the rest (mkv)
         val fmtL = if (fmt == null) "" else fmt.toLowerCase
         val (w, h, checksum, feats) =
           (if (ImageFormats.contains(fmtL)) decodeImage(bytes)
            else if (AudioFormats.contains(fmtL)) decodeAudio(bytes)
            else if (VideoFormats.contains(fmtL)) decodeAviMjpeg(bytes)
+           else if (Mp4Formats.contains(fmtL)) decodeMp4Meta(bytes)
            else None)
             .getOrElse(decodeStub(bytes))
         Row(id, fmt, bytes.length.toLong, w, h, checksum, feats.toSeq)

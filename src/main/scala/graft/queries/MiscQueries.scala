@@ -128,7 +128,11 @@ object MiscQueries {
       val media = Seq(
         (0L, pngHalf(32, 16), "png"),
         (1L, pngHalf(10, 10, allBlack = true), "png"),
-        (2L, wavSquare(1600, 8000f), "wav"))
+        (2L, wavSquare(1600, 8000f), "wav"),
+        // ISO-BMFF metadata path (r12 verdict #5): 320x240 video track +
+        // one audio track, 2500 ms at timescale 1000 — width/height come
+        // from the tkhd fixed-point parse, f0 = duration_s*1000 = 2500
+        (3L, mp4Planted(320, 240, timescale = 1000, duration = 2500), "mp4"))
         .toDF("media_id", "bytes", "format")
       Multimodal.extractFeatures(media)
         .select(col("media_id"), col("width"), col("height"),
@@ -176,6 +180,51 @@ object MiscQueries {
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", out)
     out.toByteArray
+  }
+
+  /** Minimal well-formed ISO-BMFF file: ftyp + moov{mvhd, trak{tkhd,
+    * mdia{mdhd, hdlr=vide}}, trak{tkhd(0x0), mdia{mdhd, hdlr=soun}}} —
+    * standard v0 box layouts, built byte-by-byte (big-endian) so q80b's
+    * oracle row is a plain VALUES tuple. */
+  private def mp4Planted(w: Int, h: Int, timescale: Int, duration: Int)
+      : Array[Byte] = {
+    import java.nio.ByteBuffer
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val b = ByteBuffer.allocate(8 + payload.length)
+      b.putInt(8 + payload.length)
+      b.put(typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      b.put(payload)
+      b.array()
+    }
+    def full(typ: String, payload: Array[Byte]): Array[Byte] =
+      box(typ, Array[Byte](0, 0, 0, 0) ++ payload) // version 0, flags 0
+    def be32(vs: Int*): Array[Byte] = {
+      val b = ByteBuffer.allocate(4 * vs.length); vs.foreach(b.putInt); b.array()
+    }
+    val ftyp = box("ftyp",
+      "isom".getBytes ++ be32(0x200) ++ "isomiso2".getBytes)
+    // mvhd v0: ctime mtime timescale duration rate(16.16) volume+rsvd,
+    // 2x reserved, 9x matrix, 6x predefined, next_track_id
+    val mvhd = full("mvhd", be32(0, 0, timescale, duration, 0x00010000) ++
+      be32(0x01000000) ++ be32(0, 0) ++
+      be32(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000) ++
+      be32(0, 0, 0, 0, 0, 0) ++ be32(3))
+    // tkhd v0: ctime mtime track_id rsvd duration, 2x rsvd,
+    // layer+group, volume+rsvd, 9x matrix, width height (16.16)
+    def tkhd(id: Int, tw: Int, th: Int) = full("tkhd",
+      be32(0, 0, id, 0, duration) ++ be32(0, 0) ++ be32(0, 0) ++
+        be32(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000) ++
+        be32(tw << 16, th << 16))
+    val mdhd = full("mdhd", be32(0, 0, timescale, duration) ++
+      Array[Byte](0x55, (0xc4 & 0xff).toByte, 0, 0)) // und language + predef
+    def hdlr(kind: String) = full("hdlr",
+      be32(0) ++ kind.getBytes ++ be32(0, 0, 0) ++ Array[Byte](0))
+    def trak(id: Int, tw: Int, th: Int, kind: String) =
+      box("trak", tkhd(id, tw, th) ++
+        box("mdia", mdhd ++ hdlr(kind)))
+    val moov = box("moov",
+      mvhd ++ trak(1, w, h, "vide") ++ trak(2, 0, 0, "soun"))
+    ftyp ++ moov
   }
 
   /** 16-bit mono PCM WAV: silent first half, full-amplitude square wave
@@ -254,7 +303,8 @@ object MiscQueries {
       """SELECT * FROM (VALUES
         |  (0, 32, 16, 500, 500),
         |  (1, 10, 10, 1000, 0),
-        |  (2, 8000, 1, 0, 1000))
+        |  (2, 8000, 1, 0, 1000),
+        |  (3, 320, 240, 2500, 0))
         |AS fx(media_id, width, height, f0, f7) ORDER BY media_id""".stripMargin
   )
 }

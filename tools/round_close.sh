@@ -9,7 +9,9 @@
 # Produces (committed by the caller):
 #   CORRECTNESS_sf1_r<N>.json  — per-query pass/fail at sf1
 #   BENCH_sf1_r<N>.json        — full per-query bench at sf1
-#   bench_full_r<N>.json       — full per-query bench at sf0.1
+#   BENCH_r<N>.json            — full per-query bench at sf0.1
+#   ZIPF_r<N>.json             — dedup-family scale gate at 100k Zipf
+#                                docs (census/candidate ratios + flags)
 set -euo pipefail
 cd "$(dirname "$0")/.."
 R="${1:?usage: tools/round_close.sh <round>}"
@@ -58,4 +60,62 @@ echo "[round_close] 3/3 full Bench at sf0.1"
 SPARK_GRAFT_SF_DIR="$SF01_DIR" SPARK_GRAFT_BENCH_OUT="BENCH_r$R.json" \
   sbt -batch "runMain graft.Bench" | tail -1
 
-echo "[round_close] artifacts: CORRECTNESS_sf1_r$R.json BENCH_sf1_r$R.json BENCH_r$R.json"
+# Standing Zipf scale gate (r12 verdict #4): the sf gates run on the
+# closed 31-word vocabulary, where dedup SCALE-SHAPE regressions (a
+# dispatch flipping to the wrong arm, a governor admitting quadratic
+# candidates) are invisible. One 100k-doc probe of the candidate-
+# generation family, flagged on CENSUS/CANDIDATE RATIOS — wall time is
+# environment-noisy, the ratios are not. Thresholds = 2x the measured
+# round-13 values (SCALE.md round 13).
+echo "[round_close] 4/4 Zipf dedup-family scale gate (100k docs)"
+ZDIR="${ZIPF_DIR:-/tmp/zipf_100k}"
+if [ ! -f "$ZDIR/documents.parquet" ]; then
+  python3 tools/gen_zipf_docs.py "$ZDIR" 100000
+fi
+for t in region nation customer supplier part orders lineitem events embeddings; do
+  ln -sf "$SF01_DIR/$t.parquet" "$ZDIR/$t.parquet"
+done
+sbt -batch "runMain graft.ZipfProbe $ZDIR zipf-100k" 2>/dev/null \
+  | grep zipf_dedup_probe | sed 's/^\[info\] //' > /tmp/zipf_r"$R".json
+python3 - "$R" /tmp/zipf_r"$R".json >"ZIPF_r$R.json" <<'EOF'
+import sys, json
+d = json.load(open(sys.argv[2]))
+flags = []
+def ratio(a, b): return (a / b) if b else 0.0
+q65 = d.get("q65_census", {})
+q113 = d.get("q113_census", {})
+q114 = d.get("q114_census", {})
+checks = {
+    # (value, threshold, direction) — reference values measured r13:
+    # q65 candidates/naive 0.059, q113 prefix/naive 0.0014,
+    # q114 governed<=full by construction, truth recall ratio 1.0
+    "q65_arm_prefix": (q65.get("arm") == "prefix", True, "eq"),
+    "q65_cand_vs_naive": (ratio(q65.get("candidates", 0),
+                                q65.get("naive_join_rows", 0)), 0.12, "max"),
+    "q113_arm_prefix": (q113.get("arm") == "prefix", True, "eq"),
+    "q113_prefix_vs_naive": (ratio(q113.get("prefix_join_rows", 0),
+                                   q113.get("naive_join_rows", 0)), 0.003, "max"),
+    "q114_admitted_vs_budget": (ratio(q114.get("capped_pairs", 0),
+                                      max(q114.get("budget", 1), 1)), 1.0, "max"),
+    "q114_truth_recall": (ratio(q114.get("truth_in_governed", 0),
+                                max(q114.get("truth_in_uncapped", 1), 1)),
+                          0.995, "min"),
+}
+for name, (val, thr, kind) in checks.items():
+    ok = (val == thr) if kind == "eq" else \
+         (val <= thr) if kind == "max" else (val >= thr)
+    if not ok: flags.append({"check": name, "value": val, "threshold": thr})
+out = {"round": int(sys.argv[1]), "flags": flags, "checks": {
+    k: {"value": v[0], "threshold": v[1], "kind": v[2]} for k, v in checks.items()},
+    "probe": d}
+print(json.dumps(out, indent=1, sort_keys=True))
+if flags:
+    print(f"[zipf_gate] {len(flags)} FLAG(S): " +
+          ", ".join(f["check"] for f in flags), file=sys.stderr)
+EOF
+
+# a stale generic bench_out.json must never shadow the official
+# BENCH_r<N>.json records (r12 verdict #7)
+rm -f bench_out.json
+
+echo "[round_close] artifacts: CORRECTNESS_sf1_r$R.json BENCH_sf1_r$R.json BENCH_r$R.json ZIPF_r$R.json"
