@@ -99,22 +99,29 @@ object Backup {
         val srcFs = srcPath.getFileSystem(conf)
         val destPath = new Path(destRoot, rel)
         val destFs = destPath.getFileSystem(conf)
-        if (!srcFs.exists(srcPath)) skipped += 1
-        else {
-          destFs.mkdirs(destPath.getParent)
-          val in = srcFs.open(srcPath)
-          val tmp = new Path(destPath.getParent, s".${destPath.getName}.tmp")
-          val out = destFs.create(tmp, true)
-          try {
-            val buf = new Array[Byte](1 << 20)
-            var n = in.read(buf)
-            while (n >= 0) { out.write(buf, 0, n); bytes += n; n = in.read(buf) }
-          } finally { out.close(); in.close() }
-          // visible-only-when-complete: same tmp+rename every other
-          // writer in this engine uses
-          if (destFs.exists(destPath)) destFs.delete(destPath, false)
-          destFs.rename(tmp, destPath)
-          files += 1
+        // a source vanishing between the exists probe and the open (or
+        // mid-inventory — active compaction/retention) is the DOCUMENTED
+        // skip case, so the open itself must tolerate the race too
+        val inOpt =
+          if (!srcFs.exists(srcPath)) None
+          else try Some(srcFs.open(srcPath))
+          catch { case _: java.io.FileNotFoundException => None }
+        inOpt match {
+          case None => skipped += 1
+          case Some(in) =>
+            destFs.mkdirs(destPath.getParent)
+            val tmp = new Path(destPath.getParent, s".${destPath.getName}.tmp")
+            val out = destFs.create(tmp, true)
+            try {
+              val buf = new Array[Byte](1 << 20)
+              var n = in.read(buf)
+              while (n >= 0) { out.write(buf, 0, n); bytes += n; n = in.read(buf) }
+            } finally { out.close(); in.close() }
+            // visible-only-when-complete: same tmp+rename every other
+            // writer in this engine uses
+            if (destFs.exists(destPath)) destFs.delete(destPath, false)
+            destFs.rename(tmp, destPath)
+            files += 1
         }
       }
       Iterator((files, bytes, skipped))
@@ -191,10 +198,17 @@ object Backup {
       "skipped_files" -> JInt(BigInt(copied.skipped)),
       "has_metadata" -> org.json4s.JBool(adminFiles.nonEmpty),
       "has_iceberg_metadata" -> org.json4s.JBool(icebergFiles.nonEmpty))
+    // manifest last and via tmp+rename: list() treats the manifest as
+    // the backup's existence marker, so it must never be visible
+    // half-written (a concurrent list() would fail parsing it)
     val fs = fsOf(new Path(dest), conf)
-    val out = fs.create(new Path(dest, "manifest.json"), true)
+    val mTmp = new Path(dest, ".manifest.json.tmp")
+    val out = fs.create(mTmp, true)
     try out.write(JsonMethods.pretty(manifest).getBytes(UTF_8))
     finally out.close()
+    val mFinal = new Path(dest, "manifest.json")
+    if (fs.exists(mFinal)) fs.delete(mFinal, false)
+    fs.rename(mTmp, mFinal)
     Result(backupId, copied.files, copied.bytes, copied.skipped,
       dbs.map(_._1))
   }
@@ -210,8 +224,12 @@ object Backup {
         val mp = new Path(d, "manifest.json")
         if (!fs.exists(mp)) None
         else {
+          // tmp+rename makes a half-written manifest unlikely, but on
+          // object stores rename is copy+delete — an unparsable one is
+          // an in-progress backup, not a reason to fail the listing
           val in = fs.open(mp)
-          try Some(JsonMethods.parse(new String(in.readAllBytes(), UTF_8)))
+          try scala.util.Try(
+            JsonMethods.parse(new String(in.readAllBytes(), UTF_8))).toOption
           finally in.close()
         }
       }.toSeq

@@ -186,7 +186,15 @@ object IcebergExport {
 
     val metaPath = new Path(metaDir, s"v$version.metadata.json")
     writeString(fs, metaPath, JsonMethods.pretty(meta))
-    writeString(fs, new Path(metaDir, "version-hint.text"), version.toString)
+    // the hint flip IS the publish: a plain create() truncates in place,
+    // so an external reader racing the write would see an empty hint
+    // (and a crash mid-write leaves garbage .toInt chokes on) — flip via
+    // tmp+rename so the hint is always a complete previous-or-new value
+    val hintTmp = new Path(metaDir, ".version-hint.text.tmp")
+    writeString(fs, hintTmp, version.toString)
+    val hint = new Path(metaDir, "version-hint.text")
+    if (fs.exists(hint)) fs.delete(hint, false)
+    fs.rename(hintTmp, hint)
 
     // bounded history: metadata versions + their snapshot files
     pruneOldVersions(fs, metaDir, version, Retain)
@@ -219,7 +227,20 @@ object IcebergExport {
   private def readCurrent(fs: FileSystem, metaDir: Path): Option[Current] = {
     val hint = new Path(metaDir, "version-hint.text")
     if (!fs.exists(hint)) return None
-    val v = readString(fs, hint).trim.toInt
+    // the hint is rename-flipped, but object-store rename is copy+delete
+    // — an unparsable hint (crash window) falls back to the same scan
+    // Hadoop-catalog readers use when the hint is missing, instead of
+    // bricking every future reconcile on a toInt failure
+    val v = readString(fs, hint).trim.toIntOption.getOrElse {
+      val vs = fs.listStatus(metaDir).map(_.getPath.getName)
+        .flatMap { n =>
+          if (n.startsWith("v") && n.endsWith(".metadata.json"))
+            n.stripPrefix("v").stripSuffix(".metadata.json").toIntOption
+          else None
+        }
+      if (vs.isEmpty) return None
+      vs.max
+    }
     val meta = JsonMethods.parse(readString(fs, new Path(metaDir, s"v$v.metadata.json")))
     Some(Current(
       version = v,

@@ -440,6 +440,38 @@ object DedupQueries {
         .orderBy(col("doc1"), col("doc2"))
     }),
 
+    // the PRODUCTION-recommended near-dup fingerprint path (r12 study:
+    // unweighted 32-bit SimHash saturates on open-vocabulary corpora —
+    // 40% of ALL pairs at hd<=2; idf-weighted 64-bit recovers the
+    // planted population): Manku WWW'07 configuration over documents.
+    // Rows-only — the signature is engine-specific; q173b is the
+    // oracle-exact semantics twin (q80/q80b pattern).
+    "q173_weighted_simhash" -> ((s, dir) =>
+      graft.operators.SimHashDedup.weightedCandidatePairs64(
+          t(s, dir, "documents"), "doc_id", "text", maxHd = 3)
+        .orderBy(col("doc1"), col("doc2"))),
+
+    // q173's oracle twin: structurally-derivable outputs only — an
+    // exact duplicate and an order-permuted multiset both produce
+    // IDENTICAL weighted fingerprints (token-multiset invariance ->
+    // hd 0, hash-independent), while disjoint-vocabulary docs sit ~32
+    // bits apart; the VALUES oracle pins exactly the two hd-0 pairs
+    "q173b_weighted_simhash_fixture" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Seq(
+        (0L, "zephyr quasar nimbus oracle krypton fjord glacier obsidian"),
+        (1L, "zephyr quasar nimbus oracle krypton fjord glacier obsidian"),
+        (2L, "amber beacon cobalt dynamo ember falcon garnet harbor"),
+        (3L, "harbor garnet falcon ember dynamo cobalt beacon amber"),
+        (4L, "tundra velvet walnut xylem yonder zircon attic bramble"),
+        (5L, "cipher delta echo foxtrot golf hotel india juliet"))
+        .toDF("doc_id", "text")
+      graft.operators.SimHashDedup.weightedCandidatePairs64(
+          docs, "doc_id", "text", maxHd = 3)
+        .select(col("doc1"), col("doc2"), col("hd").cast("long").as("hd"))
+        .orderBy(col("doc1"), col("doc2"))
+    }),
+
     // bloom-prefiltered cross-corpus exact dedup: which docs of the new
     // batch (top 20% of ids, the q91 split) are genuinely NEW against
     // history, by content fingerprint. Bloom misses short-circuit
@@ -872,6 +904,13 @@ object DedupQueries {
          |WHERE ${oRound6("levenshtein(a.text, b.text)",
                       "greatest(length(a.text), length(b.text))")} <= $EditRelMax
          |ORDER BY doc1, doc2""".stripMargin,
+
+    // q173 itself stays rows-only (64-bit engine-specific signatures);
+    // this twin pins the weighted path's SEMANTICS: multiset-identical
+    // docs at hd 0, disjoint-vocab docs unpaired
+    "q173b_weighted_simhash_fixture" ->
+      """SELECT * FROM (VALUES (0, 1, 0), (2, 3, 0))
+        |AS fx(doc1, doc2, hd) ORDER BY doc1, doc2""".stripMargin,
 
     // the prefilter-free spelling: plain fingerprint anti-join on the
     // q91 corpus-derived split

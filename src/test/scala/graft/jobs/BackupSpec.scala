@@ -131,4 +131,23 @@ class BackupSpec extends SparkSpec {
     assert(second.files == first.files,
       "a second backup must not recurse into _backups")
   }
+
+  test("list() skips an in-progress/unparsable manifest instead of failing (r13 review)") {
+    val root = tmpDir("graft_bak_cat4")
+    val cat = new GraftCatalog(spark, root)
+    writeRows(cat, "default", "cpu", 5)
+    val bak = tmpDir("graft_bak_list")
+    Backup.create(cat, bak, "backup-good")
+    // a backup caught mid-write: directory + garbage manifest
+    val conf = spark.sparkContext.hadoopConfiguration
+    val badDir = new Path(bak, "backup-inflight")
+    val fs = badDir.getFileSystem(conf)
+    fs.mkdirs(badDir)
+    val out = fs.create(new Path(badDir, "manifest.json"), true)
+    try out.write("{not json".getBytes("UTF-8")) finally out.close()
+    val manifests = Backup.list(spark, bak)
+    assert(manifests.length == 1, s"expected only the complete backup, got $manifests")
+    // and the completed backup leaves no manifest tmp behind
+    assert(!fs.exists(new Path(s"$bak/backup-good/.manifest.json.tmp")))
+  }
 }

@@ -132,4 +132,26 @@ class IcebergExportSpec extends SparkSpec {
     assert(lastCol.toInt >= maxId, s"last-column-id $lastCol < max field id $maxId")
     assert(!fs.exists(new Path(metaDir, "v1.metadata.json")), "old metadata not pruned")
   }
+
+  test("corrupt version hint self-heals via the metadata scan (r13 review)") {
+    val cat = new GraftCatalog(spark, tmpDir("ice_cat_hint"))
+    writeRows(cat, 6)
+    val r1 = IcebergExport.reconcile(cat, "default", "ice_m")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val metaDir = new Path(s"${cat.root}/_iceberg/default/ice_m/metadata")
+    val fs = metaDir.getFileSystem(conf)
+    // simulate the crash window: hint left as garbage (pre-r13 this
+    // bricked every later reconcile on .toInt)
+    val out = fs.create(new Path(metaDir, "version-hint.text"), true)
+    try out.write("garbage".getBytes("UTF-8")) finally out.close()
+    writeRows(cat, 4, offset = 3600L * 1000000L * 200) // change the file set
+    val r2 = IcebergExport.reconcile(cat, "default", "ice_m")
+    assert(r2.version == r1.version + 1, s"${r2.version} vs ${r1.version}")
+    // the flip restored a parsable hint
+    val in = fs.open(new Path(metaDir, "version-hint.text"))
+    val hint = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    assert(hint.trim.toInt == r2.version)
+    // and no tmp file left behind
+    assert(!fs.exists(new Path(metaDir, ".version-hint.text.tmp")))
+  }
 }
