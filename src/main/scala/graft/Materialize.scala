@@ -37,9 +37,14 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   * cluster whose jobs prefer fail-and-retry over checkpoint I/O.
   *
   * Set `spark.cleaner.referenceTracking.cleanCheckpoints=true` to have
-  * checkpoint files garbage-collected with their RDDs; the suite
-  * harnesses (Verify/Bench) otherwise clean the tmp fallback dir on
-  * exit via JVM shutdown of the app-id-scoped directory.
+  * checkpoint files garbage-collected with their RDDs. That cleaner only
+  * removes files whose RDDs were GC'd, so whatever is still referenced
+  * at JVM exit would otherwise accumulate in java.io.tmpdir across runs
+  * — when the TMP FALLBACK dir is chosen (no configured checkpoint dir),
+  * [[Materialize]] registers a shutdown hook that deletes the
+  * app-id-scoped directory on exit. A user-configured
+  * `spark.graft.checkpoint.dir` is durable shared storage and is never
+  * auto-deleted.
   */
 object Materialize {
 
@@ -68,11 +73,36 @@ object Materialize {
   private def ensureCheckpointDir(spark: SparkSession): Unit = synchronized {
     val sc = spark.sparkContext
     if (sc.getCheckpointDir.isEmpty) {
-      val dir = spark.conf.getOption("spark.graft.checkpoint.dir")
-        .getOrElse(sys.props("java.io.tmpdir") +
-          "/graft-ckpt-" + sc.applicationId)
+      val configured = spark.conf.getOption("spark.graft.checkpoint.dir")
+      val dir = configured.getOrElse(sys.props("java.io.tmpdir") +
+        "/graft-ckpt-" + sc.applicationId)
       sc.setCheckpointDir(dir)
+      if (configured.isEmpty) registerTmpCleanup(dir)
     }
+  }
+
+  private val cleanupDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Dirs whose shutdown-hook deletion is registered (spec hook). */
+  private[graft] def registeredTmpCleanups: Set[String] = {
+    import scala.jdk.CollectionConverters._
+    cleanupDirs.asScala.toSet
+  }
+
+  /** Delete the tmp-fallback checkpoint root on JVM exit. Idempotent
+    * per dir (a second session reusing the same app-id-scoped path
+    * registers no second hook). */
+  private[graft] def registerTmpCleanup(dir: String): Unit =
+    if (cleanupDirs.add(dir))
+      Runtime.getRuntime.addShutdownHook(
+        new Thread(() => deleteRecursively(new java.io.File(dir)),
+          s"graft-ckpt-cleanup"))
+
+  private[graft] def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete(): Unit
   }
 
   implicit class MaterializeOps[T](private val ds: Dataset[T]) extends AnyVal {

@@ -91,12 +91,32 @@ object ZipfProbe {
       val truthN = truth.count()
       val inGov = truth.join(gov, Seq("doc1", "doc2"), "left_semi").count()
       val inUnc = truth.join(unc, Seq("doc1", "doc2"), "left_semi").count()
+      // capped-REGIME probe (r13 verdict #1): at 100k docs the default
+      // budget (2/doc) exceeds the ~105k full band-pair volume, so the
+      // census above runs cap=0 and the recall check never exercises
+      // cap SELECTION. budgetPairsPerDoc=1 puts the same corpus over
+      // budget — the prefix-volume rule must actually choose a cap —
+      // and recall/admitted-volume are then measured in the regime
+      // that governs at 200k+ docs and at sf1 (6.3 pairs/doc census).
+      val censusC = operators.MinHashDedup.bandCensus(
+        sigs, queries.DedupQueries.MinHashK, queries.DedupQueries.Bands,
+        budgetPairsPerDoc = 1)
+      val govC = operators.MinHashDedup.candidatePairsFromSignatures(
+        sigs, "doc_id", queries.DedupQueries.MinHashK,
+        queries.DedupQueries.Bands, censusC.cap)
+      val inGovC = truth.join(govC, Seq("doc1", "doc2"), "left_semi").count()
       s""""q114_census":{"full_pairs":${census.fullPairs},""" +
         s""""budget":${census.budget},"cap":${census.cap},""" +
         s""""capped_pairs":${census.cappedPairs},""" +
         s""""governed_candidates":${gov.count()},""" +
         s""""uncapped_candidates":${unc.count()},""" +
         s""""truth_pairs":$truthN,"truth_in_governed":$inGov,""" +
+        s""""truth_in_uncapped":$inUnc},""" +
+      s""""q114_capped_census":{"full_pairs":${censusC.fullPairs},""" +
+        s""""budget":${censusC.budget},"cap":${censusC.cap},""" +
+        s""""capped_pairs":${censusC.cappedPairs},""" +
+        s""""governed_candidates":${govC.count()},""" +
+        s""""truth_in_governed":$inGovC,""" +
         s""""truth_in_uncapped":$inUnc},"""
     }
 

@@ -74,8 +74,13 @@ object ClusterKillProbe {
       (r.getLong(0), r.getLong(1), (System.nanoTime() - t0) / 1e9)
     }
 
+    // scoped to THIS application: the executor command line carries
+    // --app-id <applicationId>, so the probe can never SIGKILL an
+    // executor belonging to an unrelated Spark app on the host
+    val appId = spark.sparkContext.applicationId
     def executorPids(): Seq[String] =
-      Seq("bash", "-c", "pgrep -f CoarseGrainedExecutorBackend || true")
+      Seq("bash", "-c",
+        s"pgrep -f 'CoarseGrainedExecutorBackend.*$appId' || true")
         .!!.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
 
     // baseline (also warms codegen + the fixture's file listing)

@@ -225,13 +225,16 @@ object IcebergExport {
   }
 
   private def readCurrent(fs: FileSystem, metaDir: Path): Option[Current] = {
+    if (!fs.exists(metaDir)) return None
     val hint = new Path(metaDir, "version-hint.text")
-    if (!fs.exists(hint)) return None
-    // the hint is rename-flipped, but object-store rename is copy+delete
-    // — an unparsable hint (crash window) falls back to the same scan
-    // Hadoop-catalog readers use when the hint is missing, instead of
-    // bricking every future reconcile on a toInt failure
-    val v = readString(fs, hint).trim.toIntOption.getOrElse {
+    // the hint is rename-flipped, but the flip is delete-then-rename
+    // (object-store rename is copy+delete), so a reader can catch the
+    // hint MISSING as well as unparsable (crash window) — BOTH fall back
+    // to the v*.metadata.json scan Hadoop-catalog readers use, instead
+    // of treating a table with published metadata as absent (r13 ADVICE)
+    val fromHint =
+      if (fs.exists(hint)) readString(fs, hint).trim.toIntOption else None
+    val v = fromHint.getOrElse {
       val vs = fs.listStatus(metaDir).map(_.getPath.getName)
         .flatMap { n =>
           if (n.startsWith("v") && n.endsWith(".metadata.json"))

@@ -77,7 +77,11 @@ object Mmr {
     // measured as a 1.3-1.4x regression on sub-second reranks (q162; the
     // queries frame is tiny by contract, so the count was pure
     // scheduling overhead). CollectLimit also makes the guard itself
-    // cheap on the materialized shortlist.
+    // cheap on the materialized shortlist. Tradeoff (accepted, r13
+    // ADVICE): rejection is now POST-compute — an over-budget batch
+    // pays the shortlist scoring pass before failing, where the r11
+    // guard failed before any distributed work. The failure is loud
+    // either way; the common case (every legitimate rerank) saves a job.
     val relRows = short.select(col("query_id"), col("cand_id"), col("rel"))
       .limit(MaxShortlistRows + 1).collect()
     require(relRows.length <= MaxShortlistRows,

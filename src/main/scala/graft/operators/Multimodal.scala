@@ -25,13 +25,17 @@ import org.apache.spark.sql.types._
   *  - ISO-BMFF containers (MP4/MOV/M4A, via `parseMp4Meta`'s box walk):
   *    true video dimensions, presentation duration, and per-handler
   *    track tallies — container METADATA only; frame decode of those
-  *    codecs (H.264/AAC) stays stubbed.
-  * Rows with any other format (mkv, compressed audio — those codecs
-  * are not in the JDK and ffmpeg is not in this container), and corrupt
-  * bytes of a claimed format, fall back to the clearly-marked
-  * deterministic STUB (`decodeStub`), which derives stable
-  * pseudo-metadata from the bytes; swapping in real bindings for those
-  * touches only the stub functions.
+  *    codecs (H.264/AAC) stays stubbed;
+  *  - EBML containers (MKV/WebM, via `parseMkvMeta`'s element walk):
+  *    the same metadata surface — PixelWidth/Height, TimestampScale ×
+  *    Duration, TrackType tallies; frame decode (VP9/AV1/Opus) stays
+  *    stubbed.
+  * Rows with any other format (compressed audio — those codecs are not
+  * in the JDK and ffmpeg is not in this container), and corrupt bytes
+  * of a claimed format, fall back to the clearly-marked deterministic
+  * STUB (`decodeStub`), which derives stable pseudo-metadata from the
+  * bytes; swapping in real bindings for those touches only the stub
+  * functions.
   *
   * Scale notes: media rows are large — the entry point re-partitions by
   * a target bytes-per-partition budget before mapping, so a 100 TB media
@@ -349,6 +353,146 @@ object Multimodal {
           m.nAudio.toFloat, m.timescale.toFloat, 0f, 0f, 0f))
     }
 
+  /** Formats routed to the EBML (Matroska/WebM) container parser. */
+  val MkvFormats: Set[String] = Set("mkv", "webm")
+
+  /** Container-level metadata of an EBML (Matroska/WebM) file.
+    * `timestampScaleNs` is ns per timestamp unit (Matroska default
+    * 1,000,000 = ms-precision timestamps). */
+  case class MkvMeta(timestampScaleNs: Long, durationMs: Long, nTracks: Int,
+      nVideo: Int, nAudio: Int, width: Int, height: Int)
+
+  /** Pure-JDK EBML walk (RFC 8794 framing + the Matroska/WebM element
+    * vocabulary) — the MKV sibling of [[parseMp4Meta]]: variable-width
+    * element IDs (marker bit kept, per spec) and sizes (marker stripped,
+    * all-value-bits-ones = unknown length), recursing through
+    * Segment/Info/Tracks/TrackEntry/Video. Yields presentation duration
+    * (Info TimestampScale × float Duration), track count, per-TrackType
+    * tallies (1=video, 2=audio), and the first video track's
+    * PixelWidth/PixelHeight. No codec is touched. An unknown-size
+    * Segment extends to its parent's end (the streaming-mux convention);
+    * an unknown-size NON-container can't be skipped, and that — like any
+    * truncated or parent-overrunning element — degrades to None and the
+    * caller's labeled stub. FRAME decode remains stubbed: the codecs
+    * (VP9/AV1/Opus/…) are not in the JDK. */
+  private[graft] def parseMkvMeta(bytes: Array[Byte]): Option[MkvMeta] = {
+    val len = bytes.length
+    def vintWidth(b: Int): Int = {
+      var mask = 0x80; var w = 1
+      while (w <= 8 && (b & mask) == 0) { mask >>= 1; w += 1 }
+      w
+    }
+    // element ID: 1-4 bytes, value INCLUDES the marker bit (the spec's
+    // as-stored form, matching the published element-ID tables)
+    def readId(at: Int): Option[(Long, Int)] = {
+      if (at >= len) return None
+      val w = vintWidth(bytes(at) & 0xff)
+      if (w > 4 || at + w > len) return None
+      var v = 0L; var i = 0
+      while (i < w) { v = (v << 8) | (bytes(at + i) & 0xffL); i += 1 }
+      Some((v, w))
+    }
+    // data size: 1-8 bytes, marker stripped; all value bits set means
+    // "unknown" → surfaced as -1
+    def readSize(at: Int): Option[(Long, Int)] = {
+      if (at >= len) return None
+      val first = bytes(at) & 0xff
+      val w = vintWidth(first)
+      if (w > 8 || at + w > len) return None
+      var v = (first & (0xff >>> w)).toLong
+      var i = 1
+      while (i < w) { v = (v << 8) | (bytes(at + i) & 0xffL); i += 1 }
+      val allOnes = (1L << (7 * w)) - 1
+      Some((if (v == allOnes) -1L else v, w))
+    }
+    def uint(at: Int, n: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < n) { v = (v << 8) | (bytes(at + i) & 0xffL); i += 1 }
+      v
+    }
+    val EbmlHeader = 0x1A45DFA3L; val Segment = 0x18538067L
+    val Info = 0x1549A966L; val TimestampScale = 0x2AD7B1L
+    val DurationEl = 0x4489L; val Tracks = 0x1654AE6BL
+    val TrackEntry = 0xAEL; val TrackType = 0x83L
+    val Video = 0xE0L; val PixelWidth = 0xB0L; val PixelHeight = 0xBAL
+    val containers = Set(Segment, Info, Tracks, TrackEntry, Video)
+    var sawEbml = false; var sawSegment = false; var sawInfo = false
+    var tsScale = 1000000L // Matroska default: ms-precision timestamps
+    var duration = -1.0
+    var nTracks = 0; var nVideo = 0; var nAudio = 0
+    var width = 0; var height = 0
+    final class Trk { var typ = 0L; var w = 0; var h = 0 }
+    def walk(from: Int, until: Int, trk: Trk): Boolean = {
+      var at = from
+      while (at < until) {
+        val (id, idW) = readId(at) match {
+          case Some(x) => x; case None => return false
+        }
+        val (sz, szW) = readSize(at + idW) match {
+          case Some(x) => x; case None => return false
+        }
+        val body = at + idW + szW
+        // unknown size: legal only on a container (Segment in practice)
+        // — extend to the parent's end; anything else is unskippable
+        val endL: Long =
+          if (sz >= 0) body.toLong + sz
+          else if (containers(id)) until.toLong
+          else return false
+        if (endL > until) return false
+        val end = endL.toInt
+        id match {
+          case EbmlHeader => sawEbml = true // DocType vocabulary unused
+          case Segment =>
+            sawSegment = true
+            if (!walk(body, end, trk)) return false
+          case Info =>
+            sawInfo = true
+            if (!walk(body, end, trk)) return false
+          case Tracks =>
+            if (!walk(body, end, trk)) return false
+          case TrackEntry =>
+            val t = new Trk
+            nTracks += 1
+            if (!walk(body, end, t)) return false
+            if (t.typ == 1) {
+              nVideo += 1
+              if (t.w > 0) { width = t.w; height = t.h }
+            } else if (t.typ == 2) nAudio += 1
+          case Video =>
+            if (!walk(body, end, trk)) return false
+          case TimestampScale => tsScale = uint(body, (end - body).toInt)
+          case DurationEl => (end - body) match { // float, 4 or 8 bytes
+            case 4 => duration = java.lang.Float.intBitsToFloat(uint(body, 4).toInt).toDouble
+            case 8 => duration = java.lang.Double.longBitsToDouble(uint(body, 8))
+            case _ => return false
+          }
+          case TrackType => trk.typ = uint(body, (end - body).toInt)
+          case PixelWidth => trk.w = uint(body, (end - body).toInt).toInt
+          case PixelHeight => trk.h = uint(body, (end - body).toInt).toInt
+          case _ => () // skip (Cluster, SeekHead, Cues, codec privates…)
+        }
+        at = end
+      }
+      true
+    }
+    try {
+      if (!walk(0, len, new Trk) || !sawEbml || !sawSegment || !sawInfo ||
+        tsScale <= 0 || duration < 0) None
+      else Some(MkvMeta(tsScale,
+        math.round(duration * tsScale / 1e6), // ts units → ns → ms
+        nTracks, nVideo, nAudio, width, height))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** [[parseMkvMeta]] in the feature-row shape (same 8-float layout as
+    * [[decodeMp4Meta]]; slot 4 carries the timestamp scale in ns). */
+  def decodeMkvMeta(bytes: Array[Byte]): Option[(Int, Int, Long, Array[Float])] =
+    parseMkvMeta(bytes).map { m =>
+      (m.width, m.height, byteChecksum(bytes),
+        Array(m.durationMs / 1000f, m.nTracks.toFloat, m.nVideo.toFloat,
+          m.nAudio.toFloat, m.timestampScaleNs.toFloat, 0f, 0f, 0f))
+    }
+
   /** Polynomial byte checksum — shared by both decode paths so the
     * lineage column is comparable regardless of which decoder ran. */
   def byteChecksum(bytes: Array[Byte]): Long = {
@@ -424,16 +568,18 @@ object Multimodal {
         val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
         val fmt = r.getString(2)
         // real JDK codecs for image + PCM-audio + MJPEG-AVI formats,
-        // real container metadata for ISO-BMFF (mp4/mov — dimensions,
-        // duration, track tallies; frame decode stays stubbed, the
-        // codecs are not in the JDK); corrupt bytes degrade to the stub
-        // instead of failing the task; stub for the rest (mkv)
+        // real container metadata for ISO-BMFF (mp4/mov) and EBML
+        // (mkv/webm) — dimensions, duration, track tallies; frame
+        // decode stays stubbed, the codecs are not in the JDK; corrupt
+        // bytes degrade to the stub instead of failing the task; stub
+        // for the rest (compressed audio)
         val fmtL = if (fmt == null) "" else fmt.toLowerCase
         val (w, h, checksum, feats) =
           (if (ImageFormats.contains(fmtL)) decodeImage(bytes)
            else if (AudioFormats.contains(fmtL)) decodeAudio(bytes)
            else if (VideoFormats.contains(fmtL)) decodeAviMjpeg(bytes)
            else if (Mp4Formats.contains(fmtL)) decodeMp4Meta(bytes)
+           else if (MkvFormats.contains(fmtL)) decodeMkvMeta(bytes)
            else None)
             .getOrElse(decodeStub(bytes))
         Row(id, fmt, bytes.length.toLong, w, h, checksum, feats.toSeq)

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{AsOfJoin, Multimodal}
+import graft.operators.{AsOfJoin, GroupQuantile, Multimodal}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -132,7 +132,11 @@ object MiscQueries {
         // ISO-BMFF metadata path (r12 verdict #5): 320x240 video track +
         // one audio track, 2500 ms at timescale 1000 — width/height come
         // from the tkhd fixed-point parse, f0 = duration_s*1000 = 2500
-        (3L, mp4Planted(320, 240, timescale = 1000, duration = 2500), "mp4"))
+        (3L, mp4Planted(320, 240, timescale = 1000, duration = 2500), "mp4"),
+        // EBML metadata path (r13 verdict #7): 640x360 video + audio
+        // track, 3000 ms at the default ms timestamp scale — dimensions
+        // from PixelWidth/Height, f0 = duration_s*1000 = 3000
+        (4L, mkvPlanted(640, 360, durationMs = 3000), "webm"))
         .toDF("media_id", "bytes", "format")
       Multimodal.extractFeatures(media)
         .select(col("media_id"), col("width"), col("height"),
@@ -146,19 +150,36 @@ object MiscQueries {
     // verdicts (|approx-exact| within 10% for HLL++ at default rsd 0.05;
     // 2% value error for percentile_approx at accuracy 10000) — the
     // oracle asserts TRUE, so a sketch drifting out of its published
-    // bound fails the hash gate
-    "q34b_sketch_bounds" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
+    // bound fails the hash gate.
+    //
+    // The EXACT reference percentiles come from GroupQuantile's
+    // spillable nearest-rank selection, NOT Spark's exact `Percentile`
+    // aggregate: Percentile buffers every group value in ONE aggregation
+    // buffer (memory ∝ group size — the sole 1 GiB-executor OOM in
+    // MEMFLOOR_r13), while the rank selection rides external sorts that
+    // spill at any group size. percentile_approx's accuracy-10000
+    // nearest-rank answer sits within ~n/10000 ranks of the exact
+    // nearest-rank value, far inside the 2% value tolerance.
+    "q34b_sketch_bounds" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val sketches = li.groupBy(col("l_returnflag"))
         .agg(
           countDistinct(col("l_partkey")).as("exact_parts"),
           approx_count_distinct(col("l_partkey")).as("_approx"),
-          expr("percentile(l_extendedprice, 0.5D)").as("_p50x"),
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
             .as("_p50a"),
-          expr("percentile(l_extendedprice, 0.99D)").as("_p99x"),
           percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000))
             .as("_p99a"))
+      // nearest-rank ceil(q*n): p50 = (n+1) div 2, p99 = (99n+99) div 100
+      val exact = GroupQuantile.selectRanks(
+        li.select(col("l_returnflag"), col("l_extendedprice")),
+        Seq("l_returnflag"), "l_extendedprice",
+        Seq("_p50x" -> ((n: org.apache.spark.sql.Column) =>
+              GroupQuantile.rank(n, 2)),
+            "_p99x" -> ((n: org.apache.spark.sql.Column) =>
+              GroupQuantile.idiv(n * lit(99L) + lit(99L), lit(100L)))))
+      // per-group frames on both sides (3 rows each) — broadcast join
+      sketches.join(broadcast(exact), Seq("l_returnflag"))
         .select(col("l_returnflag"), col("exact_parts"),
           (abs(col("_approx") - col("exact_parts")) <=
             col("exact_parts") * lit(0.1)).as("distinct_ok"),
@@ -166,7 +187,8 @@ object MiscQueries {
             abs(col("_p50x")) * lit(0.02)).as("p50_ok"),
           (abs(col("_p99a") - col("_p99x")) <=
             abs(col("_p99x")) * lit(0.02)).as("p99_ok"))
-        .orderBy(col("l_returnflag")))
+        .orderBy(col("l_returnflag"))
+    })
   )
 
   /** Deterministic w×h PNG: left half black, right half white (or all
@@ -225,6 +247,34 @@ object MiscQueries {
     val moov = box("moov",
       mvhd ++ trak(1, w, h, "vide") ++ trak(2, 0, 0, "soun"))
     ftyp ++ moov
+  }
+
+  /** Minimal well-formed EBML (WebM/Matroska) file: EBML header +
+    * Segment{Info{TimestampScale, float Duration}, Tracks{video
+    * TrackEntry{TrackType, Video{PixelWidth, PixelHeight}}, audio
+    * TrackEntry}} — 1-byte size vints, IDs as stored (RFC 8794), so
+    * q80b's oracle row is a plain VALUES tuple. */
+  private def mkvPlanted(w: Int, h: Int, durationMs: Int): Array[Byte] = {
+    def idBytes(id: Long): Array[Byte] = {
+      val n = if (id <= 0xff) 1 else if (id <= 0xffff) 2
+        else if (id <= 0xffffff) 3 else 4
+      Array.tabulate(n)(i => ((id >> (8 * (n - 1 - i))) & 0xff).toByte)
+    }
+    def el(id: Long, payload: Array[Byte]): Array[Byte] = {
+      require(payload.length < 127)
+      idBytes(id) ++ Array((0x80 | payload.length).toByte) ++ payload
+    }
+    def uintN(v: Long, n: Int): Array[Byte] =
+      Array.tabulate(n)(i => ((v >> (8 * (n - 1 - i))) & 0xff).toByte)
+    val info = el(0x1549A966L,
+      el(0x2AD7B1L, uintN(1000000L, 3)) ++ // ns per unit: ms default
+        el(0x4489L, uintN(
+          java.lang.Float.floatToIntBits(durationMs.toFloat) & 0xffffffffL, 4)))
+    val tracks = el(0x1654AE6BL,
+      el(0xAEL, el(0x83L, uintN(1, 1)) ++
+        el(0xE0L, el(0xB0L, uintN(w, 2)) ++ el(0xBAL, uintN(h, 2)))) ++
+        el(0xAEL, el(0x83L, uintN(2, 1))))
+    el(0x1A45DFA3L, Array.emptyByteArray) ++ el(0x18538067L, info ++ tracks)
   }
 
   /** 16-bit mono PCM WAV: silent first half, full-amplitude square wave
@@ -304,7 +354,8 @@ object MiscQueries {
         |  (0, 32, 16, 500, 500),
         |  (1, 10, 10, 1000, 0),
         |  (2, 8000, 1, 0, 1000),
-        |  (3, 320, 240, 2500, 0))
+        |  (3, 320, 240, 2500, 0),
+        |  (4, 640, 360, 3000, 0))
         |AS fx(media_id, width, height, f0, f7) ORDER BY media_id""".stripMargin
   )
 }

@@ -53,6 +53,54 @@ class MaterializeSpec extends SparkSpec {
     }
   }
 
+  test("tmp-fallback cleanup: registration is per-dir idempotent and the hook's deletion is recursive") {
+    val dir = tmpDir("ckpt_cleanup")
+    val nested = java.nio.file.Paths.get(dir, "a", "b")
+    java.nio.file.Files.createDirectories(nested)
+    java.nio.file.Files.write(nested.resolve("f.bin"), Array[Byte](1, 2, 3))
+    Materialize.registerTmpCleanup(dir)
+    Materialize.registerTmpCleanup(dir) // second call: no second hook
+    assert(Materialize.registeredTmpCleanups.contains(dir))
+    // the hook body, invoked directly (JVM shutdown can't run in-test)
+    Materialize.deleteRecursively(new java.io.File(dir))
+    assert(!new java.io.File(dir).exists())
+  }
+
+  test("pin discovers its own RDD id under a concurrent unpinned barrier (r13 what's-wrong #4)") {
+    import java.util.concurrent.{Callable, CyclicBarrier, Executors}
+    import org.apache.spark.sql.DataFrame
+    ModelCheckpoint.sweep(spark)
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      for (i <- 1 to 5) {
+        val gate = new CyclicBarrier(2)
+        val fa = pool.submit(new Callable[DataFrame] {
+          def call(): DataFrame = {
+            gate.await()
+            ModelCheckpoint.pin(spark.range(1000L * i).toDF("a"))
+          }
+        })
+        val fb = pool.submit(new Callable[DataFrame] {
+          def call(): DataFrame = {
+            gate.await()
+            spark.range(1000L * i).toDF("b").materialize()
+          }
+        })
+        val (pinnedDf, unpinnedDf) = (fa.get(), fb.get())
+        assert(pinnedDf.count() == 1000L * i && unpinnedDf.count() == 1000L * i)
+        ModelCheckpoint.sweep(spark)
+        // after the sweep only PINNED blocks survive: a mis-pin (the old
+        // global before/after diff racing the concurrent barrier) would
+        // leave the unpinned barrier's RDD resident here
+        val surviving = spark.sparkContext.getPersistentRDDs.keySet
+        assert(surviving.forall(ModelCheckpoint.isPinned),
+          s"sweep left unpinned RDDs resident: $surviving")
+        // and the pinned frame was NOT swept (its blocks still serve)
+        assert(pinnedDf.count() == 1000L * i)
+      }
+    } finally pool.shutdown()
+  }
+
   test("iterative consumer (DedupClusters) is mode-identical") {
     val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L), (3L, 4L)).toDF("a", "b")
     // driverCutoverEdges = 0: force the distributed star-contraction

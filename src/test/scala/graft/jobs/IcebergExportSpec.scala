@@ -154,4 +154,24 @@ class IcebergExportSpec extends SparkSpec {
     // and no tmp file left behind
     assert(!fs.exists(new Path(metaDir, ".version-hint.text.tmp")))
   }
+
+  test("missing version hint (delete->rename window) self-heals via the metadata scan (r13 ADVICE)") {
+    val cat = new GraftCatalog(spark, tmpDir("ice_cat_nohint"))
+    writeRows(cat, 6)
+    val r1 = IcebergExport.reconcile(cat, "default", "ice_m")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val metaDir = new Path(s"${cat.root}/_iceberg/default/ice_m/metadata")
+    val fs = metaDir.getFileSystem(conf)
+    // simulate a reader/reconciler landing between the flip's delete and
+    // rename: the hint is absent but v1.metadata.json is published —
+    // state must come from the scan, NOT be treated as a fresh table
+    fs.delete(new Path(metaDir, "version-hint.text"), false)
+    writeRows(cat, 4, offset = 3600L * 1000000L * 200)
+    val r2 = IcebergExport.reconcile(cat, "default", "ice_m")
+    assert(r2.version == r1.version + 1,
+      s"missing hint restarted versioning: ${r2.version} vs ${r1.version}")
+    val in = fs.open(new Path(metaDir, "version-hint.text"))
+    val hint = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    assert(hint.trim.toInt == r2.version)
+  }
 }

@@ -119,6 +119,49 @@ class TimePartitionPruningSpec extends SparkSpec {
       "rule must leave Filters above set operations untouched")
   }
 
+  test("tiered union: derived partition bounds reach BOTH tiers' scans (r13 verdict #4)") {
+    TimePartitionPruning.install(spark)
+    val cat = new GraftCatalog(spark, tmpDir("prune_tier_hot"))
+    val coldRoot = tmpDir("prune_tier_cold")
+    // 48 hourly partitions across 2 days
+    val lp = (0 until 48).map(h => s"m,host=a v=$h.0 ${base + h * H}").mkString("\n")
+    val (pts, _) = LineProtocol.parse(lp, "us")
+    ColumnarBatch.fromPoints(pts).foreach(HourPartitionedWriter.ingest(cat, "default", _))
+    // migrate day 1 (hours 0-23) to the cold tier: cutoffHour =
+    // now/3600s - 24 = baseHour + 24, so exactly hours < 24 move
+    val mig = graft.jobs.Tiering.migrate(cat, coldRoot, "default", "m",
+      afterDays = 1, nowMicros = () => base + 48 * H)
+    assert(mig.migrated.length == 24 && mig.kept == 24, mig)
+
+    // window straddles the tier boundary: day1 22:00 .. day2 02:00
+    val df = graft.jobs.Tiering.table(cat, coldRoot, "default", "m")
+      .where(col("time") >= lit("2024-06-01 22:00:00").cast("timestamp") &&
+             col("time") < lit("2024-06-02 02:00:00").cast("timestamp"))
+      .select("v")
+    df.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case s: FileSourceScanExec => Seq(s)
+        case other => other.children.flatMap(scans)
+      }
+    val all = scans(df.queryExecution.executedPlan)
+    assert(all.length == 2, s"expected hot+cold scans, got ${all.length}")
+    // the r13 set-op stop is CONSERVATIVE (no derivation above the
+    // Union); the pruning must still land because Catalyst pushes the
+    // time filter through the Union first and the rule then derives per
+    // child — if a future Spark rule reordering broke that, one tier
+    // would silently full-scan (24 partitions instead of 2)
+    all.foreach { s =>
+      assert(s.partitionFilters.exists(_.references.exists(_.name == "hour")),
+        s"scan of ${s.relation.location.rootPaths} carries no derived hour bound")
+      val n = s.selectedPartitions.partitionCount
+      assert(n == 2, s"expected 2 pruned hour partitions per tier, got $n " +
+        s"for ${s.relation.location.rootPaths}")
+    }
+    assert(df.count() == 4)
+  }
+
   test("rule leaves results identical and is idempotent") {
     TimePartitionPruning.install(spark)
     TimePartitionPruning.install(spark) // second install is a no-op

@@ -85,6 +85,8 @@ def ratio(a, b): return (a / b) if b else 0.0
 q65 = d.get("q65_census", {})
 q113 = d.get("q113_census", {})
 q114 = d.get("q114_census", {})
+q114c = d.get("q114_capped_census", {})
+qq = d.get("queries", {})
 checks = {
     # (value, threshold, direction) — reference values measured r13:
     # q65 candidates/naive 0.059, q113 prefix/naive 0.0014,
@@ -100,6 +102,23 @@ checks = {
     "q114_truth_recall": (ratio(q114.get("truth_in_governed", 0),
                                 max(q114.get("truth_in_uncapped", 1), 1)),
                           0.995, "min"),
+    # CAPPED-regime governor checks (r13 verdict #1): a budget=1/doc
+    # census on the same corpus forces cap selection — the regime that
+    # actually governs at 200k+ docs. The cap must engage, admit within
+    # budget, and lose <0.5% of banding-recoverable truth pairs.
+    "q114c_cap_engaged": (q114c.get("cap", 0) > 0, True, "eq"),
+    "q114c_admitted_vs_budget": (ratio(q114c.get("capped_pairs", 0),
+                                       max(q114c.get("budget", 1), 1)), 1.0, "max"),
+    "q114c_truth_recall": (ratio(q114c.get("truth_in_governed", 0),
+                                 max(q114c.get("truth_in_uncapped", 1), 1)),
+                           0.995, "min"),
+    # idf-weighted SimHash pair volume vs the unweighted form (r13
+    # verdict #6): the weighting's whole point is collapsing the
+    # saturated-fingerprint pair blowup (measured r13: 0.053); a
+    # regression toward unweighted behavior flags here.
+    "q67w_pairs_vs_q67": (ratio(qq.get("q67_weighted_simhash", {}).get("rows", 0),
+                                max(qq.get("q67_dedup_simhash", {}).get("rows", 1), 1)),
+                          0.12, "max"),
 }
 for name, (val, thr, kind) in checks.items():
     ok = (val == thr) if kind == "eq" else \
@@ -112,6 +131,12 @@ print(json.dumps(out, indent=1, sort_keys=True))
 if flags:
     print(f"[zipf_gate] {len(flags)} FLAG(S): " +
           ", ".join(f["check"] for f in flags), file=sys.stderr)
+    # the gate GATES (r13 ADVICE): a scale-shape regression fails the
+    # close-out, not just the artifact. ZIPF_GATE_STRICT=0 to inspect a
+    # flagged artifact without aborting (the JSON is already written).
+    import os
+    if os.environ.get("ZIPF_GATE_STRICT", "1") != "0":
+        sys.exit(1)
 EOF
 
 # a stale generic bench_out.json must never shadow the official
