@@ -43,6 +43,15 @@ object HarnessSession {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // The inventory is ~180 distinct plans with several whole-stage
+      // codegen units each; Spark's compiled-class cache holds 100
+      // entries by default, so a multi-query session (the bench's
+      // round-robin, the serving facade's query mix) evicts everything
+      // between repeats and pays Janino compilation on EVERY execution
+      // (~0.1-1 s/query, measured: isolated reruns beat the round-robin
+      // bench by exactly that tier). Scale-independent JVM-cache sizing,
+      // not a data-size tunable; bounded by class count, not data.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
     val isLocal = master == "local" || master.startsWith("local[")
     if (!isLocal) {
       b.config("spark.executor.extraClassPath",

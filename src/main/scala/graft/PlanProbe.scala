@@ -25,6 +25,21 @@ object PlanProbe {
     val spark = HarnessSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // per-query job/stage/task census: a tiny-data query spending its
+    // time in N sequential job round-trips is latency-bound, not
+    // compute-bound — the counter tells the two apart (guide §1)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val stages = new java.util.concurrent.atomic.AtomicInteger
+    val tasks = new java.util.concurrent.atomic.AtomicInteger
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet()
+          stages.addAndGet(j.stageInfos.size)
+          tasks.addAndGet(j.stageInfos.map(_.numTasks).sum)
+        }
+      })
     spark.range(1000000).selectExpr("sum(id)").collect()
     val named = SparkEntry.queries.toSeq.sortBy(_._1).filter(kv => only(kv._1))
     named.foreach { case (name, fn) =>
@@ -37,11 +52,14 @@ object PlanProbe {
           plan.getBytes("UTF-8"))
         ModelCheckpoint.sweep(spark)
         spark.sparkContext.setJobDescription(s"probe:$name")
+        var jn = 0; var sn = 0; var tn = 0
         val counts = (1 to iters).map { _ =>
+          val j0 = jobs.get(); val s0 = stages.get(); val t0n = tasks.get()
           val t0 = System.nanoTime()
           fn(spark, sfDir).count()
           val dt = (System.nanoTime() - t0) / 1e9
           ModelCheckpoint.sweep(spark)
+          jn = jobs.get() - j0; sn = stages.get() - s0; tn = tasks.get() - t0n
           dt
         }
         val noops = (1 to iters).map { _ =>
@@ -54,7 +72,8 @@ object PlanProbe {
         spark.sparkContext.setJobDescription(null)
         println(f"[probe] $name%-28s count_min=${counts.min}%7.3f s  " +
           f"noop_min=${noops.min}%7.3f s  counts=${counts.map(d => f"$d%.2f").mkString("/")}  " +
-          f"noops=${noops.map(d => f"$d%.2f").mkString("/")}")
+          f"noops=${noops.map(d => f"$d%.2f").mkString("/")}  " +
+          s"jobs=$jn stages=$sn tasks=$tn")
       } catch {
         case e: Throwable =>
           println(s"[probe] $name ERROR: ${e.getMessage}")

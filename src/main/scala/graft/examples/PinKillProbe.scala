@@ -64,14 +64,18 @@ object PinKillProbe {
     val shardBudget = math.max(1L, n * 499 / 256)
 
     val ops: Seq[(String, () => DataFrame)] = Seq(
+      // cutoverBytes=0 forces the distributed arms — the probe tests
+      // exactly the pin machinery, never the small-input window path
       "shardpack" -> (() =>
-        ShardPack.assign(base, col("k"), col("w"), shardBudget)),
+        ShardPack.assign(base, col("k"), col("w"), shardBudget,
+          cutoverBytes = 0L)),
       "budgetselect" -> (() =>
         BudgetSelect.distributedSelect(base, col("g"),
           Seq((col("w"), false)), "k", col("w"), lit(n * 499 / 8192))
           .select(col("k"), col("sel_prior"))),
       "globalrank" -> (() =>
-        GlobalRank.withRowNumber(base, Seq(col("w"), col("k")), "rn")
+        GlobalRank.withRowNumber(base, Seq(col("w"), col("k")), "rn",
+            cutoverBytes = 0L)
           .select(col("k"), col("rn"))),
       "bestfitpack" -> (() =>
         BestFitPack.pack(base, col("g"), col("k"), col("w"),

@@ -37,17 +37,32 @@ object Bm25 {
     * broadcast df-per-term and corpus (n_docs, total_len). */
   private def candidates(docs: DataFrame, idCol: String, textCol: String,
       terms: Seq[String]): (DataFrame, DataFrame, DataFrame) = {
+    import graft.Materialize._
     val termArr = array(terms.map(lit): _*)
+    // narrow (doc_id, dl, matched-terms) frame, materialized: the
+    // corpus is tokenized ONCE for both consumers (stats + tf) instead
+    // of once per aggregate (r14; two full tokenize passes before)
     val tk = docs.select(col(idCol).as("doc_id"),
       TextFunctions.tokens(col(textCol)).as("tk"))
       .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
-        // query-vocab filter BEFORE the generator: the exploded stream
+        // query-vocab filter BEFORE the generator: the kept stream
         // carries only matching occurrences
         filter(col("tk"), t => array_contains(termArr, t)).as("qtk"))
+      .materialize()
     val stats = tk.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
-    val tf = tk.select(col("doc_id"), col("dl"), explode(col("qtk")).as("term"))
-      .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+    // per-(doc, term) counts computed MAP-SIDE from each row's matched
+    // array (guide §2.3 — aggregate before you shuffle): the former
+    // explode + groupBy(doc, dl, term) shuffled every matching
+    // occurrence; this ships at most |terms| pre-counted rows per doc
+    // and no exchange at all before the df aggregate
+    val tf = tk.where(size(col("qtk")) > 0)
+      .select(col("doc_id"), col("dl"), explode(
+        filter(transform(termArr, t =>
+            struct(t.as("term"),
+              size(filter(col("qtk"), x => x === t)).cast("long").as("tf"))),
+          s => s.getField("tf") > 0L)).as("p"))
+      .select(col("doc_id"), col("dl"),
+        col("p.term").as("term"), col("p.tf").as("tf"))
     val dfs = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     (tf, dfs, stats)
   }

@@ -153,10 +153,16 @@ object ContainmentDedup {
       nDocs = docs.select(col(idCol)).distinct().count(), minContainment)
 
   private def estimateFromSets(sets: DataFrame, nDocs: Long,
-      minContainment: Double): StrategyEstimate = {
+      minContainment: Double): StrategyEstimate =
+    estimateFromHistogram(censusHistogram(sets), nDocs, minContainment)
+
+  /** The census collect (one aggregate action) — split from the driver
+    * math so [[pairsAuto]] can overlap it with the nDocs count. */
+  private def censusHistogram(
+      sets: DataFrame): Array[org.apache.spark.sql.Row] = {
     val census = sets.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     // log2 histogram: tiny driver result regardless of vocabulary size
-    val hist = census
+    census
       .groupBy(floor(log2(col("df"))).as("b"))
       // df² summed in double: Σ df² over a billion-doc vocabulary
       // overflows long, and the estimate only needs magnitude
@@ -165,6 +171,10 @@ object ContainmentDedup {
         count(lit(1)).as("v"))
       .orderBy(col("b"))
       .collect()
+  }
+
+  private def estimateFromHistogram(hist: Array[org.apache.spark.sql.Row],
+      nDocs: Long, minContainment: Double): StrategyEstimate = {
     val postings = hist.map(_.getAs[Long]("p")).sum
     val naive = hist.map(_.getAs[Double]("j")).sum
     val vocab = hist.map(_.getAs[Long]("v")).sum
@@ -190,9 +200,17 @@ object ContainmentDedup {
     val sets = shingleSets(docs, idCol, textCol, shingleK).materialize()
     // nDocs from the RAW table (column-pruned scan): the exploded frame
     // silently drops zero-shingle docs, which would skew the estimate's
-    // +D prefix-mass term on short-doc-heavy corpora
-    val nDocs = docs.select(col(idCol)).distinct().count()
-    val est = estimateFromSets(sets, nDocs, minContainment)
+    // +D prefix-mass term on short-doc-heavy corpora. The count and the
+    // census histogram are INDEPENDENT jobs — overlap them (guide §2.6:
+    // actions are only sequential because the driver calls them
+    // sequentially); the census only folds nDocs in after its collect.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val nDocsF = Future(docs.select(col(idCol)).distinct().count())
+    val hist = censusHistogram(sets)
+    val nDocs = Await.result(nDocsF, Duration.Inf)
+    val est = estimateFromHistogram(hist, nDocs, minContainment)
     val idIntegral = docs.schema(idCol).dataType match {
       case org.apache.spark.sql.types.LongType |
            org.apache.spark.sql.types.IntegerType |

@@ -69,10 +69,25 @@ object GlobalRank {
                          // counts job and the stamp job
   }
 
-  /** `df` + a global row-number column (1-based, ordered by sortCols). */
+  /** `df` + a global row-number column (1-based, ordered by sortCols).
+    *
+    * Size-adaptive like [[ntile]] (r14): inputs whose plan-estimated
+    * size fits one task use the plain window `row_number` — one sort,
+    * zero extra jobs, where the distributed shape pays a range
+    * exchange, a checkpoint barrier, and a per-partition counts job
+    * (3+ jobs of fixed latency). Larger inputs keep the offset-stamping
+    * shape, which never gathers the table into a single task. Identical
+    * output both ways for any deterministic total order (callers
+    * tie-break their sort keys; GlobalRankSpec pins parity). */
   def withRowNumber(df: DataFrame, sortCols: Seq[Column],
-      rnCol: String = "rn", partitions: Int = 0): DataFrame =
-    stamp(rangeSorted(df, sortCols, partitions), rnCol)._1
+      rnCol: String = "rn", partitions: Int = 0,
+      cutoverBytes: Long = WindowCutoverBytes): DataFrame = {
+    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (estBytes >= 0 && estBytes < BigInt(cutoverBytes)) {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(sortCols: _*)
+      df.withColumn(rnCol, row_number().over(w).cast("long"))
+    } else stamp(rangeSorted(df, sortCols, partitions), rnCol)._1
+  }
 
   /** Default size cutover: below this the single-task window sort is
     * cheaper than the multi-pass distributed stamping. */

@@ -113,7 +113,12 @@ object MinHashDedup {
       budgetPairsPerDoc: Int): BandCensus = {
     require(budgetPairsPerDoc >= 1,
       s"budgetPairsPerDoc must be >= 1, got $budgetPairsPerDoc")
-    val nDocs = sigs.count()
+    // the doc count and the bucket histogram are independent jobs over
+    // the checkpointed signatures — overlap them (guide §2.6; r14)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val nDocsF = Future(sigs.count())
     val hist = sigs
       .select(explode(bandStructs(col("sig"), numHashes, bands)).as("b"))
       .groupBy(col("b")).agg(count(lit(1)).as("n"))
@@ -121,6 +126,7 @@ object MinHashDedup {
       .groupBy(col("n")).agg(count(lit(1)).as("k"))
       .orderBy(col("n"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nDocs = Await.result(nDocsF, Duration.Inf)
     val budget = budgetPairsPerDoc.toLong * nDocs
     def vol(nk: (Long, Long)): Long = nk._2 * nk._1 * (nk._1 - 1) / 2
     val full = hist.map(vol).sum

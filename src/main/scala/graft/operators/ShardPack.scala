@@ -54,9 +54,10 @@ object ShardPack {
     * @param budget  target weight per shard, > 0
     */
   def assign(df: DataFrame, keyCol: Column, weightCol: Column, budget: Long,
-      shardCol: String = "shard_id", partitions: Int = 0): DataFrame = {
+      shardCol: String = "shard_id", partitions: Int = 0,
+      cutoverBytes: Long = GlobalRank.WindowCutoverBytes): DataFrame = {
     require(budget > 0, s"shard budget must be positive, got $budget")
-    priors(df, keyCol, weightCol, partitions)
+    priors(df, keyCol, weightCol, partitions, cutoverBytes)
       // exact integer division (double floor would wobble past 2^53)
       .withColumn(shardCol, expr(s"_prior div ${budget}L").cast("long"))
       .select(col("_k"), col("_w"), col(shardCol))
@@ -68,8 +69,22 @@ object ShardPack {
     * single-task window — range partition + per-partition offsets; the
     * only driver state is p partition sums. */
   def priors(df: DataFrame, keyCol: Column, weightCol: Column,
-      partitions: Int = 0): DataFrame = {
+      partitions: Int = 0,
+      cutoverBytes: Long = GlobalRank.WindowCutoverBytes): DataFrame = {
     val spark = df.sparkSession
+    // size-adaptive like GlobalRank (r14): below the cutover the plain
+    // running-sum window wins — one sort in one task beats a range
+    // exchange + checkpoint + per-partition counts job + broadcast
+    // join; identical priors either way for a unique key
+    // (ShardPackSpec pins both paths)
+    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (estBytes >= 0 && estBytes < BigInt(cutoverBytes)) {
+      val w = Window.orderBy(col("_k"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      return df.select(keyCol.as("_k"),
+          coalesce(weightCol.cast("long"), lit(0L)).as("_w"))
+        .withColumn("_prior", coalesce(sum(col("_w")).over(w), lit(0L)))
+    }
     val p = if (partitions > 0) partitions
       else spark.sparkContext.defaultParallelism
     val narrow = df.select(keyCol.as("_k"),

@@ -160,11 +160,19 @@ object SimHashDedup {
     val toks = base.select(col("doc_id"),
       explode(TextFunctions.tokens(col("_t"))).as("tok"))
       .withColumn("h", hashOf(col("tok")))
-    val dfc = toks.select(col("doc_id"), col("tok")).distinct()
+    // df census: per-row array_distinct BEFORE the generator replaces
+    // the (doc, tok) distinct — one map-side-combining exchange instead
+    // of a distinct shuffle of the full occurrence stream plus the
+    // count exchange (guide §2.3/§2.4; r14)
+    val dfc = base.select(explode(
+        array_distinct(TextFunctions.tokens(col("_t")))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("_df"))
-    val nDocs = base.count()
-    val voted = toks.join(dfc, Seq("tok"))
-      .withColumn("w", log(lit(nDocs + 1.0) / col("_df")))
+    // N as a broadcast 1-row aggregate instead of a blocking .count()
+    // action: same double arithmetic ((N+1.0)/df), one less driver
+    // round-trip per signature build (r14)
+    val nd = broadcast(base.agg(count(lit(1)).cast("double").as("_nd")))
+    val voted = toks.join(dfc, Seq("tok")).crossJoin(nd)
+      .withColumn("w", log((col("_nd") + lit(1.0)) / col("_df")))
     val bitSums = (0 until bits).map { b =>
       // shiftrightunsigned: xxhash64 values are full-range longs, and a
       // SIGNED shift of a negative hash drags the sign bit across every

@@ -49,7 +49,12 @@ object Winnowing {
     * fp with AQE free to split a hot fingerprint's partition. */
   def stats(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int, w: Int, minDocs: Int = 2): DataFrame = {
-    val fp = fingerprints(docs, idCol, textCol, shingleK, w)
+    // materialized like MinHashDedup.signatures: the exploded stream
+    // feeds BOTH the doc-frequency census and the join-back side, and
+    // without the barrier the tokenize+winnow kernel runs once per
+    // consumer (r14; plan showed the corpus scanned twice)
+    import graft.Materialize._
+    val fp = fingerprints(docs, idCol, textCol, shingleK, w).materialize()
     val ex = fp.select(col(idCol), col("n_shingles"),
       size(col("fps")).as("n_fp"), explode(col("fps")).as("fp"))
     // fps are distinct per doc, so count(*) per fp == document frequency

@@ -75,11 +75,18 @@ object RetrievalQueries {
       val toks = t(s, dir, "documents")
         .select(col("doc_id"), (col("source") === DsirTarget).as("is_t"),
           explode(tokens(col("text"))).as("w"))
-      // vocab-sized unigram model: corpus count + target count per token;
-      // normalizers (T, C, V) roll up FROM the model, broadcast as 1 row
-      val model = toks.groupBy(col("w"))
-        .agg(count(lit(1)).as("c_c"),
-          sum(when(col("is_t"), 1L).otherwise(0L)).as("c_t"))
+      // ONE tokenize pass (r14): the compressed (doc, token, count)
+      // frame is the first aggregation, and the vocab-sized model ROLLS
+      // UP from it (is_t is doc-level, so per-token target counts are
+      // exact sums of per-doc counts) — before, the model and the
+      // scoring probe each re-exploded the corpus. The shared
+      // groupBy(doc_id, is_t, w) exchange is reused across both
+      // consumers (ReusedExchange), so no barrier is needed.
+      val perDocT = toks.groupBy(col("doc_id"), col("is_t"), col("w"))
+        .agg(count(lit(1)).as("cnt"))
+      val model = perDocT.groupBy(col("w"))
+        .agg(sum(col("cnt")).as("c_c"),
+          sum(when(col("is_t"), col("cnt")).otherwise(0L)).as("c_t"))
         .materialize()
       val norms = broadcast(model.agg(
         sum(col("c_c")).as("big_c"), sum(col("c_t")).as("big_t"),
@@ -93,9 +100,8 @@ object RetrievalQueries {
             "dsir target mass"), lit(1000000L), "dsir ratio"),
           mulGuard(col("c_c") + 1L, col("big_t") + col("v"),
             "dsir corpus mass")).as("r6"))
-      // scoring probe: compressed (doc, token, count) frame vs the model
-      val perDoc = toks.groupBy(col("doc_id"), col("w"))
-        .agg(count(lit(1)).as("cnt"))
+      // scoring probe: the same compressed frame vs the model
+      val perDoc = perDocT.select(col("doc_id"), col("w"), col("cnt"))
       val scored = perDoc.join(ratios, "w")
         .groupBy(col("doc_id"))
         .agg(sum(mulGuard(col("cnt"), col("r6"), "dsir doc score")).as("s"),

@@ -141,7 +141,10 @@ object SampleQueries {
         .materialize()
       val budgets = d.groupBy(col("source"))
         .agg(expr("(sum(n_tok) * 2) div 5").as("budget"))
-      graft.operators.BudgetSelect.distributedSelect(
+      // the size-adaptive dispatcher (r14): the plain window below the
+      // cutover (one sort, no offsets machinery), the distributed
+      // prefix sum above — BudgetSelectSpec pins both paths identical
+      graft.operators.BudgetSelect.select(
           d.join(broadcast(budgets), "source"),
           groupCol = col("source"),
           prefCols = Seq(col("quality") -> false),

@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.Materialize._
+
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -372,6 +374,13 @@ object TimeseriesQueries {
       import graft.operators.GroupQuantile
       val ev = t(s, dir, "events").select(col("event_type"),
         (dec(col("value")) * 100).cast("long").as("c"))
+      // med/mad stay UNBARRIERED deliberately (r14, measured): a
+      // materialize() here trades the duplicated (parallel) window
+      // subtrees for two extra sequential job barriers — +0.3 s at
+      // sf0.1 (19 jobs vs 8) — and at scale GroupQuantile's large arm
+      // already checkpoints the range-sorted stream inside
+      // GlobalRank.rangeSorted, so the duplicated tail is only the
+      // cheap post-stamp aggregation
       val med = GroupQuantile.selectRanks(ev, Seq("event_type"), "c",
         Seq("med" -> (n => GroupQuantile.rank(n, 2L))))
       val dev = ev.join(broadcast(med), "event_type")
@@ -700,6 +709,9 @@ object TimeseriesQueries {
       val ev = t(s, dir, "events").select(col("event_type"),
         unix_micros(col("ts")).as("tt"), col("event_id"),
         (dec(col("value")) * 100).cast("long").as("c"))
+      // med stays unbarriered (r14, measured — see q128): the barrier
+      // costs more sequential job latency than the duplicated parallel
+      // window subtree, and the large arm checkpoints internally
       val med = GroupQuantile.selectRanks(
         ev.select(col("event_type"), col("c")), Seq("event_type"), "c",
         Seq("med" -> (n => GroupQuantile.rank(n, 2L))))
@@ -868,9 +880,10 @@ object TimeseriesQueries {
       val h = ev.groupBy(col("event_type"), col("bin"))
         .agg(sum(when(col("half") === 1L, 1L).otherwise(0L)).as("c1"),
           sum(when(col("half") === 2L, 1L).otherwise(0L)).as("c2"))
-      val tot = ev.groupBy(col("event_type"))
-        .agg(sum(when(col("half") === 1L, 1L).otherwise(0L)).as("n1"),
-          sum(when(col("half") === 2L, 1L).otherwise(0L)).as("n2"))
+      // per-series totals roll up from the histogram instead of a second
+      // pass over the raw stream (same move as q161; r14, guide §2.4)
+      val tot = h.groupBy(col("event_type"))
+        .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
       h.join(broadcast(tot), "event_type")
         .groupBy(col("event_type"), col("n1"), col("n2"))
         .agg(sum(abs(mulGuard(col("c1"), col("n2"), "drift c1n2") -
@@ -1040,9 +1053,12 @@ object TimeseriesQueries {
       val g = ev.groupBy(col("event_type"), col("v"))
         .agg(sum(when(col("half") === 1L, 1L).otherwise(0L)).as("c1"),
           sum(when(col("half") === 2L, 1L).otherwise(0L)).as("c2"))
-      val tot = ev.groupBy(col("event_type"))
-        .agg(sum(when(col("half") === 1L, 1L).otherwise(0L)).as("n1"),
-          sum(when(col("half") === 2L, 1L).otherwise(0L)).as("n2"))
+      // per-series totals ROLL UP from the grouped frame instead of
+      // re-aggregating the raw stream — the before plan scanned events
+      // four times (ev evaluated once per consumer, and each ev carries
+      // its own min/max bounds scan); identical sums (r14, guide §2.4)
+      val tot = g.groupBy(col("event_type"))
+        .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
       val wc = Window.partitionBy(col("event_type")).orderBy(col("v"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       g.withColumn("cum1", sum(col("c1")).over(wc))

@@ -16,14 +16,19 @@ class GlobalRankSpec extends SparkSpec {
     (0 until n).map(i => ((i * 7919) % 100, i.toLong)).toDF("v", "id")
   }
 
-  test("row numbers equal the window form's") {
+  test("row numbers equal the window form's (both paths)") {
     val d = df(1000)
-    val got = GlobalRank.withRowNumber(d, Seq(col("v"), col("id")))
-      .orderBy("rn").collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
     val w = Window.orderBy(col("v"), col("id"))
     val want = d.withColumn("rn", row_number().over(w))
       .orderBy("rn").collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
-    assert(got == want)
+    // cutoverBytes=0 forces the distributed offset-stamping path; the
+    // default takes the small-input window path (r14 size cutover)
+    for (cutover <- Seq(0L, GlobalRank.WindowCutoverBytes)) {
+      val got = GlobalRank.withRowNumber(d, Seq(col("v"), col("id")),
+          cutoverBytes = cutover)
+        .orderBy("rn").collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+      assert(got == want, s"cutover=$cutover")
+    }
   }
 
   test("ntile matches the window form for uneven buckets (both paths)") {

@@ -29,14 +29,17 @@ class ShardPackSpec extends SparkSpec {
       .select("k", "shard_id")
   }
 
-  test("assignment equals the global-window form") {
-    for (n <- Seq(10, 1000)) {
-      val got = ShardPack.assign(docs(n), col("k"), col("w"), 1000L)
+  test("assignment equals the global-window form (both paths)") {
+    // cutoverBytes=0 forces the distributed offset path; the default
+    // takes the small-input window path (r14 size cutover)
+    for (n <- Seq(10, 1000); cutover <- Seq(0L, 256L * 1024 * 1024)) {
+      val got = ShardPack.assign(docs(n), col("k"), col("w"), 1000L,
+          cutoverBytes = cutover)
         .select(col("_k").as("k"), col("shard_id"))
         .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
       val want = windowForm(n)
         .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-      assert(got == want)
+      assert(got == want, s"n=$n cutover=$cutover")
     }
   }
 

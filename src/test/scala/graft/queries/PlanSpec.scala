@@ -123,17 +123,31 @@ class PlanSpec extends SparkSpec {
       s"expected window + output-sort exchanges only:\n$plan")
   }
 
-  test("shard packing never runs an empty-PARTITION-BY window") {
-    // ShardPack's contract: the prefix sum is computed per range
-    // partition (window PARTITIONED BY the partition id) + broadcast
-    // offsets — the single-task global window must not appear
+  test("shard packing: single-task window below the cutover, " +
+      "per-partition offsets (no empty-PARTITION-BY window) above") {
+    // r14: ShardPack.priors gained the GlobalRank size cutover. The
+    // tiny fixture takes the plain window (the right plan at this
+    // size); the LARGE arm keeps the distributed contract: the prefix
+    // sum is computed per range partition (window PARTITIONED BY the
+    // partition id) + broadcast offsets — no single-task global window.
     val plan = explained("q84_shard_pack")
-    val winLines = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
-    assert(winLines.nonEmpty, s"expected a window stage:\n$plan")
+    assert(plan.contains("windowspecdefinition"),
+      s"small input should take the window arm:\n$plan")
+    val d = graft.Tables.load(spark, dir, "documents")
+      .selectExpr("doc_id", "size(split(text, ' ')) AS w")
+    val big = graft.operators.ShardPack.assign(d,
+      org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.col("w"), 4096L, cutoverBytes = 0L)
+    big.collect()
+    val bigPlan = big.queryExecution.explainString(
+      ExplainMode.fromString("formatted"))
+    val winLines = bigPlan.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty, s"expected a window stage:\n$bigPlan")
     assert(winLines.forall(_.contains("_pid")),
       s"window must partition by _pid (no global single-task sort):\n$winLines")
-    assert(plan.contains("BroadcastExchange"),
-      s"partition offsets must broadcast:\n$plan")
+    assert(bigPlan.contains("BroadcastExchange"),
+      s"partition offsets must broadcast:\n$bigPlan")
   }
 
   test("passage-coverage runs on two data shuffles (window + doc agg)") {
@@ -320,9 +334,13 @@ class PlanSpec extends SparkSpec {
     // never a doc×doc product
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
-    // the winnow selection runs inside codegen before any exchange
-    assert(plan.contains("winnow_select") || plan.contains("WinnowSelect"),
-      s"native winnow kernel expected in plan:\n$plan")
+    // the winnow selection runs inside codegen before any exchange, ONCE:
+    // r14 materializes the per-doc fingerprint frame (the census and the
+    // join-back both consume it), so the declared plan reads the
+    // checkpointed RDD instead of carrying the kernel twice — a parquet
+    // scan here means the tokenize+winnow pass re-ran per consumer
+    assert(count(plan, "Scan parquet") == 0,
+      s"fingerprints must come from the one materialized pass:\n$plan")
   }
 
   test("edit-verified dedup computes Levenshtein above the spread exchange") {
@@ -643,19 +661,31 @@ class PlanSpec extends SparkSpec {
       s"common lines must broadcast:\n$plan")
   }
 
-  test("q159 sequence packing: per-partition window + broadcast offsets") {
+  test("q159 sequence packing: window below the cutover; per-partition " +
+      "window + broadcast offsets above") {
+    // r14: the prefix sum under SequencePack rides ShardPack.priors'
+    // size cutover — the tiny fixture takes the plain window; above the
+    // cutover the running sum must partition by the physical partition
+    // id with the p-row offset table broadcast in (an empty partition
+    // spec there is the one-task-sorts-the-corpus scale killer)
     val plan = explained("q159_sequence_pack")
-    // the global prefix sum must NEVER be a single-task window: the
-    // running sum partitions by the physical partition id, and the p-row
-    // offset table broadcasts in — an empty partition spec here is the
-    // one-task-sorts-the-corpus scale killer
-    val winLine = plan.linesIterator
+    assert(plan.contains("windowspecdefinition"),
+      s"small input should take the window arm:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    val d = graft.Tables.load(spark, dir, "documents")
+      .selectExpr("doc_id", "size(split(text, ' ')) AS w")
+    val big = graft.operators.ShardPack.priors(d,
+      org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.col("w"), cutoverBytes = 0L)
+    big.collect()
+    val bigPlan = big.queryExecution.explainString(
+      ExplainMode.fromString("formatted"))
+    val winLine = bigPlan.linesIterator
       .find(_.contains("windowspecdefinition")).getOrElse("")
     assert(winLine.contains("windowspecdefinition(_pid"),
       s"prefix-sum window must partition by _pid:\n$winLine")
-    assert(plan.contains("BroadcastHashJoin"),
-      s"the p-row offset frame must broadcast:\n$plan")
-    assert(!plan.contains("CartesianProduct"), plan)
+    assert(bigPlan.contains("BroadcastHashJoin"),
+      s"the p-row offset frame must broadcast:\n$bigPlan")
   }
 
   test("q160 chunk windows: pure per-row compute before the output sort") {
@@ -695,17 +725,34 @@ class PlanSpec extends SparkSpec {
       s"one documents scan:\n$plan")
   }
 
-  test("q167 batch plan: global ranks stamp, never a one-task window") {
+  test("q167 batch plan: global ranks are size-adaptive — window below " +
+      "the cutover, offset stamp (never a one-task window) above") {
+    // r14: GlobalRank.withRowNumber gained ntile's size cutover. On the
+    // tiny fixture the chosen arm IS the plain window (one sort, no
+    // extra jobs — the right plan at this size)...
     val plan = explained("q167_batch_plan")
-    // GlobalRank = range partition + broadcast offsets + mid stamping;
-    // an empty-partition windowspecdefinition would mean the whole
-    // corpus sorted in one task
-    assert(!plan.contains("windowspecdefinition()"),
-      s"no single-task global window:\n$plan")
-    assert(plan.contains("BroadcastHashJoin"),
-      s"partition offsets must broadcast:\n$plan")
-    assert(plan.contains("monotonically_increasing_id"),
-      s"expected the mid-based local index stamp:\n$plan")
+    assert(plan.contains("windowspecdefinition") ||
+      plan.contains("RunningWindowFunction"),
+      s"small input should take the window arm:\n$plan")
+    assert(!plan.contains("monotonically_increasing_id"),
+      s"small input should skip the stamp machinery:\n$plan")
+    // ...and the LARGE arm (forced via cutoverBytes=0) keeps the scale
+    // shape: range partition + broadcast offsets + mid stamping, no
+    // empty-partition window sorting the corpus in one task
+    val d = graft.Tables.load(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"))
+    val big = graft.operators.GlobalRank.withRowNumber(d,
+      Seq(org.apache.spark.sql.functions.col("doc_id")), "rn",
+      cutoverBytes = 0L)
+    big.collect()
+    val bigPlan = big.queryExecution.explainString(
+      ExplainMode.fromString("formatted"))
+    assert(!bigPlan.contains("windowspecdefinition()"),
+      s"no single-task global window above the cutover:\n$bigPlan")
+    assert(bigPlan.contains("BroadcastHashJoin"),
+      s"partition offsets must broadcast:\n$bigPlan")
+    assert(bigPlan.contains("monotonically_increasing_id"),
+      s"expected the mid-based local index stamp:\n$bigPlan")
   }
 
   test("q163 blocklist gate: per-row gate, one scan, sort-only exchange") {
