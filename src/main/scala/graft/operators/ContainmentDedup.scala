@@ -208,9 +208,23 @@ object ContainmentDedup {
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
     val nDocsF = Future(docs.select(col(idCol)).distinct().count())
-    val hist = censusHistogram(sets)
+    // small-vocabulary fast path (r14): probe the df census up to the
+    // bitmask cap + 1 rows. A short read hands the driver the EXACT
+    // census — the estimate AND the bitmask path's vocabulary come from
+    // this ONE job (the former chain ran a log2-histogram aggregate and
+    // then a second distinct-collect for the vocab). A full read means
+    // a big vocabulary: fall back to the log2 histogram, whose driver
+    // result stays tiny at any vocabulary size.
+    val censusProbe = sets.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .limit(SmallVocabCap + 1).collect()
+    val smallVocab = censusProbe.length <= SmallVocabCap
     val nDocs = Await.result(nDocsF, Duration.Inf)
-    val est = estimateFromHistogram(hist, nDocs, minContainment)
+    val est =
+      if (smallVocab) estimateExact(
+        censusProbe.map(_.getLong(1)), nDocs, minContainment)
+      else estimateFromHistogram(censusHistogram(sets), nDocs, minContainment)
+    val vocabArr =
+      if (smallVocab) Some(censusProbe.map(_.getLong(0)).sorted) else None
     val idIntegral = docs.schema(idCol).dataType match {
       case org.apache.spark.sql.types.LongType |
            org.apache.spark.sql.types.IntegerType |
@@ -220,8 +234,32 @@ object ContainmentDedup {
     }
     if (est.usePrefix) prefixFromSets(sets, idCol, minContainment)
     else if (idIntegral && bitmaskFits(nDocs, est.vocab))
-      pairsBitmaskFromSets(sets, idCol, minContainment, est.vocab.toInt)
+      pairsBitmaskFromSets(sets, idCol, minContainment, est.vocab.toInt,
+        vocabArr)
     else pairsFromSets(sets, idCol, minContainment, maxDocFreq = 0)
+  }
+
+  /** Vocabulary count at or below which the census probe collects the
+    * EXACT per-shingle df rows (16k rows ≈ a few hundred KB) — matches
+    * [[bitmaskFits]]'s vocab bound so the bitmask path can reuse the
+    * collected keys. */
+  private val SmallVocabCap = 16384
+
+  /** Exact-census estimate — same quantities as the log2-histogram form
+    * but cumulated over the true df distribution (the prefix bound is a
+    * touch tighter; every strategy is exact, so a dispatch difference
+    * can never change output). */
+  private def estimateExact(dfs: Array[Long], nDocs: Long,
+      minContainment: Double): StrategyEstimate = {
+    val postings = dfs.sum
+    val naive = dfs.map(d => d.toDouble * d).sum
+    val prefixMass = (1.0 - minContainment) * postings + nDocs
+    var acc = 0.0
+    var pre = 0.0
+    dfs.sorted.foreach { d =>
+      if (acc < prefixMass) { acc += d; pre += d.toDouble * d }
+    }
+    StrategyEstimate(nDocs, postings, naive, pre, dfs.length.toLong)
   }
 
   /** The dense-regime fast path fits when (a) the vocabulary is a small
@@ -257,11 +295,15 @@ object ContainmentDedup {
     * 6-dp formula (graft.queries.round6) so the doubles match the join
     * paths bit-for-bit. */
   private[operators] def pairsBitmaskFromSets(setsIn: DataFrame, idCol: String,
-      minContainment: Double, vocab: Int): DataFrame = {
+      minContainment: Double, vocab: Int,
+      vocabIn: Option[Array[Long]] = None): DataFrame = {
     val spark = setsIn.sparkSession
     import spark.implicits._
     val words = (vocab + 63) >> 6
-    val vocabArr = setsIn.select(col("sh")).distinct().as[Long].collect().sorted
+    // the caller's census probe already holds the vocabulary when it
+    // chose this path — collecting it again would be a redundant job
+    val vocabArr = vocabIn.getOrElse(
+      setsIn.select(col("sh")).distinct().as[Long].collect().sorted)
     val idxB = spark.sparkContext.broadcast(
       vocabArr.zipWithIndex.toMap: Map[Long, Int])
     val masks: Array[(Long, Array[Long])] = setsIn

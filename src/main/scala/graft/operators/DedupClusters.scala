@@ -53,14 +53,24 @@ object DedupClusters {
     */
   def components(edges: DataFrame, srcCol: String, dstCol: String,
       maxIterations: Int = 25, driverCutoverEdges: Long = 1L << 20): DataFrame = {
-    var e = edges
+    val deduped = edges
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
-      .materialize()
 
-    if (driverCutoverEdges > 0 && e.count() < driverCutoverEdges)
-      return driverComponents(e)
+    // ONE action decides the path AND delivers the small case (r14):
+    // collect up to the cutover; a short read means the whole deduped
+    // edge list is already on the driver — union-find it directly. The
+    // former shape paid three sequential jobs (checkpoint, count,
+    // collect) before any clustering started. Only the large case pays
+    // the checkpoint barrier the iterative contraction needs.
+    if (driverCutoverEdges > 0) {
+      val probe = deduped.limit(
+        math.min(driverCutoverEdges, Int.MaxValue.toLong).toInt).collect()
+      if (probe.length < driverCutoverEdges)
+        return driverComponentsRows(deduped.sparkSession, probe)
+    }
+    var e = deduped.materialize()
 
     var converged = false
     var iter = 0
@@ -83,7 +93,11 @@ object DedupClusters {
   /** Path-compressed union-find with the smaller id as root, so each
     * root IS its component's minimum — the same contract as the star
     * contraction. Used below the size cutover only. */
-  private def driverComponents(e: DataFrame): DataFrame = {
+  private def driverComponents(e: DataFrame): DataFrame =
+    driverComponentsRows(e.sparkSession, e.collect())
+
+  private def driverComponentsRows(spark: org.apache.spark.sql.SparkSession,
+      rows: Array[org.apache.spark.sql.Row]): DataFrame = {
     val parent = scala.collection.mutable.LongMap.empty[Long]
     def find(x: Long): Long = {
       var r = x
@@ -92,7 +106,6 @@ object DedupClusters {
       while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
       r
     }
-    val rows = e.collect()
     rows.foreach { r =>
       val (ru, rv) = (find(r.getLong(0)), find(r.getLong(1)))
       if (ru != rv) {
@@ -100,7 +113,6 @@ object DedupClusters {
       }
     }
     val nodes = rows.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
-    val spark = e.sparkSession
     import spark.implicits._
     nodes.map(nd => (nd, find(nd))).toSeq.toDF("node", "component")
   }

@@ -178,16 +178,24 @@ object DedupQueries {
           "doc1")
         .join(asg.select(col("doc_id").as("doc2"), col("csplit").as("c2")),
           "doc2")
-        .materialize() // one pair-frame pass feeds both rule rows
-      def row(rule: String, cross: Column) = audited
+      // BOTH rule rows from ONE aggregate pass (r14): the former shape
+      // checkpointed the pair frame and ran one aggregate per rule plus
+      // a union — one pass, one explode of the 1-row result instead
+      val onerow = audited
         .agg(count(lit(1)).as("n_pairs"),
-          sum(when(cross, 1L).otherwise(0L)).as("n_cross"))
-        .select(lit(rule).as("rule"), col("n_pairs"), col("n_cross"),
+          sum(when(col("c1") =!= col("c2"), 1L).otherwise(0L)).as("nc_c"),
+          sum(when(col("s1") =!= col("s2"), 1L).otherwise(0L)).as("nc_d"))
+      onerow
+        .select(explode(array(
+          struct(lit("cluster_hash").as("rule"), col("nc_c").as("n_cross")),
+          struct(lit("doc_hash").as("rule"), col("nc_d").as("n_cross"))))
+          .as("r"), col("n_pairs"))
+        .select(col("r.rule").as("rule"), col("n_pairs"),
+          coalesce(col("r.n_cross"), lit(0L)).as("n_cross"),
           when(col("n_pairs") === 0L, lit(0.0))
-            .otherwise(round6(col("n_cross"), col("n_pairs")))
+            .otherwise(round6(coalesce(col("r.n_cross"), lit(0L)),
+              col("n_pairs")))
             .as("leak_frac"))
-      row("cluster_hash", col("c1") =!= col("c2"))
-        .unionAll(row("doc_hash", col("s1") =!= col("s2")))
         .orderBy(col("rule"))
     }),
 

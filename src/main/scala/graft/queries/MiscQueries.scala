@@ -162,14 +162,18 @@ object MiscQueries {
     // nearest-rank value, far inside the 2% value tolerance.
     "q34b_sketch_bounds" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
+      // ONE sketch build queried at both quantiles (r14): two separate
+      // percentile_approx aggregates each built their own
+      // QuantileSummaries over the same stream — identical state, twice
+      // the dominant CPU; the array form reads both answers off one
       val sketches = li.groupBy(col("l_returnflag"))
         .agg(
           countDistinct(col("l_partkey")).as("exact_parts"),
           approx_count_distinct(col("l_partkey")).as("_approx"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
-            .as("_p50a"),
-          percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000))
-            .as("_p99a"))
+          percentile_approx(col("l_extendedprice"),
+            array(lit(0.5), lit(0.99)), lit(10000)).as("_pa"))
+        .withColumn("_p50a", element_at(col("_pa"), 1))
+        .withColumn("_p99a", element_at(col("_pa"), 2))
       // nearest-rank ceil(q*n): p50 = (n+1) div 2, p99 = (99n+99) div 100
       val exact = GroupQuantile.selectRanks(
         li.select(col("l_returnflag"), col("l_extendedprice")),

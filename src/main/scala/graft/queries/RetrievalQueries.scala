@@ -164,16 +164,28 @@ object RetrievalQueries {
     // shuffle), which keeps the query self-contained and non-degenerate
     // at every SF. Postings materialize once for census + 3 probes.
     "q145_phrase_search" -> ((s, dir) => {
-      val toks = t(s, dir, "documents")
-        .select(col("doc_id"), posexplode(tokens(col("text"))))
-        .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("tok"))
+      // ONE tokenize pass, checkpointed as per-doc ARRAYS (smaller than
+      // the exploded stream — no repeated doc_id/pos), shared by the
+      // census and the posting probes. r14: the census trigrams come
+      // from zip_with over three shifted slices of the checkpointed
+      // array — pure per-row compute straight into the phrase
+      // aggregate's map-side partials — where the before plan shuffled
+      // and SORTED the whole exploded token stream through a per-doc
+      // window (two leads) just to form adjacent triples.
+      val tk = t(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
         .materialize()
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      val top = toks
-        .withColumn("t2", lead(col("tok"), 1).over(w))
-        .withColumn("t3", lead(col("tok"), 2).over(w))
-        .where(col("t3").isNotNull)
-        .select(concat_ws(" ", col("tok"), col("t2"), col("t3")).as("phrase"))
+      val toks = tk.select(col("doc_id"),
+          posexplode(col("tk")))
+        .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("tok"))
+      val n = size(col("tk"))
+      val tri = zip_with(
+        zip_with(slice(col("tk"), lit(1), greatest(n - 2, lit(0))),
+          slice(col("tk"), lit(2), greatest(n - 2, lit(0))),
+          (a, b) => concat(a, lit(" "), b)),
+        slice(col("tk"), lit(3), greatest(n - 2, lit(0))),
+        (ab, c) => concat(ab, lit(" "), c))
+      val top = tk.select(explode(tri).as("phrase"))
         .groupBy(col("phrase")).agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("phrase")).limit(1)
         .select(col("phrase"), split(col("phrase"), " ").as("ws"))

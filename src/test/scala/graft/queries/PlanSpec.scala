@@ -559,9 +559,12 @@ class PlanSpec extends SparkSpec {
     // the probe filters postings to the phrase tokens BEFORE joining:
     // the (doc,pos) adjacency joins must be equi-joins, and the token
     // equality predicate must sit in a Filter below them, not a join
-    // condition over raw postings
-    assert(plan.contains("windowspecdefinition(doc_id"),
-      s"trigram census rides a doc-keyed window:\n$plan")
+    // condition over raw postings. r14: the trigram census no longer
+    // windows at all — triples come from zip_with over shifted slices
+    // of the checkpointed token arrays (per-row compute, no token-stream
+    // sort); any Window here is a regression back to the sorted census
+    assert(!plan.contains("windowspecdefinition"),
+      s"census must be window-free (zip_with trigrams):\n$plan")
     assert(count(plan, "BroadcastNestedLoopJoin") <= 3,
       s"only the 1-row phrase frame may nested-loop:\n$plan")
   }
