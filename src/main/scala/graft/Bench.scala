@@ -189,7 +189,23 @@ object Bench {
       System.err.println(s"[bench] $errors/${results.size} queries ERRORED — total covers ${ok.size} only")
     spark.stop()
     // the bare JSON line is the LAST stdout line (after spark.stop's noise
-    // lands on stderr) so a tail-based parser still finds it
+    // lands on stderr) so a tail-based parser still finds it.
+    //
+    // r15 measurement-output fix (VERDICT r14 #3): the full-map line is
+    // ~8 KB — five rounds of BENCH_r*.json carried "parsed": null because
+    // the driver's ~2000-char stdout tail cuts off its head. Print the
+    // full old-format line first (numbers unchanged, still harvestable),
+    // then a COMPACT line LAST that fits the tail whole: per-query times
+    // as a fixed-order array over the lexicographically sorted query
+    // names (results is already sorted by name; errored queries read -1),
+    // 180 x ~6 chars ~ 1.2 KB. The complete name->time map remains in
+    // bench_out.json, the durable record.
     println(json)
+    val qsCompact = results.map { case (_, v, e, _) =>
+      if (e) "-1" else (math.round(v * 1000) / 1000.0).toString
+    }.mkString("[", ",", "]")
+    val flaggedCompact = flagged.take(10).map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$errors,"iters":$iters,"load_avg_start":$loadStart,"n_queries":${results.size},"queries_order":"sorted_name","queries_sec":$qsCompact,"flagged":$flaggedCompact,"sf":"$sfDir"}""")
   }
 }

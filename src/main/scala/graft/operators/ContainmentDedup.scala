@@ -173,7 +173,8 @@ object ContainmentDedup {
       .collect()
   }
 
-  private def estimateFromHistogram(hist: Array[org.apache.spark.sql.Row],
+  private[operators] def estimateFromHistogram(
+      hist: Array[org.apache.spark.sql.Row],
       nDocs: Long, minContainment: Double): StrategyEstimate = {
     val postings = hist.map(_.getAs[Long]("p")).sum
     val naive = hist.map(_.getAs[Double]("j")).sum
@@ -208,23 +209,22 @@ object ContainmentDedup {
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
     val nDocsF = Future(docs.select(col(idCol)).distinct().count())
-    // small-vocabulary fast path (r14): probe the df census up to the
-    // bitmask cap + 1 rows. A short read hands the driver the EXACT
-    // census — the estimate AND the bitmask path's vocabulary come from
-    // this ONE job (the former chain ran a log2-histogram aggregate and
-    // then a second distinct-collect for the vocab). A full read means
-    // a big vocabulary: fall back to the log2 histogram, whose driver
-    // result stays tiny at any vocabulary size.
-    val censusProbe = sets.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      .limit(SmallVocabCap + 1).collect()
-    val smallVocab = censusProbe.length <= SmallVocabCap
+    // ONE census pass, always the log2 histogram (r15): its driver
+    // result is tiny at any vocabulary size, its sum(v) is the exact
+    // vocabulary count, and — decisively — it is the distribution shape
+    // the usePrefix calibration was MEASURED against (SCALE.md round 5).
+    // r14's "tighter" exact-census cumulation kept the same 0.25 ratio
+    // threshold and mis-dispatched dense closed-vocabulary corpora onto
+    // the prefix filter at sf1 (7.1 s -> 151.9 s: exact cumulation of a
+    // near-uniform df distribution yields ratio ~ (1-t) < 0.25 even
+    // though the prefix prunes nothing there; the histogram's
+    // whole-bucket overshoot pushes dense corpora to ratio ~ 1, which is
+    // what the threshold assumes). It also ran the census aggregate
+    // TWICE on large vocabularies (probe + histogram fallback) — the
+    // 100 TB sparse-web path paid the postings shuffle double.
+    val hist = censusHistogram(sets)
     val nDocs = Await.result(nDocsF, Duration.Inf)
-    val est =
-      if (smallVocab) estimateExact(
-        censusProbe.map(_.getLong(1)), nDocs, minContainment)
-      else estimateFromHistogram(censusHistogram(sets), nDocs, minContainment)
-    val vocabArr =
-      if (smallVocab) Some(censusProbe.map(_.getLong(0)).sorted) else None
+    val est = estimateFromHistogram(hist, nDocs, minContainment)
     val idIntegral = docs.schema(idCol).dataType match {
       case org.apache.spark.sql.types.LongType |
            org.apache.spark.sql.types.IntegerType |
@@ -233,33 +233,18 @@ object ContainmentDedup {
       case _ => false
     }
     if (est.usePrefix) prefixFromSets(sets, idCol, minContainment)
-    else if (idIntegral && bitmaskFits(nDocs, est.vocab))
+    else if (idIntegral && bitmaskFits(nDocs, est.vocab)) {
+      // the vocabulary keys are collected only on the path that needs
+      // them — bitmaskFits has already bounded the vocab at <= 16384
+      // rows, so this distinct-collect over the materialized postings is
+      // a driver-cheap job that never runs on the scale (prefix/naive)
+      // paths
+      val vocabArr = sets.select(col("sh")).distinct()
+        .collect().map(_.getLong(0)).sorted
       pairsBitmaskFromSets(sets, idCol, minContainment, est.vocab.toInt,
-        vocabArr)
-    else pairsFromSets(sets, idCol, minContainment, maxDocFreq = 0)
-  }
-
-  /** Vocabulary count at or below which the census probe collects the
-    * EXACT per-shingle df rows (16k rows ≈ a few hundred KB) — matches
-    * [[bitmaskFits]]'s vocab bound so the bitmask path can reuse the
-    * collected keys. */
-  private val SmallVocabCap = 16384
-
-  /** Exact-census estimate — same quantities as the log2-histogram form
-    * but cumulated over the true df distribution (the prefix bound is a
-    * touch tighter; every strategy is exact, so a dispatch difference
-    * can never change output). */
-  private def estimateExact(dfs: Array[Long], nDocs: Long,
-      minContainment: Double): StrategyEstimate = {
-    val postings = dfs.sum
-    val naive = dfs.map(d => d.toDouble * d).sum
-    val prefixMass = (1.0 - minContainment) * postings + nDocs
-    var acc = 0.0
-    var pre = 0.0
-    dfs.sorted.foreach { d =>
-      if (acc < prefixMass) { acc += d; pre += d.toDouble * d }
+        Some(vocabArr))
     }
-    StrategyEstimate(nDocs, postings, naive, pre, dfs.length.toLong)
+    else pairsFromSets(sets, idCol, minContainment, maxDocFreq = 0)
   }
 
   /** The dense-regime fast path fits when (a) the vocabulary is a small

@@ -129,6 +129,52 @@ class ContainmentDedupSpec extends SparkSpec {
       s"planted twins missing: $twins")
   }
 
+  test("dense sf1-shaped census dispatches away from prefix at any magnitude") {
+    // regression pin (r14 -> r15): the sf1 documents corpus is ~50k docs
+    // over a ~1k-shingle closed vocabulary with near-uniform df ~ 2650.
+    // r14's exact-census cumulation produced prefixJoinRows ~ (1-t) *
+    // naive < 0.25 * naive on exactly this shape and flipped q113 onto
+    // the prefix filter (which prunes NOTHING on a dense corpus):
+    // 7.1 s -> 151.9 s at sf1. The dispatcher must cumulate the
+    // LOG2-HISTOGRAM form — whose whole-bucket overshoot pushes dense
+    // corpora to ratio ~ 1 — because that is the distribution the 0.25
+    // threshold was calibrated against (SCALE.md round 5).
+    def hist(rows: Seq[(Long, Long, Double, Long)]) =
+      rows.toDF("b", "p", "j", "v").collect()
+    val denseSf1 = hist(Seq(
+      (10L, 150000L, 2.25e8, 100L),     // df ~ 1500
+      (11L, 2385000L, 6.32e9, 900L)))   // df ~ 2650
+    val est = ContainmentDedup.estimateFromHistogram(denseSf1,
+      nDocs = 50000L, minContainment = 0.8)
+    assert(est.naiveJoinRows > 1e8, s"fixture must clear the magnitude floor: $est")
+    assert(est.vocab == 1000L, s"vocab must be the exact sum(v): $est")
+    assert(!est.usePrefix,
+      s"dense closed-vocab census must never dispatch to prefix: $est")
+    // the exact-cumulation failure mode this pin guards: taking only the
+    // cheapest individual dfs up to the prefix mass reads ratio ~ (1-t)
+    val exactStyleRatio = {
+      val dfs = Array.fill(100)(1500L) ++ Array.fill(900)(2650L)
+      val prefixMass = 0.2 * dfs.sum + 50000L
+      var acc = 0.0; var pre = 0.0
+      dfs.sorted.foreach { d =>
+        if (acc < prefixMass) { acc += d; pre += d.toDouble * d } }
+      pre / est.naiveJoinRows
+    }
+    assert(exactStyleRatio < 0.25,
+      "fixture must reproduce the r14 mis-dispatch shape")
+    // sparse web shape (huge rare tail, a few boilerplate shingles):
+    // prefix must still fire above the floor
+    val sparseWeb = hist(Seq(
+      (0L, 5000000L, 5e6, 5000000L),    // df = 1 tail
+      (1L, 2500000L, 6.25e6, 1000000L), // df ~ 2-3
+      (5L, 320000L, 1.02e7, 10000L),    // df ~ 32
+      (14L, 163840L, 2.68e9, 10L)))     // boilerplate df ~ 16k
+    val sparseEst = ContainmentDedup.estimateFromHistogram(sparseWeb,
+      nDocs = 300000L, minContainment = 0.8)
+    assert(sparseEst.usePrefix,
+      s"sparse web census must dispatch to prefix above the floor: $sparseEst")
+  }
+
   test("bitmask all-pairs equals the naive join on dense and sparse fixtures") {
     val dense = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val naive = ContainmentDedup.pairs(dense, "doc_id", "text", 2, 0.8)
