@@ -38,7 +38,11 @@ object Bm25 {
   private def candidates(docs: DataFrame, idCol: String, textCol: String,
       terms: Seq[String]): (DataFrame, DataFrame, DataFrame) = {
     import graft.Materialize._
-    val termArr = array(terms.map(lit): _*)
+    // distinct: the map-side tf transform emits one (term, tf) struct
+    // per ARRAY ENTRY, so a duplicated query term would double its df
+    // and its per-doc score contribution (the pre-r14 explode+groupBy
+    // shape was idempotent to duplicates; keep that contract)
+    val termArr = array(terms.distinct.map(lit): _*)
     // narrow (doc_id, dl, matched-terms) frame, materialized: the
     // corpus is tokenized ONCE for both consumers (stats + tf) instead
     // of once per aggregate (r14; two full tokenize passes before)

@@ -55,7 +55,21 @@ object GroupQuantile {
       df.withColumn(rnkCol, row_number().over(wOrd))
         .withColumn(nCol, count(lit(1)).over(wAll))
     } else {
-      val stamped = GlobalRank.withRowNumber(df, g :+ col(valueCol), "_grn")
+      // cutoverBytes = 0: the inner rank must be FORCED onto the
+      // distributed stamp. Letting withRowNumber re-dispatch on the
+      // same plan estimate that routed us here is self-defeating: when
+      // THIS arm was chosen because the estimate lies low (compressed
+      // text scans read 3-10x under their in-memory size — ADVICE r14),
+      // withRowNumber would see the same low estimate and pick its
+      // empty-PARTITION-BY window = the whole table sorted in ONE task,
+      // duplicated once more under the offsets aggregate (no exchange
+      // reuse across differently-pruned consumers). Measured at sf1
+      // (35 MB estimate, forced big arm): 38.5 s as a doubled
+      // single-task global window vs 6.1 s with the stamp forced —
+      // back at parity with the per-group window arm locally, and the
+      // stamp arm is the only one that parallelizes past #groups tasks.
+      val stamped = GlobalRank.withRowNumber(df, g :+ col(valueCol), "_grn",
+        cutoverBytes = 0L)
       // one row per group; AQE broadcasts it when it is small (it is,
       // by the op's contract — the final report is per-group too).
       // Null-safe join keys (<=>): a plain equi-join would DROP rows

@@ -163,42 +163,8 @@ object RetrievalQueries {
     // corpus's own most-frequent trigram (window census — one doc-keyed
     // shuffle), which keeps the query self-contained and non-degenerate
     // at every SF. Postings materialize once for census + 3 probes.
-    "q145_phrase_search" -> ((s, dir) => {
-      // ONE tokenize pass, checkpointed as per-doc ARRAYS (smaller than
-      // the exploded stream — no repeated doc_id/pos), shared by the
-      // census and the posting probes. r14: the census trigrams come
-      // from zip_with over three shifted slices of the checkpointed
-      // array — pure per-row compute straight into the phrase
-      // aggregate's map-side partials — where the before plan shuffled
-      // and SORTED the whole exploded token stream through a per-doc
-      // window (two leads) just to form adjacent triples.
-      val tk = t(s, dir, "documents")
-        .select(col("doc_id"), tokens(col("text")).as("tk"))
-        .materialize()
-      val toks = tk.select(col("doc_id"),
-          posexplode(col("tk")))
-        .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("tok"))
-      val n = size(col("tk"))
-      val tri = zip_with(
-        zip_with(slice(col("tk"), lit(1), greatest(n - 2, lit(0))),
-          slice(col("tk"), lit(2), greatest(n - 2, lit(0))),
-          (a, b) => concat(a, lit(" "), b)),
-        slice(col("tk"), lit(3), greatest(n - 2, lit(0))),
-        (ab, c) => concat(ab, lit(" "), c))
-      val top = tk.select(explode(tri).as("phrase"))
-        .groupBy(col("phrase")).agg(count(lit(1)).as("c"))
-        .orderBy(col("c").desc, col("phrase")).limit(1)
-        .select(col("phrase"), split(col("phrase"), " ").as("ws"))
-      def plist(i: Int) = toks.crossJoin(broadcast(top))
-        .where(col("tok") === element_at(col("ws"), i))
-      plist(1).select(col("doc_id"), col("pos"), col("phrase"))
-        .join(plist(2).select(col("doc_id"), (col("pos") - 1).as("pos")),
-          Seq("doc_id", "pos"))
-        .join(plist(3).select(col("doc_id"), (col("pos") - 2).as("pos")),
-          Seq("doc_id", "pos"))
-        .select(col("doc_id"), col("pos"), col("phrase"))
-        .orderBy(col("doc_id"), col("pos"))
-    }),
+    "q145_phrase_search" -> ((s, dir) =>
+      phraseSearch(t(s, dir, "documents"))),
 
     // RAG chunking: split every document into overlapping retrieval
     // windows of 64 tokens at stride 48 (16-token overlap — the
@@ -228,6 +194,86 @@ object RetrievalQueries {
         .orderBy(col("doc_id"), col("chunk_id"))
     })
   )
+
+  /** q145 kernel: exact phrase search over a positional inverted index,
+    * self-contained via a trigram census (the demo phrase is the
+    * corpus's own most frequent trigram). SIZE-ADAPTIVE census (r15):
+    *
+    *  - BELOW `cutoverBytes` (plan-estimated input size): tokenize into
+    *    the exploded postings once, census trigrams via a per-doc
+    *    window (two leads). Measured the local winner — sf1 A/B in one
+    *    session: window 3.36 s vs zip_with-over-arrays 4.20 s (min of
+    *    3; r14 had shipped the array shape un-gated and regressed sf1
+    *    2.91 → 4.40 s).
+    *  - ABOVE: tokenize into checkpointed per-doc ARRAYS; census
+    *    trigrams from zip_with over three shifted slices — pure per-row
+    *    compute into the aggregate's map-side partials, deleting the
+    *    full shuffle+sort of the token stream that the window arm pays
+    *    (the trigram-partials exchange remains in BOTH arms, so above
+    *    the cutover the array arm strictly shuffles less).
+    *
+    * Both arms produce identical rows (PhraseSearchSpec pins parity and
+    * the dispatch). The cutover reads compressed on-disk bytes for
+    * parquet scans (ADVICE r14: text decompresses 3–10×) — a misroute
+    * here costs only the local-winner margin, never a single-task sort,
+    * since both arms are doc-partitioned. */
+  private[graft] def phraseSearch(docs: org.apache.spark.sql.DataFrame,
+      cutoverBytes: Long = graft.operators.GlobalRank.WindowCutoverBytes)
+      : org.apache.spark.sql.DataFrame = {
+    val est = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+    val small = est >= 0 && est < BigInt(cutoverBytes)
+    if (small) {
+      val toks = docs
+        .select(col("doc_id"), posexplode(tokens(col("text"))))
+        .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("tok"))
+        .materialize()
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val top = toks
+        .withColumn("t2", lead(col("tok"), 1).over(w))
+        .withColumn("t3", lead(col("tok"), 2).over(w))
+        .where(col("t3").isNotNull)
+        .select(concat_ws(" ", col("tok"), col("t2"), col("t3")).as("phrase"))
+        .groupBy(col("phrase")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("phrase")).limit(1)
+        .select(col("phrase"), split(col("phrase"), " ").as("ws"))
+      def plist(i: Int) = toks.crossJoin(broadcast(top))
+        .where(col("tok") === element_at(col("ws"), i))
+      plist(1).select(col("doc_id"), col("pos"), col("phrase"))
+        .join(plist(2).select(col("doc_id"), (col("pos") - 1).as("pos")),
+          Seq("doc_id", "pos"))
+        .join(plist(3).select(col("doc_id"), (col("pos") - 2).as("pos")),
+          Seq("doc_id", "pos"))
+        .select(col("doc_id"), col("pos"), col("phrase"))
+        .orderBy(col("doc_id"), col("pos"))
+    } else {
+      val tk = docs
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+        .materialize()
+      val toks = tk.select(col("doc_id"),
+          posexplode(col("tk")))
+        .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("tok"))
+      val n = size(col("tk"))
+      val tri = zip_with(
+        zip_with(slice(col("tk"), lit(1), greatest(n - 2, lit(0))),
+          slice(col("tk"), lit(2), greatest(n - 2, lit(0))),
+          (a, b) => concat(a, lit(" "), b)),
+        slice(col("tk"), lit(3), greatest(n - 2, lit(0))),
+        (ab, c) => concat(ab, lit(" "), c))
+      val top = tk.select(explode(tri).as("phrase"))
+        .groupBy(col("phrase")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("phrase")).limit(1)
+        .select(col("phrase"), split(col("phrase"), " ").as("ws"))
+      def plist(i: Int) = toks.crossJoin(broadcast(top))
+        .where(col("tok") === element_at(col("ws"), i))
+      plist(1).select(col("doc_id"), col("pos"), col("phrase"))
+        .join(plist(2).select(col("doc_id"), (col("pos") - 1).as("pos")),
+          Seq("doc_id", "pos"))
+        .join(plist(3).select(col("doc_id"), (col("pos") - 2).as("pos")),
+          Seq("doc_id", "pos"))
+        .select(col("doc_id"), col("pos"), col("phrase"))
+        .orderBy(col("doc_id"), col("pos"))
+    }
+  }
 
   /** Shared DuckDB CTE chain for the rational BM25 scorer (per-doc
     * integer sc_sum in CTE `agg`) — the q116 oracle selects scores from

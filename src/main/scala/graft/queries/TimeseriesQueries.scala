@@ -937,37 +937,37 @@ object TimeseriesQueries {
     }),
 
     // last-touch purchase attribution: each purchase credited to the
-    // FIRST event type (the "channel") of its enclosing session — the
-    // marketing report built by composing two existing operators on
-    // DERIVED frames: q26's sessionization (session bounds + entry
-    // channel via min_by on the (ts, event_id) key — no window sort)
-    // and the as-of backward join (purchase matched to the latest
-    // session_start at or before it, per user). Revenue sums ride the
-    // exact decimal path. Session frames are events-compressed, so the
-    // as-of union-window runs on a small frame.
+    // FIRST event type (the "channel") of its enclosing session.
+    // Revenue sums ride the exact decimal path.
+    //
+    // ONE window pass (r15): the enclosing session's entry channel is a
+    // running `last(entry-marker, ignoreNulls)` over the SAME
+    // (user, ts, event_id) sort the session-boundary lag already needs
+    // — a session's first row (by that order) is exactly the row the
+    // boundary predicate marks, so every later row's "latest marked
+    // event_type" IS its session's channel. The former shape composed
+    // q26's sessionization into a session frame, re-scanned events for
+    // purchases, and as-of joined the two (union + a SECOND user-keyed
+    // window sort): the join only re-derived state the first window
+    // already held (every purchase's matching session_start is its own
+    // session's — session starts are > gap apart, so the as-of backward
+    // match can never skip to another session). Guide §2.4: 2 events
+    // scans → 1, 2 user-keyed sorts → 1, as-of union exchange deleted.
+    // cents is computed map-side for purchase rows only, so the window
+    // shuffle carries one mostly-null long, not the raw value string.
     "q153_attribution" -> ((s, dir) => {
       val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val ev = t(s, dir, "events")
-      val sessions = ev
-        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+          when(col("event_type") === "purchase",
+            (dec(col("value")) * 100).cast("long")).as("cents"))
         .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(wOrd))
-        .withColumn("new_s",
-          when(col("prev_us").isNull ||
-            unix_micros(col("ts")) - col("prev_us") > SessionGapUs, 1).otherwise(0))
-        .withColumn("session_no", sum(col("new_s")).over(wRun))
-        .groupBy(col("user_id"), col("session_no"))
-        // the as-of contract shares one time-column name across sides:
-        // the session's match key IS its start
-        .agg(min(col("ts")).as("ts"),
-          min_by(col("event_type"), struct(col("ts"), col("event_id")))
-            .as("channel"))
-        .drop("session_no")
-      val purchases = ev.where(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts"), col("event_id"),
-          (dec(col("value")) * 100).cast("long").as("cents"))
-      graft.operators.AsOfJoin.asof(purchases, sessions, Seq("user_id"),
-          "ts", Map("channel" -> "channel"))
+        .withColumn("channel",
+          last(when(col("prev_us").isNull ||
+              unix_micros(col("ts")) - col("prev_us") > SessionGapUs,
+            col("event_type")), ignoreNulls = true).over(wRun))
+        .where(col("event_type") === "purchase")
         .groupBy(col("channel"))
         .agg(count(lit(1)).as("n_purchases"),
           (sum(col("cents")).cast("double") / 100.0).as("revenue"))

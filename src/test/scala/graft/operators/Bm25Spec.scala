@@ -27,6 +27,17 @@ class Bm25Spec extends SparkSpec {
     assert(prod.toSet == rat.toSet) // same matched set
   }
 
+  test("duplicate query terms score identically to the distinct list") {
+    // the r14 map-side tf transform emits one struct per array entry;
+    // candidates() dedups the term list so a caller passing duplicates
+    // cannot double a term's df/score (the public-API contract the old
+    // explode+groupBy shape gave for free)
+    val dup = Bm25.topK(corpus, "doc_id", "text",
+      Seq("spark", "shuffle", "spark"), 6).collect().toSeq
+    val dis = Bm25.topK(corpus, "doc_id", "text", terms, 6).collect().toSeq
+    assert(dup == dis)
+  }
+
   test("docs without any query term never appear; scores are positive") {
     val rows = Bm25.topKRational(corpus, "doc_id", "text", terms, 10)
       .select("doc_id", "score").as[(Long, Double)].collect()

@@ -46,6 +46,27 @@ class GroupQuantileSpec extends SparkSpec {
     assert(big.toSeq == small.toSeq)
   }
 
+  test("large arm never re-dispatches onto a single-task global window") {
+    // r15 safety pin (r14 verdict: "no spec pins behavior when the
+    // estimate lies"): when withGroupRank's cutover routes to the large
+    // arm — which in production happens precisely because the plan
+    // estimate may LIE low (compressed text scans read 3-10x under
+    // their in-memory size) — the inner GlobalRank.withRowNumber must
+    // be FORCED onto the distributed stamp, not allowed to re-read the
+    // same low estimate and pick its empty-PARTITION-BY window (the
+    // whole table sorted in one task, duplicated under the offsets
+    // aggregate: measured 38.5 s vs 6.1 s at sf1).
+    val plan = GroupQuantile.selectRanks(sample, Seq("g"), "v", medPick,
+      cutoverBytes = 0L).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(!plan.contains("windowspecdefinition"),
+      s"forced large arm must stamp, never window:\n$plan")
+    assert(plan.contains("_offset"),
+      s"large arm must attach broadcast per-partition offsets:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"offsets must attach by broadcast, not shuffle:\n$plan")
+  }
+
   test("multiple picks (P05/P95) select the winsorize bounds") {
     val df = (1L to 100L).map(i => ("s", i)).toDF("g", "v")
     val picks = Seq(
