@@ -85,9 +85,15 @@ object StreamingNearDup {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             val seen = state.getOption.map(_.ids).getOrElse(Nil)
+            // membership via a set: List.contains made this scan
+            // O(batch x cap) per SATURATED bucket — the hot-boilerplate
+            // regime the cap exists for is exactly where every arriving
+            // id paid a full 1000-element walk (StreamBench
+            // neardup_hot_bucket pins the regime's throughput)
+            val seenSet = seen.toSet
             // deterministic within-batch order; iterator order is not
             val fresh = rows.map(_._1).toSeq.distinct.sorted
-              .filterNot(seen.contains)
+              .filterNot(seenSet.contains)
             val out = Seq.newBuilder[Candidate]
             var members = seen
             var nMembers = seen.size // List.size is O(n): count once
