@@ -157,7 +157,9 @@ object ContainmentDedup {
     estimateFromHistogram(censusHistogram(sets), nDocs, minContainment)
 
   /** The census collect (one aggregate action) — split from the driver
-    * math so [[pairsAuto]] can overlap it with the nDocs count. */
+    * math so [[pairsAuto]] can overlap it with the nDocs count. The
+    * bucket ORDER is established driver-side (estimateFromBuckets), not
+    * by an orderBy: sorting ≤64 rows does not merit an exchange. */
   private def censusHistogram(
       sets: DataFrame): Array[org.apache.spark.sql.Row] = {
     val census = sets.groupBy(col("sh")).agg(count(lit(1)).as("df"))
@@ -169,23 +171,47 @@ object ContainmentDedup {
       .agg(sum(col("df")).as("p"),
         sum(col("df").cast("double") * col("df")).as("j"),
         count(lit(1)).as("v"))
-      .orderBy(col("b"))
       .collect()
   }
 
   private[operators] def estimateFromHistogram(
       hist: Array[org.apache.spark.sql.Row],
+      nDocs: Long, minContainment: Double): StrategyEstimate =
+    estimateFromBuckets(hist.map(r => (r.getAs[Long]("b"), r.getAs[Long]("p"),
+      r.getAs[Double]("j"), r.getAs[Long]("v"))), nDocs, minContainment)
+
+  /** The dispatch cumulation, ALWAYS over log2 buckets (b, p=Σdf,
+    * j=Σdf², v=#shingles) — the distribution shape the usePrefix ratio
+    * threshold was calibrated against (SCALE.md round 5). Exact per-
+    * shingle censuses must be log2-BUCKETED before cumulation
+    * ([[estimateFromDfs]]): r14 cumulated exact dfs directly, which
+    * reads ratio ≈ (1−t) < 0.25 on dense near-uniform corpora and
+    * mis-dispatched q113 onto the prefix filter at sf1 (7 s → 152 s). */
+  private def estimateFromBuckets(buckets: Seq[(Long, Long, Double, Long)],
       nDocs: Long, minContainment: Double): StrategyEstimate = {
-    val postings = hist.map(_.getAs[Long]("p")).sum
-    val naive = hist.map(_.getAs[Double]("j")).sum
-    val vocab = hist.map(_.getAs[Long]("v")).sum
+    val hist = buckets.sortBy(_._1)
+    val postings = hist.map(_._2).sum
+    val naive = hist.map(_._3).sum
+    val vocab = hist.map(_._4).sum
     val prefixMass = (1.0 - minContainment) * postings + nDocs
     var acc = 0.0
     var pre = 0.0
-    hist.foreach { r =>
-      if (acc < prefixMass) { acc += r.getAs[Long]("p"); pre += r.getAs[Double]("j") }
+    hist.foreach { case (_, p, j, _) =>
+      if (acc < prefixMass) { acc += p; pre += j }
     }
     StrategyEstimate(nDocs, postings, naive, pre, vocab)
+  }
+
+  /** Driver-side log2 bucketing of an EXACT census (small vocabularies
+    * only) — bit-identical buckets to [[censusHistogram]]'s
+    * floor(log2(df)), then the same cumulation. */
+  private[operators] def estimateFromDfs(dfs: Array[Long], nDocs: Long,
+      minContainment: Double): StrategyEstimate = {
+    val buckets = dfs.groupBy(d => 63L - java.lang.Long.numberOfLeadingZeros(d))
+      .map { case (b, ds) =>
+        (b, ds.sum, ds.map(d => d.toDouble * d).sum, ds.length.toLong) }
+      .toSeq
+    estimateFromBuckets(buckets, nDocs, minContainment)
   }
 
   /** Data-driven containment join: run the census-based [[estimate]] and
@@ -209,22 +235,52 @@ object ContainmentDedup {
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
     val nDocsF = Future(docs.select(col(idCol)).distinct().count())
-    // ONE census pass, always the log2 histogram (r15): its driver
-    // result is tiny at any vocabulary size, its sum(v) is the exact
-    // vocabulary count, and — decisively — it is the distribution shape
-    // the usePrefix calibration was MEASURED against (SCALE.md round 5).
-    // r14's "tighter" exact-census cumulation kept the same 0.25 ratio
-    // threshold and mis-dispatched dense closed-vocabulary corpora onto
-    // the prefix filter at sf1 (7.1 s -> 151.9 s: exact cumulation of a
-    // near-uniform df distribution yields ratio ~ (1-t) < 0.25 even
-    // though the prefix prunes nothing there; the histogram's
-    // whole-bucket overshoot pushes dense corpora to ratio ~ 1, which is
-    // what the threshold assumes). It also ran the census aggregate
-    // TWICE on large vocabularies (probe + histogram fallback) — the
-    // 100 TB sparse-web path paid the postings shuffle double.
-    val hist = censusHistogram(sets)
-    val nDocs = Await.result(nDocsF, Duration.Inf)
-    val est = estimateFromHistogram(hist, nDocs, minContainment)
+    // The corpus pays exactly ONE census shuffle (r15), and the DISPATCH
+    // always cumulates the log2-histogram shape (the calibration's
+    // distribution — see estimateFromBuckets; r14 cumulated exact dfs
+    // directly and mis-dispatched dense corpora onto the prefix filter
+    // at sf1, 7 s → 152 s). Which census job runs is decided by a
+    // SHORT-READ regime probe first: collect 4×cap postings off the
+    // checkpoint (CollectLimit stops at the first partitions that fill
+    // it — no scan of the corpus, no shuffle) and count distinct
+    // shingles on the driver. A sample's distinct count never exceeds
+    // the true vocabulary, so:
+    //
+    //  - reads small (≤ cap): the vocabulary MIGHT be small — collect
+    //    the EXACT census with a capped read. One census job serves the
+    //    estimate AND the bitmask path's vocabulary keys (r14's fast
+    //    path; the probe's own cap verifies, so a locally-closed sample
+    //    of a genuinely huge vocabulary costs one bounded extra census,
+    //    never wrongness).
+    //  - reads large (the 100 TB sparse-web regime — doc-specific
+    //    shingles saturate any sample immediately): the log2 histogram
+    //    is the one census job. r14 ran the capped probe's full map
+    //    side AND the histogram here, paying the postings shuffle
+    //    twice; the r15.0 intermediate shape ran histogram + a vocab
+    //    distinct on the SMALL side instead, two census-class shuffles,
+    //    +0.5 s on q113's sf0.1 bench row.
+    val sampleDistinct = sets.select(col("sh"))
+      .limit(4 * SmallVocabCap).collect()
+      .foldLeft(new java.util.HashSet[Long]()) { (s, r) =>
+        s.add(r.getLong(0)); s }.size
+    var vocabArr: Option[Array[Long]] = None
+    val nDocsOf = () => Await.result(nDocsF, Duration.Inf)
+    val est =
+      if (sampleDistinct <= SmallVocabCap) {
+        val probe = sets.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+          .limit(SmallVocabCap + 1).collect()
+        if (probe.length <= SmallVocabCap) {
+          vocabArr = Some(probe.map(_.getLong(0)).sorted)
+          estimateFromDfs(probe.map(_.getLong(1)), nDocsOf(), minContainment)
+        } else
+          // the sample read closed-vocabulary but the full census
+          // overflowed the cap; correctness is unaffected, this pass
+          // just pays the double census r14 paid everywhere
+          estimateFromHistogram(censusHistogram(sets), nDocsOf(),
+            minContainment)
+      } else estimateFromHistogram(censusHistogram(sets), nDocsOf(),
+        minContainment)
+    val nDocs = nDocsOf()
     val idIntegral = docs.schema(idCol).dataType match {
       case org.apache.spark.sql.types.LongType |
            org.apache.spark.sql.types.IntegerType |
@@ -234,18 +290,25 @@ object ContainmentDedup {
     }
     if (est.usePrefix) prefixFromSets(sets, idCol, minContainment)
     else if (idIntegral && bitmaskFits(nDocs, est.vocab)) {
-      // the vocabulary keys are collected only on the path that needs
-      // them — bitmaskFits has already bounded the vocab at <= 16384
-      // rows, so this distinct-collect over the materialized postings is
-      // a driver-cheap job that never runs on the scale (prefix/naive)
-      // paths
-      val vocabArr = sets.select(col("sh")).distinct()
-        .collect().map(_.getLong(0)).sorted
+      // vocabulary keys rode the census probe: sample distinct ≤ true
+      // vocab, so a bitmask-eligible corpus (vocab ≤ cap) can never
+      // read large at the sample and always took the probe. The
+      // fallback is defensive only (bounded at 16384 rows by
+      // bitmaskFits, driver-cheap, never on the scale paths).
+      val va = vocabArr.getOrElse(sets.select(col("sh")).distinct()
+        .collect().map(_.getLong(0)).sorted)
       pairsBitmaskFromSets(sets, idCol, minContainment, est.vocab.toInt,
-        Some(vocabArr))
+        Some(va))
     }
     else pairsFromSets(sets, idCol, minContainment, maxDocFreq = 0)
   }
+
+  /** Vocabulary count at or below which the census probe collects the
+    * EXACT per-shingle df rows (16k rows ≈ a few hundred KB) — matches
+    * [[bitmaskFits]]'s vocab bound so the bitmask path can reuse the
+    * collected keys. */
+  private val SmallVocabCap = 16384
+
 
   /** The dense-regime fast path fits when (a) the vocabulary is a small
     * closed set (masks stay a few words wide), (b) the mask table fits

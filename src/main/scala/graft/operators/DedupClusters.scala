@@ -38,12 +38,13 @@ object DedupClusters {
     *
     * Size-adaptive like [[GlobalRank]]: strictly below
     * `driverCutoverEdges` the edge list is union-found on the driver
-    * (one collect of the already-checkpointed, deduped edges — a
+    * (one short collect of the already-checkpointed, deduped edges — a
     * near-dup graph that small pays 4-5 rounds of job scheduling for
     * nothing); at or above it, the star contraction runs fully
-    * distributed and the driver never sees an edge. The cutover count
-    * is one cheap job over the checkpointed blocks, skipped entirely
-    * when the cutover is 0.
+    * distributed and the driver never sees an edge. The dedup shuffle
+    * is pinned by ONE checkpoint either way; the probe reads local
+    * checkpoint blocks only, and is skipped entirely when the cutover
+    * is 0.
     *
     * @param edges  two numeric columns; self-loops ignored
     * @param driverCutoverEdges  0 forces the distributed path (specs pin
@@ -58,19 +59,40 @@ object DedupClusters {
       .where(col("u") =!= col("v"))
       .distinct()
 
-    // ONE action decides the path AND delivers the small case (r14):
-    // collect up to the cutover; a short read means the whole deduped
-    // edge list is already on the driver — union-find it directly. The
-    // former shape paid three sequential jobs (checkpoint, count,
-    // collect) before any clustering started. Only the large case pays
-    // the checkpoint barrier the iterative contraction needs.
-    if (driverCutoverEdges > 0) {
-      val probe = deduped.limit(
-        math.min(driverCutoverEdges, Int.MaxValue.toLong).toInt).collect()
+    // Which side of the checkpoint the path probe runs on is gated by
+    // the plan estimate (r15, ADVICE r14). r14 always probed the
+    // UN-checkpointed frame: one action decided the path AND delivered
+    // the small case, but on a LARGE graph the probe's limit only caps
+    // the collect — the distinct's full map side still ran, and the
+    // materialize then recomputed the whole distinct (shuffle reuse
+    // does not span actions): the scale path paid its dedup shuffle
+    // twice. Probing the checkpoint instead costs the small case an
+    // extra job (+0.15 s on q75's bench row). So:
+    //  - estimate reads small: probe direct (r14's one-action fast
+    //    path). A lying under-estimate here wastes one bounded distinct
+    //    map side on a mid-size graph — anything whose estimate fits
+    //    under the cutover is nowhere near the 100 TB regime even at a
+    //    10x parquet-compression lie.
+    //  - estimate reads large: materialize FIRST (the dedup shuffle is
+    //    pinned once — the checkpoint is the barrier the iterative
+    //    contraction needs anyway), then probe the local checkpoint
+    //    blocks, which also catches over-estimated tiny graphs cheaply
+    //    (join-derived edge frames err huge).
+    val cap = math.min(driverCutoverEdges, Int.MaxValue.toLong).toInt
+    val estBytes = deduped.queryExecution.optimizedPlan.stats.sizeInBytes
+    val estSmall = estBytes >= 0 &&
+      estBytes < BigInt(GlobalRank.WindowCutoverBytes)
+    if (driverCutoverEdges > 0 && estSmall) {
+      val probe = deduped.limit(cap).collect()
       if (probe.length < driverCutoverEdges)
         return driverComponentsRows(deduped.sparkSession, probe)
     }
     var e = deduped.materialize()
+    if (driverCutoverEdges > 0 && !estSmall) {
+      val probe = e.limit(cap).collect()
+      if (probe.length < driverCutoverEdges)
+        return driverComponentsRows(e.sparkSession, probe)
+    }
 
     var converged = false
     var iter = 0

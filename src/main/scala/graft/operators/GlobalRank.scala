@@ -90,7 +90,18 @@ object GlobalRank {
   }
 
   /** Default size cutover: below this the single-task window sort is
-    * cheaper than the multi-pass distributed stamping. */
+    * cheaper than the multi-pass distributed stamping.
+    *
+    * CAVEAT (ADVICE r14): `optimizedPlan.stats.sizeInBytes` reads
+    * on-disk COMPRESSED bytes for parquet-scan-rooted plans, and wide
+    * text columns commonly decompress 3-10x — a ~250 MB-compressed
+    * corpus can route into the window arm and sort 1-2.5 GB in one
+    * task (slow, spilling, but exact: Spark's sorts are external).
+    * Callers ranking wide text should pass a lower `cutoverBytes`;
+    * non-scan-rooted estimates (joins, unknown RDDs) err HUGE, so the
+    * misroute only happens in this compressed-scan direction. Every
+    * dispatched composition in this repo ranks narrow projections
+    * (ids, counts, weights), where the factor is small. */
   val WindowCutoverBytes: Long = 256L * 1024 * 1024
 
   /** Exact NTILE(k) over a global ordering.

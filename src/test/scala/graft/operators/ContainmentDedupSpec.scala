@@ -142,8 +142,8 @@ class ContainmentDedupSpec extends SparkSpec {
     def hist(rows: Seq[(Long, Long, Double, Long)]) =
       rows.toDF("b", "p", "j", "v").collect()
     val denseSf1 = hist(Seq(
-      (10L, 150000L, 2.25e8, 100L),     // df ~ 1500
-      (11L, 2385000L, 6.32e9, 900L)))   // df ~ 2650
+      (10L, 150000L, 2.25e8, 100L),        // 100 shingles at df = 1500
+      (11L, 2385000L, 6.32025e9, 900L)))   // 900 shingles at df = 2650
     val est = ContainmentDedup.estimateFromHistogram(denseSf1,
       nDocs = 50000L, minContainment = 0.8)
     assert(est.naiveJoinRows > 1e8, s"fixture must clear the magnitude floor: $est")
@@ -162,6 +162,16 @@ class ContainmentDedupSpec extends SparkSpec {
     }
     assert(exactStyleRatio < 0.25,
       "fixture must reproduce the r14 mis-dispatch shape")
+    // the exact-census probe path must bucket to log2 BEFORE cumulating:
+    // fed the same raw dfs, its dispatch must match the histogram's,
+    // never r14's direct cumulation
+    val dfsEst = ContainmentDedup.estimateFromDfs(
+      Array.fill(100)(1500L) ++ Array.fill(900)(2650L),
+      nDocs = 50000L, minContainment = 0.8)
+    assert(!dfsEst.usePrefix,
+      s"exact-census estimate must dispatch like the histogram: $dfsEst")
+    assert(dfsEst.vocab == 1000L && dfsEst.naiveJoinRows == est.naiveJoinRows,
+      s"same census, same quantities: $dfsEst vs $est")
     // sparse web shape (huge rare tail, a few boilerplate shingles):
     // prefix must still fire above the floor
     val sparseWeb = hist(Seq(
